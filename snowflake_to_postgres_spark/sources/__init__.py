@@ -1,0 +1,7 @@
+from snowflake_to_postgres_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_tables,
+    register_views,
+    table_path,
+)

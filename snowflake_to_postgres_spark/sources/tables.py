@@ -1,0 +1,73 @@
+"""Parquet table sources for the synthetic TPC-H-ish fixture set.
+
+Replaces the reference's full-table extract scan
+(data_transfer.py:98-208: ``SELECT "c"::VARCHAR ... FROM schema.table``
+with hand-batched ``fetchmany``): here a scan is ``spark.read.parquet``
+— batching, column pruning, and predicate pushdown are Catalyst's job,
+and types stay native instead of collapsing to VARCHAR
+(data_transfer.py:125-128).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = _normalize_nanos_ts(df)
+    return df
+
+
+def _normalize_nanos_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as a raw
+    nanos-since-epoch long. Convert to a microsecond TimestampType
+    (floor division matches DuckDB's ns→µs truncation)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view (bare name) so `spark.sql`
+    queries mirror the DuckDB oracle's pre-registered views."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs
