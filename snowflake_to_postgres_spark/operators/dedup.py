@@ -1,3 +1,406 @@
-from snowflake_to_postgres_spark.registry import QuerySpec
+"""Deduplication operators for large-scale training-data pipelines.
 
-SPECS: list[QuerySpec] = []
+Beyond-reference surface (driver north star): exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard. All are expressed as shuffle-conscious DataFrame
+plans over the ``documents`` fixture:
+
+* Shingling explodes each doc into (doc_id, shingle) rows — the inverted-
+  index formulation that scales horizontally (shuffle by shingle, not by
+  doc).
+* **Hot-shingle cap**: shingles occurring in > MAX_DF docs are dropped
+  before the candidate join. At 100 TB a stopword shingle would otherwise
+  create a quadratic posting-list join (the classic skew bomb); the cap
+  bounds per-key fanout at MAX_DF² and is standard practice for MinHash
+  pipelines. Applied identically in the DuckDB oracles.
+* All hash material is md5 (identical in Spark and DuckDB), so every
+  operator here is oracle-checkable end-to-end. In production you'd swap
+  xxhash64 (JVM-side, ~10× faster) via ``functions.fast_hash``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+NGRAM = 3
+MAX_DF = 50          # hot-shingle cap (see module docstring)
+N_MINHASH = 16       # minhash signature length
+N_BANDS = 4          # LSH bands (4 rows per band)
+JACCARD_THRESHOLD = 0.5
+
+
+def _with_tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", F.split(F.lower(F.col("text")), " "))
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word-3-gram shingles per document,
+    with the hot-shingle df cap applied."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, size(toks)-{NGRAM - 1})),"
+                f" i -> array_join(slice(toks, i, {NGRAM}), ' '))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+# Shared oracle CTEs: shingles + per-doc counts + pairwise intersections.
+_SHINGLE_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{NGRAM - 1}], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(1, len(t)-{NGRAM - 1}))) AS g(i)
+),
+hot AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {MAX_DF}
+),
+sh AS (
+  SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+doc_n AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text; canonical = min doc_id.
+    One shuffle on the 32-byte digest (never on the full text — at 100 TB
+    the shuffle payload is the hash + id, not documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_md5, COUNT(*) AS group_size, MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor set via the dedup-keep-first window kernel
+    (row_number()==1 — SURVEY §2.5's planned extension pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+DEDUP_KEEP_FIRST_ORACLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup
+# --------------------------------------------------------------------------
+
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5, candidate
+    generation via the shingle inverted index (shuffle key = shingle;
+    hot-shingle cap bounds fanout)."""
+    sh = _doc_shingles(spark, sf_dir).cache()
+    doc_n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    na = doc_n.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    nb = doc_n.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")).cast("double")
+    return (
+        inter.join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DEDUP_JACCARD_ORACLE = _SHINGLE_CTES + f"""
+SELECT d1, d2, CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN doc_n ca ON ca.doc_id = d1
+JOIN doc_n cb ON cb.doc_id = d2
+WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """One aggregation pass computes all N_MINHASH minhashes: for seed s,
+    h_s(doc) = min(md5('s|' || shingle)). Lexicographic min over hex
+    digests is a valid uniform minhash and is engine-portable."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s:02d}")
+        for s in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature, banded for LSH: band_b =
+    md5(h_{4b} || .. || h_{4b+3}). Emits (doc_id, band, bucket)."""
+    sigs = _minhash_signatures(_doc_shingles(spark, sf_dir))
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"h{b * rows_per_band + r:02d}" for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _minhash_oracle_sig_sql() -> str:
+    hs = ",\n    ".join(
+        f"MIN(md5('{s}|' || shingle)) AS h{s:02d}" for s in range(N_MINHASH)
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = " || '_' || ".join(
+            f"h{b * rows_per_band + r:02d}" for r in range(rows_per_band)
+        )
+        band_rows.append(
+            f"SELECT doc_id, CAST({b} AS BIGINT) AS band, md5({cols}) AS bucket FROM sigs"
+        )
+    return (
+        _SHINGLE_CTES
+        + f", sigs AS (SELECT doc_id, {hs} FROM sh GROUP BY doc_id),\n"
+        + "bands AS (" + "\nUNION ALL ".join(band_rows) + ")\n"
+    )
+
+
+DEDUP_MINHASH_SIG_ORACLE = _minhash_oracle_sig_sql() + "SELECT doc_id, band, bucket FROM bands"
+
+
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → band buckets → candidate
+    pairs (bucket join) → verify with true Jaccard ≥ threshold.
+
+    Scale shape: the only joins shuffle on (band, bucket) and on shingle;
+    both keys are df-capped, so no quadratic blowup. Candidates << N²."""
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sigs = _minhash_signatures(sh)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"h{b * rows_per_band + r:02d}" for r in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+
+    ba = banded.alias("ba")
+    bb = banded.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("d1"), F.col("bb.doc_id").alias("d2"))
+        .distinct()
+    )
+
+    doc_n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b2 = sh.alias("b")
+    inter = (
+        a.join(b2, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    na = doc_n.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    nb = doc_n.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")).cast("double")
+    return (
+        candidates.join(inter, ["d1", "d2"])
+        .join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DEDUP_MINHASH_PAIRS_ORACLE = _minhash_oracle_sig_sql() + f"""
+, candidates AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.d1, c.d2, CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+FROM candidates c
+JOIN inter ON inter.d1 = c.d1 AND inter.d2 = c.d2
+JOIN doc_n ca ON ca.doc_id = c.d1
+JOIN doc_n cb ON cb.doc_id = c.d2
+WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+# 32-bit simhash from word-level md5s. Bit b of word w = bit b of the first
+# 8 hex chars of md5(w), extracted with pure integer arithmetic (portable —
+# no hex→int cast needed in either engine).
+
+def _hex_bit(hexpos: int, bit_in_digit: int, col: str = "w") -> str:
+    """SQL for bit value of hex digit at 1-based position ``hexpos``."""
+    div = 2 ** bit_in_digit
+    return (
+        f"(( (strpos('0123456789abcdef', substr(md5({col}), {hexpos}, 1)) - 1) "
+        f"// {div}) % 2)"
+    )
+
+
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash: bit i set iff sum over words of (2*bit_i(w)-1)
+    > 0. Single explode + one aggregation (32 conditional sums) — one
+    shuffle on doc_id."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.explode("toks").alias("w"))
+    aggs = []
+    for i in range(32):
+        hexpos = i // 4 + 1
+        bit_in_digit = i % 4
+        div = 2 ** bit_in_digit
+        # bit_i(w) via integer arithmetic on the hex digit
+        digit_val = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("w"), hexpos, 1)) - 1
+        bit = F.floor(digit_val / F.lit(div)) % 2
+        aggs.append(
+            F.when(F.sum(bit * 2 - 1) > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{i:02d}")
+        )
+    sums = words.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(32):
+        term = F.col(f"b{i:02d}").cast("bigint") * F.lit(2**i).cast("bigint")
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_oracle_sql() -> str:
+    bit_aggs = []
+    for i in range(32):
+        hexpos = i // 4 + 1
+        bit_in_digit = i % 4
+        bexpr = _hex_bit(hexpos, bit_in_digit)
+        bit_aggs.append(
+            f"CASE WHEN SUM({bexpr} * 2 - 1) > 0 THEN 1 ELSE 0 END AS b{i:02d}"
+        )
+    sim = " + ".join(f"CAST(b{i:02d} AS BIGINT) * {2**i}" for i in range(32))
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+bits AS (
+  SELECT doc_id, {', '.join(bit_aggs)} FROM words GROUP BY doc_id
+)
+SELECT doc_id, {sim} AS simhash FROM bits
+"""
+
+
+DEDUP_SIMHASH_ORACLE = _simhash_oracle_sql()
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming(a,b) ≤ 6, blocked on the high 16
+    bits (prefix banding): the candidate join shuffles on the 16-bit
+    prefix, never all-pairs — the scale path for simhash dedup."""
+    sigs = dedup_simhash_signatures(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("d1"),
+        F.col("simhash").alias("s1"),
+        F.floor(F.col("simhash") / F.lit(65536)).alias("prefix"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("d2"),
+        F.col("simhash").alias("s2"),
+        F.floor(F.col("simhash") / F.lit(65536)).alias("prefix"),
+    )
+    hamming = F.expr("bit_count(s1 ^ s2)")
+    return (
+        a.join(b, "prefix")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+DEDUP_SIMHASH_PAIRS_ORACLE = f"""
+WITH sigs AS ({_simhash_oracle_sql()})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b
+  ON (a.simhash // 65536) = (b.simhash // 65536) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_exact_groups", dedup_exact_groups, DEDUP_EXACT_ORACLE),
+    QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_KEEP_FIRST_ORACLE),
+    QuerySpec("dedup_ngram_jaccard_pairs", dedup_ngram_jaccard_pairs, DEDUP_JACCARD_ORACLE),
+    QuerySpec("dedup_minhash_signatures", dedup_minhash_signatures, DEDUP_MINHASH_SIG_ORACLE),
+    QuerySpec("dedup_minhash_lsh_pairs", dedup_minhash_lsh_pairs, DEDUP_MINHASH_PAIRS_ORACLE),
+    QuerySpec("dedup_simhash_signatures", dedup_simhash_signatures, DEDUP_SIMHASH_ORACLE),
+    QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE),
+]

@@ -1,3 +1,306 @@
-from snowflake_to_postgres_spark.registry import QuerySpec
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
 
-SPECS: list[QuerySpec] = []
+Beyond-reference surface (driver north star): brute-force cosine top-k as
+the correctness baseline, an IVF-bucketed variant as the scale path, and
+embedding-cosine near-dup pairs.
+
+Determinism strategy (the oracle hash is exact): dot products and squared
+norms are computed on DECIMAL(18,9)-cast components — decimal arithmetic
+is exact and associative, so Spark's partial aggregation and DuckDB's
+single-threaded sum agree bit-for-bit. Only the final
+``dot / (sqrt(n1)*sqrt(n2))`` happens in IEEE doubles (identical inputs →
+identical outputs in both engines). Ranking ties break on vec_id.
+
+Scale shape: embeddings are exploded to (vec_id, idx, val) and joined on
+idx — the sparse-matmul formulation. For a 10⁹-vector corpus you'd
+partition the exploded table by idx (co-located join, no broadcast of the
+corpus) and broadcast only the query block; IVF then cuts the candidate
+set by the fanout factor. A dense Pandas-UDF path (numpy matmul per
+partition) is the single-node fast path; it is deliberately NOT the
+oracle-checked one since BLAS reductions are not bit-stable across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+N_QUERIES = 5        # query set: vec_id < 5
+TOP_K = 5
+N_CENTROIDS = 8      # IVF: centroid set = first 8 vectors (deterministic stand-in)
+N_PROBE = 2          # IVF: cells probed per query
+NEARDUP_COS = 0.40   # embedding near-dup threshold (fixture max ≈ 0.51)
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, idx, val DECIMAL(18,9)) exploded embedding components."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # float → double → decimal: Spark's direct float→decimal cast rounds
+    # the float's *shortest decimal repr*, DuckDB rounds its exact value —
+    # they disagree at the 9th decimal. Widening to double first makes
+    # both engines round the same 17-digit value.
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "fval")
+    ).select(
+        "vec_id", "idx",
+        F.col("fval").cast("double").cast("decimal(18,9)").alias("val"),
+    )
+
+
+def _norms(comp: DataFrame) -> DataFrame:
+    """(vec_id, n2 DECIMAL(38,18)) exact squared norms."""
+    return comp.groupBy("vec_id").agg(
+        F.sum(F.col("val") * F.col("val")).cast("decimal(38,18)").alias("n2")
+    )
+
+
+_COMP_CTES = """
+WITH comp AS (
+  SELECT vec_id, i AS idx, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(val * val) AS DECIMAL(38,18)) AS n2 FROM comp GROUP BY vec_id
+)
+"""
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: every query vector against the full
+    corpus. Join on component idx, exact-decimal dot, rank per query."""
+    comp = _components(spark, sf_dir)
+    norms = _norms(comp)
+    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "idx", F.col("val").alias("qval")
+    )
+    dots = (
+        comp.join(F.broadcast(q), "idx")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("decimal(38,18)").alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
+    # Rounded to DECIMAL(10,8): DuckDB's wide-decimal→double conversion can
+    # differ from the JVM's by 1 ULP; 8 decimals collapses that while keeping
+    # a meaningful similarity score. Ranking uses the rounded value.
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+    ).cast("decimal(10,8)")
+    ranked = (
+        dots.join(F.broadcast(qn), "qid")
+        .join(norms, "vec_id")
+        .select("qid", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "neighbor_id", "cosine")
+    )
+
+
+SIM_TOPK_ORACLE = _COMP_CTES + f""",
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT qid, vec_id, CAST(SUM(val * qval) AS DECIMAL(38,18)) AS dot
+  FROM comp JOIN q USING (idx)
+  WHERE vec_id <> qid
+  GROUP BY qid, vec_id
+),
+ranked AS (
+  SELECT qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= {TOP_K}
+"""
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: assign every vector to its nearest of
+    N_CENTROIDS cells (exact-decimal L2², ties on centroid id), probe the
+    N_PROBE nearest cells per query, search only those candidates.
+
+    The centroid set is the first N_CENTROIDS vectors — a deterministic
+    stand-in for k-means training (which is iterative and not
+    SQL-oracle-able); the *search* topology is the real IVF plan: the
+    candidate join shuffles on cell id, cutting scanned vectors by
+    ~N_PROBE/N_CENTROIDS."""
+    comp = _components(spark, sf_dir)
+    cent = comp.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
+    )
+    # exact squared L2 distance to every centroid
+    d2 = (
+        comp.join(F.broadcast(cent), "idx")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+            .cast("decimal(38,18)")
+            .alias("d2")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid"))
+    assign = (
+        d2.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    # probe list: N_PROBE nearest cells per query vector
+    probes = (
+        d2.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
+    )
+    candidates = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    norms = _norms(comp)
+    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "idx", F.col("val").alias("qval")
+    )
+    dots = (
+        comp.join(candidates, "vec_id")
+        .join(F.broadcast(q), ["qid", "idx"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("decimal(38,18)").alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
+    # Rounded to DECIMAL(10,8): DuckDB's wide-decimal→double conversion can
+    # differ from the JVM's by 1 ULP; 8 decimals collapses that while keeping
+    # a meaningful similarity score. Ranking uses the rounded value.
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+    ).cast("decimal(10,8)")
+    ranked = (
+        dots.join(F.broadcast(qn), "qid")
+        .join(norms, "vec_id")
+        .select("qid", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "neighbor_id", "cosine")
+    )
+
+
+SIM_IVF_ORACLE = _COMP_CTES + f""",
+cent AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {N_CENTROIDS}),
+d2 AS (
+  SELECT vec_id, cid,
+         CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp JOIN cent USING (idx) GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d2 WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+candidates AS (
+  SELECT qid, vec_id FROM assign JOIN probes USING (cell) WHERE vec_id <> qid
+),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT c.qid, c.vec_id, CAST(SUM(comp.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM candidates c
+  JOIN comp ON comp.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid AND q.idx = comp.idx
+  GROUP BY c.qid, c.vec_id
+),
+ranked AS (
+  SELECT qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= 3
+"""
+
+
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ NEARDUP_COS among same-label
+    blocks (label blocking bounds the pair space, the same trick as LSH
+    bands; at scale the block key comes from a coarse quantizer)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    comp = _components(spark, sf_dir)
+    labeled = comp.join(F.broadcast(emb), "vec_id")
+    a = labeled.alias("a")
+    b = labeled.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .agg(F.sum(F.col("a.val") * F.col("b.val")).cast("decimal(38,18)").alias("dot"))
+    )
+    norms = _norms(comp)
+    n1 = norms.select(F.col("vec_id").alias("d1"), F.col("n2").alias("n1sq"))
+    n2 = norms.select(F.col("vec_id").alias("d2"), F.col("n2").alias("n2sq"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n1sq").cast("double")) * F.sqrt(F.col("n2sq").cast("double")))
+    ).cast("decimal(10,8)")
+    return (
+        dots.join(F.broadcast(n1), "d1")
+        .join(F.broadcast(n2), "d2")
+        .select("d1", "d2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+    )
+
+
+DEDUP_EMB_ORACLE = _COMP_CTES + f""",
+labeled AS (
+  SELECT comp.vec_id, idx, val, label FROM comp JOIN embeddings USING (vec_id)
+),
+dots AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         CAST(SUM(a.val * b.val) AS DECIMAL(38,18)) AS dot
+  FROM labeled a JOIN labeled b
+    ON a.label = b.label AND a.idx = b.idx AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(nn2.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+FROM dots
+JOIN norms n1 ON n1.vec_id = d1
+JOIN norms nn2 ON nn2.vec_id = d2
+WHERE CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(nn2.n2 AS DOUBLE))) AS DECIMAL(10,8)) >= {NEARDUP_COS}
+"""
+
+
+SPECS = [
+    QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE),
+    QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE),
+    QuerySpec("dedup_embedding_cosine_pairs", dedup_embedding_cosine_pairs, DEDUP_EMB_ORACLE),
+]

@@ -1,3 +1,222 @@
-from snowflake_to_postgres_spark.registry import QuerySpec
+"""Text-analysis operators over the ``documents`` table.
 
-SPECS: list[QuerySpec] = []
+Beyond-reference surface (driver north star): language-ID (stopword
+n-gram heuristic), quality scoring, token counting (whitespace + BPE-ish
+regex), and document fingerprinting (exact + min-shingle winnowing).
+
+Everything is built-in JVM expressions (split / filter lambda / regexp /
+md5) — zero Python UDFs in the hot path, so whole-stage codegen applies
+and the same plan scales to a 100 TB corpus with one shuffle per groupBy.
+Ratios are single IEEE divisions of exact integer counts → deterministic
+against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Real language ID uses character-n-gram models; the *plan shape* (token
+# explode → profile match → argmax) is identical, so the heuristic stands
+# in for the model without leaving SQL-expressible space.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+    "es": ["el", "los", "y", "que", "un", "es", "una"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # argmax tie-break precedence
+
+PUNCT_RE = "[^a-zA-Z0-9 ]"
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + chars.
+    Validates the fixture's own n_chars column on the way."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        (F.length("text").cast("bigint") == F.col("n_chars")).alias("n_chars_consistent"),
+    )
+
+
+TX_TOKEN_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(length(text) AS BIGINT) = n_chars AS n_chars_consistent
+FROM documents
+"""
+
+
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean
+    word length → weighted score. The standard pre-training quality
+    gate (Gopher/C4-style rules) as one codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    n_tok = F.size("toks").cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(F.col("text"), PUNCT_RE, ""))
+    ).cast("bigint")
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct("toks"), sw)).cast("bigint")
+    n_stop_tokens = F.size(
+        F.filter("toks", lambda t: F.array_contains(sw, t))
+    ).cast("bigint")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    stop_ratio = n_stop_tokens.cast("double") / n_tok.cast("double")
+    mean_word_len = (
+        (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")
+    )
+    score = stop_ratio * 0.5 + punct_ratio * 0.2 + mean_word_len * 0.1
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_distinct_stopwords"),
+        n_stop_tokens.alias("n_stopword_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+TX_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS BIGINT) AS n_punct,
+  CAST(len(list_intersect(list_distinct(toks), [{_SW_EN}])) AS BIGINT) AS n_distinct_stopwords,
+  CAST(len(list_filter(toks, x -> list_contains([{_SW_EN}], x))) AS BIGINT) AS n_stopword_tokens,
+  CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+  CAST(len(list_filter(toks, x -> list_contains([{_SW_EN}], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+  CAST(length(text) - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+  (CAST(len(list_filter(toks, x -> list_contains([{_SW_EN}], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.5
+    + (CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2
+    + (CAST(length(text) - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.1 AS quality_score
+FROM t
+"""
+
+
+def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: per-language stopword-hit ratio, argmax with fixed
+    precedence (en > de > fr > es), 'und' (undetermined) when no profile
+    scores > 0."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    n_tok = F.size("toks").cast("double")
+    def _hits(sw_arr: Column) -> Column:
+        # closure helper: a default-arg lambda would be mis-read by PySpark
+        # as the two-parameter (element, index) lambda form
+        return F.size(F.filter("toks", lambda t: F.array_contains(sw_arr, t)))
+
+    scores = {}
+    for lang in LANG_ORDER:
+        sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        scores[lang] = _hits(sw).cast("double") / n_tok
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    pred = F.when(best <= 0.0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang in LANG_ORDER:
+        sw = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, x -> list_contains([{sw}], x))) AS DOUBLE)"
+            f" / CAST(len(toks) AS DOUBLE) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_ORDER) + ")"
+    pred = "CASE WHEN " + best + " <= 0.0 THEN 'und' "
+    for lang in LANG_ORDER:
+        pred += f"WHEN score_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang, {', '.join(score_exprs)} FROM t)
+SELECT doc_id, lang, {', '.join(f'score_{lang}' for lang in LANG_ORDER)}, {pred} AS pred_lang
+FROM s
+"""
+
+
+TX_LANGID_ORACLE = _langid_oracle()
+
+
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content digest + min-5-gram-shingle
+    digest (the winnowing/rolling-hash family collapsed to its min-hash
+    selection step — deterministic and engine-portable via md5)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    min_shingle = F.expr(
+        "array_min(transform(sequence(1, greatest(1, size(toks)-4)),"
+        " i -> md5(array_join(slice(toks, i, 5), ' '))))"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.trim(F.lower(F.col("text")))).alias("content_md5"),
+        min_shingle.alias("min_shingle_md5"),
+    )
+
+
+TX_FINGERPRINT_ORACLE = """
+WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+       md5(trim(lower(text))) AS content_md5,
+       list_min(list_transform(generate_series(1, greatest(1, len(toks)-4)),
+                i -> md5(array_to_string(toks[i:i+4], ' ')))) AS min_shingle_md5
+FROM t
+"""
+
+
+def tx_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (source, lang): doc count, char sum, mean doc
+    length — the bookkeeping query every corpus pipeline runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+    )
+
+
+TX_ROLLUP_ORACLE = """
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM documents GROUP BY source, lang
+"""
+
+
+SPECS = [
+    QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
+    QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
+    QuerySpec("tx_langid", tx_langid, TX_LANGID_ORACLE),
+    QuerySpec("tx_fingerprint", tx_fingerprint, TX_FINGERPRINT_ORACLE),
+    QuerySpec("tx_source_rollup", tx_source_rollup, TX_ROLLUP_ORACLE),
+]

@@ -1,3 +1,51 @@
-from snowflake_to_postgres_spark.registry import QuerySpec
+"""Batch-equivalent registrations of the streaming operators.
 
-SPECS: list[QuerySpec] = []
+The driver's oracle harness runs batch SQL, so each streaming operator
+registers its batch-equivalent plan here (same transformation code —
+``windowed_event_counts`` / ``dedup_events_within_watermark`` degrade to
+batch on a non-streaming frame). The actual incremental runs (checkpoint,
+watermark, AvailableNow) are exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+
+def st_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snowflake_to_postgres_spark.streaming.pipeline import windowed_event_counts
+
+    return windowed_event_counts(load_table(spark, sf_dir, "events"))
+
+
+ST_WINDOWED_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        dedup_events_within_watermark,
+    )
+
+    deduped = dedup_events_within_watermark(load_table(spark, sf_dir, "events"))
+    return deduped.groupBy("event_type").count().withColumnRenamed("count", "cnt")
+
+
+ST_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt FROM (
+  SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id
+) GROUP BY event_type
+"""
+
+
+SPECS = [
+    QuerySpec("st_windowed_agg", st_windowed_agg, ST_WINDOWED_ORACLE),
+    QuerySpec("st_dedup_events", st_dedup_events, ST_DEDUP_ORACLE),
+]
