@@ -1,0 +1,245 @@
+"""CLI: the reference's seven verbs (sf_migrate.py:72-84) re-targeted at
+Spark — discover / build / build-views / destroy / transfer / validate /
+migrate, over parquet directories (and any Spark-readable source).
+
+Usage:
+    python -m snowflake_to_postgres_spark.cli discover --source DIR
+    python -m snowflake_to_postgres_spark.cli build --source DIR [--dry-run] [--ddl-out f.sql]
+    python -m snowflake_to_postgres_spark.cli build-views --views f.sql [--schema s]
+    python -m snowflake_to_postgres_spark.cli transfer --source DIR --target DIR
+        [--table T] [--where EXPR] [--limit N] [--workers N] [--checkpoint f.json]
+    python -m snowflake_to_postgres_spark.cli validate --source DIR --target DIR
+        [--table T] [--pk col1,col2]
+    python -m snowflake_to_postgres_spark.cli migrate --source DIR --target DIR
+    python -m snowflake_to_postgres_spark.cli destroy --schema NAME --confirm NAME
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from snowflake_to_postgres_spark.session import get_spark
+
+
+def _tables_in(directory: str, only: str | None = None) -> dict[str, str]:
+    out = {}
+    for f in sorted(os.listdir(directory)):
+        if f.endswith(".parquet"):
+            name = f[: -len(".parquet")]
+            if only and name.lower() != only.lower():
+                continue
+            out[name] = os.path.join(directory, f)
+    return out
+
+
+def cmd_discover(args) -> int:
+    from snowflake_to_postgres_spark.plans.catalog import discover_parquet_schema
+
+    spark = get_spark("discover")
+    info = discover_parquet_schema(
+        spark, args.source, args.schema, table_filter=args.table,
+        with_row_counts=not args.no_counts,
+    )
+    doc = {
+        "schema": info.name,
+        "tables": [
+            {
+                "name": t.name,
+                "row_count": t.row_count,
+                "columns": [
+                    {
+                        "name": c.name,
+                        "type": c.data_type.simpleString(),
+                        "nullable": c.is_nullable,
+                        "position": c.ordinal_position,
+                    }
+                    for c in t.columns
+                ],
+            }
+            for t in info.tables
+        ],
+    }
+    print(json.dumps(doc, indent=2))
+    return 0
+
+
+def cmd_build(args) -> int:
+    from snowflake_to_postgres_spark.plans.catalog import discover_parquet_schema
+    from snowflake_to_postgres_spark.plans.ddl import execute_ddl, generate_schema_ddl
+
+    spark = get_spark("build")
+    info = discover_parquet_schema(
+        spark, args.source, args.schema, with_row_counts=False
+    )
+    stmts = generate_schema_ddl(info, args.dialect)
+    if args.ddl_out:  # S14 (sf_migrate.py:1006-1011)
+        with open(args.ddl_out, "w") as fh:
+            fh.write(";\n\n".join(stmts) + ";\n")
+        print(f"wrote {len(stmts)} statements to {args.ddl_out}")
+    if args.dialect == "spark" and not args.dry_run:
+        res = execute_ddl(spark, stmts)
+        print(json.dumps({"executed": len(res["executed"]), "errors": res["errors"]}))
+    elif args.dry_run:
+        for s in stmts:
+            print(s + ";")
+    return 0
+
+
+def cmd_build_views(args) -> int:
+    from snowflake_to_postgres_spark.plans.dialect import translate_view
+
+    spark = get_spark("build-views")
+    failures = []
+    with open(args.views) as fh:
+        ddls = [s.strip() for s in fh.read().split(";") if s.strip()]
+    for ddl in ddls:
+        try:
+            tv = translate_view(ddl, args.schema)
+            spark.sql(tv.spark_sql)
+            print(f"created view {tv.name}" + (f" (warnings: {tv.warnings})" if tv.warnings else ""))
+        except Exception as e:  # noqa: BLE001 — best-effort per view, like sf_migrate.py:470-491
+            failures.append((ddl[:80], str(e)))
+    if failures:  # failed_views.sql policy (sf_migrate.py:518-521)
+        out = args.views + ".failed"
+        with open(out, "w") as fh:
+            for ddl, err in failures:
+                fh.write(f"-- ERROR: {err}\n{ddl}\n\n")
+        print(f"{len(failures)} view(s) failed — see {out}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_transfer(args) -> int:
+    from snowflake_to_postgres_spark.operators.transfer import (
+        CheckpointManager,
+        TransferEngine,
+        rollup_stats,
+    )
+
+    spark = get_spark("transfer")
+    ckpt = CheckpointManager(args.checkpoint) if args.checkpoint else None
+    eng = TransferEngine(spark, ckpt, target_format=args.format)
+    tables = _tables_in(args.source, args.table)
+    if args.table and (args.where or args.limit):
+        name = next(iter(tables))
+        stats = [
+            eng.transfer_table(
+                tables[name], os.path.join(args.target, name), name,
+                where=args.where, limit=args.limit,
+            )
+        ]
+    else:
+        stats = eng.transfer_schema(tables, args.target, workers=args.workers)
+    print(json.dumps(rollup_stats(stats)))
+    return 1 if any(s.error for s in stats) else 0
+
+
+def cmd_validate(args) -> int:
+    from snowflake_to_postgres_spark.operators.validation import DataValidator
+
+    spark = get_spark("validate")
+    tables = _tables_in(args.source, args.table)
+    pk = args.pk.split(",") if args.pk else None
+    all_ok = True
+    report = []
+    for name, path in tables.items():
+        tgt_path = os.path.join(args.target, name)
+        if not os.path.exists(tgt_path):
+            tgt_path = os.path.join(args.target, name + ".parquet")
+        src = spark.read.parquet(path)
+        tgt = spark.read.parquet(tgt_path)
+        res = DataValidator(src, tgt, pk_columns=pk).validate(name)
+        all_ok &= res.passed
+        report.append(
+            {
+                "table": name,
+                "passed": res.passed,
+                "checks": [
+                    {"name": c.name, "passed": c.passed, "details": c.details[:5]}
+                    for c in res.checks
+                ],
+            }
+        )
+    print(json.dumps(report, indent=2))
+    return 0 if all_ok else 1
+
+
+def cmd_migrate(args) -> int:
+    """O9 (sf_migrate.py:564-585): build → transfer → validate."""
+    rc = cmd_transfer(args)
+    if rc:
+        return rc
+    return cmd_validate(args)
+
+
+def cmd_destroy(args) -> int:
+    from snowflake_to_postgres_spark.plans.ddl import destroy_ddl
+
+    # typed-name confirmation gate (sf_migrate.py:532-562)
+    if args.confirm != args.schema:
+        print("refusing: --confirm must repeat the schema name", file=sys.stderr)
+        return 2
+    spark = get_spark("destroy")
+    spark.sql(destroy_ddl(args.schema, "spark"))
+    print(f"dropped {args.schema}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="snowflake_to_postgres_spark")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    d = sub.add_parser("discover")
+    d.add_argument("--source", required=True)
+    d.add_argument("--schema", default="default")
+    d.add_argument("--table")
+    d.add_argument("--no-counts", action="store_true")
+    d.set_defaults(fn=cmd_discover)
+
+    b = sub.add_parser("build")
+    b.add_argument("--source", required=True)
+    b.add_argument("--schema", default="default")
+    b.add_argument("--dialect", choices=["postgres", "spark"], default="postgres")
+    b.add_argument("--dry-run", action="store_true")
+    b.add_argument("--ddl-out")
+    b.set_defaults(fn=cmd_build)
+
+    bv = sub.add_parser("build-views")
+    bv.add_argument("--views", required=True)
+    bv.add_argument("--schema", default="public")
+    bv.set_defaults(fn=cmd_build_views)
+
+    for verb in ("transfer", "migrate"):
+        t = sub.add_parser(verb)
+        t.add_argument("--source", required=True)
+        t.add_argument("--target", required=True)
+        t.add_argument("--table")
+        t.add_argument("--where")
+        t.add_argument("--limit", type=int)
+        t.add_argument("--workers", type=int, default=4)
+        t.add_argument("--checkpoint")
+        t.add_argument("--format", default="parquet")
+        t.add_argument("--pk")
+        t.set_defaults(fn=cmd_transfer if verb == "transfer" else cmd_migrate)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--source", required=True)
+    v.add_argument("--target", required=True)
+    v.add_argument("--table")
+    v.add_argument("--pk")
+    v.set_defaults(fn=cmd_validate)
+
+    x = sub.add_parser("destroy")
+    x.add_argument("--schema", required=True)
+    x.add_argument("--confirm", required=True)
+    x.set_defaults(fn=cmd_destroy)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

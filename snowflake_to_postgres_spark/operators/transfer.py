@@ -1,0 +1,204 @@
+"""Bulk transfer engine: read → optional filter/limit → write, with a
+table-granular checkpoint manifest and cross-table fan-out.
+
+Reference shape (data_transfer.py): one cursor per table, fetchmany
+batches serialized row-by-row to CSV, COPY per batch, row-offset resume
+on auth failure — the reference itself documents that OFFSET resume
+without ORDER BY is non-deterministic (data_transfer.py:33-36).
+
+Spark shape: ``spark.read → df.write`` per table. Partitioned reads
+replace the fetch loop (intra-table parallelism the reference never had,
+SURVEY §4 'intra-table parallelism: none'); task retry replaces the
+auth-retry/offset dance; the checkpoint manifest tracks *completed
+tables* (deterministic unit) instead of row offsets. Cross-table
+concurrency is a driver-side thread pool submitting concurrent Spark
+jobs under the FAIR scheduler (replacing data_transfer.py:611-668's
+one-connection-per-worker pool).
+
+Sinks: parquet (native target) and CSV-with-NULL-marker (legacy
+compatibility with the reference's COPY format: NULL as ``\\N``,
+data_transfer.py:277-292). JDBC writing uses the same ``df.write`` path
+with ``format('jdbc')`` when a URL is configured — gated, since this
+environment has no database to hit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TransferStats:
+    """Mirror of data_transfer.py:60-69."""
+
+    table: str
+    rows: int = 0
+    seconds: float = 0.0
+    skipped: bool = False
+    error: str | None = None
+
+    @property
+    def rows_per_sec(self) -> float:
+        return self.rows / self.seconds if self.seconds > 0 else 0.0
+
+
+class CheckpointManager:
+    """Thread-safe JSON manifest of completed tables (checkpoint.py:29-104
+    reshaped: completed tables only — no in-progress row offsets, because
+    Spark writes are atomic per job; a crashed write leaves no committed
+    partial state worth resuming into). Atomic tmp+rename persistence
+    (checkpoint.py:56-61)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._lock = threading.Lock()
+        self._completed: set[str] = set()
+        if os.path.exists(path):
+            with open(path) as fh:
+                doc = json.load(fh)
+            self._completed = set(doc.get("completed", []))
+
+    def is_completed(self, table: str) -> bool:
+        with self._lock:
+            return table in self._completed
+
+    def mark_completed(self, table: str) -> None:
+        with self._lock:
+            self._completed.add(table)
+            self._write()
+
+    def _write(self) -> None:
+        d = os.path.dirname(self.path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".ckpt_")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"completed": sorted(self._completed)}, fh)
+        os.replace(tmp, self.path)
+
+    @property
+    def completed(self) -> list[str]:
+        with self._lock:
+            return sorted(self._completed)
+
+
+class TransferEngine:
+    """Schema-level transfer with WHERE/LIMIT pushdown, checkpoint skip,
+    and parallel table fan-out (data_transfer.py:98-208, :536-670)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint: CheckpointManager | None = None,
+        target_format: str = "parquet",
+        csv_null_marker: str = r"\N",
+        repartition_to: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.checkpoint = checkpoint
+        self.target_format = target_format
+        self.csv_null_marker = csv_null_marker
+        self.repartition_to = repartition_to
+
+    # -- single table --------------------------------------------------
+    def transfer_table(
+        self,
+        source_path: str,
+        target_path: str,
+        table: str,
+        where: str | None = None,
+        limit: int | None = None,
+        columns: list[str] | None = None,
+    ) -> TransferStats:
+        """data_transfer.py:98-208 as one declarative plan: the WHERE
+        string and column list reach the parquet scan via Catalyst
+        (PushedFilters/ReadSchema) instead of being spliced into a SQL
+        string."""
+        if self.checkpoint and self.checkpoint.is_completed(table):
+            return TransferStats(table, skipped=True)
+        t0 = time.perf_counter()
+        try:
+            df = self.spark.read.parquet(source_path)
+            if columns:
+                df = df.select(*columns)
+            if where:
+                df = df.filter(F.expr(where))
+            if limit is not None:
+                df = df.limit(limit)
+            rows = self._write(df, target_path)
+            stats = TransferStats(table, rows, time.perf_counter() - t0)
+            if self.checkpoint:
+                self.checkpoint.mark_completed(table)
+            return stats
+        except Exception as e:  # noqa: BLE001 — per-table isolation, like the reference
+            return TransferStats(table, 0, time.perf_counter() - t0, error=str(e))
+
+    def _write(self, df: DataFrame, target_path: str) -> int:
+        # Observe row count during the write itself — no second scan.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        if self.repartition_to:
+            df = df.repartition(self.repartition_to)
+        writer = df.write.mode("overwrite")
+        if self.target_format == "csv":
+            # legacy-compatible sink: the reference's COPY CSV protocol
+            # (NULL '\N', data_transfer.py:288-292); Spark needs no
+            # null-byte scrub because it never round-trips through text
+            writer = writer.option("nullValue", self.csv_null_marker).option(
+                "header", "true"
+            )
+        writer.format(self.target_format).save(target_path)
+        return obs.get["rows"]
+
+    # -- schema fan-out --------------------------------------------------
+    def transfer_schema(
+        self,
+        tables: dict[str, str],
+        target_dir: str,
+        workers: int = 4,
+        where: dict[str, str] | None = None,
+    ) -> list[TransferStats]:
+        """Parallel table fan-out (data_transfer.py:611-668): a thread
+        pool submits concurrent Spark *jobs*; the FAIR scheduler shares
+        executors across them. Order of results preserved like the
+        reference's order-preserving stats collection."""
+        names = list(tables)
+
+        def one(name: str) -> TransferStats:
+            return self.transfer_table(
+                tables[name],
+                os.path.join(target_dir, name),
+                name,
+                where=(where or {}).get(name),
+            )
+
+        if workers <= 1:
+            return [one(n) for n in names]
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(one, names))
+
+
+def rollup_stats(stats: list[TransferStats]) -> dict:
+    """Per-run roll-up (data_transfer.py:176-193, sf_migrate.py:878-907)."""
+    done = [s for s in stats if not s.skipped and s.error is None]
+    total_rows = sum(s.rows for s in done)
+    total_sec = sum(s.seconds for s in done)
+    return {
+        "tables": len(stats),
+        "transferred": len(done),
+        "skipped": sum(1 for s in stats if s.skipped),
+        "errors": [s.error for s in stats if s.error],
+        "total_rows": total_rows,
+        "total_seconds": round(total_sec, 3),
+        "rows_per_sec": int(total_rows / total_sec) if total_sec > 0 else 0,
+    }

@@ -1,3 +1,446 @@
-from snowflake_to_postgres_spark.registry import QuerySpec
+"""The 5-layer statistical validation engine (the reference's analytics
+core, validator.py) as DataFrame ops.
 
-SPECS: list[QuerySpec] = []
+Reference shape: per table, dozens-to-hundreds of SQL round-trips against
+two backends (monthly chunk loops, 50-column NULL chunks, 25-pair MIN/MAX
+chunks, one point query per sampled row — validator.py:515-570, :633-718,
+:432-433). Spark shape: each layer is ONE job over each side; the chunk
+loops disappear because a single groupBy shuffles all partitions at once,
+and the per-row PK lookups collapse into one broadcast join (SURVEY J3).
+
+Layers (validator.py:47-57):
+  L1 row count            (:193-215)
+  L2 per-date counts      (:217-277)
+  L3 NULL + MIN/MAX       (:279-324, :633-718)
+  L4 per-date SUM prints  (:326-405, ≤10 numeric cols :336)
+  L5 row sampling         (:407-470)
+
+Comparison semantics re-expressed (N1-N5, validator.py:808-896):
+decimal-normalize via exact DecimalType, UTC session timezone for
+instant-correct timestamp equality, trimmed strings, date-column
+name-hint heuristic, numeric-type classification from StructType.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from snowflake_to_postgres_spark.operators.common import dec, md5_bucket
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+MAX_FINGERPRINT_COLS = 10   # validator.py:336
+MAX_DETAIL = 25             # mismatch-detail cap, validator.py:276
+SENTINEL_MAX_CHUNKS = 1200  # chunk-guard, validator.py:115-129
+
+
+@dataclass
+class CheckResult:
+    """Mirror of validator.py:18-30's per-check outcome."""
+
+    name: str
+    passed: bool
+    source_value: object = None
+    target_value: object = None
+    details: list = field(default_factory=list)
+
+
+@dataclass
+class TableValidationResult:
+    """Mirror of validator.py:33-44."""
+
+    table: str
+    checks: list[CheckResult] = field(default_factory=list)
+
+    @property
+    def passed(self) -> bool:
+        return all(c.passed for c in self.checks)
+
+
+# --------------------------------------------------------------------------
+# Planning helpers (N4/N5 — pure functions over StructType)
+# --------------------------------------------------------------------------
+
+_DATE_NAME_HINTS = ("date", "day", "period", "month", "week", "year")
+
+
+def detect_date_column(schema: T.StructType) -> str | None:
+    """N4 (validator.py:808-829): a date/timestamp column whose name
+    carries a date-ish hint; else the first date/timestamp column."""
+    temporal = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType))
+    ]
+    for name in temporal:
+        if any(h in name.lower() for h in _DATE_NAME_HINTS):
+            return name
+    return temporal[0] if temporal else None
+
+
+def numeric_columns(schema: T.StructType) -> list[str]:
+    """N5 (validator.py:831-851) via the type system instead of
+    type-name string sets."""
+    return [f.name for f in schema.fields if isinstance(f.dataType, T.NumericType)]
+
+
+def check_sentinel_dates(df: DataFrame, date_col: str) -> CheckResult:
+    """The reference's >1200-monthly-chunks guard exists to catch
+    sentinel dates like 9999-12-31 (validator.py:115-129, :551-554).
+    Spark needs no chunking, but the data-quality signal is kept."""
+    row = df.agg(
+        F.min(F.col(date_col).cast("date")).alias("mn"),
+        F.max(F.col(date_col).cast("date")).alias("mx"),
+    ).collect()[0]
+    if row["mn"] is None:
+        return CheckResult("sentinel_dates", True, None, None, ["no dates"])
+    months = (row["mx"].year - row["mn"].year) * 12 + (row["mx"].month - row["mn"].month) + 1
+    ok = months <= SENTINEL_MAX_CHUNKS
+    details = [] if ok else [f"{months} month span — sentinel dates likely ({row['mx']})"]
+    return CheckResult("sentinel_dates", ok, str(row["mn"]), str(row["mx"]), details)
+
+
+# --------------------------------------------------------------------------
+# Normalization kernels (N1-N3)
+# --------------------------------------------------------------------------
+
+def _norm_col(f: T.StructField) -> Column:
+    """Value-normalize a column for cross-side equality:
+    N1 numeric → decimal(38,6) (1.10 == 1.1 by construction);
+    N2 timestamps are instants under the UTC session (equality correct);
+    N3 strings trimmed."""
+    c = F.col(f.name)
+    if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+        return c.cast("decimal(38,6)")
+    if isinstance(f.dataType, T.DecimalType):
+        return c.cast("decimal(38,6)")
+    if isinstance(f.dataType, T.StringType):
+        return F.trim(c)
+    return c
+
+
+# --------------------------------------------------------------------------
+# The validator
+# --------------------------------------------------------------------------
+
+class DataValidator:
+    """Five-layer source-vs-target comparison over two DataFrames.
+
+    The two frames can come from any source/sink pair the engine reads
+    (parquet, JDBC, …) — the validation plan is source-agnostic, unlike
+    the reference's twin SQL-string generators per backend dialect
+    (validator.py:572-621 vs :735-784)."""
+
+    def __init__(
+        self,
+        source: DataFrame,
+        target: DataFrame,
+        date_column: str | None = None,
+        pk_columns: list[str] | None = None,
+        sample_bucket: str = "0",
+    ) -> None:
+        self.source = source
+        self.target = target
+        self.date_column = date_column or detect_date_column(source.schema)
+        self.pk_columns = pk_columns
+        self.sample_bucket = sample_bucket
+
+    # --- L1 ---------------------------------------------------------------
+    def check_row_count(self) -> CheckResult:
+        s = self.source.count()
+        t = self.target.count()
+        return CheckResult("row_count", s == t, s, t)
+
+    # --- L2 ---------------------------------------------------------------
+    def _by_date_counts(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col(self.date_column).cast("date").alias("d")).agg(
+            F.count("*").alias("cnt")
+        )
+
+    def check_partition_counts(self) -> CheckResult:
+        if not self.date_column:
+            return CheckResult("partition_counts", True, details=["no date column"])
+        s = self._by_date_counts(self.source)
+        t = self._by_date_counts(self.target).withColumnRenamed("cnt", "t_cnt")
+        diff = (
+            s.join(t, "d", "full_outer")
+            .select(
+                "d",
+                F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+            )
+            .filter(F.col("cnt") != F.col("t_cnt"))
+            .orderBy("d")
+            .limit(MAX_DETAIL)
+            .collect()
+        )
+        details = [f"{r['d']}: source={r['cnt']} target={r['t_cnt']}" for r in diff]
+        return CheckResult("partition_counts", not details, details=details)
+
+    # --- L3 ---------------------------------------------------------------
+    def _col_stats(self, df: DataFrame) -> dict:
+        aggs = [F.count("*").alias("__n")]
+        for f in df.schema.fields:
+            aggs.append((F.count("*") - F.count(f.name)).alias(f"null__{f.name}"))
+        for c in numeric_columns(df.schema):
+            aggs.append(F.min(dec(c, 38, 6)).alias(f"min__{c}"))
+            aggs.append(F.max(dec(c, 38, 6)).alias(f"max__{c}"))
+        if self.date_column:
+            aggs.append(F.min(F.col(self.date_column).cast("date")).alias(f"min__{self.date_column}"))
+            aggs.append(F.max(F.col(self.date_column).cast("date")).alias(f"max__{self.date_column}"))
+        return df.agg(*aggs).collect()[0].asDict()
+
+    def check_column_stats(self) -> CheckResult:
+        s = self._col_stats(self.source)
+        t = self._col_stats(self.target)
+        details = [
+            f"{k}: source={s[k]} target={t.get(k)}"
+            for k in s
+            if k != "__n" and s[k] != t.get(k)
+        ][:MAX_DETAIL]
+        return CheckResult("column_stats", not details, details=details)
+
+    # --- L4 ---------------------------------------------------------------
+    def _fingerprints(self, df: DataFrame) -> DataFrame:
+        cols = numeric_columns(df.schema)[:MAX_FINGERPRINT_COLS]
+        aggs = [F.count("*").alias("cnt")] + [
+            F.sum(dec(c, 38, 6)).cast("decimal(38,6)").alias(f"s__{c}") for c in cols
+        ]
+        return df.groupBy(F.col(self.date_column).cast("date").alias("d")).agg(*aggs)
+
+    def check_aggregate_fingerprints(self) -> CheckResult:
+        if not self.date_column:
+            return CheckResult("aggregate_fingerprints", True, details=["no date column"])
+        s = self._fingerprints(self.source)
+        t = self._fingerprints(self.target)
+        val_cols = [c for c in s.columns if c != "d"]
+        t_renamed = t.select("d", *[F.col(c).alias(f"t_{c}") for c in val_cols])
+        neq = None
+        for c in val_cols:
+            cond = ~(
+                F.col(c).eqNullSafe(F.col(f"t_{c}"))
+            )
+            neq = cond if neq is None else (neq | cond)
+        diff = (
+            s.join(t_renamed, "d", "full_outer")
+            .filter(neq)
+            .orderBy("d")
+            .limit(MAX_DETAIL)
+            .collect()
+        )
+        details = [f"{r['d']}: fingerprint mismatch" for r in diff]
+        return CheckResult("aggregate_fingerprints", not details, details=details)
+
+    # --- L5 ---------------------------------------------------------------
+    def check_row_sample(self) -> CheckResult:
+        """Deterministic md5-bucket sample of PK rows, ONE broadcast join
+        against the target (vs one point query per row,
+        validator.py:432-433), field-wise normalized compare."""
+        pks = self.pk_columns
+        if not pks:
+            return CheckResult("row_sample", True, details=["no pk columns"])
+        # PK lookup semantics assume key uniqueness (the reference's
+        # per-row point query would silently fan out otherwise); a
+        # non-unique key is itself an integrity failure worth surfacing.
+        dup = (
+            self.source.groupBy(*pks).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            return CheckResult(
+                "row_sample", False, details=["pk columns are not unique in source"]
+            )
+        key = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in pks]))
+        fields = [f for f in self.source.schema.fields if f.name not in pks]
+        s = self.source.filter(key.startswith(self.sample_bucket)).select(
+            *pks, *[_norm_col(f).alias(f"s_{f.name}") for f in fields]
+        )
+        t = self.target.select(
+            *pks, *[_norm_col(f).alias(f"t_{f.name}") for f in fields]
+        )
+        j = s.join(F.broadcast(t.join(F.broadcast(s.select(*pks)), pks, "left_semi")), pks, "left")
+        not_found = j.filter(F.col(f"t_{fields[0].name}").isNull())
+        mismatch_cond = None
+        for f in fields:
+            cond = ~F.col(f"s_{f.name}").eqNullSafe(F.col(f"t_{f.name}"))
+            mismatch_cond = cond if mismatch_cond is None else (mismatch_cond | cond)
+        agg = j.agg(
+            F.count("*").alias("sampled"),
+            F.sum(F.when(mismatch_cond, 1).otherwise(0)).alias("mismatched"),
+        ).collect()[0]
+        n_missing = not_found.count()
+        ok = (agg["mismatched"] or 0) == 0 and n_missing == 0
+        details = []
+        if n_missing:
+            details.append(f"{n_missing} sampled rows missing in target")
+        if agg["mismatched"]:
+            details.append(f"{agg['mismatched']}/{agg['sampled']} sampled rows differ")
+        return CheckResult("row_sample", ok, agg["sampled"], details=details)
+
+    # --- driver -----------------------------------------------------------
+    def validate(self, table: str = "table") -> TableValidationResult:
+        res = TableValidationResult(table)
+        res.checks.append(self.check_row_count())
+        res.checks.append(self.check_partition_counts())
+        res.checks.append(self.check_column_stats())
+        res.checks.append(self.check_aggregate_fingerprints())
+        res.checks.append(self.check_row_sample())
+        return res
+
+
+# --------------------------------------------------------------------------
+# Registry queries: validator layers as oracle-checkable plans, each run
+# against a deterministically corrupted "target" derived from lineitem.
+# --------------------------------------------------------------------------
+
+def val_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 as a query: per-date count alignment of source vs a target
+    missing one ship-month (seeded corruption) — emits only the
+    mismatched dates (validator.py:217-277 + dict-union → full outer)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    target = li.filter(
+        ~(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+    )
+    s = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.count("*").alias("src_cnt")
+    )
+    t = target.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.count("*").alias("tgt_cnt")
+    )
+    return (
+        s.join(t, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("src_cnt", F.lit(0)).alias("src_cnt"),
+            F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt"),
+        )
+        .filter(F.col("src_cnt") != F.col("tgt_cnt"))
+    )
+
+
+VAL_PARTITION_ORACLE = """
+WITH s AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS src_cnt FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS tgt_cnt FROM lineitem
+  WHERE NOT (l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01')
+  GROUP BY 1
+)
+SELECT COALESCE(s.d, t.d) AS d, COALESCE(src_cnt, 0) AS src_cnt, COALESCE(tgt_cnt, 0) AS tgt_cnt
+FROM s FULL OUTER JOIN t ON s.d = t.d
+WHERE COALESCE(src_cnt, 0) <> COALESCE(tgt_cnt, 0)
+"""
+
+
+def val_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 as a query: per-date SUM fingerprints vs a target with one
+    order's quantity perturbed (+1) — counts match, sums don't; only the
+    fingerprint layer catches it (validator.py:326-405)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    target = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") == 1, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+
+    def fp(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+            F.count("*").alias(f"{prefix}_cnt"),
+            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias(f"{prefix}_s_qty"),
+        )
+
+    s = fp(li, "src")
+    t = fp(target, "tgt")
+    return (
+        s.join(t, "d", "full_outer")
+        .filter(
+            (~F.col("src_cnt").eqNullSafe(F.col("tgt_cnt")))
+            | (~F.col("src_s_qty").eqNullSafe(F.col("tgt_s_qty")))
+        )
+        .select("d", "src_cnt", "tgt_cnt", "src_s_qty", "tgt_s_qty")
+    )
+
+
+VAL_FINGERPRINT_ORACLE = """
+WITH t0 AS (
+  SELECT l_shipdate,
+         CASE WHEN l_orderkey = 1 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS src_cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS src_s_qty
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS tgt_cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS tgt_s_qty
+  FROM t0 GROUP BY 1
+)
+SELECT COALESCE(s.d, t.d) AS d, src_cnt, tgt_cnt, src_s_qty, tgt_s_qty
+FROM s FULL OUTER JOIN t ON s.d = t.d
+WHERE src_cnt IS DISTINCT FROM tgt_cnt OR src_s_qty IS DISTINCT FROM tgt_s_qty
+"""
+
+
+def val_row_sample_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 as a query: md5-bucket PK sample of orders joined against a
+    target whose status is corrupted for a key slice; emits per-key
+    field mismatches (validator.py:407-470 collapsed to one join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    sample = orders.filter(md5_bucket("o_orderkey", "0")).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("src_status"),
+        dec("o_totalprice").alias("src_total"),
+    )
+    t = target.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("tgt_status"),
+        dec("o_totalprice").alias("tgt_total"),
+    )
+    return (
+        sample.join(t, "o_orderkey", "left")
+        .filter(
+            (~F.col("src_status").eqNullSafe(F.col("tgt_status")))
+            | (~F.col("src_total").eqNullSafe(F.col("tgt_total")))
+        )
+        .select("o_orderkey", "src_status", "tgt_status")
+    )
+
+
+VAL_ROWSAMPLE_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS tgt_status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS tgt_total
+  FROM orders
+),
+s AS (
+  SELECT o_orderkey, o_orderstatus AS src_status, CAST(o_totalprice AS DECIMAL(18,2)) AS src_total
+  FROM orders WHERE md5(CAST(o_orderkey AS VARCHAR)) LIKE '0%'
+)
+SELECT s.o_orderkey, src_status, tgt_status
+FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+WHERE src_status IS DISTINCT FROM tgt_status OR src_total IS DISTINCT FROM tgt_total
+"""
+
+
+SPECS = [
+    QuerySpec("val_partition_diff", val_partition_diff, VAL_PARTITION_ORACLE),
+    QuerySpec("val_fingerprint_diff", val_fingerprint_diff, VAL_FINGERPRINT_ORACLE),
+    QuerySpec("val_row_sample_diff", val_row_sample_diff, VAL_ROWSAMPLE_ORACLE),
+]

@@ -1,0 +1,93 @@
+"""Transfer engine: round-trip fidelity, pushdown, checkpoint resume,
+parallel fan-out, legacy CSV sink."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from snowflake_to_postgres_spark.operators.transfer import (
+    CheckpointManager,
+    TransferEngine,
+    rollup_stats,
+)
+from snowflake_to_postgres_spark.operators.validation import DataValidator
+from snowflake_to_postgres_spark.sources import load_table, table_path
+
+
+def test_roundtrip_parquet_validates(spark, sf_dir, tmp_path):
+    eng = TransferEngine(spark)
+    stats = eng.transfer_table(
+        table_path(sf_dir, "orders"), str(tmp_path / "orders"), "orders"
+    )
+    assert stats.error is None and stats.rows == load_table(spark, sf_dir, "orders").count()
+    # the engine's own validator certifies the copy — the reference's
+    # post-transfer validate flow (README.md:199-241)
+    tgt = spark.read.parquet(str(tmp_path / "orders"))
+    res = DataValidator(
+        load_table(spark, sf_dir, "orders"), tgt, pk_columns=["o_orderkey"]
+    ).validate("orders")
+    assert res.passed, [c.name for c in res.checks if not c.passed]
+
+
+def test_where_and_limit_pushdown(spark, sf_dir, tmp_path):
+    eng = TransferEngine(spark)
+    stats = eng.transfer_table(
+        table_path(sf_dir, "orders"),
+        str(tmp_path / "o2"),
+        "orders",
+        where="o_totalprice > 100000",
+        limit=50,
+    )
+    assert stats.rows == 50
+    out = spark.read.parquet(str(tmp_path / "o2"))
+    assert out.count() == 50
+    assert out.filter(F.col("o_totalprice") <= 100000).count() == 0
+
+
+def test_checkpoint_skip_and_resume(spark, sf_dir, tmp_path):
+    ckpt_path = str(tmp_path / "ckpt.json")
+    eng = TransferEngine(spark, CheckpointManager(ckpt_path))
+    s1 = eng.transfer_table(table_path(sf_dir, "nation"), str(tmp_path / "n"), "nation")
+    assert not s1.skipped and s1.rows > 0
+    # fresh engine, same manifest → skip
+    eng2 = TransferEngine(spark, CheckpointManager(ckpt_path))
+    s2 = eng2.transfer_table(table_path(sf_dir, "nation"), str(tmp_path / "n"), "nation")
+    assert s2.skipped
+
+
+def test_parallel_schema_fanout(spark, sf_dir, tmp_path):
+    eng = TransferEngine(spark, CheckpointManager(str(tmp_path / "c.json")))
+    tables = {t: table_path(sf_dir, t) for t in ("region", "nation", "customer", "supplier")}
+    stats = eng.transfer_schema(tables, str(tmp_path / "out"), workers=4)
+    assert [s.table for s in stats] == list(tables)  # order preserved
+    assert all(s.error is None for s in stats)
+    roll = rollup_stats(stats)
+    assert roll["transferred"] == 4 and roll["total_rows"] > 0
+    for t in tables:
+        assert spark.read.parquet(str(tmp_path / "out" / t)).count() > 0
+
+
+def test_error_isolation(spark, tmp_path):
+    eng = TransferEngine(spark)
+    s = eng.transfer_table("/nonexistent/path.parquet", str(tmp_path / "x"), "bad")
+    assert s.error is not None and s.rows == 0
+
+
+def test_legacy_csv_sink_null_marker(spark, sf_dir, tmp_path):
+    eng = TransferEngine(spark, target_format="csv")
+    df = load_table(spark, sf_dir, "supplier").withColumn(
+        "s_comment",
+        F.when(F.col("s_suppkey") % 2 == 0, None).otherwise(F.lit("ok")),
+    )
+    df.createOrReplaceTempView("_sup_nulls")
+    out = str(tmp_path / "sup_csv")
+    # write through the engine's CSV path
+    rows = eng._write(df, out)
+    assert rows == df.count()
+    text = ""
+    for f in os.listdir(out):
+        if f.endswith(".csv"):
+            text += open(os.path.join(out, f)).read()
+    assert "\\N" in text  # reference NULL marker (data_transfer.py:277-292)
