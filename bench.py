@@ -47,8 +47,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = queries()
 
-    # Warm the JVM/session so per-query timings measure the plan, not startup.
-    load_table(spark, sf_dir, "lineitem").count()
+    # Warm-up pass: JIT/codegen/parquet-footer caches, so the timed pass
+    # measures steady-state plan execution rather than JVM startup.
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is not None:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     total = 0.0

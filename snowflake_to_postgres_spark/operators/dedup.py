@@ -262,19 +262,23 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     doc_n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b2 = sh.alias("b")
+    # Candidate-restricted intersection: only LSH candidates reach the
+    # shingle join — the whole point of LSH. (An all-pairs intersection
+    # here, like dedup_ngram_jaccard_pairs does by design, would make the
+    # banding pointless and O(n²) at scale.)
+    sh1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    sh2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
-        a.join(b2, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        candidates.join(sh1, "d1")
+        .join(sh2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
         .agg(F.count("*").alias("i"))
     )
     na = doc_n.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     nb = doc_n.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")).cast("double")
     return (
-        candidates.join(inter, ["d1", "d2"])
-        .join(F.broadcast(na), "d1")
+        inter.join(F.broadcast(na), "d1")
         .join(F.broadcast(nb), "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
