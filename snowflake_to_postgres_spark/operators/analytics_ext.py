@@ -1,0 +1,274 @@
+"""Extended analytics surface: sessionization, TPC-H-flavored decision
+queries, correlated subqueries, catalog introspection as a query, and
+approximate sketches.
+
+These widen the SQL vocabulary beyond the reference floor (SURVEY §2.4's
+"same capabilities is the floor" note) with the query shapes a warehouse
+engine is actually judged on: multi-join star queries, conditional
+aggregation, correlated scalar subqueries, gap-based sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from snowflake_to_postgres_spark.operators.common import dec, one
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+SESSION_GAP_SEC = 1800
+
+
+def sessionize_events(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Gap-based sessionization (the batch twin of the stateful streaming
+    operator in streaming/pipeline.py): a new session starts when the gap
+    to the previous event of the same user exceeds ``gap_sec``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gap = sec - F.lag(sec).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("session_id", F.sum(new_session).over(w_run))
+
+
+def x_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup: events, span, value sum — one window pass plus
+    one aggregation (shuffles on user_id only)."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize_events(events)
+    return s.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.sum(dec("value")).cast("decimal(38,2)").alias("s_value"),
+    )
+
+
+X_SESSION_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts)//1 - epoch(LAG(ts) OVER w)//1 > {SESSION_GAP_SEC}
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def x_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 flavor: revenue per nation where the supplying and
+    ordering nations match — a 6-table star join; every dim broadcasts,
+    the single shuffle is the lineitem⋈orders key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = (dec("l_extendedprice") * (one() - dec("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+X_Q5_ORACLE = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def x_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 flavor: lost revenue per customer from returned items,
+    deterministic top-20."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    revenue = (dec("l_extendedprice") * (one() - dec("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+X_Q10_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def x_q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 flavor: conditional aggregation — promo revenue share.
+    CASE inside SUM; final ratio is one double division of exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = (dec("l_extendedprice") * (one() - dec("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit("0").cast("decimal(18,4)")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.sum(promo).cast("decimal(38,4)").alias("promo_revenue"),
+        F.sum(revenue).cast("decimal(38,4)").alias("total_revenue"),
+        (
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+X_Q14_ORACLE = """
+SELECT
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE CAST('0' AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS promo_revenue,
+  CAST(SUM(rev) AS DECIMAL(38,4)) AS total_revenue,
+  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE CAST('0' AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+FROM (
+  SELECT p_type,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+"""
+
+
+def x_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 flavor: small-quantity orders vs per-part average — the
+    correlated scalar subquery decorrelated into an aggregate + join
+    (what Catalyst does to the subquery form anyway)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    j = li.join(F.broadcast(per_part), li.l_partkey == per_part.pk)
+    small = j.filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+    return small.agg(
+        F.count("*").alias("n_small"),
+        F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("s_price"),
+    )
+
+
+X_CORR_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT COUNT(*) AS n_small,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_price
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+_CATALOG_TABLES = ("customer", "lineitem", "orders")
+_SPARK_TO_INFO = {
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "timestamp_ntz": "TIMESTAMP",
+    "timestamp": "TIMESTAMP",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+}
+
+
+def s3_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 catalog scan as a query: the discovery model rendered as the
+    INFORMATION_SCHEMA.columns shape (discovery.py:213-248), checked
+    against DuckDB's actual information_schema."""
+    from snowflake_to_postgres_spark.plans.catalog import discover_parquet_schema
+
+    info = discover_parquet_schema(spark, sf_dir, "main", with_row_counts=False)
+    rows = []
+    for t in info.tables:
+        if t.name not in _CATALOG_TABLES:
+            continue
+        for c in t.columns:
+            rows.append(
+                (
+                    t.name,
+                    c.name,
+                    c.ordinal_position,
+                    _SPARK_TO_INFO.get(c.data_type.simpleString(), "VARCHAR"),
+                    "YES" if c.is_nullable else "NO",
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, ordinal_position long, data_type string, is_nullable string",
+    )
+
+
+S3_CATALOG_ORACLE = """
+SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position,
+       data_type, CAST(is_nullable AS VARCHAR) AS is_nullable
+FROM information_schema.columns
+WHERE table_name IN ('customer', 'lineitem', 'orders')
+"""
+
+
+def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketch surface (no oracle — sketch internals are
+    engine-specific by nature, SURVEY §2.4 note): HLL++ distinct counts
+    and xxhash64 content fingerprints, the 100 TB-scale stand-ins for
+    exact COUNT(DISTINCT) and md5 fingerprinting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("bit_xor(xxhash64(l_orderkey, l_linenumber, l_quantity))").alias("xx_fingerprint"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("price_percentiles"),
+    )
+
+
+SPECS = [
+    QuerySpec("x_sessionization", x_sessionization, X_SESSION_ORACLE),
+    QuerySpec("x_q5_local_volume", x_q5_local_volume, X_Q5_ORACLE),
+    QuerySpec("x_q10_returned_items", x_q10_returned_items, X_Q10_ORACLE),
+    QuerySpec("x_q14_conditional_agg", x_q14_conditional_agg, X_Q14_ORACLE),
+    QuerySpec("x_correlated_subquery", x_correlated_subquery, X_CORR_ORACLE),
+    QuerySpec("s3_catalog_columns", s3_catalog_columns, S3_CATALOG_ORACLE),
+    QuerySpec("x_approx_sketches", x_approx_sketches, None,
+              "sketches are engine-specific — rows-only check by design"),
+]

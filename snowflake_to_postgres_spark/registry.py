@@ -25,6 +25,7 @@ class QuerySpec:
 def _all_specs() -> list[QuerySpec]:
     # Imported lazily so `import snowflake_to_postgres_spark` stays cheap.
     from snowflake_to_postgres_spark.operators import (
+        analytics_ext,
         dedup,
         multimodal,
         relational,
@@ -40,6 +41,7 @@ def _all_specs() -> list[QuerySpec]:
         relational,
         scalar_funcs,
         validation,
+        analytics_ext,
         dedup,
         similarity,
         text,

@@ -116,3 +116,62 @@ def incremental_transfer(
     schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
     run_available_now(stream, checkpoint_dir, out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SEC = 1800
+
+_SESSION_OUTPUT_DDL = (
+    "user_id bigint, session_id bigint, n_events bigint, s_value double"
+)
+_SESSION_STATE_DDL = (
+    "last_ts double, session_id bigint, n_events bigint, s_value double"
+)
+
+
+def sessionize_stream(events: "DataFrame", gap_sec: int = SESSION_GAP_SEC) -> "DataFrame":
+    """Gap-based sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState`` — SURVEY §2.9's extension surface).
+
+    State per user: (last event time, open session ordinal, running
+    count/sum). Each micro-batch extends or closes sessions; emitted rows
+    are the *current* state of every session touched in the batch (update
+    semantics). The batch twin (operators/analytics_ext.sessionize_events)
+    is the oracle-checked equivalent; tests assert they agree."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_ts, session_id, n_events, s_value = state.get
+        else:
+            last_ts, session_id, n_events, s_value = None, 0, 0, 0.0
+        out_rows: dict[int, list] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                sec = ts.timestamp()
+                if last_ts is None or sec - last_ts > gap_sec:
+                    session_id += 1
+                    n_events, s_value = 0, 0.0
+                n_events += 1
+                s_value += float(value)
+                last_ts = sec
+                out_rows[session_id] = [user_id, session_id, n_events, s_value]
+        state.update((last_ts, session_id, n_events, s_value))
+        yield pd.DataFrame(
+            list(out_rows.values()),
+            columns=["user_id", "session_id", "n_events", "s_value"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUTPUT_DDL,
+        stateStructType=_SESSION_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -70,3 +70,37 @@ def test_streaming_dedup_bounded_state(spark, sf_dir):
         load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     )
     assert total == n_distinct
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer agrees with the oracle-checked
+    batch sessionizer on session count and per-session event totals."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import sessionize_events
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        read_events_stream,
+        sessionize_stream,
+    )
+
+    out = sessionize_stream(read_events_stream(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: keep the last emit per (user, session)
+    streamed = spark.sql(
+        """SELECT user_id, session_id, max(n_events) AS n_events
+           FROM sessions_stream GROUP BY 1, 2"""
+    )
+    batch = (
+        sessionize_events(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id", "session_id")
+        .count()
+        .withColumnRenamed("count", "n_events")
+    )
+    s_rows = {(r[0], r[1]): r[2] for r in streamed.collect()}
+    b_rows = {(r[0], r[1]): r[2] for r in batch.collect()}
+    assert s_rows == b_rows

@@ -91,3 +91,25 @@ def test_legacy_csv_sink_null_marker(spark, sf_dir, tmp_path):
         if f.endswith(".csv"):
             text += open(os.path.join(out, f)).read()
     assert "\\N" in text  # reference NULL marker (data_transfer.py:277-292)
+
+
+def test_partitioned_transfer_prunes(spark, sf_dir, tmp_path):
+    from snowflake_to_postgres_spark.operators.transfer import transfer_partitioned
+
+    out = str(tmp_path / "li_pt")
+    stats = transfer_partitioned(
+        spark, table_path(sf_dir, "lineitem"), out, "l_shipdate"
+    )
+    src = load_table(spark, sf_dir, "lineitem")
+    assert stats.rows == src.count()
+    got = spark.read.parquet(out)
+    assert got.count() == src.count()
+    # partition pruning: a _pt filter must hit PartitionFilters, not data
+    q = got.filter(F.col("_pt") == "1997-03")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_pt" in plan.split("PartitionFilters")[1][:120]
+    # and the pruned count matches the source month
+    n_src = src.filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    ).count()
+    assert q.count() == n_src
