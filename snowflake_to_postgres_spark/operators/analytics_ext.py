@@ -272,3 +272,25 @@ SPECS = [
     QuerySpec("x_approx_sketches", x_approx_sketches, None,
               "sketches are engine-specific — rows-only check by design"),
 ]
+
+
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(CAST(YEAR(l_shipdate) AS STRING), 'ALL') AS ship_year,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (YEAR(l_shipdate)), (l_returnflag, YEAR(l_shipdate)), ())
+"""
+
+
+def g4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the Spark SQL API — the same ANSI text runs
+    on both engines verbatim (dialect-shared SQL path of the engine)."""
+    from snowflake_to_postgres_spark.sources import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+SPECS.append(QuerySpec("g4_grouping_sets", g4_grouping_sets, _GROUPING_SETS_SQL))

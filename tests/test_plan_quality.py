@@ -1,0 +1,75 @@
+"""Plan-quality regression tests: the physical plans the engine's scale
+story depends on must not silently degrade. These assert the *shape* of
+the executed plan — pushdown reaching the scan, broadcasts where a side
+is small, no shuffle where none is needed."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from snowflake_to_postgres_spark.operators.relational import (
+    a4_null_counts,
+    j1_equi_join_chain,
+    j2_multiway_join_topk,
+    j3_point_lookup_join,
+    s1_scan_filter_projection,
+)
+from snowflake_to_postgres_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(s1_scan_filter_projection(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: only the 4 referenced columns in ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" not in read_schema and "l_orderkey" in read_schema
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(j1_equi_join_chain(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_flavor_no_global_sort(spark, sf_dir):
+    plan = _plan(j2_multiway_join_topk(spark, sf_dir))
+    # top-k must be TakeOrderedAndProject, never a full Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_point_lookup_is_broadcast(spark, sf_dir):
+    plan = _plan(j3_point_lookup_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wide_agg_single_pass(spark, sf_dir):
+    # A4: 12 aggregates over lineitem must be ONE aggregation (one scan,
+    # one exchange) — the reference needed column-chunked queries
+    plan = _plan(a4_null_counts(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 1
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.count("*").alias("c"))
+    plan = _plan(agg)
+    # map-side combine: a partial_count must appear below the exchange
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_limit_pushdown(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.select("o_orderkey").limit(5)
+    plan = _plan(q)
+    assert "GlobalLimit" in plan or "CollectLimit" in plan
