@@ -31,8 +31,13 @@ HEADLINE = [
     "j4_fullouter_key_align",
     "w1_topk_per_group",
     "g1_rollup",
+    "x_q5_local_volume",
+    "x_sessionization",
+    "x_approx_sketches",
+    "st_windowed_agg",
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
     "sim_topk_bruteforce",
     "tx_quality_score",
 ]

@@ -254,12 +254,18 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     and xxhash64 content fingerprints, the 100 TB-scale stand-ins for
     exact COUNT(DISTINCT) and md5 fingerprinting."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # Two aggregations joined on the tiny group key: mixing countDistinct
+    # (Expand-based) with object-hash sketch aggregates in ONE agg forces
+    # sort-based ObjectAggregation over the expanded rows (~25× slower).
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.expr("bit_xor(xxhash64(l_orderkey, l_linenumber, l_quantity))").alias("xx_fingerprint"),
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("price_percentiles"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return sketches.join(F.broadcast(exact), "l_returnflag")
 
 
 SPECS = [
