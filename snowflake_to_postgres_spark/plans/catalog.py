@@ -151,3 +151,47 @@ def assert_schema_exists(spark: SparkSession, db: str) -> None:
     if not spark.catalog.databaseExists(db):
         available = [d.name for d in spark.catalog.listDatabases()]
         raise ValueError(f"schema '{db}' not found; available: {available}")
+
+
+def constraints_from_properties(props: dict[str, str]) -> dict:
+    """S4-S6 on Spark targets: constraints round-trip through
+    TBLPROPERTIES (ddl.generate_table_ddl writes them; Spark enforces
+    nothing — the validation engine is the enforcement layer). Returns
+    {'primary_key': [...], 'unique': [[...], ...]}."""
+    out: dict = {"primary_key": None, "unique": []}
+    pk = props.get("primary_key")
+    if pk:
+        out["primary_key"] = [c.strip() for c in pk.split(",")]
+    for k in sorted(props):
+        if k.startswith("unique_"):
+            out["unique"].append([c.strip() for c in props[k].split(",")])
+    return out
+
+
+def describe_table(spark: SparkSession, qualified_name: str) -> dict:
+    """S8 (discovery.py:359-441's COMMENT + GET_DDL fetch): DESCRIBE
+    TABLE EXTENDED + SHOW CREATE TABLE against the Spark catalog."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {qualified_name}").collect()
+    out: dict = {"columns": [], "properties": {}, "comment": None}
+    section = "columns"
+    for r in rows:
+        name = (r["col_name"] or "").strip()
+        if not name:
+            section = "meta"
+            continue
+        if section == "columns" and not name.startswith("#"):
+            out["columns"].append((name, r["data_type"]))
+        elif name == "Comment":
+            out["comment"] = r["data_type"]
+    try:
+        # SHOW TBLPROPERTIES yields one row per property — unlike the
+        # DESCRIBE blob, it survives commas inside values
+        for r in spark.sql(f"SHOW TBLPROPERTIES {qualified_name}").collect():
+            out["properties"][r["key"]] = r["value"]
+    except Exception:  # noqa: BLE001 — views have no properties
+        pass
+    try:
+        out["ddl"] = spark.sql(f"SHOW CREATE TABLE {qualified_name}").collect()[0][0]
+    except Exception:  # noqa: BLE001 — temp views have no stored DDL
+        out["ddl"] = None
+    return out
