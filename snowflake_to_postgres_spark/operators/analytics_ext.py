@@ -292,11 +292,11 @@ GROUP BY GROUPING SETS ((l_returnflag), (YEAR(l_shipdate)), (l_returnflag, YEAR(
 
 def g4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the Spark SQL API — the same ANSI text runs
-    on both engines verbatim (dialect-shared SQL path of the engine)."""
-    from snowflake_to_postgres_spark.sources import register_views
-
-    register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_GROUPING_SETS_SQL)
+    on both engines verbatim (dialect-shared SQL path of the engine).
+    Uses a private view name so a shared driver session's own temp views
+    are never clobbered."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_g4_lineitem")
+    return spark.sql(_GROUPING_SETS_SQL.replace("FROM lineitem", "FROM _g4_lineitem"))
 
 
 SPECS.append(QuerySpec("g4_grouping_sets", g4_grouping_sets, _GROUPING_SETS_SQL))

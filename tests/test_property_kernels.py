@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) on the pure kernels — the
+edge-case sweep SURVEY §5 calls for where example tests are too sparse."""
+
+from __future__ import annotations
+
+import string
+import threading
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from snowflake_to_postgres_spark.plans.catalog import (
+    ColumnInfo,
+    ConstraintInfo,
+    ConstraintType,
+    TableInfo,
+    normalize_identifier,
+)
+from snowflake_to_postgres_spark.plans.ddl import topo_sort_tables
+from snowflake_to_postgres_spark.plans.dialect import (
+    rewrite_double_colon_casts,
+    rewrite_functions,
+    translate_format_string,
+)
+from snowflake_to_postgres_spark.plans.typemap import (
+    parse_snowflake_type,
+    snowflake_to_spark,
+    spark_to_postgres,
+)
+
+idents = st.text(alphabet=string.ascii_letters + "_", min_size=1, max_size=12)
+
+
+@given(idents)
+def test_identifier_folding_idempotent(name):
+    once = normalize_identifier(name)
+    assert normalize_identifier(once) == once
+    assert once == once.lower()
+
+
+@given(st.integers(1, 38), st.integers(0, 37))
+def test_number_mapping_total(p, s):
+    s = min(s, p)
+    dt = snowflake_to_spark(f"NUMBER({p},{s})")
+    assert dt == T.DecimalType(p, s)
+    assert spark_to_postgres(dt) == f"NUMERIC({p},{s})"
+
+
+@given(idents)
+def test_unknown_types_never_crash(type_name):
+    dt = snowflake_to_spark(type_name)
+    assert dt is not None
+    assert spark_to_postgres(dt)  # always produces DDL text
+
+
+@given(st.integers(1, 10_000))
+def test_varchar_length_roundtrip(n):
+    t = parse_snowflake_type(f"VARCHAR({n})")
+    assert t.length == n
+    assert spark_to_postgres(snowflake_to_spark(f"VARCHAR({n})"), length=n) == f"VARCHAR({n})"
+
+
+@given(idents, idents, idents)
+def test_iff_rewrite_preserves_args(a, b, c):
+    out = rewrite_functions(f"SELECT IFF({a} > 1, {b}, {c})")
+    assert out == f"SELECT IF({a} > 1, {b}, {c})"
+
+
+@given(idents)
+def test_double_colon_varchar(expr):
+    out = rewrite_double_colon_casts(f"SELECT {expr}::VARCHAR FROM t")
+    assert out == f"SELECT CAST({expr} AS STRING) FROM t"
+
+
+@given(st.sampled_from(["YYYY-MM-DD", "HH24:MI:SS", "YYYY-MM-DD HH24:MI:SS", "DD/MON/YYYY"]))
+def test_format_translation_deterministic(fmt):
+    out1 = translate_format_string(fmt)
+    out2 = translate_format_string(fmt)
+    assert out1 == out2
+    assert "HH24" not in out1 and "MI" not in out1
+
+
+@st.composite
+def fk_forests(draw):
+    """Random FK DAGs: each table may reference only lower-indexed tables
+    (guarantees acyclic), then shuffled."""
+    n = draw(st.integers(1, 12))
+    tables = []
+    for i in range(n):
+        fks = []
+        if i:
+            refs = draw(st.lists(st.integers(0, i - 1), max_size=3, unique=True))
+            for r in refs:
+                fks.append(
+                    ConstraintInfo(f"fk_{i}_{r}", ConstraintType.FOREIGN_KEY,
+                                   ["id"], f"t{r}", ["id"])
+                )
+        tables.append(
+            TableInfo(f"t{i}", "s", [ColumnInfo("id", T.LongType())], foreign_keys=fks)
+        )
+    perm = draw(st.permutations(tables))
+    return list(perm)
+
+
+@given(fk_forests())
+@settings(max_examples=50)
+def test_topo_sort_respects_all_fks(tables):
+    ordered = topo_sort_tables(tables)
+    assert sorted(t.name for t in ordered) == sorted(t.name for t in tables)
+    pos = {t.name: i for i, t in enumerate(ordered)}
+    for t in tables:
+        for fk in t.foreign_keys:
+            assert pos[fk.referenced_table] < pos[t.name], (
+                f"{fk.referenced_table} must precede {t.name}"
+            )
+
+
+def test_checkpoint_thread_safety(tmp_path):
+    from snowflake_to_postgres_spark.operators.transfer import CheckpointManager
+
+    path = str(tmp_path / "c.json")
+    ckpt = CheckpointManager(path)
+    names = [f"t{i}" for i in range(50)]
+
+    def mark(n):
+        ckpt.mark_completed(n)
+
+    threads = [threading.Thread(target=mark, args=(n,)) for n in names]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    reloaded = CheckpointManager(path)
+    assert reloaded.completed == sorted(names)
