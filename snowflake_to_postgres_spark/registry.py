@@ -26,6 +26,7 @@ def _all_specs() -> list[QuerySpec]:
     # Imported lazily so `import snowflake_to_postgres_spark` stays cheap.
     from snowflake_to_postgres_spark.operators import (
         analytics_ext,
+        breadth,
         dedup,
         multimodal,
         relational,
@@ -46,6 +47,7 @@ def _all_specs() -> list[QuerySpec]:
         similarity,
         text,
         multimodal,
+        breadth,
         streaming_queries,
     ):
         specs.extend(mod.SPECS)
