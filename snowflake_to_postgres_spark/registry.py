@@ -28,6 +28,7 @@ def _all_specs() -> list[QuerySpec]:
         analytics_ext,
         breadth,
         dedup,
+        temporal_joins,
         multimodal,
         relational,
         scalar_funcs,
@@ -48,6 +49,7 @@ def _all_specs() -> list[QuerySpec]:
         text,
         multimodal,
         breadth,
+        temporal_joins,
         streaming_queries,
     ):
         specs.extend(mod.SPECS)
