@@ -51,7 +51,7 @@ def datediff_sf(part: str, start: Column, end: Column) -> Column:
         )
     if p in ("year", "yy", "yyyy"):
         return F.year(end) - F.year(start)
-    return F.expr(f"timestampdiff({part}, {start._jc.toString()}, {end._jc.toString()})")
+    return F.timestamp_diff(part, start, end)
 
 
 def null_byte_scrub(col) -> Column:

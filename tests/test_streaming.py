@@ -104,3 +104,28 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
     s_rows = {(r[0], r[1]): r[2] for r in streamed.collect()}
     b_rows = {(r[0], r[1]): r[2] for r in batch.collect()}
     assert s_rows == b_rows
+
+
+def test_continuous_rollup_equals_batch(spark, sf_dir, tmp_path):
+    """Incrementally maintained rollup == one-shot batch aggregation."""
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.streaming.pipeline import read_events_stream
+    from snowflake_to_postgres_spark.streaming.rollup import run_continuous_rollup
+
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    run_continuous_rollup(spark, read_events_stream(spark, sf_dir), rollup_dir, ckpt)
+    rolled = spark.read.parquet(rollup_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").start.alias("bucket_start"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("s_value"),
+        )
+    )
+    assert _rows(rolled) == _rows(batch)
+    # idempotent restart: checkpoint prevents double counting
+    run_continuous_rollup(spark, read_events_stream(spark, sf_dir), rollup_dir, ckpt)
+    assert _rows(spark.read.parquet(rollup_dir)) == _rows(batch)
