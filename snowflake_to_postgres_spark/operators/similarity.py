@@ -304,3 +304,64 @@ SPECS = [
     QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE),
     QuerySpec("dedup_embedding_cosine_pairs", dedup_embedding_cosine_pairs, DEDUP_EMB_ORACLE),
 ]
+
+
+def sim_topk_dense(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> DataFrame:
+    """Dense fast path: per-partition numpy matmul against the broadcast
+    query block, emitting only each batch's local top-k per query before
+    the global re-rank — the partial-top-k trick that keeps the shuffle
+    O(batches × k) instead of O(corpus).
+
+    Not oracle-checked (BLAS reductions are not bit-stable across
+    engines); tests assert its neighbor sets match the exact decimal
+    path (sim_topk_bruteforce)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    qids = np.array([r["vec_id"] for r in q_rows])
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            ids = pdf["vec_id"].to_numpy()
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ Qn.T  # (n, n_queries)
+            frames = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], col[mask]
+                k = min(top_k, len(cand_ids))
+                # local top-k only — bounded emit per batch
+                idx = np.argpartition(-cand_sims, k - 1)[:k]
+                frames.append(pd.DataFrame({
+                    "qid": np.full(k, qid, dtype=np.int64),
+                    "neighbor_id": cand_ids[idx].astype(np.int64),
+                    "cosine": cand_sims[idx],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    partials = emb.select("vec_id", "embedding").mapInPandas(batches, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "rank", "neighbor_id", "cosine")
+    )
+
+
+SPECS.append(
+    QuerySpec("sim_topk_dense", sim_topk_dense, None,
+              "dense BLAS path — float reductions not oracle-stable by design")
+)

@@ -35,3 +35,20 @@ def test_cli_build_dry_run(tmp_path, capsys, sf_dir):
     assert rc == 0
     text = open(ddl_out).read()
     assert "CREATE SCHEMA" in text and 'CREATE TABLE IF NOT EXISTS "tpch"."lineitem"' in text
+
+
+def test_cli_validate_fails_on_corruption(tmp_path, capsys, spark, sf_dir):
+    """validate must exit 1 when the target is corrupted (dropped rows)."""
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.sources import load_table
+
+    tgt = str(tmp_path / "out" / "orders")
+    load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0).write.parquet(tgt)
+    rc = main([
+        "validate", "--source", sf_dir, "--target", str(tmp_path / "out"),
+        "--table", "orders", "--pk", "o_orderkey",
+    ])
+    assert rc == 1
+    report = json.loads(capsys.readouterr().out)
+    assert not report[0]["passed"]
