@@ -300,3 +300,89 @@ def g4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS.append(QuerySpec("g4_grouping_sets", g4_grouping_sets, _GROUPING_SETS_SQL))
+
+
+def x_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 flavor: customers whose single orders exceed a quantity
+    threshold (aggregate-filtered IN-subquery, decorrelated to a
+    semi-join on the aggregated key set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+    )
+    return (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            dec("o_totalprice").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+X_Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+) b ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+"""
+
+
+def x_q21_multi_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 flavor: suppliers that were the ONLY late shipper on a
+    multi-supplier order — EXISTS(other supplier) AND NOT EXISTS(other
+    late supplier), decorrelated into semi/anti joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp"))
+    l1 = late.select("l_orderkey", "l_suppkey").alias("l1")
+    # another supplier on the same order (any shipdate)
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    has_other = l1.join(
+        l2, (F.col("l1.l_orderkey") == F.col("o2")) & (F.col("l1.l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    # no OTHER late supplier on the same order
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    only_late = has_other.join(
+        l3, (F.col("l1.l_orderkey") == F.col("o3")) & (F.col("l1.l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        only_late.join(F.broadcast(supplier), F.col("l1.l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l1.l_orderkey").alias("n_waiting_orders"))
+    )
+
+
+X_Q21_ORACLE = """
+SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS n_waiting_orders
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > TIMESTAMP '1999-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > TIMESTAMP '1999-01-01')
+GROUP BY s_name
+"""
+
+
+SPECS.append(QuerySpec("x_q18_large_volume", x_q18_large_volume, X_Q18_ORACLE))
+SPECS.append(QuerySpec("x_q21_multi_correlated", x_q21_multi_correlated, X_Q21_ORACLE))

@@ -365,3 +365,66 @@ SPECS.append(
     QuerySpec("sim_topk_dense", sim_topk_dense, None,
               "dense BLAS path — float reductions not oracle-stable by design")
 )
+
+
+def train_ivf_centroids(
+    emb: DataFrame, k: int = N_CENTROIDS, iterations: int = 5, dim: int = 64
+) -> list[list[float]]:
+    """Lloyd's k-means over DataFrames — the principled IVF training step
+    (sim_ivf_topk's oracle uses deterministic seed centroids instead,
+    because iterative training is not SQL-oracle-able; this trainer is
+    convergence-tested in pytest).
+
+    Per iteration: one Spark job (assignment via an argmin over k
+    broadcast-literal distance expressions + 64 avg aggregates); only the
+    k×dim centroid matrix ever reaches the driver. Scale: O(iterations)
+    passes over the corpus, no shuffle wider than k cells."""
+    centroids = [
+        list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(iterations):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+        assigned = emb.withColumn(
+            "cell", F.array_position(dists, F.array_min(dists)) - 1
+        )
+        new_rows = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("embedding")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cell = {int(r["cell"]): [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        centroids = [by_cell.get(j, centroids[j]) for j in range(k)]
+    return centroids
+
+
+def kmeans_sse(emb: DataFrame, centroids: list[list[float]]) -> float:
+    """Total within-cluster squared error for a centroid set."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return emb.select(F.array_min(dists).alias("d")).agg(F.sum("d")).collect()[0][0]
