@@ -206,3 +206,88 @@ SPECS = [
     QuerySpec("v2_variant_schema_parse", v2_variant_schema_parse, V2_ORACLE),
     QuerySpec("tx_fuzzy_levenshtein", tx_fuzzy_levenshtein, TX_FUZZY_ORACLE),
 ]
+
+
+def a11_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): region → sorted
+    nation list. Sorting inside the aggregate makes it deterministic."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+A11_ORACLE = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def a12_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev and Pearson correlation derived from EXACT decimal
+    sums (Σx, Σx², Σxy) — the built-in stddev/corr aggregates stream
+    float partials in engine-specific order and are not oracle-stable;
+    the moment formulas on exact sums are."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("decimal(38,2)").alias("sx"),
+        F.sum(y).cast("decimal(38,2)").alias("sy"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("decimal(38,4)").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("decimal(38,4)").alias("syy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("decimal(38,4)").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    std_x = F.sqrt(var_x)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    # DECIMAL-rounded outputs: DuckDB's wide-decimal→double conversion can
+    # differ from the JVM's by 1 ULP (same issue as similarity cosines)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        std_x.cast("decimal(18,6)").alias("stddev_qty"),
+        corr.cast("decimal(10,8)").alias("corr_qty_price"),
+    )
+
+
+A12_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS syy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  CAST(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS DECIMAL(18,6)) AS stddev_qty,
+  CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS DECIMAL(10,8)) AS corr_qty_price
+FROM m
+"""
+
+
+SPECS.append(QuerySpec("a11_string_agg", a11_string_agg, A11_ORACLE))
+SPECS.append(QuerySpec("a12_stats_moments", a12_stats_moments, A12_ORACLE))
