@@ -34,7 +34,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any SparkSession able to read the fixture set deterministically.
+
+    The driver's harness builds its own vanilla session (it never calls
+    ``session.get_spark``), so nothing in the query surface may depend on
+    builder-time configs. Both confs here are runtime-settable:
+
+    * ``nanosAsLong`` — events.ts is parquet TIMESTAMP(NANOS), which the
+      Spark reader otherwise rejects with PARQUET_TYPE_ILLEGAL (round-1
+      driver signal: v1_variant_json_extract / x_sessionization errored).
+    * UTC session timezone — keeps TimestampType collection instant-based,
+      matching the DuckDB oracle's naive timestamps (reference normalizes
+      to UTC before comparing, validator.py:888-896).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Local-mode nicety only: don't leave the 200-partition default in
+    # place for small-SF correctness runs. Respect any explicit setting.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_nanos_ts(df)

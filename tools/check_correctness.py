@@ -1,0 +1,76 @@
+"""Driver-mimic correctness sweep: run every registry query under a VANILLA
+SparkSession (no get_spark — mirrors the driver's harness) against its DuckDB
+oracle at sf0.01, comparing row count, column names, and order-insensitive
+canonical values (tests/oracle_compare.compare_frames).
+
+Usage: python tools/check_correctness.py [sf_dir] [first_n|all] [name_filter]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from oracle_compare import compare_frames  # noqa: E402
+
+from snowflake_to_postgres_spark import registry  # noqa: E402
+from snowflake_to_postgres_spark.sources import TABLES, table_path  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    first_n = sys.argv[2] if len(sys.argv) > 2 else "all"
+    name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("vanilla-driver-mimic")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    specs = registry._all_specs()
+    if first_n != "all":
+        specs = specs[: int(first_n)]
+    if name_filter:
+        specs = [s for s in specs if name_filter in s.name]
+
+    n_pass = n_fail = n_err = 0
+    for i, s in enumerate(specs):
+        t0 = time.time()
+        try:
+            df = s.fn(spark, sf_dir)
+            if s.oracle is None:
+                n = df.count()
+                print(f"[{i:2d}] {s.name:34s} ROWS-ONLY rows={n} ({time.time()-t0:.1f}s)")
+                n_pass += 1
+                continue
+            rel = con.execute(s.oracle)
+            ok, msg = compare_frames(df, rel)
+        except Exception as e:  # noqa: BLE001
+            n_err += 1
+            print(f"[{i:2d}] {s.name:34s} ERROR {type(e).__name__}: {str(e)[:160]}")
+            continue
+        if ok:
+            n_pass += 1
+            print(f"[{i:2d}] {s.name:34s} ok ({time.time()-t0:.1f}s)")
+        else:
+            n_fail += 1
+            print(f"[{i:2d}] {s.name:34s} FAIL {msg[:300]}")
+    print(f"\npass={n_pass} fail={n_fail} err={n_err} / {len(specs)}")
+    return 1 if (n_fail or n_err) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
