@@ -171,21 +171,96 @@ FROM events GROUP BY event_type
 """
 
 
+#: Max edit distance for tx_fuzzy_levenshtein and its blocking scheme.
+_FUZZY_D = 3
+#: Number of signature segments (= _FUZZY_D + 1, pigeonhole).
+_FUZZY_NSEG = _FUZZY_D + 1
+
+
 def tx_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy matching: supplier-name pairs within edit distance — the
-    entity-resolution primitive (cross join bounded to the small dim)."""
-    s = load_table(spark, sf_dir, "supplier")
+    """Fuzzy matching: supplier-name pairs within edit distance ≤ 3 — the
+    entity-resolution primitive, blocked PassJoin-style so the plan is an
+    EQUI-join, never a cartesian product.
+
+    Losslessness argument (PassJoin segment lemma, Li et al. 2011): split
+    string x into D+1 = 4 contiguous segments. Any alignment with ≤ D
+    edits leaves at least one segment untouched (pigeonhole), and that
+    segment appears verbatim in y at its original start position shifted
+    by at most D (net insertions−deletions before it). So emitting, per
+    row, its 4 segments keyed by (segment_idx, own_length, text) on one
+    side, and every substring y[p_i(L)+δ : +len_i(L)] for candidate
+    source lengths L ∈ [len(y)−D, len(y)+D] and shifts |δ| ≤ D on the
+    other, guarantees every true pair meets on ≥ 1 key. Candidates are
+    then verified with a real ``levenshtein`` call. False positives are
+    filtered; false negatives are impossible.
+
+    100 TB shape: only (key, id, name) tuples shuffle — constant ≤ 4 keys
+    per row on the segment side, ≤ (2D+1)²·(D+1) short keys on the probe
+    side. Candidate volume is bounded by segment-bucket co-occurrence,
+    not n²; the physical plan contains no CartesianProduct /
+    BroadcastNestedLoopJoin node (asserted for every registered query in
+    tests/test_plan_quality.py)."""
+    d, ns = _FUZZY_D, _FUZZY_NSEG
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_name").isNotNull())
+
+    # Segment side: 4 signature segments of the row's own name.
+    # Segment i of a length-L string spans [i*L div ns, (i+1)*L div ns).
     a = s.select(F.col("s_suppkey").alias("k1"), F.col("s_name").alias("n1"))
+    seg_side = a.select(
+        "k1",
+        "n1",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {ns - 1}), i -> struct(
+                      i AS i,
+                      length(n1) AS L,
+                      substring(n1, i * length(n1) div {ns} + 1,
+                                (i + 1) * length(n1) div {ns}
+                                  - i * length(n1) div {ns}) AS seg))"""
+            )
+        ).alias("sk"),
+    ).select("k1", "n1", "sk.i", "sk.L", "sk.seg")
+
+    # Probe side: for every candidate partner length L within ±d and every
+    # shift |δ| ≤ d, the substring where partner-segment i could land.
     b = s.select(F.col("s_suppkey").alias("k2"), F.col("s_name").alias("n2"))
+    probe_side = b.select(
+        "k2",
+        "n2",
+        F.explode(
+            F.expr(
+                f"""array_distinct(flatten(transform(
+                      sequence(greatest(length(n2) - {d}, 0), length(n2) + {d}), L ->
+                      flatten(transform(sequence(0, {ns - 1}), i ->
+                        transform(
+                          filter(sequence(-{d}, {d}), dd ->
+                            i * L div {ns} + 1 + dd >= 1
+                            AND i * L div {ns} + dd
+                                + ((i + 1) * L div {ns} - i * L div {ns})
+                                <= length(n2)),
+                          dd -> struct(
+                            i AS i,
+                            L AS L,
+                            substring(n2, i * L div {ns} + 1 + dd,
+                                      (i + 1) * L div {ns}
+                                        - i * L div {ns}) AS seg)))))))"""
+            )
+        ).alias("pk"),
+    ).select("k2", "n2", "pk.i", "pk.L", "pk.seg")
+
+    candidates = (
+        seg_side.join(probe_side, ["i", "L", "seg"])
+        .where(F.col("k1") < F.col("k2"))
+        .select("k1", "k2", "n1", "n2")
+        .distinct()
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("k1") < F.col("k2"))
-        .select(
+        candidates.select(
             "k1",
             "k2",
             F.levenshtein("n1", "n2").cast("bigint").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 3)
+        .filter(F.col("edit_dist") <= d)
     )
 
 

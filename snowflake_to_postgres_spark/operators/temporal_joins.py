@@ -10,11 +10,11 @@ UDF only when semantics can't be expressed).
   ASOF JOIN, so the composition is checked against a first-class
   implementation.
 * **Range/band join** — value-to-interval joins. The naive plan is a
-  BroadcastNestedLoopJoin (fine when the interval side is tiny, as
-  here); the scale path when both sides are large is bucketing each
-  value/interval to fixed-width buckets and equi-joining on bucket id
-  before refining — `xj_range_join_bucketed` shows that rewrite and is
-  asserted equal to the naive form.
+  BroadcastNestedLoopJoin; this module never emits one. Aligned
+  fixed-width bands reduce to arithmetic band-id derivation + a hash
+  equi-join (`xj_range_join`); arbitrary intervals bucket to fixed
+  widths, equi-join on bucket id, and refine with the exact predicate
+  (`range_join_bucketed`).
 """
 
 from __future__ import annotations
@@ -119,14 +119,22 @@ def _bands(spark: SparkSession) -> DataFrame:
 
 def xj_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-to-interval (band) join: lineitem prices into half-open
-    price bands, counted per band. Interval side is tiny → broadcast
-    nested-loop is the right plan."""
+    price bands, counted per band. The bands are fixed-width and
+    aligned, so the band id is *computable* — derive it arithmetically
+    and equi-join the tiny band table to attach (lo, hi). That turns
+    the naive BroadcastNestedLoopJoin into a BroadcastHashJoin; the
+    half-open semantics (>= lo AND < hi) are exactly ``floor(x / w)``,
+    and the inner join discards out-of-range values just like the range
+    predicate did. For arbitrary non-aligned intervals, the same
+    rewrite explodes each interval to the fixed buckets it overlaps and
+    refines after the equi-join (see :func:`range_join_bucketed`)."""
     li = load_table(spark, sf_dir, "lineitem")
     bands = _bands(spark)
-    j = li.join(
-        F.broadcast(bands),
-        (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+    banded = li.withColumn(
+        "band_id",
+        F.floor(F.col("l_extendedprice") / F.lit(_BAND_WIDTH)).cast("bigint"),
     )
+    j = banded.join(F.broadcast(bands), "band_id")
     return j.groupBy("band_id", "lo", "hi").agg(
         F.count("*").alias("cnt"),
         F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("s_price"),

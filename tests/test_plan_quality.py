@@ -73,3 +73,21 @@ def test_limit_pushdown(spark, sf_dir):
     q = orders.select("o_orderkey").limit(5)
     plan = _plan(q)
     assert "GlobalLimit" in plan or "CollectLimit" in plan
+
+
+def test_no_cartesian_or_nested_loop_in_any_registered_query(spark, sf_dir):
+    """Global scale guard: NO registered query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin — every join in the
+    engine must be an equi-join (hash/sort-merge/broadcast-hash). This
+    is the structural invariant behind the 100 TB story: nested-loop
+    shapes are O(n·m) and only survive review as explicit, documented
+    exceptions — of which there are currently none."""
+    from snowflake_to_postgres_spark import registry
+
+    offenders = {}
+    for name, fn in registry.queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if node in plan:
+                offenders[name] = node
+    assert not offenders, f"non-equi join plans: {offenders}"
