@@ -3,12 +3,19 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "headline_total_sec", "value": N, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ...,
+   "queries": {...per-query median sec...}, "sf": ...,
    "transfer_rows_per_sec": R, "lineitem_rows": N}
+
+Every reported time is the MEDIAN of ``RUNS`` (default 3) timed
+executions after a warm-up pass — single-shot timing produced a phantom
+2.6× "regression" in round 2's artifact (g1_rollup 0.81→2.11s that
+re-measured at ~1.1s), so medians are what make round-over-round
+comparison meaningful. ``value`` is the sum of per-query medians.
 
 The reference's comparison band (BASELINE.md) is transfer throughput of
 50k-200k rows/s (tuned); ``transfer_rows_per_sec`` is the apples-to-apples
-number: full lineitem read → parquet write, native types end-to-end.
+number: full lineitem read → parquet write, native types end-to-end,
+median of RUNS writes.
 """
 
 from __future__ import annotations
@@ -16,9 +23,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 HEADLINE = [
@@ -59,27 +69,31 @@ def main() -> None:
         if fn is not None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+    # Interleaved rounds (1st full pass, 2nd, 3rd ...) rather than
+    # back-to-back repeats of one query, so a transient stall (GC, page
+    # cache) can't poison all samples of the same query.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE if name in qs}
+    for _ in range(RUNS):
+        for name in samples:
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    per_query = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    total = sum(per_query.values())
 
     # Transfer throughput: the reference's headline metric (BASELINE.md).
     li = load_table(spark, sf_dir, "lineitem")
     n_rows = li.count()
     out = tempfile.mkdtemp(prefix="bench_transfer_")
+    transfer_samples = []
     try:
-        t0 = time.perf_counter()
-        li.write.mode("overwrite").parquet(os.path.join(out, "lineitem"))
-        transfer_sec = time.perf_counter() - t0
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            li.write.mode("overwrite").parquet(os.path.join(out, "lineitem"))
+            transfer_samples.append(time.perf_counter() - t0)
+        transfer_sec = statistics.median(transfer_samples)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
