@@ -4,6 +4,9 @@ migrate, over parquet directories (and any Spark-readable source).
 
 Usage:
     python -m snowflake_to_postgres_spark.cli discover --source DIR
+    python -m snowflake_to_postgres_spark.cli discover --jdbc-url URL
+        [--jdbc-user U --jdbc-password P --jdbc-driver CLASS]
+        [--jdbc-dialect information_schema|derby] --schema S
     python -m snowflake_to_postgres_spark.cli build --source DIR [--dry-run] [--ddl-out f.sql]
     python -m snowflake_to_postgres_spark.cli build-views --views f.sql [--schema s]
     python -m snowflake_to_postgres_spark.cli transfer --source DIR --target DIR
@@ -36,13 +39,48 @@ def _tables_in(directory: str, only: str | None = None) -> dict[str, str]:
 
 
 def cmd_discover(args) -> int:
-    from snowflake_to_postgres_spark.plans.catalog import discover_parquet_schema
-
     spark = get_spark("discover")
-    info = discover_parquet_schema(
-        spark, args.source, args.schema, table_filter=args.table,
-        with_row_counts=not args.no_counts,
-    )
+    if args.jdbc_url:
+        from snowflake_to_postgres_spark.plans.jdbc_discovery import (
+            DERBY_CATALOG_QUERIES,
+            INFORMATION_SCHEMA_QUERIES,
+            discover_jdbc_schema,
+        )
+        from snowflake_to_postgres_spark.sources.jdbc import JdbcConfig
+
+        cfg = JdbcConfig(
+            url=args.jdbc_url,
+            user=args.jdbc_user,
+            password=args.jdbc_password,
+            driver=args.jdbc_driver,
+        )
+        queries = (
+            DERBY_CATALOG_QUERIES
+            if args.jdbc_dialect == "derby"
+            else INFORMATION_SCHEMA_QUERIES
+        )
+        info = discover_jdbc_schema(
+            spark, cfg, args.schema, queries,
+            table_filter=args.table, with_row_counts=not args.no_counts,
+        )
+    else:
+        from snowflake_to_postgres_spark.plans.catalog import discover_parquet_schema
+
+        if not args.source:
+            print("discover needs --source DIR or --jdbc-url URL", file=sys.stderr)
+            return 2
+        info = discover_parquet_schema(
+            spark, args.source, args.schema, table_filter=args.table,
+            with_row_counts=not args.no_counts,
+        )
+
+    def _constraint(c):
+        doc = {"name": c.name, "type": c.type.value, "columns": c.columns}
+        if c.referenced_table:
+            doc["referenced_table"] = c.referenced_table
+            doc["referenced_columns"] = c.referenced_columns
+        return doc
+
     doc = {
         "schema": info.name,
         "tables": [
@@ -58,9 +96,13 @@ def cmd_discover(args) -> int:
                     }
                     for c in t.columns
                 ],
+                "primary_key": _constraint(t.primary_key) if t.primary_key else None,
+                "unique": [_constraint(c) for c in t.unique_constraints],
+                "foreign_keys": [_constraint(c) for c in t.foreign_keys],
             }
             for t in info.tables
         ],
+        "views": [{"name": v.name, "ddl": v.ddl} for v in info.views],
     }
     print(json.dumps(doc, indent=2))
     return 0
@@ -101,12 +143,13 @@ def cmd_build_views(args) -> int:
             spark.sql(tv.spark_sql)
             print(f"created view {tv.name}" + (f" (warnings: {tv.warnings})" if tv.warnings else ""))
         except Exception as e:  # noqa: BLE001 — best-effort per view, like sf_migrate.py:470-491
-            failures.append((ddl[:80], str(e)))
-    if failures:  # failed_views.sql policy (sf_migrate.py:518-521)
-        out = args.views + ".failed"
+            failures.append((ddl, str(e)))
+    if failures:  # failed_views.sql capture (sf_migrate.py:978-1004)
+        out = os.path.join(os.path.dirname(os.path.abspath(args.views)), "failed_views.sql")
         with open(out, "w") as fh:
             for ddl, err in failures:
-                fh.write(f"-- ERROR: {err}\n{ddl}\n\n")
+                err_one_line = " ".join(err.splitlines())[:500]
+                fh.write(f"-- ERROR: {err_one_line}\n{ddl};\n\n")
         print(f"{len(failures)} view(s) failed — see {out}", file=sys.stderr)
         return 1
     return 0
@@ -193,10 +236,20 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="verb", required=True)
 
     d = sub.add_parser("discover")
-    d.add_argument("--source", required=True)
+    d.add_argument("--source")
     d.add_argument("--schema", default="default")
     d.add_argument("--table")
     d.add_argument("--no-counts", action="store_true")
+    d.add_argument("--jdbc-url", help="live-catalog discovery over JDBC")
+    d.add_argument("--jdbc-user")
+    d.add_argument("--jdbc-password")
+    d.add_argument("--jdbc-driver")
+    d.add_argument(
+        "--jdbc-dialect",
+        choices=["information_schema", "derby"],
+        default="information_schema",
+        help="catalog SQL flavor (information_schema: Postgres/Snowflake/MySQL/H2)",
+    )
     d.set_defaults(fn=cmd_discover)
 
     b = sub.add_parser("build")

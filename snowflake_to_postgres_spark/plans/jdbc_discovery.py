@@ -1,0 +1,357 @@
+"""Live-catalog discovery over JDBC: the reference's INFORMATION_SCHEMA
+introspection (discovery.py:200-346 — tables :200-211, columns :213-248,
+PK/UNIQUE :250-301, FKs :303-346, views :359-441) re-expressed as Spark
+JDBC reads producing the same :class:`SchemaInfo` as the parquet path
+(plans/catalog.py), so every downstream consumer (DDL generation,
+transfer planning, validation) is source-agnostic.
+
+Two deliberate departures from the reference, both scale-motivated:
+
+* **One batched query per catalog object per schema**, not one per
+  table: the reference issues 2 + 4·N catalog queries for an N-table
+  schema (a visible latency tax it papers over with a spinner, O5);
+  here tables/columns/constraints/FKs each arrive in a single
+  info-schema scan and are grouped driver-side. Catalog metadata is
+  driver-sized by definition.
+* **FK column pairing joins on ORDINAL_POSITION** (reference
+  discovery.py:303-346 joins KEY_COLUMN_USAGE to itself without the
+  ordinal equality, which cross-products the column lists of
+  multi-column foreign keys).
+
+Dialect handling: the four catalog queries live in a
+:class:`CatalogQueries` value. ``INFORMATION_SCHEMA_QUERIES`` (default)
+is ANSI and serves Postgres / Snowflake / MySQL / H2 unchanged.
+``DERBY_CATALOG_QUERIES`` maps the same result shape onto Apache
+Derby's SYS tables — Derby ships inside Spark, which makes it this
+environment's live JDBC backend for end-to-end tests
+(tests/test_jdbc_discovery.py). Derby's catalog stores constraint
+columns as conglomerate descriptors ("UNIQUE BTREE (1, 2)"), so its
+queries set ``columns_are_ordinals`` and the builder resolves ordinals
+to names through the column scan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from snowflake_to_postgres_spark.plans.catalog import (
+    ColumnInfo,
+    ConstraintInfo,
+    ConstraintType,
+    SchemaInfo,
+    TableInfo,
+    ViewInfo,
+    normalize_identifier,
+)
+from snowflake_to_postgres_spark.plans.typemap import snowflake_to_spark
+from snowflake_to_postgres_spark.sources.jdbc import JdbcConfig, read_jdbc
+
+
+@dataclass(frozen=True)
+class CatalogQueries:
+    """The per-schema catalog scans. Each template takes ``{schema}``
+    (pre-escaped) and must yield the documented result columns."""
+
+    #: → TABLE_NAME
+    tables: str
+    #: → TABLE_NAME, COLUMN_NAME, DATA_TYPE, IS_NULLABLE ('YES'/'NO'),
+    #:   COLUMN_DEFAULT, CHARACTER_MAXIMUM_LENGTH, ORDINAL_POSITION
+    columns: str
+    #: → TABLE_NAME, CONSTRAINT_NAME, CONSTRAINT_TYPE
+    #:   ('PRIMARY KEY'/'UNIQUE'), COLUMN_NAME, ORDINAL_POSITION
+    key_constraints: str
+    #: → TABLE_NAME, CONSTRAINT_NAME, COLUMN_NAME,
+    #:   REFERENCED_TABLE_NAME, REFERENCED_COLUMN_NAME, ORDINAL_POSITION
+    foreign_keys: str
+    #: → TABLE_NAME, VIEW_DEFINITION (optional; None skips view fetch)
+    views: str | None = None
+    #: Dialect stores constraint columns as ordinal descriptors
+    #: ("... (1, 2)") instead of names; resolve through the column scan.
+    columns_are_ordinals: bool = False
+
+
+INFORMATION_SCHEMA_QUERIES = CatalogQueries(
+    # discovery.py:200-211 (TABLE_TYPE filter identical)
+    tables="""
+        SELECT TABLE_NAME
+        FROM INFORMATION_SCHEMA.TABLES
+        WHERE TABLE_SCHEMA = '{schema}' AND TABLE_TYPE = 'BASE TABLE'
+    """,
+    # discovery.py:213-248, batched over the schema
+    columns="""
+        SELECT TABLE_NAME, COLUMN_NAME, DATA_TYPE, IS_NULLABLE,
+               COLUMN_DEFAULT, CHARACTER_MAXIMUM_LENGTH, ORDINAL_POSITION
+        FROM INFORMATION_SCHEMA.COLUMNS
+        WHERE TABLE_SCHEMA = '{schema}'
+    """,
+    # discovery.py:250-301, batched over the schema
+    key_constraints="""
+        SELECT tc.TABLE_NAME, tc.CONSTRAINT_NAME, tc.CONSTRAINT_TYPE,
+               kcu.COLUMN_NAME, kcu.ORDINAL_POSITION
+        FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc
+        JOIN INFORMATION_SCHEMA.KEY_COLUMN_USAGE kcu
+          ON tc.CONSTRAINT_NAME = kcu.CONSTRAINT_NAME
+         AND tc.TABLE_SCHEMA = kcu.TABLE_SCHEMA
+         AND tc.TABLE_NAME = kcu.TABLE_NAME
+        WHERE tc.TABLE_SCHEMA = '{schema}'
+          AND tc.CONSTRAINT_TYPE IN ('PRIMARY KEY', 'UNIQUE')
+    """,
+    # discovery.py:303-346 + the ordinal-pairing fix
+    foreign_keys="""
+        SELECT kcu.TABLE_NAME, rc.CONSTRAINT_NAME, kcu.COLUMN_NAME,
+               kcu2.TABLE_NAME AS REFERENCED_TABLE_NAME,
+               kcu2.COLUMN_NAME AS REFERENCED_COLUMN_NAME,
+               kcu.ORDINAL_POSITION
+        FROM INFORMATION_SCHEMA.REFERENTIAL_CONSTRAINTS rc
+        JOIN INFORMATION_SCHEMA.KEY_COLUMN_USAGE kcu
+          ON rc.CONSTRAINT_NAME = kcu.CONSTRAINT_NAME
+         AND rc.CONSTRAINT_SCHEMA = kcu.CONSTRAINT_SCHEMA
+        JOIN INFORMATION_SCHEMA.KEY_COLUMN_USAGE kcu2
+          ON rc.UNIQUE_CONSTRAINT_NAME = kcu2.CONSTRAINT_NAME
+         AND rc.UNIQUE_CONSTRAINT_SCHEMA = kcu2.CONSTRAINT_SCHEMA
+         AND kcu.ORDINAL_POSITION = kcu2.ORDINAL_POSITION
+        WHERE rc.CONSTRAINT_SCHEMA = '{schema}'
+    """,
+    # discovery.py:359-380 (view enumeration + definition in one scan)
+    views="""
+        SELECT TABLE_NAME, VIEW_DEFINITION
+        FROM INFORMATION_SCHEMA.VIEWS
+        WHERE TABLE_SCHEMA = '{schema}'
+    """,
+)
+
+
+DERBY_CATALOG_QUERIES = CatalogQueries(
+    tables="""
+        SELECT t.TABLENAME AS TABLE_NAME
+        FROM SYS.SYSTABLES t
+        JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+        WHERE s.SCHEMANAME = '{schema}' AND t.TABLETYPE = 'T'
+    """,
+    columns="""
+        SELECT t.TABLENAME AS TABLE_NAME,
+               c.COLUMNNAME AS COLUMN_NAME,
+               CAST(c.COLUMNDATATYPE AS VARCHAR(254)) AS DATA_TYPE,
+               CASE WHEN CAST(c.COLUMNDATATYPE AS VARCHAR(254))
+                         LIKE '%NOT NULL'
+                    THEN 'NO' ELSE 'YES' END AS IS_NULLABLE,
+               CAST(c.COLUMNDEFAULT AS VARCHAR(254)) AS COLUMN_DEFAULT,
+               CAST(NULL AS INTEGER) AS CHARACTER_MAXIMUM_LENGTH,
+               c.COLUMNNUMBER AS ORDINAL_POSITION
+        FROM SYS.SYSCOLUMNS c
+        JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+        JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+        WHERE s.SCHEMANAME = '{schema}' AND t.TABLETYPE = 'T'
+    """,
+    key_constraints="""
+        SELECT t.TABLENAME AS TABLE_NAME,
+               co.CONSTRAINTNAME AS CONSTRAINT_NAME,
+               CASE co.TYPE WHEN 'P' THEN 'PRIMARY KEY'
+                    ELSE 'UNIQUE' END AS CONSTRAINT_TYPE,
+               CAST(cg.DESCRIPTOR AS VARCHAR(254)) AS COLUMN_NAME,
+               1 AS ORDINAL_POSITION
+        FROM SYS.SYSCONSTRAINTS co
+        JOIN SYS.SYSTABLES t ON co.TABLEID = t.TABLEID
+        JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+        JOIN SYS.SYSKEYS k ON co.CONSTRAINTID = k.CONSTRAINTID
+        JOIN SYS.SYSCONGLOMERATES cg ON k.CONGLOMERATEID = cg.CONGLOMERATEID
+        WHERE s.SCHEMANAME = '{schema}' AND co.TYPE IN ('P', 'U')
+    """,
+    foreign_keys="""
+        SELECT t.TABLENAME AS TABLE_NAME,
+               co.CONSTRAINTNAME AS CONSTRAINT_NAME,
+               CAST(cg.DESCRIPTOR AS VARCHAR(254)) AS COLUMN_NAME,
+               t2.TABLENAME AS REFERENCED_TABLE_NAME,
+               CAST(cg2.DESCRIPTOR AS VARCHAR(254))
+                   AS REFERENCED_COLUMN_NAME,
+               1 AS ORDINAL_POSITION
+        FROM SYS.SYSFOREIGNKEYS fk
+        JOIN SYS.SYSCONSTRAINTS co ON fk.CONSTRAINTID = co.CONSTRAINTID
+        JOIN SYS.SYSTABLES t ON co.TABLEID = t.TABLEID
+        JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+        JOIN SYS.SYSCONGLOMERATES cg ON fk.CONGLOMERATEID = cg.CONGLOMERATEID
+        JOIN SYS.SYSCONSTRAINTS co2 ON fk.KEYCONSTRAINTID = co2.CONSTRAINTID
+        JOIN SYS.SYSTABLES t2 ON co2.TABLEID = t2.TABLEID
+        JOIN SYS.SYSKEYS k2 ON co2.CONSTRAINTID = k2.CONSTRAINTID
+        JOIN SYS.SYSCONGLOMERATES cg2
+          ON k2.CONGLOMERATEID = cg2.CONGLOMERATEID
+        WHERE s.SCHEMANAME = '{schema}'
+    """,
+    views="""
+        SELECT t.TABLENAME AS TABLE_NAME,
+               CAST(v.VIEWDEFINITION AS VARCHAR(8000)) AS VIEW_DEFINITION
+        FROM SYS.SYSVIEWS v
+        JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID
+        JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+        WHERE s.SCHEMANAME = '{schema}'
+    """,
+    columns_are_ordinals=True,
+)
+
+
+_ORDINALS_RE = re.compile(r"\(([\d,\s]+)\)")
+
+
+def _descriptor_ordinals(descriptor: str) -> list[int]:
+    """'UNIQUE BTREE (1, 2)' → [1, 2] (Derby conglomerate descriptors)."""
+    m = _ORDINALS_RE.search(descriptor or "")
+    if not m:
+        return []
+    return [int(x) for x in m.group(1).split(",") if x.strip()]
+
+
+def _escape_schema(schema_name: str) -> str:
+    return schema_name.replace("'", "''")
+
+
+def _strip_not_null(type_str: str) -> str:
+    return re.sub(r"\s+NOT\s+NULL\s*$", "", type_str or "", flags=re.I)
+
+
+def discover_jdbc_schema(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    schema_name: str,
+    catalog_queries: CatalogQueries = INFORMATION_SCHEMA_QUERIES,
+    table_filter: str | None = None,
+    with_row_counts: bool = False,
+    with_views: bool = True,
+) -> SchemaInfo:
+    """Introspect a live JDBC catalog into :class:`SchemaInfo` — the
+    same shape :func:`discover_parquet_schema` produces, so ``build`` /
+    ``transfer`` / ``validate`` don't care which path discovered it.
+
+    The catalog scans themselves run through the Spark JDBC reader
+    (source-side execution, driver-sized results). Row counts, when
+    requested, run one ``COUNT(*)`` per table in the source database —
+    the reference's _get_row_count (discovery.py:348-357)."""
+    esc = _escape_schema(schema_name)
+
+    def scan(template: str):
+        q = " ".join(template.format(schema=esc).split())
+        return read_jdbc(spark, cfg, query=q).collect()
+
+    info = SchemaInfo(normalize_identifier(schema_name))
+
+    table_names = sorted(r["TABLE_NAME"] for r in scan(catalog_queries.tables))
+    if table_filter:  # P6, discovery.py:131-141 — case-insensitive
+        table_names = [t for t in table_names if t.lower() == table_filter.lower()]
+    wanted = set(table_names)
+
+    # Columns: one scan, grouped per table, ordered by ordinal.
+    cols_by_table: dict[str, list[ColumnInfo]] = {t: [] for t in table_names}
+    # ordinal → lower-cased name, for dialects that store constraint
+    # columns as conglomerate ordinals.
+    ordinal_name: dict[tuple[str, int], str] = {}
+    col_rows = sorted(
+        scan(catalog_queries.columns),
+        key=lambda r: (r["TABLE_NAME"], int(r["ORDINAL_POSITION"])),
+    )
+    for r in col_rows:
+        t = r["TABLE_NAME"]
+        pos = int(r["ORDINAL_POSITION"])
+        name = normalize_identifier(r["COLUMN_NAME"])
+        # the ordinal map covers ALL tables — a filtered discovery still
+        # needs to resolve FK targets outside the filter
+        ordinal_name[(t, pos)] = name
+        if t not in wanted:
+            continue
+        char_len = r["CHARACTER_MAXIMUM_LENGTH"]
+        cols_by_table[t].append(
+            ColumnInfo(
+                name=name,
+                data_type=snowflake_to_spark(_strip_not_null(r["DATA_TYPE"])),
+                # strip: Derby pads CASE output to the branches' common
+                # CHAR length ('NO ' vs 'YES')
+                is_nullable=(r["IS_NULLABLE"] or "YES").strip().upper() != "NO",
+                default_value=r["COLUMN_DEFAULT"],
+                character_maximum_length=int(char_len) if char_len is not None else None,
+                ordinal_position=pos,
+            )
+        )
+
+    def resolve_columns(table: str, rows) -> list[str]:
+        """Rows of one constraint → ordered lower-cased column names."""
+        if catalog_queries.columns_are_ordinals:
+            ords = _descriptor_ordinals(rows[0]["COLUMN_NAME"])
+            return [ordinal_name[(table, o)] for o in ords]
+        ordered = sorted(rows, key=lambda r: int(r["ORDINAL_POSITION"]))
+        return [normalize_identifier(r["COLUMN_NAME"]) for r in ordered]
+
+    # PK / UNIQUE: one scan, grouped per (table, constraint).
+    keys_by_tc: dict[tuple[str, str], list] = {}
+    for r in scan(catalog_queries.key_constraints):
+        if r["TABLE_NAME"] in wanted:
+            keys_by_tc.setdefault((r["TABLE_NAME"], r["CONSTRAINT_NAME"]), []).append(r)
+
+    # FKs: one scan, grouped the same way.
+    fks_by_tc: dict[tuple[str, str], list] = {}
+    for r in scan(catalog_queries.foreign_keys):
+        if r["TABLE_NAME"] in wanted:
+            fks_by_tc.setdefault((r["TABLE_NAME"], r["CONSTRAINT_NAME"]), []).append(r)
+
+    for t in table_names:
+        ti = TableInfo(
+            name=normalize_identifier(t),
+            schema=info.name,
+            columns=cols_by_table[t],
+        )
+        for (tbl, cname), rows in sorted(keys_by_tc.items()):
+            if tbl != t:
+                continue
+            con = ConstraintInfo(
+                name=normalize_identifier(cname),
+                type=(
+                    ConstraintType.PRIMARY_KEY
+                    if rows[0]["CONSTRAINT_TYPE"] == "PRIMARY KEY"
+                    else ConstraintType.UNIQUE
+                ),
+                columns=resolve_columns(t, rows),
+            )
+            if con.type is ConstraintType.PRIMARY_KEY:
+                ti.primary_key = con
+            else:
+                ti.unique_constraints.append(con)
+        for (tbl, cname), rows in sorted(fks_by_tc.items()):
+            if tbl != t:
+                continue
+            if catalog_queries.columns_are_ordinals:
+                ref_table = rows[0]["REFERENCED_TABLE_NAME"]
+                ref_cols = [
+                    ordinal_name[(ref_table, o)]
+                    for o in _descriptor_ordinals(rows[0]["REFERENCED_COLUMN_NAME"])
+                ]
+            else:
+                ordered = sorted(rows, key=lambda r: int(r["ORDINAL_POSITION"]))
+                ref_table = ordered[0]["REFERENCED_TABLE_NAME"]
+                ref_cols = [
+                    normalize_identifier(r["REFERENCED_COLUMN_NAME"]) for r in ordered
+                ]
+            ti.foreign_keys.append(
+                ConstraintInfo(
+                    name=normalize_identifier(cname),
+                    type=ConstraintType.FOREIGN_KEY,
+                    columns=resolve_columns(t, rows),
+                    referenced_table=normalize_identifier(ref_table),
+                    referenced_columns=ref_cols,
+                )
+            )
+        if with_row_counts:
+            cnt = read_jdbc(
+                spark, cfg, query=f'SELECT COUNT(*) AS CNT FROM "{schema_name}"."{t}"'
+            ).collect()
+            ti.row_count = int(cnt[0]["CNT"]) if cnt else 0
+        info.tables.append(ti)
+
+    if with_views and catalog_queries.views and not table_filter:
+        for r in sorted(scan(catalog_queries.views), key=lambda r: r["TABLE_NAME"]):
+            info.views.append(
+                ViewInfo(
+                    name=normalize_identifier(r["TABLE_NAME"]),
+                    ddl=r["VIEW_DEFINITION"],
+                )
+            )
+    return info

@@ -37,6 +37,62 @@ def test_cli_build_dry_run(tmp_path, capsys, sf_dir):
     assert "CREATE SCHEMA" in text and 'CREATE TABLE IF NOT EXISTS "tpch"."lineitem"' in text
 
 
+def test_cli_discover_jdbc(tmp_path, capsys, spark):
+    """discover --jdbc-url against a live (Derby) catalog: S2/S3/S4/S5
+    from the CLI surface, constraints included in the JSON doc."""
+    url = "jdbc:derby:memory:cli_discover_test"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE t1 (id INT NOT NULL, name VARCHAR(20), "
+        "CONSTRAINT pk_t1 PRIMARY KEY (id))"
+    )
+    st.execute(
+        "CREATE TABLE t2 (id INT NOT NULL, t1_id INT, "
+        "CONSTRAINT pk_t2 PRIMARY KEY (id), "
+        "CONSTRAINT fk_t2_t1 FOREIGN KEY (t1_id) REFERENCES t1 (id))"
+    )
+    st.execute("INSERT INTO t1 VALUES (1, 'a')")
+    st.close()
+    conn.close()
+    rc = main([
+        "discover", "--jdbc-url", url, "--jdbc-dialect", "derby",
+        "--jdbc-driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        "--schema", "APP",
+    ])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    tables = {t["name"]: t for t in doc["tables"]}
+    assert set(tables) == {"t1", "t2"}
+    assert tables["t1"]["primary_key"]["columns"] == ["id"]
+    assert tables["t1"]["row_count"] == 1
+    assert tables["t2"]["foreign_keys"][0]["referenced_table"] == "t1"
+    assert tables["t2"]["foreign_keys"][0]["type"] == "FOREIGN KEY"
+
+
+def test_cli_discover_requires_a_source(capsys):
+    rc = main(["discover", "--schema", "x"])
+    assert rc == 2
+
+
+def test_cli_build_views_failure_capture(tmp_path, capsys, spark):
+    """build-views: good view created, bad view captured to
+    failed_views.sql next to the input (sf_migrate.py:978-1004)."""
+    views = tmp_path / "views.sql"
+    views.write_text(
+        "CREATE VIEW v_ok AS SELECT 1 AS one;\n"
+        "CREATE VIEW v_bad AS SELECT FROM nowhere_at_all__;\n"
+    )
+    rc = main(["build-views", "--views", str(views), "--schema", "default"])
+    assert rc == 1
+    captured = (tmp_path / "failed_views.sql").read_text()
+    assert "v_bad" in captured and "-- ERROR:" in captured
+    assert "v_ok" not in captured
+    assert spark.sql("SELECT * FROM v_ok").collect()[0]["one"] == 1
+    spark.sql("DROP VIEW IF EXISTS v_ok")
+
+
 def test_cli_validate_fails_on_corruption(tmp_path, capsys, spark, sf_dir):
     """validate must exit 1 when the target is corrupted (dropped rows)."""
     import pyspark.sql.functions as F
