@@ -135,11 +135,44 @@ SELECT doc_id, lang, source FROM (
 # N-gram Jaccard near-dup
 # --------------------------------------------------------------------------
 
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: dedup_ngram_jaccard_pairs refuses to run when the estimated candidate
+#: volume (Σ df·(df−1)/2 over capped shingles) exceeds this. The LSH
+#: path is the production route for anything bigger.
+MAX_JACCARD_CANDIDATES = 50_000_000
+
+
+def dedup_ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_candidate_pairs: int = MAX_JACCARD_CANDIDATES,
+) -> DataFrame:
     """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5, candidate
     generation via the shingle inverted index (shuffle key = shingle;
-    hot-shingle cap bounds fanout)."""
+    hot-shingle cap bounds fanout).
+
+    This is the EXACT formulation — it computes the intersection for
+    every co-shingle pair, which is quadratic inside near-dup clusters.
+    It exists as the oracle twin of :func:`dedup_minhash_lsh_pairs`.
+    A runtime guard estimates candidate volume (Σ df·(df−1)/2 over the
+    capped shingle index — one cheap aggregate over the data the join
+    would shuffle anyway) and raises before launching the pair join when
+    the estimate exceeds ``max_candidate_pairs``, pointing at the LSH
+    path instead of silently burning a cluster."""
     sh = _doc_shingles(spark, sf_dir).cache()
+    est_row = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.expr("df * (df - 1) / 2")).alias("cand"))
+        .collect()[0]
+    )
+    est = int(est_row["cand"] or 0)
+    if est > max_candidate_pairs:
+        raise ValueError(
+            f"dedup_ngram_jaccard_pairs: estimated candidate volume {est:,} "
+            f"exceeds max_candidate_pairs={max_candidate_pairs:,}; use "
+            f"dedup_minhash_lsh_pairs (banded LSH) for data this size, or "
+            f"raise the limit explicitly if the all-pairs cost is intended"
+        )
     doc_n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -213,10 +213,44 @@ FROM documents GROUP BY source, lang
 """
 
 
+def sk1_salted_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe corpus rollup: per-source doc count and char volume via
+    the two-phase salted aggregate (operators/skew.py). ``source`` is the
+    archetypal hot key — a handful of crawls dominate a 100 TB corpus, so
+    a plain groupBy lands the biggest source on one reduce task. Salting
+    by hash(doc_id) splits each source into SALT_BUCKETS partials that
+    merge in a second (tiny) aggregate. Result-identical to the plain
+    groupBy — the oracle IS the plain formulation."""
+    from snowflake_to_postgres_spark.operators.skew import salted_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = salted_agg(
+        docs,
+        "source",
+        "doc_id",
+        {
+            "n_docs": F.count("*"),
+            "total_chars": F.sum("n_chars"),
+        },
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+SK1_ORACLE = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
     QuerySpec("tx_langid", tx_langid, TX_LANGID_ORACLE),
     QuerySpec("tx_fingerprint", tx_fingerprint, TX_FINGERPRINT_ORACLE),
     QuerySpec("tx_source_rollup", tx_source_rollup, TX_ROLLUP_ORACLE),
+    QuerySpec("sk1_salted_source_agg", sk1_salted_source_agg, SK1_ORACLE),
 ]

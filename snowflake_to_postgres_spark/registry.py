@@ -148,10 +148,39 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
+def decimal_free_type(dt):
+    """DataType with every DecimalType (at any nesting depth — arrays,
+    structs, maps) replaced by DoubleType; None when nothing changes."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return T.DoubleType()
+    if isinstance(dt, T.ArrayType):
+        inner = decimal_free_type(dt.elementType)
+        return None if inner is None else T.ArrayType(inner, dt.containsNull)
+    if isinstance(dt, T.MapType):
+        k = decimal_free_type(dt.keyType)
+        v = decimal_free_type(dt.valueType)
+        if k is None and v is None:
+            return None
+        return T.MapType(k or dt.keyType, v or dt.valueType, dt.valueContainsNull)
+    if isinstance(dt, T.StructType):
+        changed = False
+        fields = []
+        for f in dt.fields:
+            nf = decimal_free_type(f.dataType)
+            changed = changed or nf is not None
+            fields.append(T.StructField(f.name, nf or f.dataType, f.nullable, f.metadata))
+        return T.StructType(fields) if changed else None
+    return None
+
+
 def _normalize_decimals(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
-    """Wrap a query so its final projection casts DecimalType → double.
+    """Wrap a query so its final projection casts DecimalType → double —
+    including decimals nested inside arrays/structs/maps (e.g. an
+    approx_percentile over a decimal column yields array<decimal>).
 
     Projection on top of the query plan is narrow — it preserves ordering
     and adds no shuffle; Catalyst collapses it into the final stage.
@@ -159,15 +188,15 @@ def _normalize_decimals(
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
-        from pyspark.sql import types as T
 
         df = fn(spark, sf_dir)
-        if not any(isinstance(f.dataType, T.DecimalType) for f in df.schema.fields):
+        casts = {f.name: decimal_free_type(f.dataType) for f in df.schema.fields}
+        if not any(t is not None for t in casts.values()):
             return df
         return df.select(
             *[
-                F.col(f.name).cast("double").alias(f.name)
-                if isinstance(f.dataType, T.DecimalType)
+                F.col(f.name).cast(casts[f.name]).alias(f.name)
+                if casts[f.name] is not None
                 else F.col(f.name)
                 for f in df.schema.fields
             ]

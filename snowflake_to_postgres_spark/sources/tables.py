@@ -34,6 +34,9 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_CONFS_APPLIED_MARKER = "spark.snowflake_to_postgres_spark.sessionConfsApplied"
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Make any SparkSession able to read the fixture set deterministically.
 
@@ -47,13 +50,31 @@ def ensure_session_confs(spark: SparkSession) -> None:
     * UTC session timezone — keeps TimestampType collection instant-based,
       matching the DuckDB oracle's naive timestamps (reference normalizes
       to UTC before comparing, validator.py:888-896).
-    """
+
+    Applied ONCE per session (marker conf): after the first load a caller
+    who explicitly sets a non-UTC timezone or 200 shuffle partitions is
+    respected — with the caveat that timestamp-typed query results are
+    only oracle-comparable under UTC. A timezone override is logged."""
+    if spark.conf.get(_CONFS_APPLIED_MARKER, "") == "true":
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # no fallback arg: Spark 4 validates the fallback against the conf's
+    # type, and timeZone always has a built-in default anyway
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        import logging
+
+        logging.getLogger(__name__).info(
+            "overriding spark.sql.session.timeZone=%r with UTC "
+            "(required for deterministic timestamp semantics)", tz,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Local-mode nicety only: don't leave the 200-partition default in
-    # place for small-SF correctness runs. Respect any explicit setting.
+    # place for small-SF correctness runs. Respect any explicit setting
+    # (an explicit 200 is indistinguishable from the default, accepted).
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(_CONFS_APPLIED_MARKER, "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

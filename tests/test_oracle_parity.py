@@ -32,15 +32,25 @@ def test_all_queries_run(spark, sf_dir):
 def test_no_decimal_outputs(spark, duck, sf_dir):
     """Round-1 driver lesson: DecimalType output hash-fails on trailing-zero
     scale even when values are identical. No registered query — Spark side
-    or oracle side — may emit a decimal column; _ORACLE_DOUBLE_COLS in
-    registry.py must stay complete as queries evolve."""
+    or oracle side — may emit a decimal column, INCLUDING decimals nested
+    in arrays/structs/maps; _ORACLE_DOUBLE_COLS in registry.py must stay
+    complete as queries evolve."""
     from pyspark.sql import types as T
+
+    def has_decimal(dt) -> bool:
+        if isinstance(dt, T.DecimalType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_decimal(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return has_decimal(dt.keyType) or has_decimal(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return any(has_decimal(f.dataType) for f in dt.fields)
+        return False
 
     for s in _all_specs():
         sdf = s.fn(spark, sf_dir)
-        dec_cols = [
-            f.name for f in sdf.schema.fields if isinstance(f.dataType, T.DecimalType)
-        ]
+        dec_cols = [f.name for f in sdf.schema.fields if has_decimal(f.dataType)]
         assert not dec_cols, f"{s.name}: Spark emits decimal cols {dec_cols}"
         if s.oracle is None:
             continue
@@ -70,24 +80,28 @@ def test_priority_window_covers_families():
         assert any(n.startswith(family_rep) for n in names), family_rep
 
 
-def test_registry_under_vanilla_session(sf_dir):
+def test_registry_under_vanilla_session(spark, sf_dir):
     """Driver-harness twin: nothing in queries() may depend on configs set
     by session.get_spark(). Run the events-dependent and timestamp-heavy
     queries on a fresh default-config SparkSession (round-1 errors:
-    PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) without nanosAsLong)."""
-    from pyspark.sql import SparkSession
+    PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) without nanosAsLong).
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        # Reset the two confs get_spark pins so this exercises the
-        # load_table runtime path (a fresh JVM per test is too slow).
-        active.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        try:
-            from snowflake_to_postgres_spark.registry import queries
+    Takes the ``spark`` fixture so an active session is guaranteed even
+    when this test runs in isolation (getActiveSession() would otherwise
+    be None and the test would silently assert nothing)."""
+    from snowflake_to_postgres_spark.sources.tables import _CONFS_APPLIED_MARKER
 
-            q = queries()
-            for name in ("v1_variant_json_extract", "x_sessionization", "a2_group_count_by_date"):
-                df = q[name](active, sf_dir)
-                assert df.limit(1).collect() is not None, name
-        finally:
-            active.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Reset the confs get_spark pins (and the once-per-session marker) so
+    # this exercises the load_table runtime path as a fresh session would
+    # (a fresh JVM per test is too slow).
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.unset(_CONFS_APPLIED_MARKER)
+    try:
+        from snowflake_to_postgres_spark.registry import queries
+
+        q = queries()
+        for name in ("v1_variant_json_extract", "x_sessionization", "a2_group_count_by_date"):
+            df = q[name](spark, sf_dir)
+            assert df.limit(1).collect() is not None, name
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -75,6 +75,17 @@ def test_limit_pushdown(spark, sf_dir):
     assert "GlobalLimit" in plan or "CollectLimit" in plan
 
 
+def test_salted_agg_is_two_stage(spark, sf_dir):
+    """sk1: the salted rollup must show the two-phase shape — partials
+    keyed by (source, _salt) behind one exchange, merged behind a
+    second — and carry the deterministic salt column."""
+    from snowflake_to_postgres_spark.operators.text import sk1_salted_source_agg
+
+    plan = _plan(sk1_salted_source_agg(spark, sf_dir))
+    assert "_salt" in plan
+    assert plan.count("Exchange") >= 2
+
+
 def test_no_cartesian_or_nested_loop_in_any_registered_query(spark, sf_dir):
     """Global scale guard: NO registered query may plan a
     CartesianProduct or BroadcastNestedLoopJoin — every join in the

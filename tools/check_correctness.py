@@ -10,12 +10,14 @@ from __future__ import annotations
 
 import sys
 import time
+from pathlib import Path
 
 import duckdb
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+_REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
+sys.path.insert(0, str(_REPO / "tests"))
 
 from oracle_compare import compare_frames  # noqa: E402
 
