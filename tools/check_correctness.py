@@ -3,7 +3,12 @@ SparkSession (no get_spark — mirrors the driver's harness) against its DuckDB
 oracle at sf0.01, comparing row count, column names, and order-insensitive
 canonical values (tests/oracle_compare.compare_frames).
 
-Usage: python tools/check_correctness.py [sf_dir] [first_n|all] [name_filter]
+Usage: python tools/check_correctness.py [sf_dir] [first_n|all] [name_filter] [json_out]
+
+With ``json_out``, also writes a per-query JSON artifact in the driver's
+CORRECTNESS shape (rows/schema/hash matches per query) — used to publish
+FULLCHECK_r{N}.json so the queries outside the driver's 50-row window
+have a reviewable hard signal.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     first_n = sys.argv[2] if len(sys.argv) > 2 else "all"
     name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
+    json_out = sys.argv[4] if len(sys.argv) > 4 else ""
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -49,6 +55,7 @@ def main() -> int:
         specs = [s for s in specs if name_filter in s.name]
 
     n_pass = n_fail = n_err = 0
+    results: dict[str, dict] = {}
     for i, s in enumerate(specs):
         t0 = time.time()
         try:
@@ -56,6 +63,9 @@ def main() -> int:
             if s.oracle is None:
                 n = df.count()
                 print(f"[{i:2d}] {s.name:34s} ROWS-ONLY rows={n} ({time.time()-t0:.1f}s)")
+                results[s.name] = {
+                    "rows_only": True, "spark_rows": n, "err": None,
+                }
                 n_pass += 1
                 continue
             rel = con.execute(s.oracle)
@@ -63,7 +73,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             n_err += 1
             print(f"[{i:2d}] {s.name:34s} ERROR {type(e).__name__}: {str(e)[:160]}")
+            results[s.name] = {
+                "match": False, "err": f"{type(e).__name__}: {str(e)[:300]}",
+            }
             continue
+        results[s.name] = {"match": bool(ok), "err": None if ok else msg[:300]}
         if ok:
             n_pass += 1
             print(f"[{i:2d}] {s.name:34s} ok ({time.time()-t0:.1f}s)")
@@ -71,6 +85,23 @@ def main() -> int:
             n_fail += 1
             print(f"[{i:2d}] {s.name:34s} FAIL {msg[:300]}")
     print(f"\npass={n_pass} fail={n_fail} err={n_err} / {len(specs)}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": len(specs),
+                    "pass": n_pass,
+                    "fail": n_fail,
+                    "err": n_err,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if (n_fail or n_err) else 0
 
 
