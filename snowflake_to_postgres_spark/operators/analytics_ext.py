@@ -386,3 +386,181 @@ GROUP BY s_name
 
 SPECS.append(QuerySpec("x_q18_large_volume", x_q18_large_volume, X_Q18_ORACLE))
 SPECS.append(QuerySpec("x_q21_multi_correlated", x_q21_multi_correlated, X_Q21_ORACLE))
+
+
+def x_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 flavor: shipping volume between two specific nations by
+    ship year. Both nation dims broadcast; the only shuffles are the
+    lineitem⋈orders key and the final (nation, nation, year) aggregate.
+    The symmetric nation-pair OR stays a broadcast-side filter, so the
+    fact scan is read once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    vol = (dec("l_extendedprice") * (one() - dec("l_discount"))).cast("decimal(28,4)")
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+X_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DECIMAL(38,4)) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(28,4)) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def x_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 flavor (partsupp stands in as the lineitem bridge):
+    distinct suppliers per (brand, size) for selected sizes, excluding
+    negative-balance suppliers via NOT IN → broadcast anti join. One
+    shuffle for the distinct-count aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand") != "Brand#5")
+        .filter(F.col("p_size").isin(1, 5, 9, 13))
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+X_Q16_ORACLE = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def x_q19_flagged_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 flavor: disjunction of brand/size/quantity band
+    predicates — the OR-of-ANDs shape that exercises predicate
+    normalization. Part broadcasts; the common p_partkey equi-key keeps
+    it a hash join with the disjunction evaluated post-join (Catalyst
+    also pushes the derivable common bounds)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    rev = (dec("l_extendedprice") * (one() - dec("l_discount"))).cast("decimal(28,4)")
+    return j.filter(cond).agg(
+        F.count("*").alias("n_items"),
+        F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+    )
+
+
+X_Q19_ORACLE = """
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def x_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 flavor: high-balance customers with no orders, grouped
+    by nation. The scalar AVG subquery is evaluated as its own (tiny)
+    job and injected as a literal — exactly what Catalyst's
+    ScalarSubquery does internally — which keeps the main plan free of
+    nested-loop joins. The comparison cross-multiplies (bal·n > Σbal)
+    on exact decimals so both engines agree on the threshold without a
+    division whose precision rules differ."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    t = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(dec("c_acctbal")).cast("decimal(38,2)").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    s_lit = F.lit(str(t["s"])).cast("decimal(38,2)")
+    n_lit = F.lit(int(t["n"]))
+    return (
+        customer.join(
+            orders.select(F.col("o_custkey")),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .filter(dec("c_acctbal") * n_lit > s_lit)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("decimal(38,2)").alias("totacctbal"),
+        )
+    )
+
+
+X_Q22_ORACLE = """
+WITH t AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+         COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+FROM customer, t
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+SPECS.append(QuerySpec("x_q7_volume_shipping", x_q7_volume_shipping, X_Q7_ORACLE))
+SPECS.append(QuerySpec("x_q16_supplier_variety", x_q16_supplier_variety, X_Q16_ORACLE))
+SPECS.append(QuerySpec("x_q19_flagged_revenue", x_q19_flagged_revenue, X_Q19_ORACLE))
+SPECS.append(QuerySpec("x_q22_dormant_balance", x_q22_dormant_balance, X_Q22_ORACLE))

@@ -793,3 +793,76 @@ SPECS = [
     QuerySpec("g2_cube", g2_cube, G2_ORACLE),
     QuerySpec("g3_having", g3_having, G3_ORACLE),
 ]
+
+
+def w5_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a deterministic total order
+    per nation — the quantile-bucketing window family. One shuffle on
+    c_nationkey; with a unique (acctbal, custkey) sort there are no
+    peer rows, so the rank-ratio outputs are small-integer ratios and
+    bit-identical as doubles on both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+W5_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def a13_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles (p50/p90 of l_quantity per returnflag)
+    via the row_number-at-index formulation — written identically in the
+    oracle so the pick is engine-independent (built-in percentile_disc
+    variants disagree across engines on index rounding; approx_percentile
+    is sketch-based and not oracle-stable).
+
+    Scale shape: one window sort per group — the standard exact-quantile
+    plan. At 100 TB you'd reach for approx_percentile (x_approx_sketches)
+    unless exactness is contractual; this operator is the exact
+    contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select("l_returnflag", dec("l_quantity").alias("q"))
+    w = Window.partitionBy("l_returnflag").orderBy("q")
+    wn = Window.partitionBy("l_returnflag")
+    t = base.select(
+        "l_returnflag",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return t.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("q"))).alias("p50"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("q"))).alias("p90"),
+    )
+
+
+A13_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(l_quantity AS DECIMAL(18,2))) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN q END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN q END) AS p90
+FROM t GROUP BY l_returnflag
+"""
+
+
+SPECS.append(QuerySpec("w5_ntile_cume", w5_ntile_cume, W5_ORACLE))
+SPECS.append(QuerySpec("a13_exact_percentiles", a13_exact_percentiles, A13_ORACLE))

@@ -246,6 +246,63 @@ FROM documents GROUP BY source
 """
 
 
+#: Chunking geometry: CHUNK_TOKENS-token windows advancing by
+#: CHUNK_STRIDE (CHUNK_TOKENS - CHUNK_STRIDE tokens of overlap).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def tx_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for LLM context windows: split each document
+    into overlapping CHUNK_TOKENS-token windows with CHUNK_STRIDE
+    advance — the preprocessing step between cleaning and embedding in
+    a training/RAG pipeline. Emits (doc_id, chunk_id, n_tokens,
+    chunk_hash); the hash stands in for the chunk text so the result
+    stays verifiable without shipping full text through the compare.
+
+    Scale shape: pure per-row explode (narrow, no shuffle) — output
+    rows ≈ input tokens / stride, linear in corpus size; the plan is a
+    single scan + generate."""
+    docs = load_table(spark, sf_dir, "documents")
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(
+                      sequence(0, greatest(0, cast(ceil((size(t) - {c}) / cast({s} as double)) as int))),
+                      i -> struct(
+                        cast(i as bigint) AS chunk_id,
+                        slice(t, i * {s} + 1, {c}) AS ctoks))"""
+            )
+        ).alias("ch"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("ch.chunk_id").alias("chunk_id"),
+        F.size("ch.ctoks").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(F.col("ch.ctoks"), " ")).alias("chunk_hash"),
+    )
+
+
+TX_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0,
+           GREATEST(0, CAST(ceil((len(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT)))) AS i
+  FROM toks
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(len(t[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(t[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_hash
+FROM idx
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
@@ -253,4 +310,5 @@ SPECS = [
     QuerySpec("tx_fingerprint", tx_fingerprint, TX_FINGERPRINT_ORACLE),
     QuerySpec("tx_source_rollup", tx_source_rollup, TX_ROLLUP_ORACLE),
     QuerySpec("sk1_salted_source_agg", sk1_salted_source_agg, SK1_ORACLE),
+    QuerySpec("tx_chunk_documents", tx_chunk_documents, TX_CHUNK_ORACLE),
 ]

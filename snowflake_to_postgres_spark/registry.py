@@ -78,6 +78,10 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "xj_asof_join": ("p_value",),
     "xj_range_join": ("s_price",),
     "st_windowed_agg": ("s_value",),
+    "a13_exact_percentiles": ("p50", "p90"),
+    "x_q7_volume_shipping": ("revenue",),
+    "x_q19_flagged_revenue": ("revenue",),
+    "x_q22_dormant_balance": ("totacctbal",),
 }
 
 # The driver's correctness harness checks the FIRST 50 registered queries
