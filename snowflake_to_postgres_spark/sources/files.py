@@ -1,0 +1,100 @@
+"""Format-agnostic file sources/sinks: parquet, ORC, CSV, JSON (and any
+other Spark DataSource by name).
+
+The reference moves data through exactly one wire shape (VARCHAR CSV
+through a COPY pipe, data_transfer.py:125-208). Here the format is a
+parameter: every reader returns the same DataFrame IR, so the whole
+query/validate/transfer surface works over any of them. Two rules keep
+round-trips faithful:
+
+* **Schema is explicit for text formats.** CSV/JSON infer types lossily
+  (dates → strings, int/long ambiguity); ``read_any`` takes the schema
+  from the caller — typically ``discover_parquet_schema``'s StructType
+  IR — so a parquet→csv→parquet round-trip is type-identical.
+* **Writers default to snappy parquet.** Text formats are interchange,
+  not storage: at 100 TB, columnar + predicate pushdown + column
+  pruning is the difference between scanning terabytes and scanning
+  everything (CSV/JSON scans read every byte; no pushdown).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: extension → Spark format name
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".tsv": "csv",
+}
+
+#: per-format reader defaults (overridable via **options)
+_READ_DEFAULTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true", "nullValue": "\\N"},
+    "json": {},
+    "parquet": {},
+    "orc": {},
+}
+
+_WRITE_DEFAULTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true", "nullValue": "\\N"},  # reference COPY NULL token
+    "json": {},
+    "parquet": {"compression": "snappy"},
+    "orc": {"compression": "snappy"},
+}
+
+
+def infer_format(path: str, fmt: str | None = None) -> str:
+    if fmt:
+        return fmt
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    if ext in _EXT_FORMAT:
+        return _EXT_FORMAT[ext]
+    return "parquet"
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read ``path`` in ``fmt`` (inferred from the extension when not
+    given). Pass ``schema`` for CSV/JSON to keep types faithful — text
+    formats cannot represent them losslessly on their own."""
+    f = infer_format(path, fmt)
+    opts = dict(_READ_DEFAULTS.get(f, {}))
+    if path.rstrip("/").lower().endswith(".tsv"):
+        opts["sep"] = "\t"
+    opts.update(options)
+    reader = spark.read.format(f).options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif f in ("csv", "json"):
+        # make the lossiness opt-in rather than silent
+        reader = reader.option("inferSchema", "true")
+    return reader.load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    f = infer_format(path, fmt)
+    opts = dict(_WRITE_DEFAULTS.get(f, {}))
+    opts.update(options)
+    writer = df.write.format(f).mode(mode).options(**opts)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

@@ -65,6 +65,21 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: events (stream or batch) left-join
+    the customer dim on user_id. On a stream this is Spark's
+    stream-static join — the static side is (re)broadcast per
+    micro-batch, no streaming state at all, which is THE scalable shape
+    for dimension enrichment (state-free, any stream volume). Works
+    identically on a batch frame for the oracle path."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
 def dedup_events_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming dedup on event_id with bounded state — the scalable
     form of exact dedup for infinite streams (state expires with the

@@ -45,7 +45,34 @@ SELECT event_type, COUNT(*) AS cnt FROM (
 """
 
 
+def st_enrich_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the stream-static enrichment join: events
+    left-join the customer dim, rolled up per market segment (NULL
+    segment = unmatched users). The streaming twin is exercised in
+    tests/test_streaming.py::test_stream_static_enrichment."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.streaming.pipeline import enrich_events
+
+    enriched = enrich_events(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("s_value"),
+    )
+
+
+ST_ENRICH_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 SPECS = [
     QuerySpec("st_windowed_agg", st_windowed_agg, ST_WINDOWED_ORACLE),
     QuerySpec("st_dedup_events", st_dedup_events, ST_DEDUP_ORACLE),
+    QuerySpec("st_enrich_rollup", st_enrich_rollup, ST_ENRICH_ORACLE),
 ]

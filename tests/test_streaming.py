@@ -41,6 +41,31 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     assert streamed.count() >= closed_batch.count()
 
 
+def test_stream_static_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: the events stream enriched with the customer
+    dim (availableNow drain) must equal the same join run in batch —
+    and it must carry no streaming state (stateless micro-batch join)."""
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        enrich_events,
+        run_available_now,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt_enrich")
+    enriched_stream = enrich_events(read_events_stream(spark, sf_dir), customer)
+    run_available_now(enriched_stream, ckpt, out)
+    streamed = spark.read.parquet(out).select(
+        "event_id", "user_id", "c_mktsegment", "c_nationkey"
+    )
+    batch = enrich_events(load_table(spark, sf_dir, "events"), customer).select(
+        "event_id", "user_id", "c_mktsegment", "c_nationkey"
+    )
+    assert _rows(streamed) == _rows(batch)
+    # every event survives a LEFT join, matched or not
+    assert streamed.count() == load_table(spark, sf_dir, "events").count()
+
+
 def test_available_now_restart_is_idempotent(spark, sf_dir, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
