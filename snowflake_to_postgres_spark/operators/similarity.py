@@ -299,10 +299,59 @@ WHERE CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(nn2.n2
 """
 
 
+#: Fixed symmetric int8 scale — valid while |component| ≤ 1.0 (the
+#: quantizer asserts this via max_abs_q ≤ QUANT_SCALE in its test).
+QUANT_SCALE = 127
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector maintenance pass a production ANN index needs: per-vector
+    L2 norm + fixed-scale symmetric int8 quantization summary
+    (n_dims, Σq, Σ|q|, nnz, max|q|).
+
+    Engine-portability choices: quantization multiplies the exact
+    decimal component by the FIXED scale and rounds half-away-from-zero
+    — no division, so no engine-specific decimal precision rules; the
+    norm is sqrt() of the exact decimal Σv² widened to double (sqrt is
+    a correctly-rounded IEEE op in both engines). Scale shape: one
+    narrow explode + one groupBy on vec_id — linear, one shuffle."""
+    comp = _components(spark, sf_dir)
+    q = comp.select(
+        "vec_id",
+        (F.col("val") * F.col("val")).alias("v2"),
+        F.round(F.col("val") * QUANT_SCALE, 0).cast("bigint").alias("q"),
+    )
+    return q.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        # DECIMAL-rounded: DuckDB's wide-decimal→double conversion can
+        # differ from the JVM's by 1 ULP (same as a12/cosine outputs)
+        F.sqrt(F.sum("v2").cast("decimal(38,18)").cast("double"))
+        .cast("decimal(16,12)")
+        .alias("l2_norm"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+        F.sum(F.abs("q")).cast("bigint").alias("sum_abs_q"),
+        F.count(F.when(F.col("q") != 0, 1)).alias("nnz_q"),
+        F.max(F.abs("q")).cast("bigint").alias("max_abs_q"),
+    )
+
+
+EMB_QUANT_ORACLE = _COMP_CTES + f"""
+SELECT vec_id, COUNT(*) AS n_dims,
+       CAST(sqrt(CAST(CAST(SUM(val * val) AS DECIMAL(38,18)) AS DOUBLE)) AS DECIMAL(16,12)) AS l2_norm,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(SUM(abs(q)) AS BIGINT) AS sum_abs_q,
+       COUNT(CASE WHEN q <> 0 THEN 1 END) AS nnz_q,
+       CAST(MAX(abs(q)) AS BIGINT) AS max_abs_q
+FROM (SELECT vec_id, val, CAST(round(val * {QUANT_SCALE}, 0) AS BIGINT) AS q FROM comp)
+GROUP BY vec_id
+"""
+
+
 SPECS = [
     QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE),
     QuerySpec("dedup_embedding_cosine_pairs", dedup_embedding_cosine_pairs, DEDUP_EMB_ORACLE),
+    QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_QUANT_ORACLE),
 ]
 
 

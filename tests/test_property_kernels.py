@@ -133,3 +133,48 @@ def test_checkpoint_thread_safety(tmp_path):
         t.join()
     reloaded = CheckpointManager(path)
     assert reloaded.completed == sorted(names)
+
+
+# ---- chunk geometry (tx_chunk_documents) --------------------------------
+
+def _chunk_count(n_tokens: int, c: int, s: int) -> int:
+    """Python twin of the chunk-count expression in tx_chunk_documents."""
+    import math
+
+    return 1 + max(0, math.ceil((n_tokens - c) / s))
+
+
+@given(st.integers(1, 5000))
+def test_chunk_geometry_covers_every_token(n):
+    """Every token index must fall inside ≥1 chunk window, chunks must
+    advance by the stride, and the final chunk must reach the end."""
+    from snowflake_to_postgres_spark.operators.text import CHUNK_STRIDE, CHUNK_TOKENS
+
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    k = _chunk_count(n, c, s)
+    # chunk i covers [i*s, min(i*s + c, n)) in 0-based token indices
+    covered_up_to = 0
+    for i in range(k):
+        start = i * s
+        assert start <= covered_up_to  # no gap between consecutive chunks
+        covered_up_to = max(covered_up_to, min(start + c, n))
+    assert covered_up_to == n  # last chunk reaches the end
+    if k > 1:
+        # one fewer chunk would leave a gap at the tail
+        assert (k - 2) * s + c < n
+
+
+def test_quantizer_scale_bound(spark, sf_dir):
+    """Fixed-scale int8 quantization is only valid while |component| ≤ 1;
+    the fixture satisfies it and the output must respect the int8 range."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        QUANT_SCALE,
+        emb_quantize_int8,
+    )
+
+    import pyspark.sql.functions as F
+
+    out = emb_quantize_int8(spark, sf_dir)
+    mx = out.agg(F.max("max_abs_q")).collect()[0][0]
+    assert mx <= QUANT_SCALE
+    assert out.filter(F.col("n_dims") != 64).count() == 0
