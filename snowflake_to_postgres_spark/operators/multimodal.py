@@ -175,6 +175,42 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256, every: int = 4) -> D
     return media.mapInPandas(batches, schema=FRAMES_SCHEMA)
 
 
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal ingest→decode pipeline as a driver-checkable
+    query: binary payload → Arrow-batched ``mapInPandas`` decode →
+    per-document dimensions. The stand-in decoder derives dimensions
+    from the payload's md5, which a SQL oracle can reproduce — so the
+    *Python-UDF execution path itself* (Arrow transfer, batch iteration,
+    schema contract) is oracle-verified, not just pytest-covered. With a
+    real codec the oracle degrades to a rows-only check; the plumbing
+    under test is identical."""
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return decode_images(media).select("doc_id", "width", "height", "channels")
+
+
+# hex-pair → byte via strpos arithmetic (no from_hex needed)
+_B = (
+    "(strpos('0123456789abcdef', substr(hx, {p1}, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(hx, {p2}, 1)) - 1"
+)
+
+MM_DECODE_ORACLE = f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+b AS (
+  SELECT doc_id,
+         {_B.format(p1=1, p2=2)} AS b0,
+         {_B.format(p1=3, p2=4)} AS b1
+  FROM h
+)
+SELECT doc_id,
+       CAST(64 + b0 % 64 AS INT) AS width,
+       CAST(64 + b1 % 64 AS INT) AS height,
+       CAST(3 AS INT) AS channels
+FROM b
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_meta", mm_binary_meta, MM_META_ORACLE),
+    QuerySpec("mm_decode_meta", mm_decode_meta, MM_DECODE_ORACLE),
 ]
