@@ -248,6 +248,82 @@ def rewrite_functions(sql: str) -> str:
     return sql
 
 
+def _top_level_find(sql: str, word_pattern: str, start: int = 0):
+    """First match of ``word_pattern`` at paren depth 0, or None."""
+    depth = 0
+    for m in re.finditer(rf"[()]|{word_pattern}", sql[start:], re.IGNORECASE):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            return (start + m.start(), start + m.end())
+    return None
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Snowflake QUALIFY → ANSI subquery filter (Spark has no QUALIFY).
+
+    ``SELECT <list> FROM … QUALIFY <pred(window)> [ORDER BY/LIMIT …]``
+    becomes::
+
+        SELECT * EXCEPT (__qualify_0, …) FROM (
+          SELECT <list>, <window_expr> AS __qualify_0, … FROM …
+        ) WHERE <pred with window refs replaced> [ORDER BY/LIMIT …]
+
+    Window expressions inside the predicate are hoisted into the inner
+    select list (they are illegal in WHERE), and the star-EXCEPT keeps
+    the helper columns out of the result — matching QUALIFY's column
+    semantics. Only top-level QUALIFY is rewritten (one per query
+    block, like Snowflake)."""
+    q = _top_level_find(sql, r"\bQUALIFY\b")
+    if q is None:
+        return sql
+    head = sql[: q[0]].rstrip()
+    rest = sql[q[1]:]
+    t = _top_level_find(rest, r"\bORDER\s+BY\b|\bLIMIT\b")
+    cut = t[0] if t else len(rest)
+    pred, tail = rest[:cut].strip(), rest[cut:]
+
+    # hoist window expressions fn(...) OVER (...) out of the predicate
+    win_open = re.compile(r"\b\w+\s*\([^()]*\)\s*OVER\s*\(", re.IGNORECASE)
+    helpers: list[tuple[str, str]] = []
+    out: list[str] = []
+    i = 0
+    while True:
+        m = win_open.search(pred, i)
+        if not m:
+            out.append(pred[i:])
+            break
+        j, depth = m.end(), 1
+        while j < len(pred) and depth:
+            if pred[j] == "(":
+                depth += 1
+            elif pred[j] == ")":
+                depth -= 1
+            j += 1
+        alias = f"__qualify_{len(helpers)}"
+        helpers.append((pred[m.start():j], alias))
+        out.append(pred[i:m.start()])
+        out.append(alias)
+        i = j
+    new_pred = "".join(out)
+
+    if helpers:
+        f = _top_level_find(head, r"\bFROM\b")
+        if f is None:  # malformed; leave untouched
+            return sql
+        helper_sql = ", ".join(f"{e} AS {a}" for e, a in helpers)
+        inner = f"{head[:f[0]].rstrip()}, {helper_sql} {head[f[0]:]}"
+        except_list = ", ".join(a for _, a in helpers)
+        return (
+            f"SELECT * EXCEPT ({except_list}) FROM (\n{inner}\n) "
+            f"WHERE {new_pred}{tail}"
+        )
+    return f"SELECT * FROM (\n{head}\n) WHERE {new_pred}{tail}"
+
+
 # --------------------------------------------------------------------------
 # Pipeline
 # --------------------------------------------------------------------------
@@ -264,6 +340,7 @@ def translate_body(sql: str, home_schema: str = "public") -> tuple[str, list[str
     sql = rewrite_datetime_formats(sql)
     sql = rewrite_double_colon_casts(sql)
     sql = rewrite_functions(sql)
+    sql = rewrite_qualify(sql)
     return sql, warnings
 
 

@@ -75,6 +75,39 @@ def test_limit_pushdown(spark, sf_dir):
     assert "GlobalLimit" in plan or "CollectLimit" in plan
 
 
+def test_chunking_is_narrow(spark, sf_dir):
+    """tx_chunk_documents must stay a scan + generate — zero shuffles;
+    chunk fan-out is per-row and must never repartition."""
+    from snowflake_to_postgres_spark.operators.text import tx_chunk_documents
+
+    plan = _plan(tx_chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q7_star_join_broadcasts_dims(spark, sf_dir):
+    """x_q7: supplier/customer/nation dims must broadcast — the fact
+    table is the only side allowed to shuffle."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        x_q7_volume_shipping,
+    )
+
+    plan = _plan(x_q7_volume_shipping(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_percentiles_single_scan(spark, sf_dir):
+    """a13: both window passes and the final aggregate must come from
+    ONE scan of lineitem (no self-join formulations)."""
+    from snowflake_to_postgres_spark.operators.relational import (
+        a13_exact_percentiles,
+    )
+
+    plan = _plan(a13_exact_percentiles(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+
+
 def test_salted_agg_is_two_stage(spark, sf_dir):
     """sk1: the salted rollup must show the two-phase shape — partials
     keyed by (source, _salt) behind one exchange, merged behind a

@@ -305,3 +305,44 @@ def test_translate_view_end_to_end(spark, sf_dir):
 def test_procedure_stub():
     stub = translate_procedure_stub("p1", "CREATE PROCEDURE p1 AS $$ return 1 $$")
     assert "manual translation" in stub and stub.startswith("-- PROCEDURE p1")
+
+
+def test_rewrite_qualify_textual():
+    from snowflake_to_postgres_spark.plans.dialect import rewrite_qualify
+
+    sql = ("SELECT k, v FROM t "
+           "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1")
+    out = rewrite_qualify(sql)
+    assert "QUALIFY" not in out.upper().replace("__QUALIFY", "")
+    assert "EXCEPT (__qualify_0)" in out
+    assert "WHERE __qualify_0 = 1" in out
+    # no QUALIFY → untouched
+    assert rewrite_qualify("SELECT 1 FROM t WHERE x = 2") == "SELECT 1 FROM t WHERE x = 2"
+    # QUALIFY inside a subquery at depth > 0 is not this block's clause
+    nested = "SELECT * FROM (SELECT a FROM x QUALIFY RANK() OVER (ORDER BY a) = 1) q WHERE a > 0"
+    assert rewrite_qualify(nested) == nested
+
+
+def test_qualify_view_end_to_end(spark, sf_dir):
+    """A Snowflake view using QUALIFY must translate and run on Spark,
+    and match the ANSI window-subquery formulation."""
+    from snowflake_to_postgres_spark.plans.dialect import translate_view
+    from snowflake_to_postgres_spark.sources import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    ddl = (
+        'CREATE OR REPLACE VIEW "DB"."PUBLIC"."LATEST_ORDER" AS '
+        "SELECT o_custkey, o_orderkey, o_orderdate FROM orders "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate DESC, o_orderkey DESC) = 1"
+    )
+    tv = translate_view(ddl, home_schema="public")
+    spark.sql(tv.spark_sql)
+    got = {(r[0], r[1]) for r in spark.sql("SELECT o_custkey, o_orderkey FROM latest_order").collect()}
+    want = {(r[0], r[1]) for r in spark.sql(
+        "SELECT o_custkey, o_orderkey FROM ("
+        " SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) WHERE rn = 1"
+    ).collect()}
+    assert got == want and got
+    spark.sql("DROP VIEW IF EXISTS latest_order")
