@@ -383,7 +383,9 @@ WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
 # no hex→int cast needed in either engine).
 
 def _hex_bit(hexpos: int, bit_in_digit: int, col: str = "w") -> str:
-    """SQL for bit value of hex digit at 1-based position ``hexpos``."""
+    """SQL for bit value of hex digit at 1-based position ``hexpos``.
+    (Legacy nibble form — the simhash oracle now shifts the single
+    parsed integer instead; kept for reference/tests.)"""
     div = 2 ** bit_in_digit
     return (
         f"(( (strpos('0123456789abcdef', substr(md5({col}), {hexpos}, 1)) - 1) "
@@ -394,17 +396,21 @@ def _hex_bit(hexpos: int, bit_in_digit: int, col: str = "w") -> str:
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 32-bit SimHash: bit i set iff sum over words of (2*bit_i(w)-1)
     > 0. Single explode + one aggregation (32 conditional sums) — one
-    shuffle on doc_id."""
+    shuffle on doc_id.
+
+    The word hash is computed ONCE per word (md5 → 32-bit integer in a
+    projection below the aggregate); each bit aggregate is then a shift
+    + mask on that integer. The round-2 formulation evaluated md5 inside
+    every one of the 32 aggregate expressions — 32 digests per word row
+    (CSE does not reach across aggregate buffers)."""
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
-    words = docs.select("doc_id", F.explode("toks").alias("w"))
+    x = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+    words = docs.select("doc_id", F.explode("toks").alias("w")).select(
+        "doc_id", x.alias("x")
+    )
     aggs = []
     for i in range(32):
-        hexpos = i // 4 + 1
-        bit_in_digit = i % 4
-        div = 2 ** bit_in_digit
-        # bit_i(w) via integer arithmetic on the hex digit
-        digit_val = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("w"), hexpos, 1)) - 1
-        bit = F.floor(digit_val / F.lit(div)) % 2
+        bit = F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1))
         aggs.append(
             F.when(F.sum(bit * 2 - 1) > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{i:02d}")
         )
@@ -417,18 +423,16 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle_sql() -> str:
-    bit_aggs = []
-    for i in range(32):
-        hexpos = i // 4 + 1
-        bit_in_digit = i % 4
-        bexpr = _hex_bit(hexpos, bit_in_digit)
-        bit_aggs.append(
-            f"CASE WHEN SUM({bexpr} * 2 - 1) > 0 THEN 1 ELSE 0 END AS b{i:02d}"
-        )
+    bit_aggs = [
+        f"CASE WHEN SUM(((x >> {i}) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS b{i:02d}"
+        for i in range(32)
+    ]
     sim = " + ".join(f"CAST(b{i:02d} AS BIGINT) * {2**i}" for i in range(32))
     return f"""
 WITH words AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS x
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
 ),
 bits AS (
   SELECT doc_id, {', '.join(bit_aggs)} FROM words GROUP BY doc_id
