@@ -564,3 +564,104 @@ SPECS.append(QuerySpec("x_q7_volume_shipping", x_q7_volume_shipping, X_Q7_ORACLE
 SPECS.append(QuerySpec("x_q16_supplier_variety", x_q16_supplier_variety, X_Q16_ORACLE))
 SPECS.append(QuerySpec("x_q19_flagged_revenue", x_q19_flagged_revenue, X_Q19_ORACLE))
 SPECS.append(QuerySpec("x_q22_dormant_balance", x_q22_dormant_balance, X_Q22_ORACLE))
+
+
+def x_q6_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 flavor: pure filter + aggregate over the fact table —
+    the pushdown showcase (every predicate reaches the parquet scan;
+    zero joins, one exchange for the global sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.count("*").alias("n_items"),
+        F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(28,4)"))
+        .cast("decimal(38,4)")
+        .alias("revenue"),
+    )
+
+
+X_Q6_ORACLE = """
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+            AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def x_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 flavor: distribution of orders-per-customer including
+    zero-order customers — LEFT join + two cascaded aggregations (the
+    second one is tiny; both shuffle on their group key only)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+X_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def x_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 flavor: lineitems below 20% of their part's average
+    quantity. The correlated AVG subquery decorrelates to a per-part
+    aggregate joined back on p_partkey; the 0.2·avg threshold is
+    cross-multiplied (5·qty·cnt < Σqty) so the comparison stays in
+    exact decimal arithmetic — no division, no engine-specific decimal
+    precision rules."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    j = li.join(per_part, li.l_partkey == F.col("pk"))
+    small = j.filter(
+        dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count("*").alias("n_items"),
+        (F.sum(dec("l_extendedprice")).cast("decimal(38,2)").cast("double") / 7.0)
+        .alias("avg_yearly"),
+    )
+
+
+X_Q17_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_items,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+"""
+
+
+SPECS.append(QuerySpec("x_q6_banded_revenue", x_q6_banded_revenue, X_Q6_ORACLE))
+SPECS.append(QuerySpec("x_q13_order_distribution", x_q13_order_distribution, X_Q13_ORACLE))
+SPECS.append(QuerySpec("x_q17_small_quantity", x_q17_small_quantity, X_Q17_ORACLE))

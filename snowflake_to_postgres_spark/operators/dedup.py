@@ -15,6 +15,13 @@ plans over the ``documents`` fixture:
 * All hash material is md5 (identical in Spark and DuckDB), so every
   operator here is oracle-checkable end-to-end. In production you'd swap
   xxhash64 (JVM-side, ~10× faster) via ``functions.fast_hash``.
+* **Caching note for 100 TB**: the pipelines ``.cache()`` two things —
+  the candidate pair set (tiny by construction: keep) and the shingle
+  index (O(corpus tokens): at cluster scale prefer
+  ``persist(StorageLevel.MEMORY_AND_DISK)`` or simply recompute the
+  shingle scan per consumer — two columnar scans are usually cheaper
+  than caching a corpus-sized index in executor memory. Local-mode
+  benches keep the cache because the fixture fits trivially.
 """
 
 from __future__ import annotations
