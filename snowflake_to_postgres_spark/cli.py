@@ -11,6 +11,7 @@ Usage:
     python -m snowflake_to_postgres_spark.cli build-views --views f.sql [--schema s]
     python -m snowflake_to_postgres_spark.cli transfer --source DIR --target DIR
         [--table T] [--where EXPR] [--limit N] [--workers N] [--checkpoint f.json]
+        [--target-jdbc-url URL --jdbc-driver CLASS]   # write to a live database
     python -m snowflake_to_postgres_spark.cli validate --source DIR --target DIR
         [--table T] [--pk col1,col2]
     python -m snowflake_to_postgres_spark.cli migrate --source DIR --target DIR
@@ -155,6 +156,19 @@ def cmd_build_views(args) -> int:
     return 0
 
 
+def _target_jdbc_cfg(args):
+    if not getattr(args, "target_jdbc_url", None):
+        return None
+    from snowflake_to_postgres_spark.sources.jdbc import JdbcConfig
+
+    return JdbcConfig(
+        url=args.target_jdbc_url,
+        user=args.jdbc_user,
+        password=args.jdbc_password,
+        driver=args.jdbc_driver,
+    )
+
+
 def cmd_transfer(args) -> int:
     from snowflake_to_postgres_spark.operators.transfer import (
         CheckpointManager,
@@ -164,7 +178,9 @@ def cmd_transfer(args) -> int:
 
     spark = get_spark("transfer")
     ckpt = CheckpointManager(args.checkpoint) if args.checkpoint else None
-    eng = TransferEngine(spark, ckpt, target_format=args.format)
+    eng = TransferEngine(
+        spark, ckpt, target_format=args.format, target_jdbc=_target_jdbc_cfg(args)
+    )
     tables = _tables_in(args.source, args.table)
     if args.table and (args.where or args.limit):
         name = next(iter(tables))
@@ -186,14 +202,24 @@ def cmd_validate(args) -> int:
     spark = get_spark("validate")
     tables = _tables_in(args.source, args.table)
     pk = args.pk.split(",") if args.pk else None
+    jdbc_cfg = _target_jdbc_cfg(args)
     all_ok = True
     report = []
     for name, path in tables.items():
-        tgt_path = os.path.join(args.target, name)
-        if not os.path.exists(tgt_path):
-            tgt_path = os.path.join(args.target, name + ".parquet")
         src = spark.read.parquet(path)
-        tgt = spark.read.parquet(tgt_path)
+        if jdbc_cfg is not None:
+            from snowflake_to_postgres_spark.sources.jdbc import read_jdbc
+
+            tgt = read_jdbc(spark, jdbc_cfg, table=name)
+            # JDBC catalogs fold identifier case; realign to source names
+            tgt = tgt.toDF(*[c.lower() for c in tgt.columns]).select(
+                *[c for c in src.columns]
+            )
+        else:
+            tgt_path = os.path.join(args.target, name)
+            if not os.path.exists(tgt_path):
+                tgt_path = os.path.join(args.target, name + ".parquet")
+            tgt = spark.read.parquet(tgt_path)
         res = DataValidator(src, tgt, pk_columns=pk).validate(name)
         all_ok &= res.passed
         report.append(
@@ -276,6 +302,10 @@ def main(argv: list[str] | None = None) -> int:
         t.add_argument("--checkpoint")
         t.add_argument("--format", default="parquet")
         t.add_argument("--pk")
+        t.add_argument("--target-jdbc-url", help="write tables to a JDBC database")
+        t.add_argument("--jdbc-user")
+        t.add_argument("--jdbc-password")
+        t.add_argument("--jdbc-driver")
         t.set_defaults(fn=cmd_transfer if verb == "transfer" else cmd_migrate)
 
     v = sub.add_parser("validate")
@@ -283,6 +313,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--target", required=True)
     v.add_argument("--table")
     v.add_argument("--pk")
+    v.add_argument("--target-jdbc-url", help="validate against a JDBC database")
+    v.add_argument("--jdbc-user")
+    v.add_argument("--jdbc-password")
+    v.add_argument("--jdbc-driver")
     v.set_defaults(fn=cmd_validate)
 
     x = sub.add_parser("destroy")

@@ -101,12 +101,17 @@ class TransferEngine:
         target_format: str = "parquet",
         csv_null_marker: str = r"\N",
         repartition_to: int | None = None,
+        target_jdbc=None,
     ) -> None:
         self.spark = spark
         self.checkpoint = checkpoint
         self.target_format = target_format
         self.csv_null_marker = csv_null_marker
         self.repartition_to = repartition_to
+        #: JdbcConfig → targets are DATABASE TABLES, not paths: the
+        #: reference's actual Snowflake→Postgres shape. The "path"
+        #: argument is interpreted as the target table name.
+        self.target_jdbc = target_jdbc
 
     # -- single table --------------------------------------------------
     def transfer_table(
@@ -149,6 +154,12 @@ class TransferEngine:
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         if self.repartition_to:
             df = df.repartition(self.repartition_to)
+        if self.target_jdbc is not None:
+            from snowflake_to_postgres_spark.sources.jdbc import write_jdbc
+
+            table_name = os.path.basename(target_path.rstrip("/"))
+            write_jdbc(df, self.target_jdbc, table_name, mode="overwrite")
+            return obs.get["rows"]
         writer = df.write.mode("overwrite")
         if self.target_format == "csv":
             # legacy-compatible sink: the reference's COPY CSV protocol

@@ -93,6 +93,28 @@ def test_cli_build_views_failure_capture(tmp_path, capsys, spark):
     spark.sql("DROP VIEW IF EXISTS v_ok")
 
 
+def test_cli_migrate_to_jdbc_database(tmp_path, capsys, spark, sf_dir):
+    """The reference's actual shape — migrate into a live DATABASE:
+    parquet source → JDBC sink (Derby) → validate reads the target back
+    over JDBC and runs the 5-layer validator."""
+    url = "jdbc:derby:memory:cli_migrate_jdbc"
+    jvm = spark._jvm
+    jvm.java.sql.DriverManager.getConnection(url + ";create=true").close()
+    common = [
+        "--source", sf_dir, "--target", "unused",
+        "--table", "nation", "--workers", "1",
+        "--target-jdbc-url", url,
+        "--jdbc-driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    ]
+    rc = main(["migrate", *common, "--pk", "n_nationkey"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    roll = json.loads(out[0])
+    assert roll["transferred"] == 1 and roll["errors"] == []
+    report = json.loads("\n".join(out[1:]))
+    assert report[0]["table"] == "nation" and report[0]["passed"]
+
+
 def test_cli_validate_fails_on_corruption(tmp_path, capsys, spark, sf_dir):
     """validate must exit 1 when the target is corrupted (dropped rows)."""
     import pyspark.sql.functions as F
