@@ -248,6 +248,47 @@ def rewrite_functions(sql: str) -> str:
     return sql
 
 
+_TOP_RE = re.compile(r"\bSELECT\s+TOP\s+(\d+)\b", re.IGNORECASE)
+
+
+def rewrite_top(sql: str) -> str:
+    """Snowflake/T-SQL ``SELECT TOP n`` → trailing ``LIMIT n`` (applied
+    once, to the first block — TOP is a single-block construct)."""
+    m = _TOP_RE.search(sql)
+    if not m:
+        return sql
+    out = sql[: m.start()] + "SELECT" + sql[m.end():]
+    return out.rstrip().rstrip(";") + f" LIMIT {m.group(1)}"
+
+
+def rewrite_minus(sql: str) -> str:
+    """Snowflake/Oracle ``MINUS`` → ANSI ``EXCEPT`` (word-level; Spark
+    has no MINUS)."""
+    return re.sub(r"\bMINUS\b", "EXCEPT", sql, flags=re.IGNORECASE)
+
+
+_SAMPLE_RE = re.compile(
+    r"\bSAMPLE\s*(?:ROW\s*)?\(\s*(\d+(?:\.\d+)?)\s*(ROWS?)?\s*\)", re.IGNORECASE
+)
+
+
+def rewrite_sample(sql: str) -> str:
+    """Snowflake ``SAMPLE (n)`` / ``SAMPLE (n ROWS)`` → Spark
+    ``TABLESAMPLE (n PERCENT)`` / ``LIMIT``-style row sample. Row-count
+    form maps to ``TABLESAMPLE (n ROWS)`` (supported by Spark);
+    fraction form to ``TABLESAMPLE (n PERCENT)``. Sampling is
+    non-deterministic in both dialects — translation preserves the
+    semantics class, not row identity."""
+
+    def repl(m: re.Match) -> str:
+        n, rows = m.group(1), m.group(2)
+        if rows:
+            return f"TABLESAMPLE ({n} ROWS)"
+        return f"TABLESAMPLE ({n} PERCENT)"
+
+    return _SAMPLE_RE.sub(repl, sql)
+
+
 def _top_level_find(sql: str, word_pattern: str, start: int = 0):
     """First match of ``word_pattern`` at paren depth 0, or None."""
     depth = 0
@@ -340,6 +381,9 @@ def translate_body(sql: str, home_schema: str = "public") -> tuple[str, list[str
     sql = rewrite_datetime_formats(sql)
     sql = rewrite_double_colon_casts(sql)
     sql = rewrite_functions(sql)
+    sql = rewrite_top(sql)
+    sql = rewrite_minus(sql)
+    sql = rewrite_sample(sql)
     sql = rewrite_qualify(sql)
     return sql, warnings
 

@@ -346,3 +346,30 @@ def test_qualify_view_end_to_end(spark, sf_dir):
     ).collect()}
     assert got == want and got
     spark.sql("DROP VIEW IF EXISTS latest_order")
+
+
+def test_rewrite_top_minus_sample(spark, sf_dir):
+    from snowflake_to_postgres_spark.plans.dialect import (
+        rewrite_minus,
+        rewrite_sample,
+        rewrite_top,
+    )
+    from snowflake_to_postgres_spark.sources import register_views
+
+    assert rewrite_top("SELECT TOP 5 a FROM t ORDER BY a") == \
+        "SELECT a FROM t ORDER BY a LIMIT 5"
+    assert rewrite_top("SELECT a FROM t") == "SELECT a FROM t"
+    assert rewrite_minus("SELECT a FROM x MINUS SELECT a FROM y") == \
+        "SELECT a FROM x EXCEPT SELECT a FROM y"
+    assert rewrite_sample("SELECT * FROM t SAMPLE (10)") == \
+        "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    assert rewrite_sample("SELECT * FROM t SAMPLE ROW (25 ROWS)") == \
+        "SELECT * FROM t TABLESAMPLE (25 ROWS)"
+
+    # the rewritten forms must actually execute on Spark
+    register_views(spark, sf_dir, ("nation",))
+    assert len(spark.sql(rewrite_top("SELECT TOP 3 n_name FROM nation ORDER BY n_name")).collect()) == 3
+    assert spark.sql(rewrite_minus(
+        "SELECT n_regionkey FROM nation MINUS SELECT 0 AS n_regionkey"
+    )).count() > 0
+    assert len(spark.sql(rewrite_sample("SELECT * FROM nation SAMPLE ROW (4 ROWS)")).collect()) == 4
