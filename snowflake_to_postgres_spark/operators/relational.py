@@ -866,3 +866,35 @@ FROM t GROUP BY l_returnflag
 
 SPECS.append(QuerySpec("w5_ntile_cume", w5_ntile_cume, W5_ORACLE))
 SPECS.append(QuerySpec("a13_exact_percentiles", a13_exact_percentiles, A13_ORACLE))
+
+
+def s11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample (the S10 md5-bucket sampler with
+    per-stratum rates): the stratum under analysis (AUTOMOBILE) keeps
+    ~1/16 of rows, every other segment ~1/256 — the shape used to
+    oversample a slice while keeping corpus-wide context. Deterministic
+    (hash-bucket, not rand()), so it is oracle-checkable and stable
+    across retries — the property the reference's OFFSET-resume sampling
+    lacked. Pure filter: pushes to the scan, no shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    keep = F.expr(
+        "substr(md5(cast(c_custkey as string)), 1, length("
+        "CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '0' ELSE '00' END)) = "
+        "CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '0' ELSE '00' END"
+    )
+    return (
+        c.filter(keep)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+    )
+
+
+S11_ORACLE = """
+SELECT c_custkey, c_mktsegment, c_nationkey
+FROM customer
+WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1,
+             length(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '0' ELSE '00' END))
+      = CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '0' ELSE '00' END
+"""
+
+
+SPECS.append(QuerySpec("s11_stratified_sample", s11_stratified_sample, S11_ORACLE))
