@@ -898,3 +898,38 @@ WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1,
 
 
 SPECS.append(QuerySpec("s11_stratified_sample", s11_stratified_sample, S11_ORACLE))
+
+
+def w6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per customer, the order count and spend in
+    the trailing 30 days of each order (RANGE BETWEEN is value-based —
+    peers at the same date share a frame — vs the ROWS frames of
+    w1-w5). Ordered by epoch seconds so the frame bound is numeric and
+    identical in both engines; one shuffle on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    sec = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(sec)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.count("*").over(w).cast("bigint").alias("orders_30d"),
+        F.sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("spend_30d"),
+    )
+
+
+W6_ORACLE = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS orders_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+"""
+
+
+SPECS.append(QuerySpec("w6_range_frame", w6_range_frame, W6_ORACLE))
