@@ -305,44 +305,60 @@ QUANT_SCALE = 127
 
 
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector maintenance pass a production ANN index needs: per-vector
-    L2 norm + fixed-scale symmetric int8 quantization summary
-    (n_dims, Σq, Σ|q|, nnz, max|q|).
+    """Vector maintenance pass a production ANN index needs: fixed-scale
+    symmetric int8 quantization summary per vector (n_dims, quantized L2
+    norm, Σq, Σ|q|, nnz, max|q|).
 
-    Engine-portability choices: quantization multiplies the exact
-    decimal component by the FIXED scale and rounds half-away-from-zero
-    — no division, so no engine-specific decimal precision rules; the
-    norm is sqrt() of the exact decimal Σv² widened to double (sqrt is
-    a correctly-rounded IEEE op in both engines). Scale shape: one
-    narrow explode + one groupBy on vec_id — linear, one shuffle."""
-    comp = _components(spark, sf_dir)
+    Engine-portability: the quantizer is ``floor(x·127 + 0.5)`` computed
+    ENTIRELY in exact double arithmetic — a float32 payload has a 24-bit
+    mantissa, so x·127 is exact in double (31 < 53 bits), +0.5 is exact,
+    and floor is deterministic; no decimal rounding anywhere, hence no
+    tie whose direction the engines could disagree on (a float→
+    DECIMAL(18,9) formulation hit exactly such a tie at sf0.1). The norm
+    is derived from the quantized integers: sqrt(Σq²)/127 — Σq² is an
+    exact int64, and sqrt/divide are correctly-rounded IEEE ops in both
+    engines. Scale shape: one narrow explode + one groupBy on vec_id —
+    linear, one shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("vec_id", F.explode("embedding").alias("fval"))
     q = comp.select(
         "vec_id",
-        (F.col("val") * F.col("val")).alias("v2"),
-        F.round(F.col("val") * QUANT_SCALE, 0).cast("bigint").alias("q"),
+        F.floor(F.col("fval").cast("double") * QUANT_SCALE + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
     )
-    return q.groupBy("vec_id").agg(
+    agg = q.groupBy("vec_id").agg(
         F.count("*").cast("bigint").alias("n_dims"),
-        # DECIMAL-rounded: DuckDB's wide-decimal→double conversion can
-        # differ from the JVM's by 1 ULP (same as a12/cosine outputs)
-        F.sqrt(F.sum("v2").cast("decimal(38,18)").cast("double"))
-        .cast("decimal(16,12)")
-        .alias("l2_norm"),
+        F.sum(F.col("q") * F.col("q")).alias("sq"),
         F.sum("q").cast("bigint").alias("sum_q"),
         F.sum(F.abs("q")).cast("bigint").alias("sum_abs_q"),
         F.count(F.when(F.col("q") != 0, 1)).alias("nnz_q"),
         F.max(F.abs("q")).cast("bigint").alias("max_abs_q"),
     )
+    return agg.select(
+        "vec_id",
+        "n_dims",
+        (F.sqrt(F.col("sq").cast("double")) / QUANT_SCALE).alias("l2_norm_q8"),
+        "sum_q",
+        "sum_abs_q",
+        "nnz_q",
+        "max_abs_q",
+    )
 
 
-EMB_QUANT_ORACLE = _COMP_CTES + f"""
+EMB_QUANT_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE} + 0.5) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+)
 SELECT vec_id, COUNT(*) AS n_dims,
-       CAST(sqrt(CAST(CAST(SUM(val * val) AS DECIMAL(38,18)) AS DOUBLE)) AS DECIMAL(16,12)) AS l2_norm,
+       sqrt(CAST(SUM(q * q) AS DOUBLE)) / {QUANT_SCALE} AS l2_norm_q8,
        CAST(SUM(q) AS BIGINT) AS sum_q,
        CAST(SUM(abs(q)) AS BIGINT) AS sum_abs_q,
        COUNT(CASE WHEN q <> 0 THEN 1 END) AS nnz_q,
        CAST(MAX(abs(q)) AS BIGINT) AS max_abs_q
-FROM (SELECT vec_id, val, CAST(round(val * {QUANT_SCALE}, 0) AS BIGINT) AS q FROM comp)
+FROM q
 GROUP BY vec_id
 """
 

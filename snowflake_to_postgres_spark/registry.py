@@ -80,7 +80,6 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "st_windowed_agg": ("s_value",),
     "a13_exact_percentiles": ("p50", "p90"),
     "st_enrich_rollup": ("s_value",),
-    "emb_quantize_int8": ("l2_norm",),
     "x_q6_banded_revenue": ("revenue",),
     "w6_range_frame": ("spend_30d",),
     "x_q7_volume_shipping": ("revenue",),
