@@ -43,7 +43,14 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float → double → decimal: Spark's direct float→decimal cast rounds
     # the float's *shortest decimal repr*, DuckDB rounds its exact value —
     # they disagree at the 9th decimal. Widening to double first makes
-    # both engines round the same 17-digit value.
+    # both engines round the same 17-digit value. Known residual risk:
+    # a double landing EXACTLY on a .5e-9 rounding boundary is resolved
+    # HALF_UP by Spark and differently by DuckDB (observed once in
+    # emb_quantize_int8's old formulation at sf0.1 — that operator now
+    # uses tie-free floor(x*scale+0.5) double arithmetic instead). The
+    # cosine outputs here are additionally rounded to DECIMAL(10,8),
+    # which has absorbed any such tie at all tested scales; if a future
+    # scale hits one, move this layer to the floor-based integer grid.
     return emb.select(
         "vec_id", F.posexplode("embedding").alias("idx", "fval")
     ).select(
