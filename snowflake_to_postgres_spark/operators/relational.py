@@ -933,3 +933,106 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP
 
 
 SPECS.append(QuerySpec("w6_range_frame", w6_range_frame, W6_ORACLE))
+
+
+def w7_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full frame
+    — the value-function window family. The frame is pinned to the
+    whole partition (ROWS UNBOUNDED PRECEDING→FOLLOWING) because
+    last_value over the default frame is the classic SQL footgun."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+W7_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def a14_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (PERCENTILE_CONT) p50/p90 of o_totalprice per order
+    status, via the explicit rank-interpolation formulation written
+    identically in the oracle: h = 1+(n-1)·q; interpolate between the
+    values at floor(h) and ceil(h). The interpolation happens in IEEE
+    doubles on exact-decimal inputs — identical in both engines —
+    rather than trusting each engine's percentile_cont internals."""
+    li = load_table(spark, sf_dir, "orders")
+    base = li.select("o_orderstatus", dec("o_totalprice").alias("v"))
+    w = Window.partitionBy("o_orderstatus").orderBy("v")
+    wn = Window.partitionBy("o_orderstatus")
+    t = base.select(
+        "o_orderstatus",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def interp(q: float):
+        h = F.lit(1.0) + (F.col("n") - 1).cast("double") * F.lit(q)
+        lo = F.max(
+            F.when(F.col("rn") == F.floor(h).cast("bigint"), F.col("v"))
+        ).cast("double")
+        hi = F.max(
+            F.when(F.col("rn") == F.ceil(h).cast("bigint"), F.col("v"))
+        ).cast("double")
+        frac = F.max(h - F.floor(h))
+        return lo + (hi - lo) * frac
+
+    # DECIMAL(18,6)-rounded: DuckDB contracts the a+(b-a)*f chain with
+    # FMA, which can differ from the JVM's two-rounding result by 1 ULP
+    g = t.groupBy("o_orderstatus", "n").agg(
+        interp(0.5).cast("decimal(18,6)").alias("p50_cont"),
+        interp(0.9).cast("decimal(18,6)").alias("p90_cont"),
+    )
+    return g.select(
+        "o_orderstatus", F.col("n").cast("bigint").alias("n"), "p50_cont", "p90_cont"
+    )
+
+
+_A14_RAW = """
+WITH t AS (
+  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+       MAX(CASE WHEN rn = CAST(floor(1.0 + (n-1) * 0.5) AS BIGINT) THEN CAST(v AS DOUBLE) END)
+         + (MAX(CASE WHEN rn = CAST(ceil(1.0 + (n-1) * 0.5) AS BIGINT) THEN CAST(v AS DOUBLE) END)
+            - MAX(CASE WHEN rn = CAST(floor(1.0 + (n-1) * 0.5) AS BIGINT) THEN CAST(v AS DOUBLE) END))
+           * MAX((1.0 + (n-1) * 0.5) - floor(1.0 + (n-1) * 0.5)) AS p50_raw,
+       MAX(CASE WHEN rn = CAST(floor(1.0 + (n-1) * 0.9) AS BIGINT) THEN CAST(v AS DOUBLE) END)
+         + (MAX(CASE WHEN rn = CAST(ceil(1.0 + (n-1) * 0.9) AS BIGINT) THEN CAST(v AS DOUBLE) END)
+            - MAX(CASE WHEN rn = CAST(floor(1.0 + (n-1) * 0.9) AS BIGINT) THEN CAST(v AS DOUBLE) END))
+           * MAX((1.0 + (n-1) * 0.9) - floor(1.0 + (n-1) * 0.9)) AS p90_raw
+FROM t GROUP BY o_orderstatus, n
+"""
+
+A14_ORACLE = f"""
+SELECT o_orderstatus, n,
+       CAST(p50_raw AS DECIMAL(18,6)) AS p50_cont,
+       CAST(p90_raw AS DECIMAL(18,6)) AS p90_cont
+FROM ({_A14_RAW}) __raw
+"""
+
+
+SPECS.append(QuerySpec("w7_value_functions", w7_value_functions, W7_ORACLE))
+SPECS.append(QuerySpec("a14_percentile_cont", a14_percentile_cont, A14_ORACLE))
