@@ -665,3 +665,42 @@ WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
 SPECS.append(QuerySpec("x_q6_banded_revenue", x_q6_banded_revenue, X_Q6_ORACLE))
 SPECS.append(QuerySpec("x_q13_order_distribution", x_q13_order_distribution, X_Q13_ORACLE))
 SPECS.append(QuerySpec("x_q17_small_quantity", x_q17_small_quantity, X_Q17_ORACLE))
+
+
+def x_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 flavor: suppliers that shipped > 50 units of any
+    'widget' part — an IN over an AGGREGATED subquery, decorrelated to
+    aggregate → project key set → LEFT SEMI join. The part dim
+    broadcasts into the aggregate's build side; the semi join ships
+    only distinct supplier keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    widgets = part.filter(F.col("p_name").endswith("widget")).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(widgets), li.l_partkey == widgets.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(heavy, supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", dec("s_acctbal").alias("s_acctbal"))
+    )
+
+
+X_Q20_ORACLE = """
+SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget'
+  GROUP BY l_suppkey, l_partkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 50
+)
+"""
+
+
+SPECS.append(QuerySpec("x_q20_excess_suppliers", x_q20_excess_suppliers, X_Q20_ORACLE))

@@ -83,6 +83,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "x_q6_banded_revenue": ("revenue",),
     "w6_range_frame": ("spend_30d",),
     "a14_percentile_cont": ("p50_cont", "p90_cont"),
+    "x_q20_excess_suppliers": ("s_acctbal",),
     "x_q7_volume_shipping": ("revenue",),
     "x_q19_flagged_revenue": ("revenue",),
     "x_q22_dormant_balance": ("totacctbal",),
