@@ -84,6 +84,11 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "w6_range_frame": ("spend_30d",),
     "a14_percentile_cont": ("p50_cont", "p90_cont"),
     "x_q20_excess_suppliers": ("s_acctbal",),
+    "x_q2_min_cost_supplier": ("cost",),
+    "x_q8_market_share": ("nation_vol", "total_vol"),
+    "x_q9_product_profit": ("profit",),
+    "x_q11_important_stock": ("part_value",),
+    "x_q15_top_supplier": ("total_revenue",),
     "x_q7_volume_shipping": ("revenue",),
     "x_q19_flagged_revenue": ("revenue",),
     "x_q22_dormant_balance": ("totacctbal",),
@@ -237,6 +242,7 @@ def _all_specs() -> list[QuerySpec]:
         scalar_funcs,
         similarity,
         text,
+        tpch_flavors,
         validation,
     )
     from snowflake_to_postgres_spark.streaming import queries as streaming_queries
@@ -247,6 +253,7 @@ def _all_specs() -> list[QuerySpec]:
         scalar_funcs,
         validation,
         analytics_ext,
+        tpch_flavors,
         dedup,
         similarity,
         text,
