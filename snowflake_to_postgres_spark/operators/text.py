@@ -303,6 +303,112 @@ FROM idx
 """
 
 
+REP_NGRAM = 3         # repetition-ratio n-gram width
+CONTAM_NGRAM = 5      # contamination shingle width (5-gram spans)
+BENCH_PREFIX = "0"    # md5(doc_id) bucket that plays the benchmark set
+
+
+def tx_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: distinct vs total word-3-grams. The
+    gram list and its dedup both happen inside one JVM `transform` /
+    `array_distinct` projection — NO explode and NO shuffle, so this is
+    a pure map stage over the corpus (the cheapest possible shape at
+    100 TB). The ratio is one IEEE division of exact integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(1, size(toks)-{REP_NGRAM - 1})),"
+        f" i -> array_join(slice(toks, i, {REP_NGRAM}), ' '))"
+    )
+    return (
+        docs.withColumn("toks", _toks())
+        .withColumn("n_grams", F.size(grams).cast("bigint"))
+        .withColumn("n_distinct", F.size(F.array_distinct(grams)).cast("bigint"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double")
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+TX_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+{REP_NGRAM - 1}], ' ') AS gram
+  FROM toks, unnest(generate_series(1, greatest(1, len(t)-{REP_NGRAM - 1}))) AS gs(i)
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       COUNT(DISTINCT gram) AS n_distinct,
+       1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS rep_ratio
+FROM g GROUP BY doc_id
+"""
+
+
+def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing a 5-gram
+    span with any "benchmark" document (stand-in: the md5(doc_id)
+    1/16-bucket — in production the benchmark side is the eval suite).
+
+    Decontamination at scale: both sides explode to DISTINCT
+    (doc, shingle) rows and equi-join ON THE SHINGLE — the inverted-index
+    formulation. The shuffle ships 32-byte gram hashes + ids, never
+    document text; the benchmark side is tiny and broadcasts. No df cap:
+    unlike near-dup mining, a hot shingle here IS the signal
+    (reference has no counterpart; this is driver-brief surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.withColumn("toks", _toks()).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, size(toks)-{CONTAM_NGRAM - 1})),"
+                f" i -> md5(array_join(slice(toks, i, {CONTAM_NGRAM}), ' ')))"
+            )
+        ).alias("gram_h"),
+    ).distinct()
+    is_bench = F.md5(F.col("doc_id").cast("string")).startswith(BENCH_PREFIX)
+    bench = sh.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), F.col("gram_h").alias("bg")
+    )
+    corpus = sh.filter(~is_bench)
+    return (
+        corpus.join(F.broadcast(bench), corpus.gram_h == bench.bg)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram_h").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+TX_CONTAMINATION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ')) AS gram_h
+  FROM toks, unnest(generate_series(1, greatest(1, len(t)-{CONTAM_NGRAM - 1}))) AS gs(i)
+),
+bench AS (
+  SELECT doc_id AS bench_id, gram_h AS bg FROM sh
+  WHERE md5(CAST(doc_id AS VARCHAR)) LIKE '{BENCH_PREFIX}%'
+),
+corpus AS (
+  SELECT * FROM sh WHERE md5(CAST(doc_id AS VARCHAR)) NOT LIKE '{BENCH_PREFIX}%'
+)
+SELECT doc_id, COUNT(DISTINCT gram_h) AS n_shared_grams,
+       COUNT(DISTINCT bench_id) AS n_bench_docs
+FROM corpus JOIN bench ON gram_h = bg
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
@@ -311,4 +417,6 @@ SPECS = [
     QuerySpec("tx_source_rollup", tx_source_rollup, TX_ROLLUP_ORACLE),
     QuerySpec("sk1_salted_source_agg", sk1_salted_source_agg, SK1_ORACLE),
     QuerySpec("tx_chunk_documents", tx_chunk_documents, TX_CHUNK_ORACLE),
+    QuerySpec("tx_repetition_ratio", tx_repetition_ratio, TX_REPETITION_ORACLE),
+    QuerySpec("tx_contamination", tx_contamination, TX_CONTAMINATION_ORACLE),
 ]
