@@ -485,6 +485,111 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """
 
 
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    verified LSH pair graph, assigning every document the minimum doc_id
+    of its near-dup cluster (its canonical id) plus the cluster size.
+
+    Algorithm: min-label propagation to a fixed point — iteration k
+    gives every node the smallest id within graph distance k, so the
+    loop converges in O(cluster diameter) rounds (near-dup clusters are
+    shallow; 2-4 rounds in practice). This is the simple-union half of
+    the map-reduce connected-components family (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" — public paper);
+    the alternating large-star/small-star variant drops in if corpora
+    show deep chains.
+
+    Scale shape: per round, one broadcast join label→neighbor (the edge
+    list is LSH output — tiny next to the corpus) and one min-groupBy on
+    doc_id (linear shuffle). ``localCheckpoint`` after each round cuts
+    the lineage so round t+1 does not replay rounds 1..t; convergence is
+    detected from Σlabels, a monotonically decreasing scalar — one
+    driver-side number per round, never the labels themselves."""
+    # cache: the symmetric union references pairs twice — uncached, the
+    # verification join downstream of the LSH pipeline would run per ref
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2").cache()
+    sym = (
+        pairs.unionByName(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Only nodes that appear in an edge iterate — at 100 TB the pair
+    # graph is a sliver of the corpus, so the loop never touches the
+    # (huge) non-duplicate remainder; those join back as singletons in
+    # one anti-join at the end.
+    labels = (
+        sym.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(50):
+        prop = (
+            F.broadcast(sym)
+            .join(labels, sym.d1 == labels.doc_id)
+            .select(F.col("d2").alias("doc_id"), "comp")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    clustered = labels.join(F.broadcast(sizes), "comp").select(
+        "doc_id", F.col("comp").alias("component_id"), "cluster_size"
+    )
+    singletons = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(F.broadcast(labels.select("doc_id")), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("component_id"),
+            F.lit(1).cast("bigint").alias("cluster_size"),
+        )
+    )
+    return clustered.unionByName(singletons)
+
+
+DEDUP_CLUSTER_ORACLE = _minhash_oracle_sig_sql().replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + f"""
+, candidates AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.d1, c.d2
+  FROM candidates c
+  JOIN inter ON inter.d1 = c.d1 AND inter.d2 = c.d2
+  JOIN doc_n ca ON ca.doc_id = c.d1
+  JOIN doc_n cb ON cb.doc_id = c.d2
+  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs
+),
+r AS (
+  SELECT doc_id AS v, doc_id AS u FROM documents
+  UNION
+  SELECT r.v, s.d2 FROM r JOIN sym s ON s.d1 = r.u
+),
+assign AS (
+  SELECT v AS doc_id, MIN(u) AS component_id FROM r GROUP BY v
+)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS cluster_size
+FROM assign
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_groups", dedup_exact_groups, DEDUP_EXACT_ORACLE),
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_KEEP_FIRST_ORACLE),
@@ -493,4 +598,5 @@ SPECS = [
     QuerySpec("dedup_minhash_lsh_pairs", dedup_minhash_lsh_pairs, DEDUP_MINHASH_PAIRS_ORACLE),
     QuerySpec("dedup_simhash_signatures", dedup_simhash_signatures, DEDUP_SIMHASH_ORACLE),
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE),
+    QuerySpec("dedup_cluster_components", dedup_cluster_components, DEDUP_CLUSTER_ORACLE),
 ]
