@@ -670,15 +670,23 @@ FROM orders
 
 
 def w4_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank over a deterministic total order."""
+    """rank / dense_rank over a deterministic total order, restricted to
+    the top 25. A global window + rank<=25 filter would move ALL data to
+    one partition (WindowExec's no-partition warning — the 100 TB
+    serial bottleneck); since the order is total (custkey tiebreak),
+    rank==row_number, so the top-25 *set* is computed first as a
+    distributed `TakeOrderedAndProject` and the window only ranks those
+    25 survivors. Same result, no full-data single-partition stage."""
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return customer.select(
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    top = customer.orderBy(*order).limit(25)
+    w = Window.orderBy(*order)
+    return top.select(
         "c_custkey",
         dec("c_acctbal").alias("c_acctbal"),
         F.rank().over(w).cast("bigint").alias("bal_rank"),
         F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
-    ).filter(F.col("bal_rank") <= 25)
+    )
 
 
 W4_ORACLE = """
@@ -835,17 +843,27 @@ def a13_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract."""
     li = load_table(spark, sf_dir, "lineitem")
     base = li.select("l_returnflag", dec("l_quantity").alias("q"))
+    # Histogram formulation: the raw rows reduce to (group, value, count)
+    # in one fully-parallel aggregate; the window then walks the
+    # *histogram* (≤ |distinct values| rows per group — l_quantity has
+    # ~50), not the fact table. A row_number over raw rows would sort
+    # each group's full data inside one task at 100 TB; this shape keeps
+    # the heavy lifting in the hash aggregate. Value at index k =
+    # the histogram row whose cumulative range [cum−c, cum) covers k.
+    hist = base.groupBy("l_returnflag", "q").agg(F.count("*").alias("c"))
     w = Window.partitionBy("l_returnflag").orderBy("q")
     wn = Window.partitionBy("l_returnflag")
-    t = base.select(
+    t = hist.select(
         "l_returnflag",
         "q",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+        F.col("c"),
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
     )
+    covers = lambda k: (F.col("cum") - F.col("c") < k) & (k <= F.col("cum"))  # noqa: E731
     return t.groupBy("l_returnflag").agg(
-        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("q"))).alias("p50"),
-        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("q"))).alias("p90"),
+        F.max(F.when(covers(F.ceil(F.col("n") * 0.5)), F.col("q"))).alias("p50"),
+        F.max(F.when(covers(F.ceil(F.col("n") * 0.9)), F.col("q"))).alias("p90"),
     )
 
 

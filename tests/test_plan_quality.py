@@ -135,3 +135,26 @@ def test_no_cartesian_or_nested_loop_in_any_registered_query(spark, sf_dir):
             if node in plan:
                 offenders[name] = node
     assert not offenders, f"non-equi join plans: {offenders}"
+
+
+def test_global_topk_rank_no_full_window(spark, sf_dir):
+    """w4: the top-25 set must come from a distributed
+    TakeOrderedAndProject; the rank window may only run on those 25
+    survivors, never on the full table in one partition."""
+    from snowflake_to_postgres_spark.operators.relational import w4_rank_dense
+
+    plan = _plan(w4_rank_dense(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_exact_percentiles_window_over_histogram(spark, sf_dir):
+    """a13: the window must consume the (group, value, count) histogram
+    aggregate, not raw rows — the HashAggregate has to sit BELOW the
+    Window in the plan tree (i.e. appear after it in the printed
+    top-down string)."""
+    from snowflake_to_postgres_spark.operators.relational import a13_exact_percentiles
+
+    plan = _plan(a13_exact_percentiles(spark, sf_dir))
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], "window input is not aggregated"
