@@ -44,3 +44,63 @@ def test_cluster_components_invariants(spark, sf_dir):
     sizes = Counter(cid for cid, _ in comp.values())
     assert all(sizes[cid] == sz for cid, sz in comp.values())
     assert sum(sizes.values()) == n_docs
+
+
+def test_propagate_components_log_rounds_on_chain(spark):
+    """Pointer jumping must make a pathological 256-node chain converge
+    in O(log n) rounds, not O(n) — the difference between 8 joins and
+    256 joins over a 100 TB pair graph with deep chains."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.operators.dedup import propagate_components
+
+    n = 256
+    edges = [(i, i + 1) for i in range(n - 1)]
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "d1 long, d2 long"
+    ).localCheckpoint()
+    labels, rounds = propagate_components(sym)
+    got = {r["doc_id"]: r["comp"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, f"chain took {rounds} rounds — pointer jumping broken"
+
+
+def test_propagate_components_random_graph_matches_union_find(spark):
+    """Random sparse graphs: distributed labels must equal a classic
+    driver-side union-find."""
+    import random
+
+    from snowflake_to_postgres_spark.operators.dedup import propagate_components
+
+    rng = random.Random(7)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for v in (a, b):
+            expected[v] = find(v)
+    # canonical label = min member of each root's class among edge nodes
+    by_root = {}
+    for v, r in expected.items():
+        by_root.setdefault(r, []).append(v)
+    canon = {v: min(vs) for r, vs in by_root.items() for v in vs}
+
+    sym = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "d1 long, d2 long"
+    ).localCheckpoint()
+    labels, _ = propagate_components(sym)
+    got = {r["doc_id"]: r["comp"] for r in labels.collect()}
+    assert got == canon
