@@ -1,0 +1,365 @@
+"""Training-data pipeline operators, round-3 extension set.
+
+Five operators a 100 TB pre-training corpus pipeline runs constantly,
+each expressed as built-in JVM expressions (zero Python UDFs) with a
+DuckDB oracle:
+
+- ``tx_pii_scrub``      — regex PII redaction (email / IPv4 / phone) with
+                          seeded-injection verification.
+- ``tx_tfidf_top_terms``— per-document top-k TF-IDF keyword extraction.
+- ``tx_pack_sequences`` — concat-and-chunk sequence packing: assign each
+                          document its training-sequence id from the
+                          per-source cumulative token count.
+- ``tx_mixture_plan``   — source-mixture balancing: per-source sampling
+                          rates that hit a target char budget under
+                          configured mixture weights.
+- ``ts_gapfill_locf``   — hypertable-style time-bucket gap fill with
+                          last-observation-carried-forward interpolation.
+
+Scale notes (100 TB):
+
+- PII scrub and packing are pure projections / bounded windows — no
+  shuffle beyond the per-source window sort, which partitions by source
+  and parallelizes across sources.  A single giant source is handled the
+  same way the salted rollup (operators/skew.py) handles hot keys:
+  pre-split the source on a deterministic doc_id range and pack ranges
+  independently (documented, not needed at test scale).
+- TF-IDF is one hash aggregate over (doc, term) + two bounded windows
+  (by term, by doc). The term-partitioned window replaces the classic
+  tf⋈df self-join — one shuffle less, and no recomputation of the token
+  explode.
+- The mixture plan reduces the corpus to one row per source before any
+  driver interaction; the two driver scalars (total chars, Σweights) are
+  the q11/q15 "threshold literal" pattern — two longs over the wire.
+- Gap fill joins a generated time grid (|event_types| × |hours| rows —
+  bounded by wall-clock time, not data volume) against the aggregated
+  observations; LOCF is a per-type running window over grid rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+# Redaction patterns — restricted to the syntax subset Java regex and
+# RE2 (DuckDB) parse identically: char classes, bounded repeats, \b, \d,
+# non-capturing groups.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+PII_PHONE_RE = "\\b\\d{3}-\\d{4}\\b"
+
+#: Tokens per packed training sequence (tx_pack_sequences).
+PACK_CAPACITY = 64
+
+#: Mixture plan: fraction of the corpus char volume to keep.
+MIXTURE_BUDGET_FRACTION = 0.5
+
+#: Gap-fill source filter: high-value events only, so the hourly grid
+#: has genuine gaps at every test SF.
+GAPFILL_MIN_VALUE = 300.0
+
+
+def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with seeded-injection verification.
+
+    The synthetic corpus contains no PII, so the query *injects* a
+    deterministic email / IPv4 / phone per document (derived from
+    doc_id), then scrubs email → IP → phone in that order and proves
+    removal (``residual_pii`` must be false everywhere).  The scrub
+    itself is the production operator: three chained regexp_replace
+    calls inside one codegen'd projection — a pure map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.select("doc_id", injected.alias("injected"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("injected"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    d = d.select(
+        "doc_id",
+        F.regexp_count("injected", F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("injected", F.lit(PII_IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count("injected", F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+    residual = (
+        (F.regexp_count("scrubbed", F.lit(PII_EMAIL_RE)) > 0)
+        | (F.regexp_count("scrubbed", F.lit(PII_IPV4_RE)) > 0)
+        | (F.regexp_count("scrubbed", F.lit(PII_PHONE_RE)) > 0)
+    )
+    return d.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+        residual.alias("residual_pii"),
+    )
+
+
+_PII_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' phone 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+TX_PII_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_PII_INJECT_SQL} AS injected FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(injected, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(injected, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+         CAST(len(regexp_extract_all(injected, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(regexp_replace(injected,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IPV4_RE}', '<IP>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+  FROM d)
+SELECT doc_id, n_emails, n_ips, n_phones, md5(scrubbed) AS scrubbed_md5,
+       len(regexp_extract_all(scrubbed, '{PII_EMAIL_RE}')) > 0
+       OR len(regexp_extract_all(scrubbed, '{PII_IPV4_RE}')) > 0
+       OR len(regexp_extract_all(scrubbed, '{PII_PHONE_RE}')) > 0 AS residual_pii
+FROM s
+"""
+
+
+def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF.
+
+    idf is the raw ratio N/df (not ln(N/df)): multiplication and one
+    IEEE division of exact integers are bit-identical across engines,
+    where ln() is only correctly-rounded-per-libm — the ranking is the
+    same, the hashes stay comparable. N is a driver literal (the
+    q11/q15 threshold pattern). df comes from a term-partitioned window
+    over the (doc, term) aggregate instead of the classic tf⋈df
+    self-join: one aggregate + two bounded windows, no recomputation of
+    the token explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver literal: one long over the wire
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    w_term = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count("*").over(w_term)).withColumn(
+        "score",
+        (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df").cast("double"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_doc).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+TX_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+t AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+s AS (
+  SELECT doc_id, term, tf,
+         COUNT(*) OVER (PARTITION BY term) AS df,
+         CAST(tf * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+           / CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) AS score
+  FROM t)
+SELECT doc_id, term, tf, df, score, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk
+  FROM s) q
+WHERE rnk <= 3
+"""
+
+
+def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    (source, doc_id) order and split into PACK_CAPACITY-token training
+    sequences; each document is assigned the sequence id and offset at
+    which it starts. One running-sum window per source — the standard
+    deterministic packing used when documents may straddle sequence
+    boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower("text"), " ")).cast("bigint")
+    d = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "doc_id", "source", "n_tokens", F.sum("n_tokens").over(w).alias("cum_tokens")
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {PACK_CAPACITY}").alias("seq_id"),
+        ((F.col("cum_tokens") - F.col("n_tokens")) % PACK_CAPACITY).alias(
+            "start_offset"
+        ),
+    )
+
+
+TX_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM d)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       (cum_tokens - n_tokens) // {PACK_CAPACITY} AS seq_id,
+       (cum_tokens - n_tokens) % {PACK_CAPACITY} AS start_offset
+FROM c
+"""
+
+
+def tx_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture balancing: compute per-source sampling rates that
+    hit MIXTURE_BUDGET_FRACTION of the corpus char volume distributed
+    according to configured mixture weights (weight(srcN) = 1 + N % 3 —
+    a stand-in for a hand-tuned mixture table). The corpus reduces to
+    one row per source before any driver interaction; total chars and
+    Σweights are driver literals."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    weight = (F.lit(1) + src_num % 3).cast("bigint")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("actual_chars"),
+    ).withColumn("weight", weight)
+    total_chars = docs.agg(F.sum("n_chars").cast("bigint")).first()[0]
+    sum_weights = per_src.agg(F.sum("weight")).first()[0]
+    share = F.col("weight").cast("double") / F.lit(float(sum_weights))
+    target = share * (F.lit(float(total_chars)) * F.lit(MIXTURE_BUDGET_FRACTION))
+    rate = F.least(F.lit(1.0), target / F.col("actual_chars").cast("double"))
+    return per_src.select(
+        "source",
+        "n_docs",
+        "actual_chars",
+        "weight",
+        share.alias("share"),
+        target.alias("target_chars"),
+        rate.alias("rate"),
+        (rate * F.col("actual_chars").cast("double")).alias("planned_chars"),
+    )
+
+
+TX_MIXTURE_ORACLE = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS actual_chars,
+         CAST(1 + CAST(substr(source, 4) AS INT) % 3 AS BIGINT) AS weight
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS t FROM documents),
+sw AS (SELECT CAST(SUM(weight) AS BIGINT) AS s FROM per)
+SELECT source, n_docs, actual_chars, weight,
+  CAST(weight AS DOUBLE) / CAST((SELECT s FROM sw) AS DOUBLE) AS share,
+  (CAST(weight AS DOUBLE) / CAST((SELECT s FROM sw) AS DOUBLE))
+    * (CAST((SELECT t FROM tot) AS DOUBLE) * CAST({MIXTURE_BUDGET_FRACTION} AS DOUBLE)) AS target_chars,
+  least(CAST(1.0 AS DOUBLE),
+    ((CAST(weight AS DOUBLE) / CAST((SELECT s FROM sw) AS DOUBLE))
+      * (CAST((SELECT t FROM tot) AS DOUBLE) * CAST({MIXTURE_BUDGET_FRACTION} AS DOUBLE)))
+    / CAST(actual_chars AS DOUBLE)) AS rate,
+  least(CAST(1.0 AS DOUBLE),
+    ((CAST(weight AS DOUBLE) / CAST((SELECT s FROM sw) AS DOUBLE))
+      * (CAST((SELECT t FROM tot) AS DOUBLE) * CAST({MIXTURE_BUDGET_FRACTION} AS DOUBLE)))
+    / CAST(actual_chars AS DOUBLE)) * CAST(actual_chars AS DOUBLE) AS planned_chars
+FROM per
+"""
+
+
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: hourly sum of high-value event volume
+    per event_type over a *dense* generated hour grid, missing buckets
+    interpolated by last-observation-carried-forward. Sums run on exact
+    decimal internals (events.value is double; cast before aggregation
+    makes the sum order-independent), doubles leave the query.
+
+    The grid is |event_types| × |hours| — bounded by wall-clock span,
+    not data volume; the LOCF window walks grid rows only. For
+    multi-year spans chunk the window by (event_type, month) with a
+    carried seed, same as the streaming rollup's restart path."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value") >= GAPFILL_MIN_VALUE
+    )
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("s_value"),
+        F.count("*").alias("n_events"),
+    )
+    grid = (
+        obs.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    filled = grid.join(obs, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "h",
+        "s_value",
+        F.last("s_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("s_value").isNull().alias("is_gap"),
+    )
+
+
+TS_GAPFILL_ORACLE = f"""
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_value,
+         COUNT(*) AS n_events
+  FROM events WHERE value >= {GAPFILL_MIN_VALUE} GROUP BY event_type, h),
+grid AS (
+  SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+  FROM obs GROUP BY event_type)
+SELECT g.event_type, g.h, o.s_value,
+       last_value(o.s_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       COALESCE(o.n_events, 0) AS n_events,
+       o.s_value IS NULL AS is_gap
+FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.h = o.h
+"""
+
+
+SPECS = [
+    QuerySpec("tx_pii_scrub", tx_pii_scrub, TX_PII_ORACLE),
+    QuerySpec("tx_tfidf_top_terms", tx_tfidf_top_terms, TX_TFIDF_ORACLE),
+    QuerySpec("tx_pack_sequences", tx_pack_sequences, TX_PACK_ORACLE),
+    QuerySpec("tx_mixture_plan", tx_mixture_plan, TX_MIXTURE_ORACLE),
+    QuerySpec("ts_gapfill_locf", ts_gapfill_locf, TS_GAPFILL_ORACLE),
+]

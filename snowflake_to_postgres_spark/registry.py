@@ -78,6 +78,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "xj_asof_join": ("p_value",),
     "xj_range_join": ("s_price",),
     "st_windowed_agg": ("s_value",),
+    "ts_gapfill_locf": ("s_value", "filled_value"),
     "a13_exact_percentiles": ("p50", "p90"),
     "st_enrich_rollup": ("s_value",),
     "x_q6_banded_revenue": ("revenue",),
@@ -238,6 +239,7 @@ def _all_specs() -> list[QuerySpec]:
         dedup,
         temporal_joins,
         multimodal,
+        pipeline_ext,
         relational,
         scalar_funcs,
         similarity,
@@ -260,6 +262,7 @@ def _all_specs() -> list[QuerySpec]:
         multimodal,
         breadth,
         temporal_joins,
+        pipeline_ext,
         streaming_queries,
     ):
         specs.extend(mod.SPECS)

@@ -1,0 +1,126 @@
+"""Semantic + plan-shape tests for the round-3 training-data pipeline
+operators (operators/pipeline_ext.py). Cross-engine value parity is
+covered by the registry-wide oracle twin (test_oracle_parity); these
+tests pin the *invariants* each operator promises."""
+
+from __future__ import annotations
+
+from snowflake_to_postgres_spark.operators.pipeline_ext import (
+    PACK_CAPACITY,
+    ts_gapfill_locf,
+    tx_mixture_plan,
+    tx_pack_sequences,
+    tx_pii_scrub,
+    tx_tfidf_top_terms,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_scrub_removes_all_seeded_pii(spark, sf_dir):
+    """Seeded injection adds exactly one email / IP / phone per doc; the
+    scrubber must count them and leave zero residual matches."""
+    rows = tx_pii_scrub(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails >= 1
+        assert r.n_ips >= 1
+        assert r.n_phones >= 1
+        assert r.residual_pii is False
+
+
+def test_pii_scrub_is_pure_map_stage(spark, sf_dir):
+    """Redaction is a projection: no Exchange may appear in the plan —
+    this is what makes it free at 100 TB."""
+    plan = _plan(tx_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_tfidf_topk_shape(spark, sf_dir):
+    """≤3 keywords per doc, ranks 1..k unique and contiguous."""
+    rows = tx_tfidf_top_terms(spark, sf_dir).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.rnk)
+    assert per_doc
+    for ranks in per_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Offsets stay inside a sequence; cumulative counts are consistent
+    per source; seq_ids are non-decreasing in doc order."""
+    rows = tx_pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.start_offset < PACK_CAPACITY
+        assert r.seq_id == (r.cum_tokens - r.n_tokens) // PACK_CAPACITY
+        by_source.setdefault(r.source, []).append(r)
+    for docs in by_source.values():
+        docs.sort(key=lambda r: r.doc_id)
+        running = 0
+        prev_seq = -1
+        for r in docs:
+            assert r.cum_tokens == running + r.n_tokens
+            running = r.cum_tokens
+            assert r.seq_id >= prev_seq
+            prev_seq = r.seq_id
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The packing window partitions by source — never a single
+    partition over the corpus."""
+    plan = _plan(tx_pack_sequences(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mixture_plan_respects_budget(spark, sf_dir):
+    """Rates are valid probabilities; planned volume never exceeds the
+    actual per-source volume, and the total plan never exceeds the
+    budget (undershoot is allowed when a source is capped at rate 1)."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        MIXTURE_BUDGET_FRACTION,
+    )
+
+    rows = tx_mixture_plan(spark, sf_dir).collect()
+    assert rows
+    total_actual = sum(r.actual_chars for r in rows)
+    budget = total_actual * MIXTURE_BUDGET_FRACTION
+    for r in rows:
+        assert 0.0 < r.rate <= 1.0
+        assert r.planned_chars <= r.actual_chars + 1e-6
+    uncapped_planned = sum(r.planned_chars for r in rows if r.rate < 1.0)
+    capped_target = sum(r.target_chars for r in rows if r.rate >= 1.0)
+    # every uncapped source hits its target exactly; caps only shrink
+    assert uncapped_planned + capped_target <= budget * (1 + 1e-9) + 1e-6
+    assert sum(r.planned_chars for r in rows) <= budget + 1e-6
+
+
+def test_gapfill_locf_semantics(spark, sf_dir):
+    """The grid is dense per event_type (consecutive hours); every gap
+    row after the first observation carries the previous value
+    forward; observed rows pass through unchanged."""
+    rows = ts_gapfill_locf(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for seq in by_type.values():
+        seq.sort(key=lambda r: r.h)
+        prev = None
+        for i, r in enumerate(seq):
+            if i > 0:
+                assert (r.h - seq[i - 1].h).total_seconds() == 3600
+            if r.is_gap:
+                assert r.s_value is None
+                assert r.n_events == 0
+                assert r.filled_value == prev
+            else:
+                assert r.filled_value == r.s_value
+                prev = r.s_value
+        # first and last grid points are observations by construction
+        assert seq[0].is_gap is False and seq[-1].is_gap is False
