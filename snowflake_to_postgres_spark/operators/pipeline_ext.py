@@ -356,10 +356,94 @@ FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.h = o.h
 """
 
 
+def _hex_threshold(rate: float) -> str:
+    """6-hex-char keep threshold for an md5-bucket sample at ``rate``."""
+    return format(int(rate * 16**6), "06x")
+
+
+def pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning as ONE Catalyst plan: quality gate →
+    exact-dup keep-first → deterministic per-source downsample. The
+    point is composition — each stage is an operator this engine
+    already ships (tx_quality_score's ratios, dedup_exact_keep_first's
+    window, s10's md5-bucket sampling), and chained they stay a single
+    job: the quality filter runs in the scan stage before any exchange
+    (it's on derived expressions, so it can't reach the parquet reader,
+    but it still drops rows before they're shuffled), dedup is the ONE
+    shuffle (by content digest), sampling is a post-window map.
+    Plan-asserted: exactly one Exchange. At 100 TB nothing about the
+    shape changes.
+
+    Per-source keep rates use the deterministic literal formula
+    rate(srcN) = 1 / (1 + N % 3) — a stand-in for a tuned mixture
+    table, chosen so every rate is IEEE-exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    mean_word_len = (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")
+    quality = docs.select(
+        "doc_id", "source", "text", n_tok.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+    ).filter((F.col("n_tokens") >= 10) & (mean_word_len < F.lit(8.0)))
+    digested = quality.withColumn("content_md5", F.md5(F.trim(F.lower("text"))))
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    deduped = (
+        digested.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "text")
+    )
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = F.lit(1.0) / (F.lit(1) + src_num % 3).cast("double")
+    # Keep iff the first 6 hex chars of md5(source|doc_id) fall below the
+    # per-rate threshold. Fixed-width lowercase hex compares
+    # lexicographically == numerically in both engines, so no float or
+    # hex-parsing is involved; 'g' sorts above every hex char (rate 1).
+    thresholds = {1.0: "g", 0.5: _hex_threshold(0.5), 1.0 / 3.0: _hex_threshold(1 / 3)}
+    thr = (
+        F.when(src_num % 3 == 0, F.lit(thresholds[1.0]))
+        .when(src_num % 3 == 1, F.lit(thresholds[0.5]))
+        .otherwise(F.lit(thresholds[1.0 / 3.0]))
+    )
+    bucket = F.substring(F.md5(F.concat_ws("|", "source", F.col("doc_id").cast("string"))), 1, 6)
+    return (
+        deduped.withColumn("keep_rate", rate)
+        .filter(bucket < thr)
+        .select("doc_id", "source", "n_tokens", "mean_word_len", "keep_rate")
+    )
+
+
+PIPE_CLEAN_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) - len(string_split(lower(text), ' ')) + 1 AS DOUBLE)
+           / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_word_len
+  FROM documents),
+f AS (
+  SELECT * FROM q WHERE n_tokens >= 10 AND mean_word_len < CAST(8.0 AS DOUBLE)),
+d AS (
+  SELECT *, md5(trim(lower(text))) AS content_md5 FROM f),
+k AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn FROM d)
+SELECT doc_id, source, n_tokens, mean_word_len,
+       CAST(1.0 AS DOUBLE) / CAST(1 + CAST(substr(source, 4) AS INT) % 3 AS DOUBLE) AS keep_rate
+FROM k
+WHERE rn = 1
+  AND substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 6) <
+      CASE CAST(substr(source, 4) AS INT) % 3
+        WHEN 0 THEN 'g'
+        WHEN 1 THEN '{_hex_threshold(0.5)}'
+        ELSE '{_hex_threshold(1 / 3)}'
+      END
+"""
+
+
 SPECS = [
     QuerySpec("tx_pii_scrub", tx_pii_scrub, TX_PII_ORACLE),
     QuerySpec("tx_tfidf_top_terms", tx_tfidf_top_terms, TX_TFIDF_ORACLE),
     QuerySpec("tx_pack_sequences", tx_pack_sequences, TX_PACK_ORACLE),
     QuerySpec("tx_mixture_plan", tx_mixture_plan, TX_MIXTURE_ORACLE),
     QuerySpec("ts_gapfill_locf", ts_gapfill_locf, TS_GAPFILL_ORACLE),
+    QuerySpec("pipe_clean_corpus", pipe_clean_corpus, PIPE_CLEAN_ORACLE),
 ]

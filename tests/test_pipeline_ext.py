@@ -124,3 +124,30 @@ def test_gapfill_locf_semantics(spark, sf_dir):
                 prev = r.s_value
         # first and last grid points are observations by construction
         assert seq[0].is_gap is False and seq[-1].is_gap is False
+
+
+def test_pipe_clean_corpus_single_shuffle(spark, sf_dir):
+    """The composed cleaning pipeline must stay one job with exactly
+    one Exchange (the content-digest dedup shuffle): quality filtering
+    happens before it, sampling after it, neither adds a shuffle."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import pipe_clean_corpus
+
+    df = pipe_clean_corpus(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pipe_clean_corpus_stages_monotone(spark, sf_dir):
+    """Each stage only removes rows; survivors carry valid rates and
+    pass the quality gate by construction."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import pipe_clean_corpus
+    from snowflake_to_postgres_spark.sources import load_table
+
+    total = load_table(spark, sf_dir, "documents").count()
+    rows = pipe_clean_corpus(spark, sf_dir).collect()
+    assert 0 < len(rows) <= total
+    for r in rows:
+        assert r.n_tokens >= 10
+        assert r.mean_word_len < 8.0
+        assert 0.0 < r.keep_rate <= 1.0
