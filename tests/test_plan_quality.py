@@ -158,3 +158,45 @@ def test_exact_percentiles_window_over_histogram(spark, sf_dir):
     plan = _plan(a13_exact_percentiles(spark, sf_dir))
     first_window = plan.index("Window")
     assert "HashAggregate" in plan[first_window:], "window input is not aggregated"
+
+
+def test_runtime_bloom_filter_engages_at_scale(spark, sf_dir):
+    """100 TB shape: when the dim side is too big to broadcast (simulated
+    by disabling autoBroadcast), a selective filter on one join side must
+    inject a runtime bloom filter (bloom_filter_agg build, might_contain
+    probe) that prunes the fact scan before the shuffle — Spark's
+    row-level runtime filtering, enabled in session.py and verified here
+    so a config regression can't silently lose it."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
