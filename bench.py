@@ -12,6 +12,14 @@ executions after a warm-up pass — single-shot timing produced a phantom
 re-measured at ~1.1s), so medians are what make round-over-round
 comparison meaningful. ``value`` is the sum of per-query medians.
 
+Load guard (round-3 verdict: the r3 artifact shipped three phantom
+regressions from a loaded machine): the output also carries per-query
+``query_spread`` [min, median, max]; when ≥3 queries show median >
+1.5× their own min, the suite reruns (up to $SPARK_GRAFT_BENCH_ATTEMPTS,
+default 3, interleaved rounds merged into the sample pool) and, if the
+spread never settles, publishes with ``load_suspect: true`` so a noisy
+artifact is labeled as such instead of read as a regression.
+
 The reference's comparison band (BASELINE.md) is transfer throughput of
 50k-200k rows/s (tuned); ``transfer_rows_per_sec`` is the apples-to-apples
 number: full lineitem read → parquet write, native types end-to-end,
@@ -73,14 +81,44 @@ def main() -> None:
     # back-to-back repeats of one query, so a transient stall (GC, page
     # cache) can't poison all samples of the same query.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE if name in qs}
-    for _ in range(RUNS):
-        for name in samples:
-            df = qs[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
+
+    def run_pass(n_rounds: int) -> None:
+        for _ in range(n_rounds):
+            for name in samples:
+                df = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+
+    def loaded_queries() -> list[str]:
+        # Load guard (round-3 verdict): a query whose median is >1.5× its
+        # own min was measured on a machine under external load — the min
+        # is what the plan actually costs. ≥3 such queries means the whole
+        # artifact is suspect.
+        return [
+            n for n, ts in samples.items()
+            if len(ts) >= 2 and statistics.median(ts) > 1.5 * min(ts)
+        ]
+
+    run_pass(RUNS)
+    attempts = 1
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    while len(loaded_queries()) >= 3 and attempts < max_attempts:
+        # Machine under load: add more interleaved rounds so medians are
+        # computed over a window that includes quiet periods.
+        print(
+            f"# load guard: {len(loaded_queries())} queries with median>1.5*min "
+            f"({', '.join(loaded_queries()[:6])}) — rerunning", file=sys.stderr,
+        )
+        run_pass(RUNS)
+        attempts += 1
 
     per_query = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    query_spread = {
+        name: [round(min(ts), 3), round(statistics.median(ts), 3), round(max(ts), 3)]
+        for name, ts in samples.items()
+    }
+    load_flagged = loaded_queries()
     total = sum(per_query.values())
 
     # Transfer throughput: the reference's headline metric (BASELINE.md).
@@ -104,6 +142,10 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "query_spread": query_spread,
+        "bench_attempts": attempts,
+        "load_flagged": load_flagged,
+        "load_suspect": len(load_flagged) >= 3,
         "lineitem_rows": n_rows,
         "transfer_sec": round(transfer_sec, 3),
         "transfer_rows_per_sec": int(n_rows / transfer_sec) if transfer_sec > 0 else None,

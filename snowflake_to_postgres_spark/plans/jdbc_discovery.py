@@ -41,6 +41,7 @@ from snowflake_to_postgres_spark.plans.catalog import (
     ColumnInfo,
     ConstraintInfo,
     ConstraintType,
+    ProcedureInfo,
     SchemaInfo,
     TableInfo,
     ViewInfo,
@@ -68,6 +69,11 @@ class CatalogQueries:
     foreign_keys: str
     #: → TABLE_NAME, VIEW_DEFINITION (optional; None skips view fetch)
     views: str | None = None
+    #: → ROUTINE_NAME, ROUTINE_DEFINITION (optional; None skips
+    #:   procedure enumeration — reference discovery.py:389-441 lists
+    #:   procedures the same way it lists views, then emits manual-TODO
+    #:   stubs, view_procedure_translator.py:343-383)
+    procedures: str | None = None
     #: Dialect stores constraint columns as ordinal descriptors
     #: ("... (1, 2)") instead of names; resolve through the column scan.
     columns_are_ordinals: bool = False
@@ -120,6 +126,13 @@ INFORMATION_SCHEMA_QUERIES = CatalogQueries(
         SELECT TABLE_NAME, VIEW_DEFINITION
         FROM INFORMATION_SCHEMA.VIEWS
         WHERE TABLE_SCHEMA = '{schema}'
+    """,
+    # discovery.py:389-418 (SHOW PROCEDURES + GET_DDL equivalent; ANSI
+    # ROUTINES serves Postgres / MySQL / Snowflake info-schemas)
+    procedures="""
+        SELECT ROUTINE_NAME, ROUTINE_DEFINITION
+        FROM INFORMATION_SCHEMA.ROUTINES
+        WHERE ROUTINE_SCHEMA = '{schema}' AND ROUTINE_TYPE = 'PROCEDURE'
     """,
 )
 
@@ -187,6 +200,18 @@ DERBY_CATALOG_QUERIES = CatalogQueries(
         JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID
         JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
         WHERE s.SCHEMANAME = '{schema}'
+    """,
+    # Derby stores routines as aliases; ALIASTYPE 'P' = procedure. The
+    # "definition" Derby keeps is the backing Java entry point
+    # (ALIASINFO isn't SQL-castable) — enough for the stub emitter,
+    # which only echoes the original DDL as a manual-TODO comment.
+    procedures="""
+        SELECT a.ALIAS AS ROUTINE_NAME,
+               a.JAVACLASSNAME AS ROUTINE_DEFINITION
+        FROM SYS.SYSALIASES a
+        JOIN SYS.SYSSCHEMAS s ON a.SCHEMAID = s.SCHEMAID
+        WHERE s.SCHEMANAME = '{schema}' AND a.ALIASTYPE = 'P'
+          AND NOT a.SYSTEMALIAS
     """,
     columns_are_ordinals=True,
 )
@@ -352,6 +377,19 @@ def discover_jdbc_schema(
                 ViewInfo(
                     name=normalize_identifier(r["TABLE_NAME"]),
                     ddl=r["VIEW_DEFINITION"],
+                )
+            )
+    # Procedure enumeration (discovery.py:389-441): listed like views,
+    # consumed by the stub emitter (dialect.translate_procedure_stub —
+    # procedures stay manual-TODO, matching the reference's own punt).
+    if with_views and catalog_queries.procedures and not table_filter:
+        for r in sorted(
+            scan(catalog_queries.procedures), key=lambda r: r["ROUTINE_NAME"]
+        ):
+            info.procedures.append(
+                ProcedureInfo(
+                    name=normalize_identifier(r["ROUTINE_NAME"]),
+                    ddl=r["ROUTINE_DEFINITION"] or "",
                 )
             )
     return info

@@ -44,9 +44,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
     ``session.get_spark``), so nothing in the query surface may depend on
     builder-time configs. Both confs here are runtime-settable:
 
-    * ``nanosAsLong`` — events.ts is parquet TIMESTAMP(NANOS), which the
-      Spark reader otherwise rejects with PARQUET_TYPE_ILLEGAL (round-1
+    * ``nanosAsLong`` — events.ts is parquet TIMESTAMP(NANOS), which
+      older Spark readers reject with PARQUET_TYPE_ILLEGAL (round-1
       driver signal: v1_variant_json_extract / x_sessionization errored).
+      Spark 4.1.2 ignores this conf and reads nanos natively as
+      TIMESTAMP_NTZ; either way ``normalize_external_types`` converts the
+      result to instant TimestampType at load.
     * UTC session timezone — keeps TimestampType collection instant-based,
       matching the DuckDB oracle's naive timestamps (reference normalizes
       to UTC before comparing, validator.py:888-896).
@@ -80,23 +83,38 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = _normalize_nanos_ts(df)
-    return df
+    return normalize_external_types(df)
 
 
-def _normalize_nanos_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as a raw
-    nanos-since-epoch long. Convert to a microsecond TimestampType
-    (floor division matches DuckDB's ns→µs truncation)."""
+def normalize_external_types(df: DataFrame) -> DataFrame:
+    """Engine-wide timestamp policy (SURVEY §1.3): external event time
+    normalizes to instant ``TimestampType`` at load, whatever shape the
+    source delivered it in. Two shapes occur in the wild:
+
+    * parquet TIMESTAMP(NANOS) read as a raw nanos-since-epoch long
+      (older Spark with ``nanosAsLong``) → ``timestamp_micros`` with
+      floor division, matching DuckDB's ns→µs truncation;
+    * ``TimestampNTZType`` (Spark ≥4 reads parquet nanos natively as
+      NTZ, micros-truncated; Snowflake TIMESTAMP_NTZ lands here too) →
+      cast to TIMESTAMP. The session timezone is pinned UTC
+      (``ensure_session_confs``), so the cast is value-preserving.
+
+    Why: ``withWatermark`` rejects NTZ event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and the batch/stream twins
+    must agree on schema. A property test asserts no ``TimestampNTZType``
+    survives ``load_table`` on any fixture table, so this policy can't
+    silently drift on a Spark version bump.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -19,12 +19,20 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from snowflake_to_postgres_spark.sources import load_table, table_path
+from snowflake_to_postgres_spark.sources import (
+    load_table,
+    normalize_external_types,
+    table_path,
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from a
-    batch read — required for file streams)."""
+    batch read — required for file streams). Event-time normalization is
+    the SAME function the batch loader applies
+    (``normalize_external_types``: raw-nanos long or TIMESTAMP_NTZ →
+    instant TIMESTAMP), so the stream and its batch twin cannot drift —
+    and ``withWatermark`` downstream gets the TIMESTAMP it requires."""
     batch = load_table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # file streams require a directory source; glob-filter to the events file
@@ -34,12 +42,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # same nanos→micros normalization as the batch loader
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
-    assert stream.schema == batch.schema or True
+    stream = normalize_external_types(stream)
+    assert stream.schema == batch.schema, (
+        f"stream/batch schema drift for events: {stream.schema} != {batch.schema}"
+    )
     return stream
 
 

@@ -56,6 +56,11 @@ _SEED = [
          CONSTRAINT fk_line_head FOREIGN KEY (region_id, order_no)
              REFERENCES orderhead (region_id, order_no))""",
     "CREATE VIEW dept_names AS SELECT dept_name FROM dept",
+    # Derby validates the backing Java class at CALL time, not CREATE
+    # time — a dangling EXTERNAL NAME is fine for catalog enumeration.
+    """CREATE PROCEDURE refresh_dept(IN d INT)
+         LANGUAGE JAVA PARAMETER STYLE JAVA
+         EXTERNAL NAME 'com.example.DeptJobs.refresh'""",
     "INSERT INTO dept VALUES (1, 'eng'), (2, 'ops')",
     "INSERT INTO emp VALUES (10, 1, 100.50, DATE('2020-01-01')), (11, 2, NULL, NULL)",
     "INSERT INTO orderhead VALUES (1, 100, NULL)",
@@ -147,6 +152,20 @@ def test_foreign_keys_single_and_composite(derby_schema):
 def test_views_enumerated(derby_schema):
     assert [v.name for v in derby_schema.views] == ["dept_names"]
     assert "dept_name" in derby_schema.views[0].ddl.lower()
+
+
+def test_procedures_enumerated(derby_schema):
+    """Live procedure listing (reference discovery.py:389-441) feeding
+    the manual-TODO stub emitter (view_procedure_translator.py:343-383
+    parity — both engines punt on procedure translation)."""
+    from snowflake_to_postgres_spark.plans.dialect import translate_procedure_stub
+
+    assert [p.name for p in derby_schema.procedures] == ["refresh_dept"]
+    assert "com.example.DeptJobs" in derby_schema.procedures[0].ddl
+    stub = translate_procedure_stub(
+        derby_schema.procedures[0].name, derby_schema.procedures[0].ddl
+    )
+    assert "refresh_dept" in stub and "manual" in stub.lower()
 
 
 def test_row_counts(derby_schema):

@@ -13,6 +13,7 @@ have a reviewable hard signal.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -23,6 +24,14 @@ from pyspark.sql import SparkSession
 _REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(_REPO))
 sys.path.insert(0, str(_REPO / "tests"))
+# Spark's Python WORKERS import the package too (cloudpickled
+# mapInPandas/pandas_udf functions are pickled by reference); they inherit
+# PYTHONPATH, not the driver's sys.path — without this, running the tool
+# from outside the repo root fails only in UDF-bearing queries
+# (ModuleNotFoundError in the worker, e.g. mm_decode_meta).
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [str(_REPO)] + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+)
 
 from oracle_compare import compare_frames  # noqa: E402
 
