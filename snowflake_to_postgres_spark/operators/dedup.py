@@ -532,6 +532,27 @@ def propagate_components(sym: DataFrame, max_rounds: int = 50) -> tuple[DataFram
     return labels, rounds
 
 
+def _lsh_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component labels + cluster sizes for PAIR-GRAPH NODES ONLY
+    (doc_id, component_id, cluster_size). The iteration never touches
+    the non-duplicate remainder of the corpus — at 100 TB the verified
+    LSH pair graph is a sliver, so this frame is broadcast-sized even
+    when the corpus isn't."""
+    # cache: the symmetric union references pairs twice — uncached, the
+    # verification join downstream of the LSH pipeline would run per ref
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2").cache()
+    sym = (
+        pairs.unionByName(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels, _rounds = propagate_components(sym)
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return labels.join(F.broadcast(sizes), "comp").select(
+        "doc_id", F.col("comp").alias("component_id"), "cluster_size"
+    )
+
+
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: connected components over the
     verified LSH pair graph, assigning every document the minimum doc_id
@@ -548,27 +569,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round cuts the lineage; convergence is detected from Σlabels,
     a monotonically decreasing scalar — one driver-side number per
     round, never the labels themselves."""
-    # cache: the symmetric union references pairs twice — uncached, the
-    # verification join downstream of the LSH pipeline would run per ref
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2").cache()
-    sym = (
-        pairs.unionByName(pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2")))
-        .distinct()
-        .localCheckpoint()
-    )
-    # Only nodes that appear in an edge iterate — at 100 TB the pair
-    # graph is a sliver of the corpus, so the loop never touches the
-    # (huge) non-duplicate remainder; those join back as singletons in
-    # one anti-join at the end.
-    labels, _rounds = propagate_components(sym)
-    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
-    clustered = labels.join(F.broadcast(sizes), "comp").select(
-        "doc_id", F.col("comp").alias("component_id"), "cluster_size"
-    )
+    clustered = _lsh_cluster_labels(spark, sf_dir)
     singletons = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .join(F.broadcast(labels.select("doc_id")), "doc_id", "left_anti")
+        .join(F.broadcast(clustered.select("doc_id")), "doc_id", "left_anti")
         .select(
             "doc_id",
             F.col("doc_id").alias("component_id"),
@@ -578,7 +583,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustered.unionByName(singletons)
 
 
-DEDUP_CLUSTER_ORACLE = _minhash_oracle_sig_sql().replace(
+_CLUSTER_CTE = _minhash_oracle_sig_sql().replace(
     "WITH ", "WITH RECURSIVE ", 1
 ) + f"""
 , candidates AS (
@@ -605,9 +610,62 @@ r AS (
 assign AS (
   SELECT v AS doc_id, MIN(u) AS component_id FROM r GROUP BY v
 )
+"""
+
+DEDUP_CLUSTER_ORACLE = _CLUSTER_CTE + """
 SELECT doc_id, component_id,
        COUNT(*) OVER (PARTITION BY component_id) AS cluster_size
 FROM assign
+"""
+
+
+def dedup_fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product a training-data pipeline actually wants: the
+    corpus AFTER near-duplicate removal — one canonical document (the
+    minimum doc_id) per LSH cluster, every unclustered document kept,
+    each survivor tagged with how many raw documents it represents.
+
+    Scale shape: the cluster labels cover pair-graph nodes only
+    (:func:`_lsh_cluster_labels` — broadcast-sized at any corpus scale),
+    so the corpus-sized work is exactly two broadcast joins, no shuffle
+    of the documents table at all:
+
+    * one broadcast ANTI join eliminating non-canonical cluster members
+      (the only rows fuzzy dedup ever removes), and
+    * one broadcast LEFT join attaching ``cluster_size`` to the
+      canonical survivors (absent → 1).
+
+    Contrast with running :func:`dedup_cluster_components` and filtering
+    ``doc_id = component_id``: that plan unions a corpus-sized singleton
+    frame through a groupBy — this one never moves the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    clustered = _lsh_cluster_labels(spark, sf_dir).localCheckpoint()
+    losers = clustered.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
+    canon = clustered.filter(F.col("component_id") == F.col("doc_id")).select(
+        "doc_id", "cluster_size"
+    )
+    return (
+        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        .join(F.broadcast(canon), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint").alias("represents"),
+        )
+    )
+
+
+DEDUP_FUZZY_CORPUS_ORACLE = _CLUSTER_CTE + """
+, sizes AS (
+  SELECT component_id, COUNT(*) AS cluster_size FROM assign GROUP BY component_id
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       CAST(s.cluster_size AS BIGINT) AS represents
+FROM documents d
+JOIN assign a ON a.doc_id = d.doc_id
+JOIN sizes s ON s.component_id = a.component_id
+WHERE a.doc_id = a.component_id
 """
 
 
@@ -620,4 +678,5 @@ SPECS = [
     QuerySpec("dedup_simhash_signatures", dedup_simhash_signatures, DEDUP_SIMHASH_ORACLE),
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE),
     QuerySpec("dedup_cluster_components", dedup_cluster_components, DEDUP_CLUSTER_ORACLE),
+    QuerySpec("dedup_fuzzy_corpus", dedup_fuzzy_corpus, DEDUP_FUZZY_CORPUS_ORACLE),
 ]

@@ -177,6 +177,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
     )
+    return _rank_candidates(comp, candidates, k=3)
+
+
+def _rank_candidates(comp: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine scoring + per-query top-k over a (qid, vec_id)
+    candidate set — the shared tail of every bucketed ANN variant (IVF,
+    RP-LSH). Candidate frames are tiny relative to the corpus (that is
+    the point of bucketing), so the query block and norms broadcast.
+
+    Rounded to DECIMAL(10,8): DuckDB's wide-decimal→double conversion can
+    differ from the JVM's by 1 ULP; 8 decimals collapses that while
+    keeping a meaningful similarity score. Ranking uses the rounded
+    value, ties on neighbor_id."""
     norms = _norms(comp)
     q = comp.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "idx", F.col("val").alias("qval")
@@ -188,9 +201,6 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("val") * F.col("qval")).cast("decimal(38,18)").alias("dot"))
     )
     qn = norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
-    # Rounded to DECIMAL(10,8): DuckDB's wide-decimal→double conversion can
-    # differ from the JVM's by 1 ULP; 8 decimals collapses that while keeping
-    # a meaningful similarity score. Ranking uses the rounded value.
     cos = (
         F.col("dot").cast("double")
         / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
@@ -203,7 +213,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= k)
         .select("qid", "rank", "neighbor_id", "cosine")
     )
 
@@ -228,6 +238,121 @@ probes AS (
 ),
 candidates AS (
   SELECT qid, vec_id FROM assign JOIN probes USING (cell) WHERE vec_id <> qid
+),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT c.qid, c.vec_id, CAST(SUM(comp.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM candidates c
+  JOIN comp ON comp.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid AND q.idx = comp.idx
+  GROUP BY c.qid, c.vec_id
+),
+ranked AS (
+  SELECT qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= 3
+"""
+
+
+RP_BITS = 6          # RP-LSH: hyperplanes / signature bits → 2^6 buckets
+
+
+def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection (SimHash-for-vectors) LSH ANN — the
+    second bucketed scale path next to IVF (Charikar's random-hyperplane
+    family: P[sign match] = 1 − θ/π).
+
+    RP_BITS hyperplanes; bit_j = (⟨v, h_j⟩ > 0); bucket = the bit
+    signature as an integer. Queries probe their own bucket plus all
+    Hamming-1 variants (multi-probe — recovers near-misses that differ
+    on one marginal hyperplane without a second hash table). Candidates
+    then get exact-decimal cosine + top-k via the same tail as IVF.
+
+    Determinism: hyperplanes must be identical in Spark and the DuckDB
+    oracle, so instead of an RNG they are DIFFERENCES OF CORPUS VECTORS
+    (h_j = v_j − v_{j+RP_BITS}) — deterministic, data-derived (difference
+    vectors of i.i.d. samples are direction-unbiased), and exact under
+    the shared decimal arithmetic, so the sign test never straddles an
+    engine-rounding boundary.
+
+    Scale shape: signatures are one broadcast join (hyperplanes are
+    RP_BITS×dim) + one groupBy per vector — O(corpus) with no
+    corpus-sized shuffle wider than (vec_id, bucket). The candidate join
+    shuffles bucket-ids only; the exact-rescore touches candidates, not
+    the corpus. For 10⁹ vectors you'd raise RP_BITS so bucket occupancy
+    stays ~constant (bits ≈ log2(N / target_bucket_size))."""
+    comp = _components(spark, sf_dir)
+    ha = comp.filter(F.col("vec_id") < RP_BITS).select(
+        F.col("vec_id").alias("h"), "idx", F.col("val").alias("av")
+    )
+    hb = comp.filter(
+        (F.col("vec_id") >= RP_BITS) & (F.col("vec_id") < 2 * RP_BITS)
+    ).select((F.col("vec_id") - RP_BITS).alias("h"), "idx", F.col("val").alias("bv"))
+    hyper = ha.join(hb, ["h", "idx"]).select(
+        "h", "idx", (F.col("av") - F.col("bv")).alias("hval")
+    )
+    proj = (
+        comp.join(F.broadcast(hyper), "idx")
+        .groupBy("vec_id", "h")
+        .agg(F.sum(F.col("val") * F.col("hval")).cast("decimal(38,18)").alias("p"))
+    )
+    bucket = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("p") > 0, F.expr("cast(shiftleft(1, h) as bigint)")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    masks = [0] + [1 << i for i in range(RP_BITS)]
+    variants = (
+        bucket.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.array(*[F.expr(f"cast(bucket ^ {m} as bigint)") for m in masks])
+            ).alias("bucket"),
+        )
+    )
+    candidates = (
+        bucket.join(F.broadcast(variants), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    return _rank_candidates(comp, candidates, k=3)
+
+
+SIM_RP_LSH_ORACLE = _COMP_CTES + f""",
+ha AS (SELECT vec_id AS h, idx, val AS av FROM comp WHERE vec_id < {RP_BITS}),
+hb AS (SELECT vec_id - {RP_BITS} AS h, idx, val AS bv FROM comp
+       WHERE vec_id >= {RP_BITS} AND vec_id < {2 * RP_BITS}),
+hyper AS (SELECT h, idx, av - bv AS hval FROM ha JOIN hb USING (h, idx)),
+proj AS (
+  SELECT comp.vec_id, h, CAST(SUM(val * hval) AS DECIMAL(38,18)) AS p
+  FROM comp JOIN hyper USING (idx) GROUP BY comp.vec_id, h
+),
+bucket AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+variants AS (
+  SELECT b.vec_id AS qid, xor(b.bucket, CAST(t.m AS BIGINT)) AS bucket
+  FROM bucket b, (SELECT UNNEST({[0] + [1 << i for i in range(RP_BITS)]}) AS m) t
+  WHERE b.vec_id < {N_QUERIES}
+),
+candidates AS (
+  SELECT v.qid, b.vec_id FROM bucket b JOIN variants v USING (bucket)
+  WHERE b.vec_id <> v.qid
 ),
 q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
 dots AS (
@@ -373,6 +498,7 @@ GROUP BY vec_id
 SPECS = [
     QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE),
+    QuerySpec("sim_rp_lsh_topk", sim_rp_lsh_topk, SIM_RP_LSH_ORACLE),
     QuerySpec("dedup_embedding_cosine_pairs", dedup_embedding_cosine_pairs, DEDUP_EMB_ORACLE),
     QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_QUANT_ORACLE),
 ]

@@ -72,6 +72,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "x_q18_large_volume": ("o_totalprice", "total_qty"),
     "sim_topk_bruteforce": ("cosine",),
     "sim_ivf_topk": ("cosine",),
+    "sim_rp_lsh_topk": ("cosine",),
     "dedup_embedding_cosine_pairs": ("cosine",),
     "a10_unpivot": ("s_value",),
     "a12_stats_moments": ("stddev_qty", "corr_qty_price"),

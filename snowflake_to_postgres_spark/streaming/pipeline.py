@@ -146,53 +146,74 @@ def incremental_transfer(
 SESSION_GAP_SEC = 1800
 
 _SESSION_OUTPUT_DDL = (
-    "user_id bigint, session_id bigint, n_events bigint, s_value double"
+    "user_id bigint, session_start double, n_events bigint, s_value double"
 )
 _SESSION_STATE_DDL = (
-    "last_ts double, session_id bigint, n_events bigint, s_value double"
+    "session_start double, last_ts double, n_events bigint, s_value double"
 )
 
 
-def sessionize_stream(events: "DataFrame", gap_sec: int = SESSION_GAP_SEC) -> "DataFrame":
+def sessionize_stream(
+    events: "DataFrame",
+    gap_sec: int = SESSION_GAP_SEC,
+    watermark: str = "2 hours",
+) -> "DataFrame":
     """Gap-based sessionization as a custom stateful streaming operator
-    (``applyInPandasWithState`` — SURVEY §2.9's extension surface).
+    (``applyInPandasWithState`` — SURVEY §2.9's extension surface) with
+    BOUNDED state: event-time timeout expires a user's state once the
+    watermark passes their open session's close (last_ts + gap), so state
+    size tracks *active* users, not all users ever seen — the property
+    that keeps an infinite stream runnable.
 
-    State per user: (last event time, open session ordinal, running
-    count/sum). Each micro-batch extends or closes sessions; emitted rows
-    are the *current* state of every session touched in the batch (update
-    semantics). The batch twin (operators/analytics_ext.sessionize_events)
-    is the oracle-checked equivalent; tests assert they agree."""
+    Sessions are identified by (user_id, session_start) — the session's
+    first event time as epoch seconds — NOT a per-user ordinal: an
+    ordinal cannot survive state expiry (a re-appearing user would
+    restart at 1 and collide), a start-timestamp key can. Emitted rows
+    are the current state of every session touched in the batch (update
+    semantics — downstream keeps MAX(n_events) per key). The batch twin
+    (operators/analytics_ext.sessionize_events) groups to the same keys;
+    tests assert they agree and that expired state actually leaves the
+    store (numRowsTotal)."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key: tuple, pdfs, state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            # Watermark passed last_ts + gap: no future event can extend
+            # this session (anything older is dropped as late), and its
+            # final form was already emitted in update mode. Drop it.
+            state.remove()
+            return
         if state.exists:
-            last_ts, session_id, n_events, s_value = state.get
+            session_start, last_ts, n_events, s_value = state.get
         else:
-            last_ts, session_id, n_events, s_value = None, 0, 0, 0.0
-        out_rows: dict[int, list] = {}
+            session_start, last_ts, n_events, s_value = None, None, 0, 0.0
+        out_rows: dict[float, list] = {}
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 sec = ts.timestamp()
                 if last_ts is None or sec - last_ts > gap_sec:
-                    session_id += 1
+                    session_start = sec
                     n_events, s_value = 0, 0.0
                 n_events += 1
                 s_value += float(value)
                 last_ts = sec
-                out_rows[session_id] = [user_id, session_id, n_events, s_value]
-        state.update((last_ts, session_id, n_events, s_value))
+                out_rows[session_start] = [user_id, session_start, n_events, s_value]
+        state.update((session_start, last_ts, n_events, s_value))
+        state.setTimeoutTimestamp(int((last_ts + gap_sec) * 1000) + 1)
         yield pd.DataFrame(
             list(out_rows.values()),
-            columns=["user_id", "session_id", "n_events", "s_value"],
+            columns=["user_id", "session_start", "n_events", "s_value"],
         )
 
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=_SESSION_OUTPUT_DDL,
         stateStructType=_SESSION_STATE_DDL,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

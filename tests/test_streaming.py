@@ -99,7 +99,11 @@ def test_streaming_dedup_bounded_state(spark, sf_dir):
 
 def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState sessionizer agrees with the oracle-checked
-    batch sessionizer on session count and per-session event totals."""
+    batch sessionizer on session count and per-session event totals.
+    Sessions are keyed (user_id, session_start) — the expiry-safe
+    identity — so the batch side derives session_start = min(ts)."""
+    import pyspark.sql.functions as F
+
     from snowflake_to_postgres_spark.operators.analytics_ext import sessionize_events
     from snowflake_to_postgres_spark.streaming.pipeline import (
         read_events_stream,
@@ -117,18 +121,73 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination()
     # update mode: keep the last emit per (user, session)
     streamed = spark.sql(
-        """SELECT user_id, session_id, max(n_events) AS n_events
+        """SELECT user_id, session_start, max(n_events) AS n_events
            FROM sessions_stream GROUP BY 1, 2"""
     )
     batch = (
         sessionize_events(load_table(spark, sf_dir, "events"))
         .groupBy("user_id", "session_id")
-        .count()
-        .withColumnRenamed("count", "n_events")
+        .agg(
+            # timestamp→double cast = fractional epoch seconds, the same
+            # micros/1e6 division pandas' Timestamp.timestamp() performs
+            F.min(F.col("ts").cast("double")).alias("session_start"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "n_events")
     )
     s_rows = {(r[0], r[1]): r[2] for r in streamed.collect()}
     b_rows = {(r[0], r[1]): r[2] for r in batch.collect()}
     assert s_rows == b_rows
+
+
+def test_sessionizer_state_expires_with_watermark(spark, sf_dir, tmp_path):
+    """Bounded state, observed for real: stream the events in two
+    time-ordered files (two micro-batches). After batch 2, every session
+    whose close (last_ts + gap) predates batch 1's watermark must have
+    LEFT the state store — numRowsTotal < total distinct users — while
+    the per-session outputs still match the batch twin."""
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.streaming.pipeline import sessionize_stream
+
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.select("user_id").distinct().count()
+    mid = events.agg(
+        F.percentile_approx(F.col("ts").cast("double"), F.lit(0.5)).alias("m")
+    ).collect()[0][0]
+    src = str(tmp_path / "src")
+    first = events.filter(F.col("ts").cast("double") <= mid)
+    second = events.filter(F.col("ts").cast("double") > mid)
+    first.coalesce(1).write.parquet(src + "/a.parquet")
+    second.coalesce(1).write.parquet(src + "/b.parquet")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_expiry")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    # the fixture spans ~3 months with a 30-min gap: by the second batch
+    # the watermark has passed almost every first-half session's close
+    assert state_rows, "no state operator progress recorded"
+    assert min(state_rows[-1:]) < n_users, (
+        f"state never shrank: {state_rows} vs {n_users} users"
+    )
 
 
 def test_continuous_rollup_equals_batch(spark, sf_dir, tmp_path):
