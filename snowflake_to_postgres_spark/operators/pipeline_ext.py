@@ -439,6 +439,81 @@ WHERE rn = 1
 """
 
 
+HASH_DIM = 32  # feature-hashing dimensionality (2^5 buckets)
+
+
+def tx_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-dimension document feature vectors via the hashing trick
+    (Weinberger et al., "Feature Hashing for Large Scale Multitask
+    Learning" — public paper): term → md5-derived bucket in [0,
+    HASH_DIM), tf aggregated per (doc, bucket), weighted by a
+    fixed-point idf. No vocabulary, no fit step, no driver state — the
+    property that makes featurization embarrassingly parallel at 100 TB
+    (a vocabulary-based vectorizer needs a global dictionary build +
+    broadcast; this needs nothing).
+
+    Determinism: the bucket comes from md5 (identical across engines,
+    the minhash idiom) and the idf is FIXED-POINT — floor(N·10⁶ / df) in
+    pure int64 — so weights are exact integers in both engines; no ln(),
+    no IEEE division, nothing libm-dependent. Output is sparse COO
+    (doc_id, dim_idx, tf, weight) — the honest layout at scale; dense
+    assembly is :func:`hashed_features_dense`."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver literal (the q11/q15 threshold pattern)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+        % F.lit(HASH_DIM)
+    ).alias("dim_idx")
+    tf = toks.select("doc_id", bucket).groupBy("doc_id", "dim_idx").agg(
+        F.count("*").alias("tf")
+    )
+    w_dim = Window.partitionBy("dim_idx")
+    return (
+        tf.withColumn("df", F.count("*").over(w_dim))
+        .select(
+            "doc_id",
+            "dim_idx",
+            "tf",
+            (F.col("tf") * F.expr(f"div({n_docs}L * 1000000L, df)"))
+            .cast("bigint")
+            .alias("weight"),
+        )
+    )
+
+
+def hashed_features_dense(sparse: DataFrame, dim: int = HASH_DIM) -> DataFrame:
+    """Sparse COO → dense array<bigint> per doc (for downstream ANN):
+    map_from_entries + one transform over 0..dim-1, zero-filled."""
+    return sparse.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("dim_idx", "weight"))
+        ).alias("_m")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.col("_m")[i], F.lit(0).cast("bigint")),
+        ).alias("vector"),
+    )
+
+
+TX_HASHED_FEATURES_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+t AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % {HASH_DIM} AS dim_idx,
+         COUNT(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2)
+SELECT doc_id, dim_idx, tf,
+       CAST(tf * (((SELECT COUNT(*) FROM documents) * 1000000) // COUNT(*) OVER (PARTITION BY dim_idx)) AS BIGINT) AS weight
+FROM t
+"""
+
+
 SPECS = [
     QuerySpec("tx_pii_scrub", tx_pii_scrub, TX_PII_ORACLE),
     QuerySpec("tx_tfidf_top_terms", tx_tfidf_top_terms, TX_TFIDF_ORACLE),
@@ -446,4 +521,5 @@ SPECS = [
     QuerySpec("tx_mixture_plan", tx_mixture_plan, TX_MIXTURE_ORACLE),
     QuerySpec("ts_gapfill_locf", ts_gapfill_locf, TS_GAPFILL_ORACLE),
     QuerySpec("pipe_clean_corpus", pipe_clean_corpus, PIPE_CLEAN_ORACLE),
+    QuerySpec("tx_hashed_features", tx_hashed_features, TX_HASHED_FEATURES_ORACLE),
 ]

@@ -35,14 +35,58 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_values: list[str],
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
-    """Generic as-of join: each left row gets the right row with the
-    greatest ``right_ts`` ≤ ``left_ts`` for the same key (DuckDB/kdb
-    ASOF semantics). Right rows sort before left rows at equal
-    timestamps so ties match (>= semantics)."""
-    l_tagged = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    r_tagged = (
-        right.withColumn("_side", F.lit(0)).withColumn("_ts", F.col(right_ts))
+    """Generic as-of join (pandas ``merge_asof`` surface, composed from
+    built-ins — one shuffle on the key, O(1) window state, no range
+    explosion at any scale):
+
+    * ``backward`` (default): greatest ``right_ts`` ≤ ``left_ts``
+      (DuckDB/kdb ASOF semantics). Ties match (≥).
+    * ``forward``: smallest ``right_ts`` ≥ ``left_ts``. Ties match.
+    * ``nearest``: whichever of the two is closer in time; ties prefer
+      backward (pandas' rule). Two carries over the SAME exchange —
+      Catalyst reuses the partition shuffle, only the in-partition sort
+      differs.
+    * ``tolerance_sec``: matches farther than this are nulled out (the
+      row survives — left-join semantics — its carried values don't).
+    """
+    if direction == "nearest":
+        b = asof_join(
+            left, right, key, left_ts, right_ts, right_values, "backward", tolerance_sec
+        )
+        bb = b.select(
+            "*",
+            *[F.col(v).alias(f"_b_{v}") for v in right_values],
+        ).drop(*right_values)
+        f = asof_join(
+            bb, right, key, left_ts, right_ts, right_values, "forward", tolerance_sec
+        )
+        b_delta = F.col(left_ts).cast("double") - F.col(f"_b_{right_ts}").cast("double")
+        f_delta = F.col(right_ts).cast("double") - F.col(left_ts).cast("double")
+        prefer_b = F.col(f"_b_{right_ts}").isNotNull() & (
+            F.col(right_ts).isNull() | (b_delta <= f_delta)
+        )
+        out = f.select(
+            "*",
+            *[
+                F.when(prefer_b, F.col(f"_b_{v}")).otherwise(F.col(v)).alias(f"_n_{v}")
+                for v in right_values
+            ],
+        ).drop(*right_values, *[f"_b_{v}" for v in right_values])
+        for v in right_values:
+            out = out.withColumnRenamed(f"_n_{v}", v)
+        return out
+
+    backward = direction == "backward"
+    # side ordering puts the right row on the matching side of the left
+    # row at EQUAL timestamps, so ties always match
+    l_tagged = left.withColumn("_side", F.lit(1 if backward else 0)).withColumn(
+        "_ts", F.col(left_ts)
+    )
+    r_tagged = right.withColumn("_side", F.lit(0 if backward else 1)).withColumn(
+        "_ts", F.col(right_ts)
     )
     cols = set(l_tagged.columns) | set(r_tagged.columns)
     l_full = l_tagged.select(
@@ -52,21 +96,39 @@ def asof_join(
         *[c if c in r_tagged.columns else F.lit(None).alias(c) for c in cols]
     )
     u = l_full.unionByName(r_full)
-    w = (
-        Window.partitionBy(key)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if backward:
+        w = (
+            Window.partitionBy(key)
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda v: F.last(v, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(key)
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = lambda v: F.first(v, ignorenulls=True).over(w)  # noqa: E731
     carried = u.select(
-        "*",
-        *[
-            F.last(v, ignorenulls=True).over(w).alias(f"_asof_{v}")
-            for v in right_values
-        ],
+        "*", *[carry(v).alias(f"_asof_{v}") for v in right_values]
     )
-    out = carried.filter(F.col("_side") == 1).drop("_side", "_ts", *right_values)
+    out = carried.filter(F.col("_side") == F.lit(1 if backward else 0)).drop(
+        "_side", "_ts", *right_values
+    )
     for v in right_values:
         out = out.withColumnRenamed(f"_asof_{v}", v)
+    if tolerance_sec is not None:
+        delta = (
+            (F.col(left_ts).cast("double") - F.col(right_ts).cast("double"))
+            if backward
+            else (F.col(right_ts).cast("double") - F.col(left_ts).cast("double"))
+        )
+        in_tol = F.col(right_ts).isNotNull() & (delta <= F.lit(float(tolerance_sec)))
+        out = out.select(
+            *[c for c in out.columns if c not in right_values],
+            *[F.when(in_tol, F.col(v)).alias(v) for v in right_values],
+        )
     return out
 
 
@@ -102,6 +164,63 @@ ASOF LEFT JOIN (
   SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS p_value
   FROM events WHERE event_type = 'purchase'
 ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def xj_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for every 'error' event, the same
+    user's NEXT purchase within 7 days (the recovery-window question —
+    did the user come back?). Exercises direction='forward' +
+    tolerance_sec on the composed operator; the oracle is an
+    independent formulation (inequality join + row_number, DuckDB
+    IEJoin) rather than a restatement of the window composition."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_event_id"), F.col("ts").alias("e_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        dec("value").alias("p_value"),
+    )
+    j = asof_join(
+        errors,
+        purchases,
+        "user_id",
+        "e_ts",
+        "p_ts",
+        ["p_ts", "p_value"],
+        direction="forward",
+        tolerance_sec=7 * 86400,
+    )
+    return j.select(
+        "error_event_id",
+        "user_id",
+        F.date_format("e_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("next_purchase_ts"),
+        "p_value",
+    )
+
+
+XJ_ASOF_FORWARD_ORACLE = """
+WITH e AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+p AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT e.event_id, p.ts AS p_ts, p.p_value,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY p.ts) AS rn
+  FROM e JOIN p
+    ON e.user_id = p.user_id
+   AND p.ts >= e.ts
+   AND p.ts <= e.ts + INTERVAL 7 DAY
+)
+SELECT e.event_id AS error_event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+       strftime(c.p_ts, '%Y-%m-%d %H:%M:%S') AS next_purchase_ts,
+       c.p_value
+FROM e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON c.event_id = e.event_id
 """
 
 
@@ -168,5 +287,6 @@ def range_join_bucketed(values: DataFrame, value_col: str, bucket_width: int) ->
 
 SPECS = [
     QuerySpec("xj_asof_join", xj_asof_join, XJ_ASOF_ORACLE),
+    QuerySpec("xj_asof_forward", xj_asof_forward, XJ_ASOF_FORWARD_ORACLE),
     QuerySpec("xj_range_join", xj_range_join, XJ_RANGE_ORACLE),
 ]

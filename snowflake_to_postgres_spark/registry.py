@@ -77,6 +77,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "a10_unpivot": ("s_value",),
     "a12_stats_moments": ("stddev_qty", "corr_qty_price"),
     "xj_asof_join": ("p_value",),
+    "xj_asof_forward": ("p_value",),
     "xj_range_join": ("s_price",),
     "st_windowed_agg": ("s_value",),
     "ts_gapfill_locf": ("s_value", "filled_value"),

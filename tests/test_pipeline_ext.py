@@ -151,3 +151,27 @@ def test_pipe_clean_corpus_stages_monotone(spark, sf_dir):
         assert r.n_tokens >= 10
         assert r.mean_word_len < 8.0
         assert 0.0 < r.keep_rate <= 1.0
+
+
+def test_hashed_features_dense_assembly(spark, sf_dir):
+    """Dense array assembly agrees with the oracle-checked sparse COO:
+    right length, zero-filled gaps, values at the sparse positions."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        HASH_DIM,
+        hashed_features_dense,
+        tx_hashed_features,
+    )
+
+    sparse = tx_hashed_features(spark, sf_dir)
+    dense = hashed_features_dense(sparse)
+    row = dense.orderBy("doc_id").first()
+    assert len(row["vector"]) == HASH_DIM
+    doc_sparse = {
+        r["dim_idx"]: r["weight"]
+        for r in sparse.filter(F.col("doc_id") == row["doc_id"]).collect()
+    }
+    for i, v in enumerate(row["vector"]):
+        assert v == doc_sparse.get(i, 0)
+    assert dense.count() == sparse.select("doc_id").distinct().count()

@@ -113,3 +113,84 @@ def test_partitioned_transfer_prunes(spark, sf_dir, tmp_path):
         (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
     ).count()
     assert q.count() == n_src
+
+
+def test_merge_upsert_partition_scoped(spark, sf_dir, tmp_path):
+    """MERGE upsert: updated rows replaced, new keys appended, untouched
+    rows intact — and untouched PARTITIONS never rewritten (file mtimes
+    identical), proving the IO is scoped to affected partitions."""
+    import glob
+    import os
+
+    from snowflake_to_postgres_spark.operators.transfer import (
+        merge_upsert_partitioned,
+        transfer_partitioned,
+    )
+
+    out = str(tmp_path / "orders_pt")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), out, "o_orderdate")
+    before = spark.read.parquet(out)
+    n_before = before.count()
+
+    # updates: bump price on 5 existing march-1997 orders + 2 new keys
+    sample = (
+        before.filter(F.col("_pt") == "1997-03")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .withColumn("o_totalprice", F.lit(99999.5))
+    )
+    fresh = sample.limit(2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    updates = sample.unionByName(fresh)
+    upd_keys = [r[0] for r in sample.select("o_orderkey").collect()]
+
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(out + "/_pt=*/**/*.parquet", recursive=True)
+    }
+    stats = merge_upsert_partitioned(spark, out, updates, ["o_orderkey"])
+    assert stats.rows > 0
+
+    after = spark.read.parquet(out)
+    assert after.count() == n_before + 2  # replaced in place + 2 appends
+    got = after.filter(F.col("o_orderkey").isin(upd_keys)).select("o_totalprice")
+    assert {float(r[0]) for r in got.collect()} == {99999.5}
+    assert after.filter(F.col("o_orderkey") > 10_000_000).count() == 2
+    # untouched partitions: same files, same mtimes
+    untouched = {
+        p: t for p, t in mtimes.items() if "/_pt=1997-03/" not in p
+    }
+    for p, t in untouched.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == t, p
+
+
+def test_merge_upsert_version_latest_wins(spark, sf_dir, tmp_path):
+    """With a version column, replaying an OLD feed cannot regress a
+    newer target row (idempotent at-least-once semantics)."""
+    from snowflake_to_postgres_spark.operators.transfer import (
+        merge_upsert_partitioned,
+        transfer_partitioned,
+    )
+
+    out = str(tmp_path / "orders_v")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), out, "o_orderdate")
+    before = spark.read.parquet(out)
+    row = before.orderBy("o_orderkey").limit(1)
+    key = row.collect()[0]["o_orderkey"]
+    old_price = float(row.collect()[0]["o_totalprice"])
+
+    # stale update: older o_orderdate-as-version than the target row
+    stale = row.withColumn("o_totalprice", F.lit(1.0)).withColumn(
+        "o_orderdate", F.date_sub(F.col("o_orderdate"), 1000)
+    )
+    merge_upsert_partitioned(
+        spark, out, stale, ["o_orderkey"], version_col="o_orderdate"
+    )
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderkey") == key)
+        .select("o_totalprice")
+        .collect()
+    )
+    assert len(got) == 1 and float(got[0][0]) == old_price
