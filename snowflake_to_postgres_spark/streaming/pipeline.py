@@ -139,6 +139,80 @@ def incremental_transfer(
     run_available_now(stream, checkpoint_dir, out_dir)
 
 
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session-window aggregation (``F.session_window``) — the
+    built-in counterpart to the applyInPandasWithState sessionizer:
+    merging windows maintained by the engine, watermark-bounded state,
+    append-mode emission of CLOSED sessions. Works identically on a
+    batch frame (the oracle path). ``w.end`` is last event + gap —
+    Spark's session close boundary."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("s_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "s_value",
+        )
+    )
+
+
+def interval_join_events(
+    events: DataFrame, watermark: str = "1 hour", interval: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval self-join: each 'error' event joined to
+    the same user's 'purchase' events in the preceding ``interval``
+    (what did they buy right before it broke?). On a stream BOTH sides
+    carry watermarks and the join condition bounds event time in both
+    directions, so Spark can evict join state once the watermark passes
+    the interval — bounded state on an infinite stream, the shape a
+    stream-stream join must have to survive. Works identically on a
+    batch frame for the oracle path."""
+    errors = events.filter(F.col("event_type") == "error")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    if events.isStreaming:
+        errors = errors.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_event_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("p_value"),
+    )
+    return (
+        e.join(
+            p,
+            F.expr(
+                f"e_user = p_user AND p_ts >= e_ts - INTERVAL {interval} AND p_ts <= e_ts"
+            ),
+        )
+        .select(
+            "error_event_id",
+            F.col("e_user").alias("user_id"),
+            F.date_format("e_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+            "purchase_event_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "p_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: streaming sessionization
 # ---------------------------------------------------------------------------

@@ -71,8 +71,66 @@ GROUP BY c_mktsegment
 """
 
 
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the native session-window aggregation. The oracle
+    is the classic gaps-and-islands SQL (LAG → break flag → running sum
+    → group), at full microsecond precision — Spark opens a new session
+    when the gap is ≥ the duration (half-open [start, last+gap) window),
+    so the break condition is ``>= gap`` in µs."""
+    from snowflake_to_postgres_spark.streaming.pipeline import session_window_agg
+
+    return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+ST_SESSION_WINDOW_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (errors ⋈ same
+    user's purchases in the preceding hour). The streaming execution —
+    dual watermarks, bounded join state — is exercised in
+    tests/test_streaming.py::test_interval_join_stream_equals_batch."""
+    from snowflake_to_postgres_spark.streaming.pipeline import interval_join_events
+
+    return interval_join_events(load_table(spark, sf_dir, "events"))
+
+
+ST_INTERVAL_JOIN_ORACLE = """
+SELECT e.event_id AS error_event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+       p.event_id AS purchase_event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST(p.value AS DECIMAL(18,2)) AS p_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts >= e.ts - INTERVAL 1 HOUR
+ AND p.ts <= e.ts
+"""
+
+
 SPECS = [
     QuerySpec("st_windowed_agg", st_windowed_agg, ST_WINDOWED_ORACLE),
     QuerySpec("st_dedup_events", st_dedup_events, ST_DEDUP_ORACLE),
     QuerySpec("st_enrich_rollup", st_enrich_rollup, ST_ENRICH_ORACLE),
+    QuerySpec("st_session_window", st_session_window, ST_SESSION_WINDOW_ORACLE),
+    QuerySpec("st_interval_join", st_interval_join, ST_INTERVAL_JOIN_ORACLE),
 ]

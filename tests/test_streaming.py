@@ -213,3 +213,65 @@ def test_continuous_rollup_equals_batch(spark, sf_dir, tmp_path):
     # idempotent restart: checkpoint prevents double counting
     run_continuous_rollup(spark, read_events_stream(spark, sf_dir), rollup_dir, ckpt)
     assert _rows(spark.read.parquet(rollup_dir)) == _rows(batch)
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Native session_window on a stream (append mode emits CLOSED
+    sessions) equals the batch twin for every session the watermark
+    closed by end-of-stream."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        read_events_stream,
+        session_window_agg,
+    )
+
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        session_window_agg(read_events_stream(spark, sf_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out)
+    batch = session_window_agg(load_table(spark, sf_dir, "events"))
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    # sessions closed before the final watermark (2h delay, minus the
+    # 30-min gap baked into session_end) are guaranteed emitted
+    cutoff = (max_ts - datetime.timedelta(hours=3)).strftime("%Y-%m-%d %H:%M:%S")
+    closed_b = batch.filter(F.col("session_end") <= F.lit(cutoff))
+    closed_s = streamed.filter(F.col("session_end") <= F.lit(cutoff))
+    assert _rows(closed_s) == _rows(closed_b)
+    assert streamed.count() >= closed_b.count()
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval self-join (dual watermarks, bounded join
+    state): an availableNow drain produces exactly the batch join."""
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        interval_join_events,
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "joined")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        interval_join_events(read_events_stream(spark, sf_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out)
+    batch = interval_join_events(load_table(spark, sf_dir, "events"))
+    assert _rows(streamed) == _rows(batch)
