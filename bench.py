@@ -58,6 +58,12 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "sim_topk_bruteforce",
     "tx_quality_score",
+    # round-4 additions (one per new family; prior keys unchanged so
+    # round-over-round per-query comparison stays apples-to-apples)
+    "sim_rp_lsh_topk",
+    "xj_asof_forward",
+    "st_session_window",
+    "tx_hashed_features",
 ]
 
 
