@@ -123,7 +123,6 @@ _PRIORITY: tuple[str, ...] = (
     "a3_fingerprint_by_date",
     "a4_null_counts",
     "a5_minmax_stats",
-    "a6_date_chunk_bounds",
     "a7_distinct_agg",
     # joins
     "j1_equi_join_chain",
@@ -131,11 +130,9 @@ _PRIORITY: tuple[str, ...] = (
     "j3_point_lookup_join",
     "j4_fullouter_key_align",
     "j5_anti_join",
-    # set ops / windows / grouping
-    "set_union_distinct",
+    # windows / grouping
     "w1_topk_per_group",
     "w2_lag_delta",
-    "w3_running_sum",
     "w4_rank_dense",
     "g1_rollup",
     "g3_having",
@@ -146,24 +143,30 @@ _PRIORITY: tuple[str, ...] = (
     "f6_date_trunc",
     "f7_datediff",
     "f9_split_to_table",
-    "f12_casts",
-    "f13_date_arithmetic",
     # semi-structured / validation / analytics
     "v1_variant_json_extract",
     "val_partition_diff",
     "val_fingerprint_diff",
     "x_sessionization",
     "x_q5_local_volume",
-    # LLM-pipeline extension families
+    # LLM-pipeline extension families (round 4 widened: fuzzy-dedup
+    # corpus materialization, RP-LSH ANN, hashing-trick features,
+    # forward as-of, native session windows — one driver row each;
+    # demoted near-duplicates w3/a6/f12/f13/set_union stay FULL-checked)
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
+    "dedup_fuzzy_corpus",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
+    "sim_rp_lsh_topk",
     "tx_token_stats",
+    "tx_hashed_features",
     "mm_binary_meta",
     "xj_asof_join",
+    "xj_asof_forward",
     "st_windowed_agg",
+    "st_session_window",
 )
 
 

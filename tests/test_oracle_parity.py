@@ -66,16 +66,21 @@ def test_priority_window_covers_families():
     for family_rep in (
         "q1_", "s1_", "s3_", "s7_", "s10_",            # scans/catalog
         "p1_", "p2_", "p3_", "p4_", "p5_",             # project/filter/page
-        "a2_", "a3_", "a4_", "a5_", "a6_", "a7_",      # aggregation
+        "a2_", "a3_", "a4_", "a5_", "a7_",             # aggregation
         "j1_", "j2_", "j3_", "j4_", "j5_",             # joins
-        "set_union", "w1_", "w2_", "w3_", "w4_",       # set ops / windows
+        "w1_", "w2_", "w4_",                           # windows
         "g1_", "g3_",                                  # grouping
-        "f1_", "f2_", "f4_", "f6_", "f7_", "f9_", "f12_", "f13_",  # functions
+        "f1_", "f2_", "f4_", "f6_", "f7_", "f9_",      # functions
         "v1_", "val_partition", "val_fingerprint",     # variant / validation
         "x_sessionization", "x_q5",                    # analytics
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",  # dedup
-        "sim_topk_bruteforce", "sim_ivf",              # similarity
-        "tx_token", "mm_", "xj_asof", "st_",           # text/multimodal/temporal/streaming
+        # dedup incl. the fuzzy-corpus end product
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_fuzzy",
+        # similarity: exact + both bucketed ANN paths
+        "sim_topk_bruteforce", "sim_ivf", "sim_rp_lsh",
+        # text/featurization/multimodal
+        "tx_token", "tx_hashed", "mm_",
+        # temporal joins both directions; streaming agg + session windows
+        "xj_asof_join", "xj_asof_forward", "st_windowed", "st_session",
     ):
         assert any(n.startswith(family_rep) for n in names), family_rep
 
