@@ -104,3 +104,27 @@ def test_propagate_components_random_graph_matches_union_find(spark):
     labels, _ = propagate_components(sym)
     got = {r["doc_id"]: r["comp"] for r in labels.collect()}
     assert got == canon
+
+
+def test_driver_union_find_matches_distributed(spark):
+    """Strategy parity: the driver-side union-find (the adaptive fast
+    path under DRIVER_CC_MAX_EDGES) labels a random graph identically
+    to the distributed pointer-jumping path."""
+    import random
+
+    from snowflake_to_postgres_spark.operators.dedup import (
+        _union_find_labels,
+        propagate_components,
+    )
+
+    rng = random.Random(11)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+    sym = spark.createDataFrame(
+        sorted(set(edges + [(b, a) for a, b in edges])), "d1 long, d2 long"
+    ).localCheckpoint()
+    uf = {r["doc_id"]: r["comp"] for r in _union_find_labels(spark, sym).collect()}
+    dist_labels, _ = propagate_components(sym)
+    dist = {r["doc_id"]: r["comp"] for r in dist_labels.collect()}
+    assert uf == dist
