@@ -500,17 +500,96 @@ def hashed_features_dense(sparse: DataFrame, dim: int = HASH_DIM) -> DataFrame:
     )
 
 
-TX_HASHED_FEATURES_ORACLE = f"""
+_TX_HASHED_CTE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
 t AS (
   SELECT doc_id,
          CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % {HASH_DIM} AS dim_idx,
          COUNT(*) AS tf
-  FROM toks WHERE term <> '' GROUP BY 1, 2)
-SELECT doc_id, dim_idx, tf,
-       CAST(tf * (((SELECT COUNT(*) FROM documents) * 1000000) // COUNT(*) OVER (PARTITION BY dim_idx)) AS BIGINT) AS weight
-FROM t
+  FROM toks WHERE term <> '' GROUP BY 1, 2),
+feats AS (
+  SELECT doc_id, dim_idx, tf,
+         CAST(tf * (((SELECT COUNT(*) FROM documents) * 1000000) // COUNT(*) OVER (PARTITION BY dim_idx)) AS BIGINT) AS weight
+  FROM t)
+"""
+
+TX_HASHED_FEATURES_ORACLE = _TX_HASHED_CTE + "SELECT doc_id, dim_idx, tf, weight FROM feats"
+
+
+N_DOC_QUERIES = 3  # sim_doc_hashed_topk: query docs (doc_id < 3), top-3 each
+
+
+def sim_doc_hashed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end in-engine embed-and-search: featurize documents with
+    the hashing trick (:func:`tx_hashed_features`) and find each query
+    document's top-3 neighbors by cosine over those vectors — no
+    external embedding model, no vocabulary, one engine.
+
+    Determinism: weights are exact int64; dot products and squared
+    norms are computed in DECIMAL(38,0) (weights can reach ~1e10, so
+    their products overflow int64 — decimal keeps them exact and
+    order-independent in both engines); only the final cosine divides
+    in IEEE doubles, rounded to DECIMAL(10,8) like every other cosine.
+
+    Scale shape: sparse dot via equi-join on dim_idx with the query
+    block broadcast — the sim_topk_bruteforce topology over generated
+    features."""
+    feats = tx_hashed_features(spark, sf_dir).select(
+        "doc_id", "dim_idx", F.col("weight").cast("decimal(19,0)").alias("w")
+    )
+    norms = feats.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("decimal(38,0)").alias("n2")
+    )
+    q = feats.filter(F.col("doc_id") < N_DOC_QUERIES).select(
+        F.col("doc_id").alias("qid"), "dim_idx", F.col("w").alias("qw")
+    )
+    dots = (
+        feats.join(F.broadcast(q), "dim_idx")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).cast("decimal(38,0)").alias("dot"))
+    )
+    qn = norms.select(F.col("doc_id").alias("qid"), F.col("n2").alias("qn2"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+    ).cast("decimal(10,8)")
+    ranked = (
+        dots.join(F.broadcast(qn), "qid")
+        .join(norms, "doc_id")
+        .select("qid", F.col("doc_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "neighbor_id", "cosine")
+    )
+
+
+SIM_DOC_HASHED_ORACLE = _TX_HASHED_CTE + f""",
+fw AS (SELECT doc_id, dim_idx, CAST(weight AS DECIMAL(19,0)) AS w FROM feats),
+norms AS (SELECT doc_id, CAST(SUM(w * w) AS DECIMAL(38,0)) AS n2 FROM fw GROUP BY doc_id),
+q AS (SELECT doc_id AS qid, dim_idx, w AS qw FROM fw WHERE doc_id < {N_DOC_QUERIES}),
+dots AS (
+  SELECT q.qid, fw.doc_id, CAST(SUM(fw.w * q.qw) AS DECIMAL(38,0)) AS dot
+  FROM fw JOIN q USING (dim_idx)
+  WHERE fw.doc_id <> q.qid
+  GROUP BY q.qid, fw.doc_id
+),
+ranked AS (
+  SELECT qid, dots.doc_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.doc_id = dots.qid
+  JOIN norms nn ON nn.doc_id = dots.doc_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= 3
 """
 
 
@@ -522,4 +601,5 @@ SPECS = [
     QuerySpec("ts_gapfill_locf", ts_gapfill_locf, TS_GAPFILL_ORACLE),
     QuerySpec("pipe_clean_corpus", pipe_clean_corpus, PIPE_CLEAN_ORACLE),
     QuerySpec("tx_hashed_features", tx_hashed_features, TX_HASHED_FEATURES_ORACLE),
+    QuerySpec("sim_doc_hashed_topk", sim_doc_hashed_topk, SIM_DOC_HASHED_ORACLE),
 ]

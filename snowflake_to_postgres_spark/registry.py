@@ -73,6 +73,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "sim_topk_bruteforce": ("cosine",),
     "sim_ivf_topk": ("cosine",),
     "sim_rp_lsh_topk": ("cosine",),
+    "sim_doc_hashed_topk": ("cosine",),
     "dedup_embedding_cosine_pairs": ("cosine",),
     "a10_unpivot": ("s_value",),
     "a12_stats_moments": ("stddev_qty", "corr_qty_price"),
