@@ -196,6 +196,29 @@ def cmd_transfer(args) -> int:
     return 1 if any(s.error for s in stats) else 0
 
 
+def cmd_merge(args) -> int:
+    """Incremental upsert of an updates parquet into a hive-partitioned
+    target (the verb the reference's truncate-and-reload transfer never
+    had) — IO scoped to the partitions the updates touch."""
+    from snowflake_to_postgres_spark.operators.transfer import (
+        merge_upsert_partitioned,
+    )
+
+    spark = get_spark("merge")
+    updates = spark.read.parquet(args.updates)
+    stats = merge_upsert_partitioned(
+        spark,
+        args.target,
+        updates,
+        key_cols=args.keys.split(","),
+        partition_col=args.partition_col,
+        version_col=args.version_col,
+    )
+    print(json.dumps({"table": stats.table, "rows": stats.rows,
+                      "seconds": round(stats.seconds, 3)}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from snowflake_to_postgres_spark.operators.validation import DataValidator
 
@@ -307,6 +330,14 @@ def main(argv: list[str] | None = None) -> int:
         t.add_argument("--jdbc-password")
         t.add_argument("--jdbc-driver")
         t.set_defaults(fn=cmd_transfer if verb == "transfer" else cmd_migrate)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--target", required=True, help="hive-partitioned parquet dir")
+    m.add_argument("--updates", required=True, help="parquet dir of update rows")
+    m.add_argument("--keys", required=True, help="comma-separated key columns")
+    m.add_argument("--partition-col", default="_pt")
+    m.add_argument("--version-col", help="max-version-wins (idempotent replays)")
+    m.set_defaults(fn=cmd_merge)
 
     v = sub.add_parser("validate")
     v.add_argument("--source", required=True)

@@ -130,3 +130,31 @@ def test_cli_validate_fails_on_corruption(tmp_path, capsys, spark, sf_dir):
     assert rc == 1
     report = json.loads(capsys.readouterr().out)
     assert not report[0]["passed"]
+
+
+def test_cli_merge_upsert(tmp_path, capsys, spark, sf_dir):
+    """merge verb: partition-scoped upsert end-to-end from the CLI."""
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.operators.transfer import transfer_partitioned
+    from snowflake_to_postgres_spark.sources import table_path
+
+    tgt = str(tmp_path / "orders_pt")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), tgt, "o_orderdate")
+    before = spark.read.parquet(tgt)
+    n_before = before.count()
+    upd_dir = str(tmp_path / "updates")
+    (
+        before.orderBy("o_orderkey").limit(3)
+        .withColumn("o_totalprice", F.lit(12345.0))
+        .write.parquet(upd_dir)
+    )
+    rc = main([
+        "merge", "--target", tgt, "--updates", upd_dir, "--keys", "o_orderkey",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["table"] == "merge_upsert" and out["rows"] > 0
+    after = spark.read.parquet(tgt)
+    assert after.count() == n_before
+    assert after.filter(F.col("o_totalprice") == 12345.0).count() == 3
