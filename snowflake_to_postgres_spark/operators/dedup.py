@@ -302,6 +302,20 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only joins shuffle on (band, bucket) and on shingle;
     both keys are df-capped, so no quadratic blowup. Candidates << N²."""
+    overlap = _lsh_candidate_overlap(spark, sf_dir)
+    jac = F.col("i").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("i")
+    ).cast("double")
+    return overlap.select("d1", "d2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+def _lsh_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d1, d2, i, n1, n2) for every LSH candidate pair: true shingle
+    intersection size plus both shingle-set sizes — the verification
+    stage every set-overlap measure (Jaccard, containment) derives
+    from."""
     sh = _doc_shingles(spark, sf_dir).cache()
     sigs = _minhash_signatures(sh)
     rows_per_band = N_MINHASH // N_BANDS
@@ -358,13 +372,61 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = doc_n.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     nb = doc_n.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")).cast("double")
-    return (
-        inter.join(F.broadcast(na), "d1")
-        .join(F.broadcast(nb), "d2")
-        .select("d1", "d2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return inter.join(F.broadcast(na), "d1").join(F.broadcast(nb), "d2")
+
+
+CONTAINMENT_THRESHOLD = 0.95
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment C(src→dst) =
+    |S(src)∩S(dst)| / |S(src)| (Broder's containment, the measure that
+    catches a SHORT document embedded in a longer one — symmetric
+    Jaccard dilutes exactly that case). Emits one directed row per
+    (src, dst) with containment ≥ CONTAINMENT_THRESHOLD; a full-dup
+    pair emits both directions.
+
+    Candidates come from the same MinHash-LSH banding as the Jaccard
+    path (shared :func:`_lsh_candidate_overlap` — one verification
+    shuffle serves both measures). Declared recall bound: banding is
+    tuned for resemblance, so an extreme short-in-huge embedding with
+    near-zero Jaccard can evade the bands; a dedicated containment
+    index would band over the shorter side's shingle sample. At the
+    corpus's dup profile (near-full overlaps) the candidates are the
+    same ones Jaccard verification already touches."""
+    overlap = _lsh_candidate_overlap(spark, sf_dir)
+    c1 = F.col("i").cast("double") / F.col("n1").cast("double")
+    c2 = F.col("i").cast("double") / F.col("n2").cast("double")
+    fwd = overlap.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst"), c1.alias("containment")
     )
+    rev = overlap.select(
+        F.col("d2").alias("src"), F.col("d1").alias("dst"), c2.alias("containment")
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+
+
+DEDUP_CONTAINMENT_ORACLE = _minhash_oracle_sig_sql() + f"""
+, candidates AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+overlap AS (
+  SELECT c.d1, c.d2, i, ca.n AS n1, cb.n AS n2
+  FROM candidates c
+  JOIN inter ON inter.d1 = c.d1 AND inter.d2 = c.d2
+  JOIN doc_n ca ON ca.doc_id = c.d1
+  JOIN doc_n cb ON cb.doc_id = c.d2
+),
+directed AS (
+  SELECT d1 AS src, d2 AS dst, CAST(i AS DOUBLE) / n1 AS containment FROM overlap
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst, CAST(i AS DOUBLE) / n2 AS containment FROM overlap
+)
+SELECT src, dst, containment FROM directed
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
 
 
 DEDUP_MINHASH_PAIRS_ORACLE = _minhash_oracle_sig_sql() + f"""
@@ -721,4 +783,5 @@ SPECS = [
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE),
     QuerySpec("dedup_cluster_components", dedup_cluster_components, DEDUP_CLUSTER_ORACLE),
     QuerySpec("dedup_fuzzy_corpus", dedup_fuzzy_corpus, DEDUP_FUZZY_CORPUS_ORACLE),
+    QuerySpec("dedup_containment_pairs", dedup_containment_pairs, DEDUP_CONTAINMENT_ORACLE),
 ]
