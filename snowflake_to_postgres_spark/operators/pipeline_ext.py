@@ -439,10 +439,18 @@ WHERE rn = 1
 """
 
 
-HASH_DIM = 32  # feature-hashing dimensionality (2^5 buckets)
+#: Feature-hashing dimensionality. 2^5 buckets is sized for the test
+#: corpus; at scale pick ``hash_dim ≈ 2^ceil(log2(vocab_size))`` —
+#: 2^18–2^20 for a web-scale vocabulary — so the expected bucket
+#: collision rate stays below 1 term/bucket (Weinberger et al. §4:
+#: estimation error decays with dimensionality). Everything downstream
+#: (df computation, broadcast size = hash_dim rows) scales gracefully.
+HASH_DIM = 32
 
 
-def tx_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tx_hashed_features(
+    spark: SparkSession, sf_dir: str, hash_dim: int = HASH_DIM
+) -> DataFrame:
     """Fixed-dimension document feature vectors via the hashing trick
     (Weinberger et al., "Feature Hashing for Large Scale Multitask
     Learning" — public paper): term → md5-derived bucket in [0,
@@ -457,7 +465,16 @@ def tx_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure int64 — so weights are exact integers in both engines; no ln(),
     no IEEE division, nothing libm-dependent. Output is sparse COO
     (doc_id, dim_idx, tf, weight) — the honest layout at scale; dense
-    assembly is :func:`hashed_features_dense`."""
+    assembly is :func:`hashed_features_dense`.
+
+    Scale shape of the idf: the document frequency per bucket is a
+    ``groupBy("dim_idx").count()`` — a map-side partial aggregate whose
+    result is exactly ``hash_dim`` rows — broadcast back onto the
+    (doc, dim) frame. The obvious alternative (a ``COUNT(*) OVER
+    (PARTITION BY dim_idx)`` window) would funnel the entire corpus-
+    sized frame through ``hash_dim`` partitions — a hard parallelism
+    ceiling no executor count can beat; the grouped-then-broadcast form
+    keeps the big frame's partitioning untouched."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # driver literal (the q11/q15 threshold pattern)
     toks = docs.select(
@@ -465,22 +482,20 @@ def tx_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term") != "")
     bucket = (
         F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
-        % F.lit(HASH_DIM)
+        % F.lit(hash_dim)
     ).alias("dim_idx")
     tf = toks.select("doc_id", bucket).groupBy("doc_id", "dim_idx").agg(
         F.count("*").alias("tf")
     )
-    w_dim = Window.partitionBy("dim_idx")
-    return (
-        tf.withColumn("df", F.count("*").over(w_dim))
-        .select(
-            "doc_id",
-            "dim_idx",
-            "tf",
-            (F.col("tf") * F.expr(f"div({n_docs}L * 1000000L, df)"))
-            .cast("bigint")
-            .alias("weight"),
-        )
+    # df = docs-per-bucket: hash_dim rows total, broadcast onto tf.
+    dfc = tf.groupBy("dim_idx").agg(F.count("*").alias("df"))
+    return tf.join(F.broadcast(dfc), "dim_idx").select(
+        "doc_id",
+        "dim_idx",
+        "tf",
+        (F.col("tf") * F.expr(f"div({n_docs}L * 1000000L, df)"))
+        .cast("bigint")
+        .alias("weight"),
     )
 
 
@@ -508,10 +523,12 @@ t AS (
          CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % {HASH_DIM} AS dim_idx,
          COUNT(*) AS tf
   FROM toks WHERE term <> '' GROUP BY 1, 2),
+dfc AS (
+  SELECT dim_idx, COUNT(*) AS df FROM t GROUP BY dim_idx),
 feats AS (
-  SELECT doc_id, dim_idx, tf,
-         CAST(tf * (((SELECT COUNT(*) FROM documents) * 1000000) // COUNT(*) OVER (PARTITION BY dim_idx)) AS BIGINT) AS weight
-  FROM t)
+  SELECT t.doc_id, t.dim_idx, t.tf,
+         CAST(t.tf * (((SELECT COUNT(*) FROM documents) * 1000000) // dfc.df) AS BIGINT) AS weight
+  FROM t JOIN dfc USING (dim_idx))
 """
 
 TX_HASHED_FEATURES_ORACLE = _TX_HASHED_CTE + "SELECT doc_id, dim_idx, tf, weight FROM feats"

@@ -160,6 +160,20 @@ def test_exact_percentiles_window_over_histogram(spark, sf_dir):
     assert "HashAggregate" in plan[first_window:], "window input is not aggregated"
 
 
+def test_hashed_features_idf_no_window_ceiling(spark, sf_dir):
+    """tx_hashed_features: the document-frequency stage must be a
+    grouped partial aggregate broadcast back onto the (doc, dim) frame
+    — NEVER a Window over dim_idx, which would funnel the corpus-sized
+    frame through HASH_DIM partitions (a parallelism ceiling no
+    executor count can beat)."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import tx_hashed_features
+
+    plan = _plan(tx_hashed_features(spark, sf_dir))
+    assert "Window" not in plan, "df computed via a Window — parallelism ceiling"
+    assert "partial_count" in plan, "df stage lost its map-side partial aggregate"
+    assert "BroadcastHashJoin" in plan, "hash_dim-row df frame must broadcast"
+
+
 def test_runtime_bloom_filter_engages_at_scale(spark, sf_dir):
     """100 TB shape: when the dim side is too big to broadcast (simulated
     by disabling autoBroadcast), a selective filter on one join side must
