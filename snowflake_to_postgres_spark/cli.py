@@ -213,6 +213,7 @@ def cmd_merge(args) -> int:
         key_cols=args.keys.split(","),
         partition_col=args.partition_col,
         version_col=args.version_col,
+        check_moved_keys=args.check_moved_keys,
     )
     print(json.dumps({"table": stats.table, "rows": stats.rows,
                       "seconds": round(stats.seconds, 3)}))
@@ -337,6 +338,12 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--keys", required=True, help="comma-separated key columns")
     m.add_argument("--partition-col", default="_pt")
     m.add_argument("--version-col", help="max-version-wins (idempotent replays)")
+    m.add_argument(
+        "--check-moved-keys",
+        action="store_true",
+        help="fail if update keys exist in target partitions the updates "
+        "don't cover (partition_col not determined by keys)",
+    )
     m.set_defaults(fn=cmd_merge)
 
     v = sub.add_parser("validate")

@@ -254,6 +254,28 @@ def transfer_partitioned(
     return TransferStats("partitioned", obs.get["rows"], _time.perf_counter() - t0)
 
 
+def _staging_path(target_path: str) -> str:
+    """Staging directory for a merge: a SIBLING of the target under the
+    SAME filesystem/scheme (``{target}__staging_{uuid}``). Never a
+    driver-local tempdir — on a multi-node cluster executors write task
+    output to the filesystem named by the path, and a ``/tmp`` path
+    names a *different* disk on every node: the subsequent read would
+    see a partial or empty dataset. A sibling path inherits the
+    target's scheme (file://, hdfs://, s3a://…) so every executor and
+    the driver resolve it to the same store."""
+    import uuid
+
+    return f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex}"
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — resolves the
+    path's own filesystem, so it works for any scheme the write did."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     target_path: str,
@@ -261,6 +283,7 @@ def merge_upsert_partitioned(
     key_cols: list[str],
     partition_col: str = "_pt",
     version_col: str | None = None,
+    check_moved_keys: bool = False,
 ) -> TransferStats:
     """MERGE (upsert) into a hive-partitioned parquet target: rows in
     ``updates`` replace target rows with the same key; new keys append.
@@ -284,20 +307,52 @@ def merge_upsert_partitioned(
       feed cannot regress a newer row).
     * **Staging, not self-overwrite.** Spark refuses to overwrite a path
       it is reading ("Cannot overwrite a path that is also being read
-      from"), so the merged slice stages to a sibling temp dir and the
-      dynamic overwrite reads from there. Two bounded writes of the
-      affected slice beats pinning it in executor memory
-      (localCheckpoint) — spill-safe at any partition size.
+      from"), so the merged slice stages to a sibling directory under
+      the TARGET's filesystem (:func:`_staging_path`) and the dynamic
+      overwrite reads from there. Two bounded writes of the affected
+      slice beats pinning it in executor memory (localCheckpoint) —
+      spill-safe at any partition size. The staging location must share
+      the target's scheme: a driver-local tempdir only works when
+      driver and executors share one disk (local mode), never on a
+      cluster.
+
+    **Contract: ``partition_col`` must be functionally determined by
+    ``key_cols``** (e.g. ``_pt`` derived from an immutable event date).
+    Only target partitions present in the updates are scanned, so if an
+    update carries a *different* partition value than the target's
+    existing row for the same key, the old copy in the unscanned
+    partition survives — duplicate keys after the merge. Pass
+    ``check_moved_keys=True`` to detect this loudly: a column-pruned
+    scan of the full target's (key, partition) index is semi-joined
+    with the update keys, and any hit outside the scanned partitions
+    raises before anything is written. The check costs one key-column
+    scan of the target — off by default, required for feeds whose
+    partition derivation is not provably key-stable.
 
     Updates must already carry ``partition_col`` (use the same bucket
     expression as :func:`transfer_partitioned`)."""
-    import shutil
     import time as _time
 
     from pyspark.sql.window import Window
 
     t0 = _time.perf_counter()
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if check_moved_keys:
+        moved = (
+            spark.read.parquet(target_path)
+            .select(*key_cols, partition_col)
+            .filter(~F.col(partition_col).isin(parts))
+            .join(updates.select(*key_cols).distinct(), key_cols, "left_semi")
+        )
+        sample = moved.limit(5).collect()
+        if sample:
+            raise ValueError(
+                "merge_upsert_partitioned: update keys exist in target "
+                f"partitions outside the update's {partition_col} values — "
+                "the merge would leave stale duplicates. partition_col must "
+                f"be functionally determined by key_cols. Sample: "
+                f"{[tuple(r) for r in sample]}"
+            )
     tgt = spark.read.parquet(target_path).filter(F.col(partition_col).isin(parts))
     if version_col is None:
         merged = tgt.join(
@@ -315,7 +370,7 @@ def merge_upsert_partitioned(
             .drop("_rn", "_is_update")
         )
 
-    staging = tempfile.mkdtemp(prefix="merge_staging_")
+    staging = _staging_path(target_path)
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         merged.repartition(partition_col).write.mode("overwrite").parquet(staging)
@@ -330,5 +385,5 @@ def merge_upsert_partitioned(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
-        shutil.rmtree(staging, ignore_errors=True)
+        _hadoop_delete(spark, staging)
     return TransferStats("merge_upsert", n, _time.perf_counter() - t0)

@@ -165,6 +165,80 @@ def test_merge_upsert_partition_scoped(spark, sf_dir, tmp_path):
         assert os.path.exists(p) and os.path.getmtime(p) == t, p
 
 
+def test_merge_staging_rooted_in_target_fs(spark, sf_dir, tmp_path):
+    """The merge staging dir must be a SIBLING of the target under the
+    target's own filesystem/scheme — never a driver-local tempdir, which
+    on a multi-node cluster names a different disk on every executor.
+    Also: after a merge, no staging leftovers next to the target."""
+    import glob
+    import os
+
+    from snowflake_to_postgres_spark.operators.transfer import (
+        _staging_path,
+        merge_upsert_partitioned,
+        transfer_partitioned,
+    )
+
+    # scheme/root preservation, including remote URIs
+    sp = _staging_path("hdfs://nn:9000/warehouse/orders/")
+    assert sp.startswith("hdfs://nn:9000/warehouse/orders__staging_")
+    sp = _staging_path("s3a://bucket/tables/t")
+    assert sp.startswith("s3a://bucket/tables/t__staging_")
+    local = _staging_path(str(tmp_path / "orders_pt"))
+    assert os.path.dirname(local) == str(tmp_path)
+
+    out = str(tmp_path / "orders_pt")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), out, "o_orderdate")
+    upd = (
+        spark.read.parquet(out)
+        .filter(F.col("_pt") == "1997-03")
+        .limit(3)
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    merge_upsert_partitioned(spark, out, upd, ["o_orderkey"])
+    assert glob.glob(str(tmp_path / "*__staging_*")) == []
+
+
+def test_merge_moved_key_guard(spark, sf_dir, tmp_path):
+    """check_moved_keys: an update whose partition value differs from the
+    target's existing row for the same key must fail loudly BEFORE any
+    write (otherwise the stale copy in the unscanned partition survives
+    as a duplicate). A partition-stable update passes the same check."""
+    import pytest
+
+    from snowflake_to_postgres_spark.operators.transfer import (
+        merge_upsert_partitioned,
+        transfer_partitioned,
+    )
+
+    out = str(tmp_path / "orders_mk")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), out, "o_orderdate")
+    before = spark.read.parquet(out)
+    n_before = before.count()
+
+    moved = (
+        before.filter(F.col("_pt") == "1997-03")
+        .limit(2)
+        .withColumn("_pt", F.lit("1998-01"))  # key migrates partitions
+    )
+    with pytest.raises(ValueError, match="stale duplicates"):
+        merge_upsert_partitioned(
+            spark, out, moved, ["o_orderkey"], check_moved_keys=True
+        )
+    # guard fired before any write: target untouched
+    assert spark.read.parquet(out).count() == n_before
+
+    stable = (
+        before.filter(F.col("_pt") == "1997-03")
+        .limit(2)
+        .withColumn("o_totalprice", F.lit(7.5))
+    )
+    stats = merge_upsert_partitioned(
+        spark, out, stable, ["o_orderkey"], check_moved_keys=True
+    )
+    assert stats.rows > 0
+
+
 def test_merge_upsert_version_latest_wins(spark, sf_dir, tmp_path):
     """With a version column, replaying an OLD feed cannot regress a
     newer target row (idempotent at-least-once semantics)."""
