@@ -390,10 +390,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (shared :func:`_lsh_candidate_overlap` — one verification
     shuffle serves both measures). Declared recall bound: banding is
     tuned for resemblance, so an extreme short-in-huge embedding with
-    near-zero Jaccard can evade the bands; a dedicated containment
-    index would band over the shorter side's shingle sample. At the
-    corpus's dup profile (near-full overlaps) the candidates are the
-    same ones Jaccard verification already touches."""
+    near-zero Jaccard can evade the bands — :func:`dedup_containment_lsh`
+    is the dedicated index (bottom-k sample of the shorter side) that
+    closes exactly that case. This variant stays the cheap default when
+    the corpus's dup profile is near-full overlaps, where its candidates
+    are the ones Jaccard verification already touches."""
     overlap = _lsh_candidate_overlap(spark, sf_dir)
     c1 = F.col("i").cast("double") / F.col("n1").cast("double")
     c2 = F.col("i").cast("double") / F.col("n2").cast("double")
@@ -426,6 +427,114 @@ directed AS (
 )
 SELECT src, dst, containment FROM directed
 WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+#: Containment-LSH probe sample size: each document's K smallest shingle
+#: hashes (a deterministic bottom-k min-wise sample of its shingle set).
+CONTAINMENT_SAMPLE_K = 8
+#: Candidate bar: at least this many of the K sampled shingles must hit
+#: the destination document. With C(src→dst) ≥ 0.95 each sampled shingle
+#: lands in dst w.p. ≥ 0.95, so P(hits ≥ 6 of 8) ≈ 0.994 — and, unlike
+#: resemblance banding, the bound does NOT depend on |dst|.
+CONTAINMENT_MIN_HITS = 6
+
+
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-dedicated candidate index: closes the declared recall
+    bound of :func:`dedup_containment_pairs`. Resemblance-tuned MinHash
+    bands collide w.p. J^rows_per_band — a short document fully embedded
+    in a huge one has near-zero Jaccard, so the symmetric bands never
+    propose the pair. Here the index is built over the SHORTER side's
+    shingle *sample* instead (Broder's containment sketch idea: min-wise
+    sampling of the probe set):
+
+    1. **Sample** each doc's bottom-K shingle hashes (md5-ordered,
+       shingle-string tie-break — deterministic, mirrored in DuckDB).
+       A uniform min-wise sample of S(src), K rows per doc.
+    2. **Probe** the full shingle inverted index with the sample:
+       candidate (src, dst) when ≥ min(CONTAINMENT_MIN_HITS, k) sampled
+       shingles of src occur in dst. Recall depends only on C(src→dst),
+       never on |dst| — the property the symmetric bands lack.
+    3. **Verify** true containment |S(src)∩S(dst)| / |S(src)| ≥
+       CONTAINMENT_THRESHOLD on the candidates, shingle join semi-joined
+       down to candidate docs (same discipline as
+       :func:`_lsh_candidate_overlap`).
+
+    Scale shape: probe cost is K rows per document against a df-capped
+    index — candidate fanout ≤ N·K·MAX_DF, linear in corpus size; the
+    sample window partitions by doc_id (full parallelism). Emits
+    directed (src, dst, containment) rows like the symmetric path."""
+    sh = _doc_shingles(spark, sf_dir).cache()
+    x = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy(x.asc(), F.col("shingle").asc())
+    w_all = Window.partitionBy("doc_id")
+    sample = (
+        sh.withColumn("_rn", F.row_number().over(w))
+        .withColumn("k", F.least(F.lit(CONTAINMENT_SAMPLE_K), F.count("*").over(w_all)))
+        .filter(F.col("_rn") <= CONTAINMENT_SAMPLE_K)
+        .select(F.col("doc_id").alias("src"), "shingle", "k")
+    )
+    candidates = (
+        sample.join(sh.select(F.col("doc_id").alias("dst"), "shingle"), "shingle")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("hits"), F.min("k").alias("k"))
+        .filter(F.col("hits") >= F.least(F.lit(CONTAINMENT_MIN_HITS), F.col("k")))
+        .select("src", "dst")
+        .cache()  # tiny by construction — referenced twice below
+    )
+    cand_ids = (
+        candidates.select(F.col("src").alias("doc_id"))
+        .unionByName(candidates.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    s1 = sh_cand.select(F.col("doc_id").alias("src"), "shingle")
+    s2 = sh_cand.select(F.col("doc_id").alias("dst"), "shingle")
+    inter = (
+        F.broadcast(candidates)
+        .join(s1, "src")
+        .join(s2, ["dst", "shingle"])
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("i"))
+    )
+    n_src = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cont = F.col("i").cast("double") / F.col("n").cast("double")
+    return (
+        inter.join(F.broadcast(n_src.withColumnRenamed("doc_id", "src")), "src")
+        .select("src", "dst", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+DEDUP_CONTAINMENT_LSH_ORACLE = _SHINGLE_CTES + f"""
+, xs AS (
+  SELECT doc_id, shingle,
+         CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS x
+  FROM sh),
+samp AS (
+  SELECT doc_id AS src, shingle, k FROM (
+    SELECT doc_id, shingle,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY x, shingle) AS rn,
+           LEAST({CONTAINMENT_SAMPLE_K}, COUNT(*) OVER (PARTITION BY doc_id)) AS k
+    FROM xs)
+  WHERE rn <= {CONTAINMENT_SAMPLE_K}),
+cand AS (
+  SELECT src, dst FROM (
+    SELECT s.src, b.doc_id AS dst, COUNT(*) AS hits, MIN(s.k) AS k
+    FROM samp s JOIN sh b ON b.shingle = s.shingle AND b.doc_id <> s.src
+    GROUP BY 1, 2)
+  WHERE hits >= LEAST({CONTAINMENT_MIN_HITS}, k)),
+ic AS (
+  SELECT c.src, c.dst, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.src
+  JOIN sh b ON b.doc_id = c.dst AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT ic.src, ic.dst, CAST(i AS DOUBLE) / CAST(n AS DOUBLE) AS containment
+FROM ic JOIN doc_n ON doc_n.doc_id = ic.src
+WHERE CAST(i AS DOUBLE) / CAST(n AS DOUBLE) >= {CONTAINMENT_THRESHOLD}
 """
 
 
@@ -784,4 +893,5 @@ SPECS = [
     QuerySpec("dedup_cluster_components", dedup_cluster_components, DEDUP_CLUSTER_ORACLE),
     QuerySpec("dedup_fuzzy_corpus", dedup_fuzzy_corpus, DEDUP_FUZZY_CORPUS_ORACLE),
     QuerySpec("dedup_containment_pairs", dedup_containment_pairs, DEDUP_CONTAINMENT_ORACLE),
+    QuerySpec("dedup_containment_lsh", dedup_containment_lsh, DEDUP_CONTAINMENT_LSH_ORACLE),
 ]

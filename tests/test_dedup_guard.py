@@ -19,6 +19,56 @@ def test_guard_raises_above_limit(spark, sf_dir):
         dedup_ngram_jaccard_pairs(spark, sf_dir, max_candidate_pairs=0)
 
 
+def test_containment_lsh_catches_short_in_huge(spark, tmp_path):
+    """The adversarial case the resemblance bands are blind to: a short
+    document fully embedded in a huge one. Jaccard ≈ |short|/|huge| ≈
+    0.03, so symmetric MinHash bands (collision w.p. J^rows_per_band)
+    never propose the pair — dedup_containment_pairs must miss it. The
+    dedicated containment index (bottom-k sample of the src side) must
+    catch it with containment 1.0, and its DuckDB oracle must agree on
+    this fixture too."""
+    from snowflake_to_postgres_spark.operators.dedup import (
+        DEDUP_CONTAINMENT_LSH_ORACLE,
+        dedup_containment_lsh,
+        dedup_containment_pairs,
+    )
+    from tests.oracle_compare import compare_frames
+
+    huge = " ".join(f"tok{i:04d}" for i in range(600))
+    short = " ".join(f"tok{i:04d}" for i in range(100, 120))
+    filler = " ".join(f"oth{i:04d}" for i in range(100))
+    rows = [
+        (0, huge, "en", "src0", len(huge)),
+        (1, short, "en", "src0", len(short)),
+        (2, filler, "en", "src1", len(filler)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fix = str(tmp_path / "fixture_sf")
+    docs.coalesce(1).write.parquet(f"{fix}/documents.parquet")
+
+    sym = dedup_containment_pairs(spark, fix).collect()
+    assert not any(r["src"] == 1 and r["dst"] == 0 for r in sym), (
+        "symmetric bands unexpectedly proposed the short-in-huge pair — "
+        "fixture no longer demonstrates the recall gap"
+    )
+
+    ded = {(r["src"], r["dst"]): r["containment"]
+           for r in dedup_containment_lsh(spark, fix).collect()}
+    assert ded.get((1, 0)) == 1.0, f"dedicated index missed the pair: {ded}"
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{fix}/documents.parquet/*.parquet')"
+    )
+    ok, msg = compare_frames(dedup_containment_lsh(spark, fix),
+                             con.execute(DEDUP_CONTAINMENT_LSH_ORACLE))
+    assert ok, msg
+
+
 def test_cluster_components_invariants(spark, sf_dir):
     """Structural invariants of duplicate-cluster resolution, independent
     of the oracle: the canonical id is the cluster minimum, both ends of
