@@ -51,7 +51,22 @@ def asof_join(
       differs.
     * ``tolerance_sec``: matches farther than this are nulled out (the
       row survives — left-join semantics — its carried values don't).
+
+    Output columns are exactly the left columns plus ``right_values``.
+    ``tolerance_sec`` and ``nearest`` need the matched ``right_ts``
+    itself; if the caller didn't list it in ``right_values`` it is
+    carried internally and dropped from the result (otherwise the
+    tolerance filter would read the union's leftover all-null right_ts
+    column and silently null every match).
     """
+    _appended_rts = False
+    if right_ts not in right_values:
+        right_values = [*right_values, right_ts]
+        _appended_rts = True
+    # only the key, the timestamp, and the requested values cross the
+    # union — any other right-side column would survive as an all-null
+    # phantom in the output
+    right = right.select(*dict.fromkeys([key, right_ts, *right_values]))
     if direction == "nearest":
         b = asof_join(
             left, right, key, left_ts, right_ts, right_values, "backward", tolerance_sec
@@ -77,7 +92,7 @@ def asof_join(
         ).drop(*right_values, *[f"_b_{v}" for v in right_values])
         for v in right_values:
             out = out.withColumnRenamed(f"_n_{v}", v)
-        return out
+        return out.drop(right_ts) if _appended_rts else out
 
     backward = direction == "backward"
     # side ordering puts the right row on the matching side of the left
@@ -129,7 +144,7 @@ def asof_join(
             *[c for c in out.columns if c not in right_values],
             *[F.when(in_tol, F.col(v)).alias(v) for v in right_values],
         )
-    return out
+    return out.drop(right_ts) if _appended_rts else out
 
 
 def xj_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

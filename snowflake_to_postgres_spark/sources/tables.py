@@ -83,17 +83,28 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    return normalize_external_types(df)
+    return normalize_external_types(df, table=name)
 
 
-def normalize_external_types(df: DataFrame) -> DataFrame:
+#: Tables whose ``ts`` column is parquet TIMESTAMP(NANOS) — the ONLY
+#: tables where a raw bigint ``ts`` may be reinterpreted as nanoseconds.
+#: The rescale is scoped by table, not by column name: a future table
+#: carrying an epoch-seconds/millis bigint named ``ts`` must not be
+#: silently divided by 1000.
+NANOS_TS_TABLES = frozenset({"events"})
+
+
+def normalize_external_types(df: DataFrame, table: str | None = None) -> DataFrame:
     """Engine-wide timestamp policy (SURVEY §1.3): external event time
     normalizes to instant ``TimestampType`` at load, whatever shape the
     source delivered it in. Two shapes occur in the wild:
 
     * parquet TIMESTAMP(NANOS) read as a raw nanos-since-epoch long
       (older Spark with ``nanosAsLong``) → ``timestamp_micros`` with
-      floor division, matching DuckDB's ns→µs truncation;
+      floor division, matching DuckDB's ns→µs truncation. Applied only
+      when ``table`` is in :data:`NANOS_TS_TABLES` — the branch
+      reinterprets a bigint, so it must be opted in per table rather
+      than pattern-matched on a column name;
     * ``TimestampNTZType`` (Spark ≥4 reads parquet nanos natively as
       NTZ, micros-truncated; Snowflake TIMESTAMP_NTZ lands here too) →
       cast to TIMESTAMP. The session timezone is pinned UTC
@@ -109,7 +120,11 @@ def normalize_external_types(df: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if (
+            table in NANOS_TS_TABLES
+            and field.name == "ts"
+            and isinstance(field.dataType, T.LongType)
+        ):
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
             )

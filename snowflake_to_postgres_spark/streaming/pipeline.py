@@ -42,7 +42,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    stream = normalize_external_types(stream)
+    stream = normalize_external_types(stream, table="events")
     assert stream.schema == batch.schema, (
         f"stream/batch schema drift for events: {stream.schema} != {batch.schema}"
     )
@@ -276,7 +276,14 @@ def sessionize_stream(
                 last_ts = sec
                 out_rows[session_start] = [user_id, session_start, n_events, s_value]
         state.update((session_start, last_ts, n_events, s_value))
-        state.setTimeoutTimestamp(int((last_ts + gap_sec) * 1000) + 1)
+        # Clamp to the current watermark: applyInPandasWithState does not
+        # guarantee late rows are filtered before the stateful operator,
+        # so a group fed only events with last_ts + gap <= watermark
+        # would otherwise make setTimeoutTimestamp throw ("timeout
+        # timestamp cannot be earlier than watermark") and fail the
+        # query instead of expiring the session on the next tick.
+        timeout_ms = int((last_ts + gap_sec) * 1000) + 1
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(
             list(out_rows.values()),
             columns=["user_id", "session_start", "n_events", "s_value"],

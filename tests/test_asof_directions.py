@@ -63,6 +63,27 @@ def test_asof_matches_pandas_merge_asof(spark, direction, tolerance):
     assert got_map == _expected(left, right, direction, tolerance)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, 10.0])
+def test_asof_without_right_ts_in_values(spark, direction, tolerance):
+    """tolerance/nearest need the matched right_ts internally; a caller
+    asking only for ['rv'] must get the same rv matches as one asking
+    for ['rts', 'rv'] — previously the tolerance filter read the union's
+    all-null right_ts column and nulled every match — and the result
+    must NOT grow an rts column the caller never requested."""
+    left, right, sl, sr = _frames(spark)
+    got = asof_join(
+        sl, sr, "k", "lts", "rts", ["rv"],
+        direction=direction, tolerance_sec=tolerance,
+    )
+    assert "rts" not in got.columns
+    got_map = {(r["k"], r["lts"]): r["rv"] for r in got.collect()}
+    expected = {
+        kk: rv for kk, (_rts, rv) in _expected(left, right, direction, tolerance).items()
+    }
+    assert got_map == expected
+
+
 def test_asof_left_rows_always_survive(spark):
     _, _, sl, sr = _frames(spark)
     for direction in ("backward", "forward", "nearest"):

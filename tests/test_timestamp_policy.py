@@ -61,6 +61,23 @@ def test_stream_schema_equals_batch_schema(spark, sf_dir):
     assert stream.schema == batch.schema
 
 
+def test_bigint_ts_outside_events_not_rescaled(spark, tmp_path):
+    """The nanos→micros reinterpretation is scoped to NANOS_TS_TABLES: a
+    non-events table with an epoch-seconds/millis bigint column named
+    'ts' must come through load_table byte-identical, never divided by
+    1000."""
+    from pyspark.sql import Row
+
+    from snowflake_to_postgres_spark.sources import table_path
+
+    epoch_s = 1_700_000_000  # plausibly epoch-seconds
+    df = spark.createDataFrame([Row(id=1, ts=epoch_s)], "id long, ts long")
+    df.write.parquet(table_path(str(tmp_path), "ledger"))
+    got = load_table(spark, str(tmp_path), "ledger")
+    assert isinstance(got.schema["ts"].dataType, T.LongType)
+    assert got.collect()[0]["ts"] == epoch_s
+
+
 def test_session_timezone_is_utc(spark):
     """The NTZ→TIMESTAMP cast is only value-preserving under UTC; the
     session conf layer must have pinned it."""
