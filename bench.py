@@ -64,6 +64,8 @@ HEADLINE = [
     "xj_asof_forward",
     "st_session_window",
     "tx_hashed_features",
+    # round-5 addition
+    "dedup_containment_lsh",
 ]
 
 
@@ -87,10 +89,21 @@ def main() -> None:
     # back-to-back repeats of one query, so a transient stall (GC, page
     # cache) can't poison all samples of the same query.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE if name in qs}
+    round_no = 0
 
     def run_pass(n_rounds: int) -> None:
+        # Rotate the starting query each round (round-4 verdict: q1, the
+        # fixed first key, absorbed residual warmup its median couldn't
+        # shed). Whichever query runs first in a round pays any leftover
+        # JIT/GC cost of the preceding phase; rotation puts that
+        # first-position sample on a DIFFERENT key every round, so each
+        # median contains at most one of them.
+        nonlocal round_no
+        names = list(samples)
         for _ in range(n_rounds):
-            for name in samples:
+            k = round_no % len(names)
+            round_no += 1
+            for name in names[k:] + names[:k]:
                 df = qs[name](spark, sf_dir)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()

@@ -128,7 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     # joins
     "j1_equi_join_chain",
     "j2_multiway_join_topk",
-    "j3_point_lookup_join",
     "j4_fullouter_key_align",
     "j5_anti_join",
     # windows / grouping
@@ -136,12 +135,9 @@ _PRIORITY: tuple[str, ...] = (
     "w2_lag_delta",
     "w4_rank_dense",
     "g1_rollup",
-    "g3_having",
     # scalar function translations
     "f1_iff_case",
     "f2_nvl_coalesce",
-    "f4_to_date_roundtrip",
-    "f6_date_trunc",
     "f7_datediff",
     "f9_split_to_table",
     # semi-structured / validation / analytics
@@ -150,24 +146,30 @@ _PRIORITY: tuple[str, ...] = (
     "val_fingerprint_diff",
     "x_sessionization",
     "x_q5_local_volume",
-    # LLM-pipeline extension families (round 4 widened: fuzzy-dedup
-    # corpus materialization, RP-LSH ANN, hashing-trick features,
-    # forward as-of, native session windows — one driver row each;
-    # demoted near-duplicates w3/a6/f12/f13/set_union stay FULL-checked)
+    # LLM-pipeline extension families (round 5 rotation: the four
+    # round-4 orphans — containment dedup, in-engine embed-and-search,
+    # fused clean-corpus pipeline, stream-stream interval join — earn
+    # hard-signal rows; single-family near-duplicates f4/f6/j3/g3 are
+    # demoted below the window and stay FULL-checked, like w3/a6/f12/
+    # f13/set_union before them)
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "dedup_fuzzy_corpus",
+    "dedup_containment_pairs",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "sim_rp_lsh_topk",
+    "sim_doc_hashed_topk",
     "tx_token_stats",
     "tx_hashed_features",
+    "pipe_clean_corpus",
     "mm_binary_meta",
     "xj_asof_join",
     "xj_asof_forward",
     "st_windowed_agg",
     "st_session_window",
+    "st_interval_join",
 )
 
 

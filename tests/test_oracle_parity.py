@@ -67,22 +67,31 @@ def test_priority_window_covers_families():
         "q1_", "s1_", "s3_", "s7_", "s10_",            # scans/catalog
         "p1_", "p2_", "p3_", "p4_", "p5_",             # project/filter/page
         "a2_", "a3_", "a4_", "a5_", "a7_",             # aggregation
-        "j1_", "j2_", "j3_", "j4_", "j5_",             # joins
+        "j1_", "j2_", "j4_", "j5_",                    # joins
         "w1_", "w2_", "w4_",                           # windows
-        "g1_", "g3_",                                  # grouping
-        "f1_", "f2_", "f4_", "f6_", "f7_", "f9_",      # functions
+        "g1_",                                         # grouping
+        "f1_", "f2_", "f7_", "f9_",                    # functions
         "v1_", "val_partition", "val_fingerprint",     # variant / validation
         "x_sessionization", "x_q5",                    # analytics
-        # dedup incl. the fuzzy-corpus end product
+        # dedup incl. the fuzzy-corpus end product + containment
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_fuzzy",
-        # similarity: exact + both bucketed ANN paths
-        "sim_topk_bruteforce", "sim_ivf", "sim_rp_lsh",
-        # text/featurization/multimodal
-        "tx_token", "tx_hashed", "mm_",
+        "dedup_containment",
+        # similarity: exact + both bucketed ANN paths + embed-and-search
+        "sim_topk_bruteforce", "sim_ivf", "sim_rp_lsh", "sim_doc_hashed",
+        # text/featurization/pipeline/multimodal
+        "tx_token", "tx_hashed", "pipe_clean", "mm_",
         # temporal joins both directions; streaming agg + session windows
+        # + stream-stream interval join
         "xj_asof_join", "xj_asof_forward", "st_windowed", "st_session",
+        "st_interval",
     ):
         assert any(n.startswith(family_rep) for n in names), family_rep
+    # demoted near-duplicates must STAY registered (FULL-checked below
+    # the window), never silently dropped
+    all_names = [s.name for s in _all_specs()]
+    for demoted in ("f4_to_date_roundtrip", "f6_date_trunc",
+                    "j3_point_lookup_join", "g3_having"):
+        assert demoted in all_names and demoted not in names, demoted
 
 
 def test_registry_under_vanilla_session(spark, sf_dir):
