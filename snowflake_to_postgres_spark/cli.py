@@ -104,6 +104,9 @@ def cmd_discover(args) -> int:
             for t in info.tables
         ],
         "views": [{"name": v.name, "ddl": v.ddl} for v in info.views],
+        # discovery.py:389-441: procedures enumerated like views; they
+        # feed the build-views stub emitter (manual-TODO policy, F19)
+        "procedures": [{"name": p.name, "ddl": p.ddl} for p in info.procedures],
     }
     print(json.dumps(doc, indent=2))
     return 0
@@ -132,19 +135,43 @@ def cmd_build(args) -> int:
 
 
 def cmd_build_views(args) -> int:
-    from snowflake_to_postgres_spark.plans.dialect import translate_view
+    import re
+
+    from snowflake_to_postgres_spark.plans.dialect import (
+        translate_procedure_stub,
+        translate_view,
+    )
 
     spark = get_spark("build-views")
     failures = []
+    stubs = []
+    proc_re = re.compile(
+        r"CREATE\s+(?:OR\s+REPLACE\s+)?PROCEDURE\s+(\"?[\w.]+\"?)", re.I
+    )
     with open(args.views) as fh:
         ddls = [s.strip() for s in fh.read().split(";") if s.strip()]
     for ddl in ddls:
+        m = proc_re.match(ddl)
+        if m:
+            # F19 / view_procedure_translator.py:343-383: procedures are
+            # never executed — a manual-TODO stub is emitted instead
+            name = m.group(1).strip('"').split(".")[-1].lower()
+            stubs.append(translate_procedure_stub(name, ddl))
+            print(f"emitted procedure stub {name}")
+            continue
         try:
             tv = translate_view(ddl, args.schema)
             spark.sql(tv.spark_sql)
             print(f"created view {tv.name}" + (f" (warnings: {tv.warnings})" if tv.warnings else ""))
         except Exception as e:  # noqa: BLE001 — best-effort per view, like sf_migrate.py:470-491
             failures.append((ddl, str(e)))
+    if stubs:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(args.views)), "procedure_stubs.sql"
+        )
+        with open(out, "w") as fh:
+            fh.write("\n".join(stubs))
+        print(f"{len(stubs)} procedure stub(s) written to {out}")
     if failures:  # failed_views.sql capture (sf_migrate.py:978-1004)
         out = os.path.join(os.path.dirname(os.path.abspath(args.views)), "failed_views.sql")
         with open(out, "w") as fh:

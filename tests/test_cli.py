@@ -54,6 +54,11 @@ def test_cli_discover_jdbc(tmp_path, capsys, spark):
         "CONSTRAINT fk_t2_t1 FOREIGN KEY (t1_id) REFERENCES t1 (id))"
     )
     st.execute("INSERT INTO t1 VALUES (1, 'a')")
+    # live procedure: must surface in the discover JSON (discovery.py:389-441)
+    st.execute(
+        "CREATE PROCEDURE sync_t1(IN n INT) LANGUAGE JAVA "
+        "PARAMETER STYLE JAVA EXTERNAL NAME 'com.example.Jobs.sync'"
+    )
     st.close()
     conn.close()
     rc = main([
@@ -69,6 +74,8 @@ def test_cli_discover_jdbc(tmp_path, capsys, spark):
     assert tables["t1"]["row_count"] == 1
     assert tables["t2"]["foreign_keys"][0]["referenced_table"] == "t1"
     assert tables["t2"]["foreign_keys"][0]["type"] == "FOREIGN KEY"
+    # Derby's catalog keeps the backing Java class as the "definition"
+    assert doc["procedures"] == [{"name": "sync_t1", "ddl": "com.example.Jobs"}]
 
 
 def test_cli_discover_requires_a_source(capsys):
@@ -91,6 +98,29 @@ def test_cli_build_views_failure_capture(tmp_path, capsys, spark):
     assert "v_ok" not in captured
     assert spark.sql("SELECT * FROM v_ok").collect()[0]["one"] == 1
     spark.sql("DROP VIEW IF EXISTS v_ok")
+
+
+def test_cli_build_views_emits_procedure_stubs(tmp_path, capsys, spark):
+    """A CREATE PROCEDURE statement in the input never executes — it
+    becomes a manual-TODO stub in procedure_stubs.sql next to the input
+    (F19 / view_procedure_translator.py:343-383 policy), while views in
+    the same file still build."""
+    views = tmp_path / "mixed.sql"
+    views.write_text(
+        "CREATE VIEW v_p_ok AS SELECT 2 AS two;\n"
+        "CREATE PROCEDURE refresh_all(IN d INT)\n"
+        "  LANGUAGE JAVA PARAMETER STYLE JAVA\n"
+        "  EXTERNAL NAME 'com.example.DeptJobs.refresh';\n"
+    )
+    rc = main(["build-views", "--views", str(views), "--schema", "default"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "emitted procedure stub refresh_all" in out
+    stub_text = (tmp_path / "procedure_stubs.sql").read_text()
+    assert "PROCEDURE refresh_all: requires manual translation" in stub_text
+    assert "com.example.DeptJobs.refresh" in stub_text
+    assert spark.sql("SELECT * FROM v_p_ok").collect()[0]["two"] == 2
+    spark.sql("DROP VIEW IF EXISTS v_p_ok")
 
 
 def test_cli_migrate_to_jdbc_database(tmp_path, capsys, spark, sf_dir):
