@@ -495,12 +495,91 @@ GROUP BY vec_id
 """
 
 
+ANN_EVAL_K = 3  # matches the bucketed paths' k
+
+
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality gate: recall@k of BOTH bucketed paths (IVF,
+    RP-LSH) against brute-force ground truth, per query. The operator a
+    production pipeline runs before trusting an index — approximate
+    search without a measured recall is a silent-quality bug, not a
+    speedup.
+
+    Emits (method, qid, hits, recall_at_3): hits = |approx ∩ truth| at
+    k=3; queries the bucketed path missed entirely still appear with 0.
+
+    Scale shape: ground truth is the expensive part by definition
+    (exact top-k), so at corpus scale this runs over a SAMPLED query
+    set — the qid < N_QUERIES block here — never all queries; the
+    sampled truth is one brute-force pass, the approx sides reuse the
+    index's own search path unchanged, and the comparison is a
+    per-query semi-join over k-row sets."""
+    truth = (
+        sim_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= ANN_EVAL_K)
+        .select("qid", "neighbor_id")
+    )
+    qids = truth.select("qid").distinct()
+    out = None
+    for method, fn in (("ivf", sim_ivf_topk), ("rp_lsh", sim_rp_lsh_topk)):
+        approx = fn(spark, sf_dir).select("qid", "neighbor_id")
+        hits = (
+            truth.join(approx, ["qid", "neighbor_id"], "left_semi")
+            .groupBy("qid")
+            .agg(F.count("*").alias("hits"))
+        )
+        m = qids.join(hits, "qid", "left").select(
+            F.lit(method).alias("method"),
+            "qid",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce("hits", F.lit(0)) / F.lit(ANN_EVAL_K))
+            .cast("double")
+            .alias("recall_at_3"),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
+# Composed from the three existing oracle queries as subqueries (DuckDB
+# allows CTEs inside parenthesized subqueries), so the eval's ground
+# truth and approx sides are the EXACT oracles the individual entries
+# already match.
+SIM_ANN_RECALL_ORACLE = f"""
+WITH bf AS (
+  SELECT qid, neighbor_id FROM ({SIM_TOPK_ORACLE}) WHERE rank <= {ANN_EVAL_K}
+),
+ivf AS (SELECT qid, neighbor_id FROM ({SIM_IVF_ORACLE})),
+rp AS (SELECT qid, neighbor_id FROM ({SIM_RP_LSH_ORACLE})),
+qids AS (SELECT DISTINCT qid FROM bf),
+ivf_hits AS (
+  SELECT bf.qid, COUNT(*) AS hits FROM bf
+  WHERE EXISTS (SELECT 1 FROM ivf WHERE ivf.qid = bf.qid AND ivf.neighbor_id = bf.neighbor_id)
+  GROUP BY bf.qid
+),
+rp_hits AS (
+  SELECT bf.qid, COUNT(*) AS hits FROM bf
+  WHERE EXISTS (SELECT 1 FROM rp WHERE rp.qid = bf.qid AND rp.neighbor_id = bf.neighbor_id)
+  GROUP BY bf.qid
+)
+SELECT 'ivf' AS method, qids.qid,
+       CAST(COALESCE(ivf_hits.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(ivf_hits.hits, 0) AS DOUBLE) / {ANN_EVAL_K} AS recall_at_3
+FROM qids LEFT JOIN ivf_hits ON ivf_hits.qid = qids.qid
+UNION ALL
+SELECT 'rp_lsh' AS method, qids.qid,
+       CAST(COALESCE(rp_hits.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(rp_hits.hits, 0) AS DOUBLE) / {ANN_EVAL_K} AS recall_at_3
+FROM qids LEFT JOIN rp_hits ON rp_hits.qid = qids.qid
+"""
+
+
 SPECS = [
     QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE),
     QuerySpec("sim_rp_lsh_topk", sim_rp_lsh_topk, SIM_RP_LSH_ORACLE),
     QuerySpec("dedup_embedding_cosine_pairs", dedup_embedding_cosine_pairs, DEDUP_EMB_ORACLE),
     QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_QUANT_ORACLE),
+    QuerySpec("sim_ann_recall", sim_ann_recall, SIM_ANN_RECALL_ORACLE),
 ]
 
 

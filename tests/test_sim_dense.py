@@ -17,3 +17,24 @@ def test_dense_matches_exact_neighbors(spark, sf_dir):
         for r in sim_topk_dense(spark, sf_dir).collect()
     }
     assert exact == dense
+
+
+def test_ann_recall_invariants(spark, sf_dir):
+    """sim_ann_recall structural contract: one row per (method, qid) for
+    BOTH bucketed paths (misses appear as 0, never vanish), hits bounded
+    by k, recall = hits/k in [0, 1]."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        ANN_EVAL_K,
+        N_QUERIES,
+        sim_ann_recall,
+    )
+
+    rows = sim_ann_recall(spark, sf_dir).collect()
+    by_method = {}
+    for r in rows:
+        by_method.setdefault(r["method"], {})[r["qid"]] = r
+        assert 0 <= r["hits"] <= ANN_EVAL_K
+        assert abs(r["recall_at_3"] - r["hits"] / ANN_EVAL_K) < 1e-12
+    assert set(by_method) == {"ivf", "rp_lsh"}
+    for m, per_q in by_method.items():
+        assert set(per_q) == set(range(N_QUERIES)), m
