@@ -247,6 +247,26 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction for a hive-partitioned target: rewrite only
+    partitions holding more than --max-files data files, into
+    ceil(bytes / --target-file-bytes) files each (the maintenance verb
+    a merge-updated table needs)."""
+    from snowflake_to_postgres_spark.operators.transfer import compact_partitions
+
+    spark = get_spark("compact")
+    stats = compact_partitions(
+        spark,
+        args.target,
+        partition_col=args.partition_col,
+        max_files_per_partition=args.max_files,
+        target_file_bytes=args.target_file_bytes,
+    )
+    print(json.dumps({"table": stats.table, "rows": stats.rows,
+                      "seconds": round(stats.seconds, 3)}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from snowflake_to_postgres_spark.operators.validation import DataValidator
 
@@ -372,6 +392,14 @@ def main(argv: list[str] | None = None) -> int:
         "don't cover (partition_col not determined by keys)",
     )
     m.set_defaults(fn=cmd_merge)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--target", required=True, help="hive-partitioned parquet dir")
+    cp.add_argument("--partition-col", default="_pt")
+    cp.add_argument("--max-files", type=int, default=1,
+                    help="rewrite partitions holding more data files than this")
+    cp.add_argument("--target-file-bytes", type=int, default=128 << 20)
+    cp.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("validate")
     v.add_argument("--source", required=True)

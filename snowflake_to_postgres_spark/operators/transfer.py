@@ -387,3 +387,118 @@ def merge_upsert_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
         _hadoop_delete(spark, staging)
     return TransferStats("merge_upsert", n, _time.perf_counter() - t0)
+
+
+def list_partition_files(
+    spark: SparkSession, target_path: str, partition_col: str = "_pt"
+) -> dict[str, tuple[int, int]]:
+    """{partition_value: (n_data_files, total_bytes)} for a
+    hive-partitioned parquet dir, via the Hadoop FileSystem API (works
+    for any scheme). Partition lists are driver-sized by definition —
+    the same bound every dynamic-overwrite plan already relies on."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: dict[str, tuple[int, int]] = {}
+    prefix = f"{partition_col}="
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        n = size = 0
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            f = it.next()
+            fname = f.getPath().getName()
+            if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
+                n += 1
+                size += f.getLen()
+        out[name[len(prefix):]] = (n, size)
+    return out
+
+
+def compact_partitions(
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str = "_pt",
+    max_files_per_partition: int = 1,
+    target_file_bytes: int = 128 << 20,
+) -> TransferStats:
+    """Small-file compaction for a hive-partitioned parquet target — the
+    maintenance pass every incrementally-written table needs.
+    Append-mode ingestion and high-parallelism writers accrete files
+    per partition (every appended micro-batch is at least one new file)
+    until scans pay per-file open/footer costs that dwarf the data —
+    the classic 100 TB operational failure. The reference never needs
+    this (truncate-and-reload rewrites everything); an incremental
+    pipeline does.
+
+    Scale shape, mirroring the merge's partition-scoped discipline:
+
+    * **Only offending partitions are touched.** The driver lists
+      per-partition file counts/bytes (:func:`list_partition_files` —
+      driver-sized), selects partitions with more than
+      ``max_files_per_partition`` data files, and reads ONLY those.
+      Untouched partitions are never read, never written (file mtimes
+      pinned in tests).
+    * **Output file count is computed, not guessed**: each compacted
+      partition gets ``ceil(bytes / target_file_bytes)`` files via a
+      per-partition salt — ``pmod(hash(whole row), n_files)`` — so one
+      shuffle task materializes one output file. A plain
+      ``repartition(partition_col)`` would force ONE file per partition
+      regardless of size — wrong for a partition bigger than a sane
+      file target.
+    * **Same staging discipline as the merge**: rewrite stages to a
+      sibling on the target's filesystem, then dynamic partition
+      overwrite swaps only the compacted partitions in.
+    """
+    import math
+    import time as _time
+
+    t0 = _time.perf_counter()
+    stats = list_partition_files(spark, target_path, partition_col)
+    offenders = {
+        p: max(1, math.ceil(size / target_file_bytes))
+        for p, (n, size) in stats.items()
+        if n > max_files_per_partition
+    }
+    if not offenders:
+        return TransferStats("compact", 0, _time.perf_counter() - t0)
+
+    desired = spark.createDataFrame(
+        [(p, n) for p, n in sorted(offenders.items())],
+        f"{partition_col} string, _n_files int",
+    )
+    df = (
+        spark.read.parquet(target_path)
+        .filter(F.col(partition_col).isin(list(offenders)))
+        .join(F.broadcast(desired), partition_col)
+    )
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[c for c in df.columns if c != "_n_files"]),
+                        F.col("_n_files")).cast("int")
+    ).drop("_n_files")
+
+    staging = _staging_path(target_path)
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        # _salt rides through staging so the FINAL write can repartition
+        # on it — one shuffle task per (partition, salt) materializes one
+        # output file, landing exactly the computed file counts. (A final
+        # repartition(partition_col) alone would collapse every partition
+        # back to one file however large.)
+        salted.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        n = staged.count()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            staged.repartition(partition_col, "_salt")
+            .drop("_salt")
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        _hadoop_delete(spark, staging)
+    return TransferStats("compact", n, _time.perf_counter() - t0)

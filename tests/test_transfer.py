@@ -268,3 +268,85 @@ def test_merge_upsert_version_latest_wins(spark, sf_dir, tmp_path):
         .collect()
     )
     assert len(got) == 1 and float(got[0][0]) == old_price
+
+
+def test_compact_partitions_scoped(spark, sf_dir, tmp_path):
+    """Compaction rewrites ONLY partitions over the file-count bar, back
+    to one file; untouched partitions keep their exact files/mtimes, and
+    the data survives byte-identical (count + fingerprint)."""
+    import glob
+    import os
+
+    from snowflake_to_postgres_spark.operators.transfer import (
+        compact_partitions,
+        list_partition_files,
+        merge_upsert_partitioned,
+        transfer_partitioned,
+    )
+
+    out = str(tmp_path / "orders_cp")
+    src = load_table(spark, sf_dir, "orders").withColumn(
+        "_pt", F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM")
+    )
+    # append-mode ingestion is what accretes small files: split 1997-03
+    # in two and append the second half as a separate write
+    hot = (F.col("_pt") == "1997-03") & (F.col("o_orderkey") % 2 == 0)
+    src.filter(~hot).repartition("_pt").write.partitionBy("_pt").parquet(out)
+    src.filter(hot).repartition("_pt").write.mode("append").partitionBy(
+        "_pt"
+    ).parquet(out)
+    n_src = src.count()
+    sum_src = src.agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)"))).collect()[0][0]
+    files = list_partition_files(spark, out)
+    assert files["1997-03"][0] > 1, "append did not accrete files; fixture broken"
+
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(out + "/_pt=*/**/*.parquet", recursive=True)
+        if "/_pt=1997-03/" not in p
+    }
+    stats = compact_partitions(spark, out)
+    assert stats.rows > 0
+    after_files = list_partition_files(spark, out)
+    assert after_files["1997-03"][0] == 1
+    for p, t in mtimes.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == t, p
+    after = spark.read.parquet(out)
+    assert after.count() == n_src
+    got_sum = after.agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)"))).collect()[0][0]
+    assert got_sum == sum_src
+    # idempotent: nothing left to compact
+    assert compact_partitions(spark, out).rows == 0
+    assert glob.glob(str(tmp_path / "*__staging_*")) == []
+
+
+def test_compact_splits_large_partitions(spark, sf_dir, tmp_path):
+    """A partition bigger than target_file_bytes must compact to
+    ceil(bytes/target) files, not one monolith — the salt-per-partition
+    file-count control."""
+    import math
+
+    from snowflake_to_postgres_spark.operators.transfer import (
+        compact_partitions,
+        list_partition_files,
+        transfer_partitioned,
+    )
+
+    out = str(tmp_path / "orders_split")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), out, "o_orderdate")
+    # force every partition over the bar: max_files=0 means "rewrite all"
+    sizes = list_partition_files(spark, out)
+    target = 6000  # bytes — small enough that real partitions need >1 file
+    compact_partitions(
+        spark, out, max_files_per_partition=0, target_file_bytes=target
+    )
+    after = list_partition_files(spark, out)
+    for p, (n, size) in after.items():
+        expected = max(1, math.ceil(sizes[p][1] / target))
+        assert n <= expected, (p, n, expected)
+        if expected > 1:
+            assert n > 1, (p, n, expected)
+    got = spark.read.parquet(out)
+    assert got.count() == spark.read.parquet(
+        table_path(sf_dir, "orders")
+    ).count()
