@@ -610,6 +610,125 @@ SELECT qid, rank, neighbor_id, cosine FROM (
 """
 
 
+SPLIT_TRAIN_PCT = 90   # buckets 0-89 -> train
+SPLIT_VAL_PCT = 95     # buckets 90-94 -> val, 95-99 -> test
+
+
+def tx_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash bucketing
+    (the split step every training pipeline runs before mixing). Hash,
+    not random: a document keeps its split forever — adding data or
+    re-running the pipeline never leaks documents across splits, which a
+    seeded random() cannot guarantee once the corpus is re-partitioned.
+
+    100-TB shape: a pure per-row projection — no shuffle, no state, and
+    the assignment is reproducible on any engine that can md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+TX_TRAIN_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def fit_linear_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine model fitting: per-language ordinary-least-squares of
+    n_chars on token count (a chars-per-token model), solved in CLOSED
+    FORM from sufficient statistics — slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx*Sx), intercept from the means, r2 from the same sums.
+
+    This is the scale template for fitting segmented linear models (one
+    per group) over a 100-TB corpus: ONE map-side-combined aggregation
+    produces the five sufficient statistics per group (exact integer
+    sums — order-independent), and the solve is O(groups) arithmetic on
+    the reduced frame. No iteration, no driver loop, no collect.
+
+    Determinism: the sums are exact (bigint inputs, DECIMAL(38,0)
+    accumulators); the solve divides exact integers in IEEE double with
+    the same expression shape in both engines, and outputs round through
+    DECIMAL(18,8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    sums = obs.groupBy("lang").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        # products widen to decimal BEFORE the sum: long*long can wrap at
+        # corpus scale, DECIMAL(38,0) accumulators cannot (DuckDB's
+        # bigint SUM widens to int128 natively — same exactness)
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("syy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, sxy, syy = (F.col(c).cast("double") for c in ("sxx", "sxy", "syy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    sst = syy - (sy * sy) / n
+    sse = syy - intercept * sy - slope * sxy
+    return sums.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        slope.cast("decimal(18,8)").alias("slope"),
+        intercept.cast("decimal(18,8)").alias("intercept"),
+        (F.lit(1.0) - sse / sst).cast("decimal(18,8)").alias("r2"),
+    ).orderBy("lang")
+
+
+FIT_LINEAR_ORACLE = """
+WITH obs AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS x, n_chars AS y
+  FROM documents
+),
+sums AS (
+  SELECT lang,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+  FROM obs GROUP BY lang
+),
+solved AS (
+  SELECT lang, CAST(n AS BIGINT) AS n_docs,
+         ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS slope,
+         CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy, CAST(n AS DOUBLE) AS dn,
+         CAST(sxx AS DOUBLE) AS dxx, CAST(sxy AS DOUBLE) AS dxy, CAST(syy AS DOUBLE) AS dyy
+  FROM sums
+)
+SELECT lang, n_docs,
+       CAST(slope AS DECIMAL(18,8)) AS slope,
+       CAST((dy - slope * dx) / dn AS DECIMAL(18,8)) AS intercept,
+       CAST(1.0 - (dyy - ((dy - slope * dx) / dn) * dy - slope * dxy)
+                  / (dyy - (dy * dy) / dn) AS DECIMAL(18,8)) AS r2
+FROM solved ORDER BY lang
+"""
+
+
 SPECS = [
     QuerySpec("tx_pii_scrub", tx_pii_scrub, TX_PII_ORACLE),
     QuerySpec("tx_tfidf_top_terms", tx_tfidf_top_terms, TX_TFIDF_ORACLE),
@@ -619,4 +738,6 @@ SPECS = [
     QuerySpec("pipe_clean_corpus", pipe_clean_corpus, PIPE_CLEAN_ORACLE),
     QuerySpec("tx_hashed_features", tx_hashed_features, TX_HASHED_FEATURES_ORACLE),
     QuerySpec("sim_doc_hashed_topk", sim_doc_hashed_topk, SIM_DOC_HASHED_ORACLE),
+    QuerySpec("tx_train_split", tx_train_split, TX_TRAIN_SPLIT_ORACLE),
+    QuerySpec("fit_linear_by_group", fit_linear_by_group, FIT_LINEAR_ORACLE),
 ]

@@ -573,6 +573,111 @@ FROM qids LEFT JOIN rp_hits ON rp_hits.qid = qids.qid
 """
 
 
+SEM_CELLS = 32       # semantic-dedup cells (bounds the within-cell quadratic)
+SEMDEDUP_COS = 0.35  # semantic near-dup threshold (fixture within-cell p99 ~ 0.32)
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare vectors ONLY
+    within their cluster, and drop any vector whose within-cluster cosine
+    to a lower-id vector exceeds SEMDEDUP_COS. Returns every vector with
+    its cell and a ``kept`` verdict — the semantic analogue of
+    ``dedup_fuzzy_corpus``'s canonical-corpus output.
+
+    The cell set here is the first SEM_CELLS vectors (the same
+    deterministic stand-in as sim_ivf_topk, so the operator is
+    SQL-oracle-able); in production you'd feed ``train_ivf_centroids``'s
+    k-means cells instead — the search topology is identical.
+
+    100-TB shape: assignment is one broadcast join (centroids are
+    SEM_CELLS x dim) + one groupBy; the pairwise stage shuffles on
+    (cell, idx) so each vector's components meet only its own cell's —
+    the quadratic is bounded per cell at (N/k)^2, and k scales with the
+    corpus (k ~ N / target_cell_size) to hold cell occupancy constant.
+    The corpus-sized frames never self-join globally."""
+    comp = _components(spark, sf_dir)
+    cent = comp.filter(F.col("vec_id") < SEM_CELLS).select(
+        F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
+    )
+    d2 = (
+        comp.join(F.broadcast(cent), "idx")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+            .cast("decimal(38,18)")
+            .alias("d2")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid"))
+    assign = (
+        d2.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    norms = _norms(comp)
+    mem = comp.join(assign, "vec_id")
+    a = mem.select("cell", F.col("vec_id").alias("va"), "idx", F.col("val").alias("av"))
+    b = mem.select("cell", F.col("vec_id").alias("vb"), "idx", F.col("val").alias("bv"))
+    dots = (
+        a.join(b, ["cell", "idx"])
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("av") * F.col("bv")).cast("decimal(38,18)").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("n2").alias("nb2"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+    ).cast("decimal(10,8)")
+    # drop the HIGHER id of every over-threshold pair: one deterministic
+    # representative (the lowest id) survives each semantic-dup chain
+    dropped = (
+        dots.join(na, "va")
+        .join(nb, "vb")
+        .select("vb", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_COS)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("is_dup").isNull().alias("kept"))
+    )
+
+
+DEDUP_SEMANTIC_ORACLE = _COMP_CTES + f""",
+cent AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {SEM_CELLS}),
+d2 AS (
+  SELECT vec_id, cid,
+         CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp JOIN cent USING (idx) GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2
+  ) WHERE rn = 1
+),
+mem AS (SELECT c.vec_id, c.idx, c.val, a.cell FROM comp c JOIN assign a USING (vec_id)),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, CAST(SUM(a.val * b.val) AS DECIMAL(38,18)) AS dot
+  FROM mem a JOIN mem b ON a.cell = b.cell AND a.idx = b.idx AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT vb AS vec_id FROM (
+    SELECT vb,
+           CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+  ) WHERE cosine >= {SEMDEDUP_COS}
+)
+SELECT a.vec_id, a.cell, d.vec_id IS NULL AS kept
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
 SPECS = [
     QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE),
@@ -580,6 +685,7 @@ SPECS = [
     QuerySpec("dedup_embedding_cosine_pairs", dedup_embedding_cosine_pairs, DEDUP_EMB_ORACLE),
     QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_QUANT_ORACLE),
     QuerySpec("sim_ann_recall", sim_ann_recall, SIM_ANN_RECALL_ORACLE),
+    QuerySpec("dedup_semantic_clusters", dedup_semantic_clusters, DEDUP_SEMANTIC_ORACLE),
 ]
 
 

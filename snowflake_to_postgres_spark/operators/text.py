@@ -409,6 +409,113 @@ GROUP BY doc_id
 """
 
 
+BP_NGRAM = 3     # boilerplate span width (word 3-grams)
+BP_TOP_K = 20    # strip the K most document-frequent spans
+
+
+def tx_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span removal (the C4/CCNet line-dedup step adapted to
+    span granularity): find the BP_TOP_K most document-frequent word
+    BP_NGRAM-grams in the corpus and delete every token they cover,
+    emitting per-doc (n_tokens, n_removed, clean_hash) where clean_hash
+    is md5 of the reassembled text — the hash stands in for the cleaned
+    text so the result stays verifiable without shipping full documents
+    through the compare.
+
+    Top-K (not an absolute df cutoff) keeps the stripped fraction stable
+    as the corpus grows — an absolute threshold is either a no-op or
+    strips everything once N scales 100x.
+
+    100-TB shape: df counting shuffles 32-byte gram hashes, never text;
+    the boilerplate set is K rows by construction (TakeOrdered, then
+    broadcast); covered positions are bounded by occurrences of K grams;
+    the only corpus-wide shuffle is the per-doc reassembly groupBy —
+    keyed on doc_id, the same key the corpus is already bucketed by in
+    a real pipeline, so it co-locates for free."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn("toks", _toks())
+    occ = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(1, size(toks)-{BP_NGRAM - 1})),"
+                    f" i -> md5(array_join(slice(toks, i, {BP_NGRAM}), ' ')))"
+                )
+            ).alias("pos0", "gh"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("i"), "gh")
+    )
+    bp = (
+        occ.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "gh")
+        .limit(BP_TOP_K)
+        .select("gh")
+    )
+    cov = (
+        occ.join(F.broadcast(bp), "gh")
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {BP_NGRAM - 1})")).alias("pos"))
+        .distinct()
+        .withColumn("cov", F.lit(True))
+    )
+    tok = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    joined = tok.join(cov, ["doc_id", "pos"], "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("cov"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        # when() without otherwise -> null; collect_list drops nulls, so
+        # this collects exactly the uncovered (pos, tok) pairs
+        F.sort_array(
+            F.collect_list(F.when(F.col("cov").isNull(), F.struct("pos", "tok")))
+        ).alias("kept"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.array_join(F.expr("transform(kept, x -> x.tok)"), " ")).alias("clean_hash"),
+    )
+
+
+TX_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+occ AS (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+{BP_NGRAM - 1}], ' ')) AS gh
+  FROM toks, unnest(generate_series(1, greatest(1, len(t)-{BP_NGRAM - 1}))) AS gs(i)
+),
+bp AS (
+  SELECT gh FROM (
+    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gh
+    ORDER BY df DESC, gh LIMIT {BP_TOP_K}
+  )
+),
+cov AS (
+  SELECT DISTINCT occ.doc_id, p
+  FROM occ JOIN bp USING (gh), unnest(generate_series(i, i + {BP_NGRAM - 1})) AS u(p)
+),
+tok AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+),
+k AS (
+  SELECT tok.doc_id, tok.pos, tok.tok, cov.p IS NOT NULL AS covered
+  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.pos
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT covered), ''))
+         AS clean_hash
+FROM k GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
@@ -419,4 +526,5 @@ SPECS = [
     QuerySpec("tx_chunk_documents", tx_chunk_documents, TX_CHUNK_ORACLE),
     QuerySpec("tx_repetition_ratio", tx_repetition_ratio, TX_REPETITION_ORACLE),
     QuerySpec("tx_contamination", tx_contamination, TX_CONTAMINATION_ORACLE),
+    QuerySpec("tx_boilerplate_strip", tx_boilerplate_strip, TX_BOILERPLATE_ORACLE),
 ]

@@ -77,6 +77,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "dedup_embedding_cosine_pairs": ("cosine",),
     "a10_unpivot": ("s_value",),
     "a12_stats_moments": ("stddev_qty", "corr_qty_price"),
+    "fit_linear_by_group": ("slope", "intercept", "r2"),
     "xj_asof_join": ("p_value",),
     "xj_asof_forward": ("p_value",),
     "xj_range_join": ("s_price",),

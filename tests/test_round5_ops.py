@@ -1,0 +1,202 @@
+"""Round-5 operator tests: semantic dedup, boilerplate stripping,
+hash-based train/val/test split, and closed-form per-group OLS.
+
+Oracle parity for each is covered by the registry sweep
+(tools/check_correctness.py); these tests pin the *semantics* the oracle
+can't see — invariants, stability properties, and agreement with an
+independent numpy solve.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_to_postgres_spark.operators.pipeline_ext import (
+    SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT,
+    fit_linear_by_group,
+    tx_train_split,
+)
+from snowflake_to_postgres_spark.operators.similarity import (
+    SEMDEDUP_COS,
+    dedup_semantic_clusters,
+)
+from snowflake_to_postgres_spark.operators.text import (
+    BP_NGRAM,
+    BP_TOP_K,
+    tx_boilerplate_strip,
+)
+from snowflake_to_postgres_spark.sources import load_table
+
+
+# ---------------------------------------------------------------- semantic
+
+def test_semantic_dedup_covers_every_vector_once(spark, sf_dir):
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    res = dedup_semantic_clusters(spark, sf_dir)
+    rows = res.collect()
+    assert len(rows) == emb_n
+    assert len({r["vec_id"] for r in rows}) == emb_n
+
+
+def test_semantic_dedup_drops_only_over_threshold_pairs(spark, sf_dir):
+    """Every dropped vector must have a KEPT-or-dropped lower-id neighbor
+    in the same cell with cosine >= SEMDEDUP_COS (recomputed in numpy at
+    float64 — tolerance covers the decimal grid difference)."""
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    res = dedup_semantic_clusters(spark, sf_dir).collect()
+    cell_of = {r["vec_id"]: r["cell"] for r in res}
+    dropped = [r["vec_id"] for r in res if not r["kept"]]
+    assert dropped, "fixture should produce at least one semantic dup"
+    for v in dropped:
+        mates = [u for u in cell_of if cell_of[u] == cell_of[v] and u < v]
+        best = max(
+            float(emb[v] @ emb[u] / (np.linalg.norm(emb[v]) * np.linalg.norm(emb[u])))
+            for u in mates
+        )
+        assert best >= SEMDEDUP_COS - 1e-6, (v, best)
+
+
+def test_semantic_dedup_kept_pairs_below_threshold_within_cell(spark, sf_dir):
+    """No two KEPT vectors in the same cell may exceed the threshold
+    with the lower id first — the defining property of the output."""
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    res = dedup_semantic_clusters(spark, sf_dir).collect()
+    kept_by_cell: dict[int, list[int]] = {}
+    for r in res:
+        if r["kept"]:
+            kept_by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    checked = 0
+    for _, ids in kept_by_cell.items():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                cos = float(
+                    emb[a] @ emb[b] / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b]))
+                )
+                assert cos < SEMDEDUP_COS + 1e-6, (a, b, cos)
+                checked += 1
+    assert checked > 0
+
+
+# ------------------------------------------------------------- boilerplate
+
+def test_boilerplate_strip_rebuild_matches_manual(spark, sf_dir):
+    """Recompute the strip in pure Python for the whole fixture and
+    compare hashes doc-by-doc."""
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    # document frequency per 3-gram
+    df: dict[str, set[int]] = {}
+    for d, t in docs.items():
+        for i in range(max(1, len(t) - (BP_NGRAM - 1))):
+            g = " ".join(t[i : i + BP_NGRAM])
+            df.setdefault(g, set()).add(d)
+    ranked = sorted(
+        df.items(), key=lambda kv: (-len(kv[1]), hashlib.md5(kv[0].encode()).hexdigest())
+    )
+    bp = {hashlib.md5(g.encode()).hexdigest() for g, _ in ranked[:BP_TOP_K]}
+    expected = {}
+    for d, t in docs.items():
+        covered = set()
+        for i in range(max(1, len(t) - (BP_NGRAM - 1))):
+            g = " ".join(t[i : i + BP_NGRAM])
+            if hashlib.md5(g.encode()).hexdigest() in bp:
+                covered.update(range(i, i + BP_NGRAM))
+        kept = [tok for j, tok in enumerate(t) if j not in covered]
+        expected[d] = (
+            len(t),
+            len([j for j in covered if j < len(t)]),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_hash"])
+        for r in tx_boilerplate_strip(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_boilerplate_strip_removes_something(spark, sf_dir):
+    res = tx_boilerplate_strip(spark, sf_dir)
+    assert res.filter(F.col("n_removed") > 0).count() > 0
+    # and never removes more than it has
+    assert res.filter(F.col("n_removed") > F.col("n_tokens")).count() == 0
+
+
+def test_boilerplate_set_is_broadcast(spark, sf_dir):
+    plan = tx_boilerplate_strip(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------------- split
+
+def test_train_split_fractions_and_determinism(spark, sf_dir):
+    res = tx_train_split(spark, sf_dir)
+    counts = {r["split"]: r["n"] for r in res.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts["train"] / total == pytest.approx(SPLIT_TRAIN_PCT / 100, abs=0.1)
+    assert (counts.get("val", 0) + counts.get("test", 0)) / total == pytest.approx(
+        (100 - SPLIT_TRAIN_PCT) / 100, abs=0.1
+    )
+    # rerun gives the identical assignment (hash, not random)
+    a = {(r["doc_id"], r["split"]) for r in res.collect()}
+    b = {(r["doc_id"], r["split"]) for r in tx_train_split(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_train_split_is_subset_stable(spark, sf_dir):
+    """A document's split must not depend on which other documents are
+    present — the property that makes hash splits leak-proof as the
+    corpus grows. Verified by recomputing from the doc_id alone."""
+    for r in tx_train_split(spark, sf_dir).collect():
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 100
+        assert h == r["bucket"]
+        expected = "train" if h < SPLIT_TRAIN_PCT else ("val" if h < SPLIT_VAL_PCT else "test")
+        assert expected == r["split"]
+
+
+def test_train_split_no_shuffle(spark, sf_dir):
+    plan = tx_train_split(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------- fit
+
+def test_fit_linear_matches_numpy_lstsq(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").collect()
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(
+            (len(r["text"].split(" ")), r["n_chars"])
+        )
+    got = {r["lang"]: r for r in fit_linear_by_group(spark, sf_dir).collect()}
+    assert set(got) == set(by_lang)
+    for lang, obs in by_lang.items():
+        x = np.array([o[0] for o in obs], dtype=np.float64)
+        y = np.array([o[1] for o in obs], dtype=np.float64)
+        A = np.stack([x, np.ones_like(x)], axis=1)
+        (slope, intercept), *_ = np.linalg.lstsq(A, y, rcond=None)
+        assert float(got[lang]["slope"]) == pytest.approx(slope, rel=1e-6)
+        assert float(got[lang]["intercept"]) == pytest.approx(intercept, rel=1e-4)
+        assert got[lang]["n_docs"] == len(obs)
+        assert 0.0 <= float(got[lang]["r2"]) <= 1.0
+
+
+def test_fit_linear_single_aggregation(spark, sf_dir):
+    """The whole fit is one hash-aggregate over the corpus: exactly one
+    Exchange (by lang) plus the final tiny sort."""
+    plan = fit_linear_by_group(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 2, plan  # hashpartition(lang) + rangepartition(sort)
