@@ -138,6 +138,70 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+#: dedup_incremental: md5(doc_id) buckets >= this hex prefix play the
+#: "incoming batch"; the rest is the already-ingested corpus.
+INCR_FEED_PREFIX = "e"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup — the shape a running
+    ingestion pipeline needs: dedup TODAY'S feed against the corpus
+    already ingested, without re-deduplicating the corpus itself. The
+    feed here is the md5(doc_id) >= 'e' hex bucket (~1/8 of docs); in
+    production it is the new crawl/delivery.
+
+    Emits one row per feed document: dup_of_corpus (its digest already
+    exists), dup_in_feed (a lower-id feed doc has the same digest —
+    first-in-feed wins), and accept = neither.
+
+    100-TB shape: both sides reduce to (digest, id) before any join —
+    the corpus side is ONE column-pruned scan producing 32-byte digests
+    (in steady state you'd persist this digest index, bucketed by
+    digest, so the probe is a co-located bucket join and the corpus
+    text is never re-read; see tests/test_bucketing.py for the
+    bucketed-join machinery). The feed-internal dedup is a window over
+    the feed only. Nothing corpus-sized shuffles more than the digest
+    column."""
+    docs = load_table(spark, sf_dir, "documents")
+    digests = docs.select(
+        "doc_id", F.md5("text").alias("text_md5"),
+        F.md5(F.col("doc_id").cast("string")).alias("idh"),
+    )
+    feed = digests.filter(F.col("idh") >= INCR_FEED_PREFIX).drop("idh")
+    corpus = digests.filter(F.col("idh") < INCR_FEED_PREFIX).drop("idh")
+    corpus_set = corpus.select("text_md5").distinct().withColumn("in_corpus", F.lit(True))
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    return (
+        feed.join(corpus_set, "text_md5", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("in_corpus"), F.lit(False)).alias("dup_of_corpus"),
+            (F.col("rn") > 1).alias("dup_in_feed"),
+            (F.coalesce(F.col("in_corpus"), F.lit(False)) | (F.col("rn") > 1)).alias("rejected"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH digests AS (
+  SELECT doc_id, md5(text) AS text_md5, md5(CAST(doc_id AS VARCHAR)) AS idh
+  FROM documents
+),
+feed AS (SELECT doc_id, text_md5 FROM digests WHERE idh >= '{INCR_FEED_PREFIX}'),
+corpus AS (SELECT DISTINCT text_md5 FROM digests WHERE idh < '{INCR_FEED_PREFIX}'),
+ranked AS (
+  SELECT f.doc_id, f.text_md5,
+         c.text_md5 IS NOT NULL AS dup_of_corpus,
+         ROW_NUMBER() OVER (PARTITION BY f.text_md5 ORDER BY f.doc_id) AS rn
+  FROM feed f LEFT JOIN corpus c ON c.text_md5 = f.text_md5
+)
+SELECT doc_id, dup_of_corpus, rn > 1 AS dup_in_feed,
+       (dup_of_corpus OR rn > 1) AS rejected
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # N-gram Jaccard near-dup
 # --------------------------------------------------------------------------
@@ -894,4 +958,5 @@ SPECS = [
     QuerySpec("dedup_fuzzy_corpus", dedup_fuzzy_corpus, DEDUP_FUZZY_CORPUS_ORACLE),
     QuerySpec("dedup_containment_pairs", dedup_containment_pairs, DEDUP_CONTAINMENT_ORACLE),
     QuerySpec("dedup_containment_lsh", dedup_containment_lsh, DEDUP_CONTAINMENT_LSH_ORACLE),
+    QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_ORACLE),
 ]

@@ -248,6 +248,7 @@ def _all_specs() -> list[QuerySpec]:
         analytics_ext,
         breadth,
         dedup,
+        layout,
         temporal_joins,
         multimodal,
         pipeline_ext,
@@ -274,6 +275,7 @@ def _all_specs() -> list[QuerySpec]:
         breadth,
         temporal_joins,
         pipeline_ext,
+        layout,
         streaming_queries,
     ):
         specs.extend(mod.SPECS)

@@ -1,0 +1,156 @@
+"""Layout tests: z-order clustering must actually produce prunable files,
+and incremental dedup must reject corpus/feed duplicates (seeded fixture —
+the real documents table has no exact dups at small sf).
+"""
+
+from __future__ import annotations
+
+import glob
+
+import duckdb
+from pyspark.sql import functions as F
+
+from snowflake_to_postgres_spark.operators.dedup import dedup_incremental
+from snowflake_to_postgres_spark.operators.layout import (
+    layout_zorder,
+    write_zordered,
+    zorder_key,
+)
+from snowflake_to_postgres_spark.sources import load_table
+
+N_FILES = 16
+
+
+def _file_boxes(path_glob: str, cols: tuple[str, str]):
+    """Per output file: (min, max) of both dims, via one duckdb scan each."""
+    con = duckdb.connect()
+    boxes = []
+    for f in sorted(glob.glob(path_glob)):
+        row = con.execute(
+            f"SELECT MIN({cols[0]}), MAX({cols[0]}), MIN({cols[1]}), MAX({cols[1]}) "
+            f"FROM read_parquet('{f}')"
+        ).fetchone()
+        boxes.append(row)
+    con.close()
+    return boxes
+
+
+def test_zorder_write_produces_prunable_boxes(spark, sf_dir, tmp_path):
+    """Every z-ordered file must cover a compact rectangle of BOTH
+    dimensions: the mean fractional extent per dim stays well under the
+    whole domain, and the mean box AREA is a small fraction — the
+    property parquet min/max pruning exploits. A single-column sort
+    would leave the other dim's extent at ~1.0."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("cx"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(orders, "cx", "cy", out, n_files=N_FILES)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == N_FILES
+
+    lo_x, hi_x, lo_y, hi_y = orders.agg(
+        F.min("cx"), F.max("cx"), F.min("cy"), F.max("cy")
+    ).collect()[0]
+    dom_x, dom_y = hi_x - lo_x + 1, hi_y - lo_y + 1
+    boxes = _file_boxes(out + "/part-*.parquet", ("cx", "cy"))
+    fx = [(b[1] - b[0] + 1) / dom_x for b in boxes]
+    fy = [(b[3] - b[2] + 1) / dom_y for b in boxes]
+    areas = [a * b for a, b in zip(fx, fy)]
+    # 16 contiguous z-ranges over an 8-bit x 8-bit grid -> each file's
+    # box is a handful of tiles; generous bars still reject any
+    # single-dim or unsorted layout (which scores ~1.0 on a dim)
+    assert sum(fx) / len(fx) <= 0.6, fx
+    assert sum(fy) / len(fy) <= 0.6, fy
+    assert sum(areas) / len(areas) <= 0.2, areas
+
+
+def test_zorder_beats_single_column_sort_on_area(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("cx"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    z_out = str(tmp_path / "z")
+    s_out = str(tmp_path / "s")
+    write_zordered(orders, "cx", "cy", z_out, n_files=N_FILES)
+    (
+        orders.repartitionByRange(N_FILES, "cx")
+        .sortWithinPartitions("cx")
+        .write.mode("overwrite")
+        .parquet(s_out)
+    )
+
+    def worst_dim_extent(path):
+        """Mean fractional extent of the WORSE dimension — the quantity
+        that bounds pruning for a predicate on an arbitrary single
+        column. A cx-only sort scores ~1.0 (cy slabs span the domain);
+        z-order keeps both dims compact."""
+        boxes = _file_boxes(path + "/part-*.parquet", ("cx", "cy"))
+        lo_x = min(b[0] for b in boxes); hi_x = max(b[1] for b in boxes)
+        lo_y = min(b[2] for b in boxes); hi_y = max(b[3] for b in boxes)
+        dx, dy = hi_x - lo_x + 1, hi_y - lo_y + 1
+        mx = sum((b[1] - b[0] + 1) / dx for b in boxes) / len(boxes)
+        my = sum((b[3] - b[2] + 1) / dy for b in boxes) / len(boxes)
+        return max(mx, my)
+
+    assert worst_dim_extent(z_out) < worst_dim_extent(s_out) * 0.6
+
+
+def test_zorder_key_bounds_and_locality(spark, sf_dir):
+    res = layout_zorder(spark, sf_dir)
+    stats = res.agg(
+        F.min("bin_cust"), F.max("bin_cust"),
+        F.min("bin_date"), F.max("bin_date"),
+        F.min("zkey"), F.max("zkey"), F.count("*"),
+    ).collect()[0]
+    assert stats[0] >= 0 and stats[1] <= 255
+    assert stats[2] >= 0 and stats[3] <= 255
+    assert stats[4] >= 0 and stats[5] <= 65535
+    assert stats[6] == load_table(spark, sf_dir, "orders").count()
+
+
+def test_zorder_single_bounds_aggregate(spark, sf_dir):
+    """The min/max pre-pass is ONE reduced row broadcast back — the plan
+    must not contain a corpus-wide sort or a single-partition exchange
+    of the full table."""
+    plan = layout_zorder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------- incremental
+
+def test_dedup_incremental_seeded(spark, tmp_path):
+    """Build a tiny documents table with known duplicates straddling the
+    feed/corpus hash boundary and check every verdict."""
+    import hashlib
+
+    rows = [(i, f"unique text {i}", "en", "src0", 10) for i in range(40)]
+    # find a feed id and a corpus id (md5(doc_id) >= 'e' => feed)
+    feed_ids = [i for i in range(40) if hashlib.md5(str(i).encode()).hexdigest() >= "e"]
+    corpus_ids = [i for i in range(40) if hashlib.md5(str(i).encode()).hexdigest() < "e"]
+    assert len(feed_ids) >= 3 and corpus_ids
+    f1, f2, f3 = feed_ids[:3]
+    c1 = corpus_ids[0]
+    rows[f1] = (f1, rows[c1][1], "en", "src0", 10)   # dup of corpus
+    rows[f2] = (f2, "feed dup body", "en", "src0", 10)
+    rows[f3] = (f3, "feed dup body", "en", "src0", 10)  # dup within feed
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    fixture = tmp_path / "docs"
+    df.coalesce(1).write.mode("overwrite").parquet(str(fixture / "documents.parquet"))
+
+    res = {r["doc_id"]: r for r in dedup_incremental(spark, str(fixture)).collect()}
+    assert set(res) == set(feed_ids)
+    assert res[f1]["dup_of_corpus"] and res[f1]["rejected"]
+    lo, hi = min(f2, f3), max(f2, f3)
+    assert not res[lo]["dup_in_feed"] and res[hi]["dup_in_feed"] and res[hi]["rejected"]
+    assert not res[lo]["dup_of_corpus"] and not res[hi]["dup_of_corpus"]
+    accepted = [i for i in feed_ids if not res[i]["rejected"]]
+    assert hi not in accepted and f1 not in accepted and lo in accepted
