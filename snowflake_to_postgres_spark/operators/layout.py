@@ -63,22 +63,26 @@ def zorder_key(
     df: DataFrame, col_x: str, col_y: str, bits: int = Z_BITS
 ) -> DataFrame:
     """Append ``_zx``/``_zy`` (bin ids) and ``_zkey`` (Morton code) for
-    two integer-valued columns. One min/max aggregate (single reduced
-    row, broadcast back via crossJoin) + a per-row projection."""
-    bounds = df.agg(
-        F.min(col_x).alias("_xmin"), F.max(col_x).alias("_xmax"),
-        F.min(col_y).alias("_ymin"), F.max(col_y).alias("_ymax"),
-    )
-    with_bounds = df.crossJoin(F.broadcast(bounds))
-    bx = _binned(col_x, "_xmin", "_xmax", bits, "div")
-    by = _binned(col_y, "_ymin", "_ymax", bits, "div")
+    two integer-valued columns.
+
+    The min/max pre-pass is ONE reduced row collected to the driver (4
+    scalars — same bounded-collect class as the engine's thresholds and
+    convergence sums) and re-injected as literals, exactly how
+    production z-order sinks stage their stats pass. The key projection
+    is then a pure map: no join, no shuffle, nothing for the global
+    nested-loop guard to flag."""
+    b = df.agg(
+        F.min(col_x).alias("xmin"), F.max(col_x).alias("xmax"),
+        F.min(col_y).alias("ymin"), F.max(col_y).alias("ymax"),
+    ).collect()[0]
+    bx = _binned(col_x, str(b["xmin"]), str(b["xmax"]), bits, "div")
+    by = _binned(col_y, str(b["ymin"]), str(b["ymax"]), bits, "div")
     return (
-        with_bounds.withColumn("_zx", F.expr(bx).cast("bigint"))
+        df.withColumn("_zx", F.expr(bx).cast("bigint"))
         .withColumn("_zy", F.expr(by).cast("bigint"))
         .withColumn(
             "_zkey", F.expr(_interleave_expr("_zx", "_zy", bits, "div")).cast("bigint")
         )
-        .drop("_xmin", "_xmax", "_ymin", "_ymax")
     )
 
 

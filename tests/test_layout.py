@@ -116,13 +116,12 @@ def test_zorder_key_bounds_and_locality(spark, sf_dir):
     assert stats[6] == load_table(spark, sf_dir, "orders").count()
 
 
-def test_zorder_single_bounds_aggregate(spark, sf_dir):
-    """The min/max pre-pass is ONE reduced row broadcast back — the plan
-    must not contain a corpus-wide sort or a single-partition exchange
-    of the full table."""
+def test_zorder_key_projection_is_pure_map(spark, sf_dir):
+    """After the bounded stats collect, the key computation must be a
+    join-free, shuffle-free projection over the scan."""
     plan = layout_zorder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 # ---------------------------------------------------------- incremental
