@@ -64,8 +64,12 @@ HEADLINE = [
     "xj_asof_forward",
     "st_session_window",
     "tx_hashed_features",
-    # round-5 addition
+    # round-5 additions (one per new family; prior keys unchanged)
     "dedup_containment_lsh",
+    "dedup_semantic_clusters",
+    "tx_boilerplate_strip",
+    "tx_bigram_lm_score",
+    "layout_zorder",
 ]
 
 

@@ -610,10 +610,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid"))
+    # cached: (vec_id, cell) is two narrow columns — O(N) rows, and it
+    # feeds BOTH sides of the within-cell self-join below; uncached the
+    # whole assignment subtree (broadcast join + agg + window) runs twice
     assign = (
         d2.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("cell"))
+        .cache()
     )
     norms = _norms(comp)
     mem = comp.join(assign, "vec_id")

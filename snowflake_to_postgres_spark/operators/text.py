@@ -516,6 +516,81 @@ FROM k GROUP BY doc_id
 """
 
 
+def tx_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring WITHOUT an external model: train
+    an add-one-smoothed bigram language model on the corpus itself, then
+    score every document by its mean bigram log-probability — the
+    KenLM-filter step of CCNet/Gopher pipelines, self-contained.
+    Low (very negative) scores mark documents whose word transitions are
+    unusual for the corpus: gibberish, wrong-language, or heavily
+    repeated boilerplate.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V); score = avg ln P over the
+    doc's bigrams.
+
+    100-TB shape: training is two map-side-combined aggregations over
+    the exploded bigram stream (counts shuffle on 32-byte-bounded word
+    keys, never text). The scoring join ships the MODEL to the data:
+    here the count frames join by (w1[,w2]) hash join; with a real
+    open vocabulary you'd hash the model into buckets or broadcast a
+    frequency-pruned top-M model — the per-doc aggregation is keyed on
+    doc_id either way. V is one scalar (bounded collect, same class as
+    the engine's other threshold scalars)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") >= 2)
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    vocab = big.select("w1").union(big.select("w2")).distinct().count()
+    uni = big.groupBy("w1").agg(F.count("*").alias("cu"))
+    bi = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    logprob = F.log(
+        (F.col("cb") + 1).cast("double") / (F.col("cu") + F.lit(vocab)).cast("double")
+    )
+    return (
+        big.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.avg(logprob).cast("decimal(18,8)").alias("avg_logprob"),
+        )
+    )
+
+
+TX_BIGRAM_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+  WHERE len(t) >= 2
+),
+v AS (
+  SELECT COUNT(DISTINCT w) AS vocab FROM (
+    SELECT w1 AS w FROM big UNION SELECT w2 AS w FROM big
+  )
+),
+uni AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY w1),
+bi AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(AVG(ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + vocab AS DOUBLE))) AS DECIMAL(18,8))
+         AS avg_logprob
+FROM big
+JOIN bi USING (w1, w2)
+JOIN uni USING (w1)
+CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
@@ -527,4 +602,5 @@ SPECS = [
     QuerySpec("tx_repetition_ratio", tx_repetition_ratio, TX_REPETITION_ORACLE),
     QuerySpec("tx_contamination", tx_contamination, TX_CONTAMINATION_ORACLE),
     QuerySpec("tx_boilerplate_strip", tx_boilerplate_strip, TX_BOILERPLATE_ORACLE),
+    QuerySpec("tx_bigram_lm_score", tx_bigram_lm_score, TX_BIGRAM_LM_ORACLE),
 ]

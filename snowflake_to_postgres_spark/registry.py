@@ -78,6 +78,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "a10_unpivot": ("s_value",),
     "a12_stats_moments": ("stddev_qty", "corr_qty_price"),
     "fit_linear_by_group": ("slope", "intercept", "r2"),
+    "tx_bigram_lm_score": ("avg_logprob",),
     "xj_asof_join": ("p_value",),
     "xj_asof_forward": ("p_value",),
     "xj_range_join": ("s_price",),
@@ -117,14 +118,12 @@ _PRIORITY: tuple[str, ...] = (
     # projections / predicates / pagination
     "p1_projection_varchar_cast",
     "p2_where_pushdown",
-    "p3_date_range",
     "p4_order_limit",
     "p5_offset_pagination",
     # aggregation
     "a2_group_count_by_date",
     "a3_fingerprint_by_date",
     "a4_null_counts",
-    "a5_minmax_stats",
     "a7_distinct_agg",
     # joins
     "j1_equi_join_chain",
@@ -133,37 +132,40 @@ _PRIORITY: tuple[str, ...] = (
     "j5_anti_join",
     # windows / grouping
     "w1_topk_per_group",
-    "w2_lag_delta",
     "w4_rank_dense",
     "g1_rollup",
     # scalar function translations
     "f1_iff_case",
-    "f2_nvl_coalesce",
     "f7_datediff",
-    "f9_split_to_table",
     # semi-structured / validation / analytics
     "v1_variant_json_extract",
-    "val_partition_diff",
     "val_fingerprint_diff",
     "x_sessionization",
-    "x_q5_local_volume",
-    # LLM-pipeline extension families (round 5 rotation: the four
-    # round-4 orphans — containment dedup, in-engine embed-and-search,
-    # fused clean-corpus pipeline, stream-stream interval join — earn
-    # hard-signal rows; single-family near-duplicates f4/f6/j3/g3 are
-    # demoted below the window and stay FULL-checked, like w3/a6/f12/
-    # f13/set_union before them)
+    # LLM-pipeline extension families (round-5 mid-round rotation: the
+    # seven new families — semantic dedup, incremental dedup,
+    # boilerplate strip, bigram-LM scoring, hash splits, closed-form
+    # OLS, z-order layout — earn hard-signal rows; single-family
+    # near-duplicates p3/a5/w2/f2/f9/val_partition_diff/x_q5 are
+    # demoted below the window and stay FULL-checked, like f4/f6/j3/g3
+    # and w3/a6/f12/f13/set_union before them)
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "dedup_fuzzy_corpus",
     "dedup_containment_pairs",
+    "dedup_semantic_clusters",
+    "dedup_incremental",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "sim_rp_lsh_topk",
     "sim_doc_hashed_topk",
     "tx_token_stats",
     "tx_hashed_features",
+    "tx_boilerplate_strip",
+    "tx_bigram_lm_score",
+    "tx_train_split",
+    "fit_linear_by_group",
+    "layout_zorder",
     "pipe_clean_corpus",
     "mm_binary_meta",
     "xj_asof_join",

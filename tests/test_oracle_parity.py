@@ -65,21 +65,24 @@ def test_priority_window_covers_families():
     names = [s.name for s in _all_specs()][:50]
     for family_rep in (
         "q1_", "s1_", "s3_", "s7_", "s10_",            # scans/catalog
-        "p1_", "p2_", "p3_", "p4_", "p5_",             # project/filter/page
-        "a2_", "a3_", "a4_", "a5_", "a7_",             # aggregation
+        "p1_", "p2_", "p4_", "p5_",                    # project/filter/page
+        "a2_", "a3_", "a4_", "a7_",                    # aggregation
         "j1_", "j2_", "j4_", "j5_",                    # joins
-        "w1_", "w2_", "w4_",                           # windows
+        "w1_", "w4_",                                  # windows
         "g1_",                                         # grouping
-        "f1_", "f2_", "f7_", "f9_",                    # functions
-        "v1_", "val_partition", "val_fingerprint",     # variant / validation
-        "x_sessionization", "x_q5",                    # analytics
-        # dedup incl. the fuzzy-corpus end product + containment
+        "f1_", "f7_",                                  # functions
+        "v1_", "val_fingerprint",                      # variant / validation
+        "x_sessionization",                            # analytics
+        # dedup: exact, LSH near-dup, simhash, fuzzy-corpus end product,
+        # containment, semantic (embedding), incremental (batch-vs-corpus)
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_fuzzy",
-        "dedup_containment",
+        "dedup_containment", "dedup_semantic", "dedup_incremental",
         # similarity: exact + both bucketed ANN paths + embed-and-search
         "sim_topk_bruteforce", "sim_ivf", "sim_rp_lsh", "sim_doc_hashed",
-        # text/featurization/pipeline/multimodal
-        "tx_token", "tx_hashed", "pipe_clean", "mm_",
+        # text / featurization / pipeline / layout / multimodal
+        "tx_token", "tx_hashed", "tx_boilerplate", "tx_bigram_lm",
+        "tx_train_split", "fit_linear", "layout_zorder",
+        "pipe_clean", "mm_",
         # temporal joins both directions; streaming agg + session windows
         # + stream-stream interval join
         "xj_asof_join", "xj_asof_forward", "st_windowed", "st_session",
@@ -90,7 +93,10 @@ def test_priority_window_covers_families():
     # the window), never silently dropped
     all_names = [s.name for s in _all_specs()]
     for demoted in ("f4_to_date_roundtrip", "f6_date_trunc",
-                    "j3_point_lookup_join", "g3_having"):
+                    "j3_point_lookup_join", "g3_having",
+                    "p3_date_range", "a5_minmax_stats", "w2_lag_delta",
+                    "f2_nvl_coalesce", "f9_split_to_table",
+                    "val_partition_diff", "x_q5_local_volume"):
         assert demoted in all_names and demoted not in names, demoted
 
 
