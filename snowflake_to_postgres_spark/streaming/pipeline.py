@@ -95,6 +95,26 @@ def dedup_events_within_watermark(events: DataFrame, watermark: str = "2 hours")
     return events.dropDuplicates(["event_id"])
 
 
+def ingest_dedup_against_corpus(events: DataFrame, ingested: DataFrame) -> DataFrame:
+    """Streaming incremental ingestion with dedup — the streaming twin
+    of ``operators.dedup.dedup_incremental``: drop events whose key was
+    already ingested (stream-static LEFT ANTI join against the corpus
+    key set), then exact-dedup WITHIN the stream under a watermark
+    (replays inside the watermark horizon collapse; state stays
+    bounded).
+
+    Scale shape: the static side reduces to its key column before the
+    join (at 100 TB you persist this key index bucketed by key, exactly
+    like dedup_incremental's digest index; Spark re-reads it per
+    micro-batch so its freshness is per-batch). The anti join keeps NO
+    streaming state — only the within-stream dedup holds state, and the
+    watermark expires it. Works identically on a batch frame for the
+    oracle path."""
+    keys = ingested.select("event_id").distinct()
+    fresh = events.join(keys, "event_id", "left_anti")
+    return dedup_events_within_watermark(fresh)
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_dir: str) -> None:
     """Drain everything currently available and stop — the Structured
     Streaming replacement for the reference's checkpoint-resume batch

@@ -127,10 +127,46 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def st_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming incremental ingestion with dedup: the
+    md5(event_id) < '8' half of events plays the already-ingested
+    corpus; the feed is deduped against its key set and within itself,
+    then rolled up per event type. The streaming execution (stream-
+    static anti join + watermark dedup, AvailableNow) is exercised in
+    tests/test_streaming.py::test_ingest_dedup_stream_equals_batch."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        ingest_dedup_against_corpus,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ingested = events.filter(F.md5(F.col("event_id").cast("string")) < "8")
+    accepted = ingest_dedup_against_corpus(events, ingested)
+    return accepted.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("s_value"),
+    )
+
+
+ST_INGEST_DEDUP_ORACLE = """
+WITH fresh AS (
+  SELECT * FROM events WHERE md5(CAST(event_id AS VARCHAR)) >= '8'
+),
+ded AS (
+  SELECT DISTINCT ON (event_id) event_id, event_type, value FROM fresh ORDER BY event_id
+)
+SELECT event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_value
+FROM ded GROUP BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("st_windowed_agg", st_windowed_agg, ST_WINDOWED_ORACLE),
     QuerySpec("st_dedup_events", st_dedup_events, ST_DEDUP_ORACLE),
     QuerySpec("st_enrich_rollup", st_enrich_rollup, ST_ENRICH_ORACLE),
     QuerySpec("st_session_window", st_session_window, ST_SESSION_WINDOW_ORACLE),
     QuerySpec("st_interval_join", st_interval_join, ST_INTERVAL_JOIN_ORACLE),
+    QuerySpec("st_ingest_dedup", st_ingest_dedup, ST_INGEST_DEDUP_ORACLE),
 ]

@@ -275,3 +275,42 @@ def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
     streamed = spark.read.parquet(out)
     batch = interval_join_events(load_table(spark, sf_dir, "events"))
     assert _rows(streamed) == _rows(batch)
+
+
+def test_ingest_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming incremental ingestion (stream-static anti join against
+    the already-ingested key set + watermark dedup): an availableNow
+    drain accepts exactly the rows the batch twin accepts."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        ingest_dedup_against_corpus,
+        read_events_stream,
+    )
+    from snowflake_to_postgres_spark.sources import load_table as _lt
+
+    ingested = _lt(spark, sf_dir, "events").filter(
+        F.md5(F.col("event_id").cast("string")) < "8"
+    )
+    out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        ingest_dedup_against_corpus(read_events_stream(spark, sf_dir), ingested)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out)
+    batch = ingest_dedup_against_corpus(_lt(spark, sf_dir, "events"), ingested)
+    # no accepted event may exist in the ingested key set
+    ing_keys = {r["event_id"] for r in ingested.select("event_id").collect()}
+    got_keys = [r["event_id"] for r in streamed.select("event_id").collect()]
+    assert ing_keys.isdisjoint(got_keys)
+    assert len(got_keys) == len(set(got_keys)), "duplicate keys survived"
+    assert sorted(got_keys) == sorted(
+        r["event_id"] for r in batch.select("event_id").collect()
+    )
