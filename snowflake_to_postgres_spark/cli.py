@@ -15,6 +15,8 @@ Usage:
     python -m snowflake_to_postgres_spark.cli validate --source DIR --target DIR
         [--table T] [--pk col1,col2]
     python -m snowflake_to_postgres_spark.cli migrate --source DIR --target DIR
+    python -m snowflake_to_postgres_spark.cli clean-corpus --source DIR --target DIR
+        [--pipeline fuzzy|exact]
     python -m snowflake_to_postgres_spark.cli destroy --schema NAME --confirm NAME
 """
 
@@ -267,6 +269,33 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_clean_corpus(args) -> int:
+    """Materialize the cleaned training corpus: near-duplicate removal
+    (MinHash-LSH verified clusters, one canonical document per cluster —
+    `dedup_fuzzy_corpus`) or exact keep-first dedup, written as parquet
+    with a one-line JSON stats summary. The end-to-end verb a
+    training-data pipeline runs nightly."""
+    import time
+
+    from snowflake_to_postgres_spark.operators.dedup import (
+        dedup_exact_keep_first,
+        dedup_fuzzy_corpus,
+    )
+
+    spark = get_spark("clean-corpus")
+    t0 = time.time()
+    fn = dedup_fuzzy_corpus if args.pipeline == "fuzzy" else dedup_exact_keep_first
+    out = fn(spark, args.source)
+    out.write.mode("overwrite").parquet(args.target)
+    n_in = spark.read.parquet(os.path.join(args.source, "documents.parquet")).count()
+    n_out = spark.read.parquet(args.target).count()
+    print(json.dumps({
+        "pipeline": args.pipeline, "rows_in": n_in, "rows_out": n_out,
+        "removed": n_in - n_out, "seconds": round(time.time() - t0, 3),
+    }))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from snowflake_to_postgres_spark.operators.validation import DataValidator
 
@@ -400,6 +429,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="rewrite partitions holding more data files than this")
     cp.add_argument("--target-file-bytes", type=int, default=128 << 20)
     cp.set_defaults(fn=cmd_compact)
+
+    cc = sub.add_parser("clean-corpus")
+    cc.add_argument("--source", required=True, help="dir holding documents.parquet")
+    cc.add_argument("--target", required=True, help="output parquet dir")
+    cc.add_argument("--pipeline", choices=["fuzzy", "exact"], default="fuzzy",
+                    help="fuzzy = MinHash-LSH canonical corpus; exact = keep-first")
+    cc.set_defaults(fn=cmd_clean_corpus)
 
     v = sub.add_parser("validate")
     v.add_argument("--source", required=True)

@@ -682,6 +682,76 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 """
 
 
+PQ_BLOCKS = 8        # product quantization: subspaces per vector
+PQ_CODEBOOK = 4      # centroids per subspace (codes 0..3 -> 2 bits/block)
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): split each embedding
+    into PQ_BLOCKS contiguous subvectors and encode each as the id of
+    its nearest subspace centroid — compressing dim x float32 down to
+    PQ_BLOCKS x log2(PQ_CODEBOOK) bits per vector (here 64x32 bits ->
+    16 bits, x128). The memory layer under billion-vector ANN: IVF
+    partitions the corpus, PQ codes make the in-cell scan fit in RAM,
+    and lookup-table (ADC) scoring replaces float math at query time.
+
+    Codebooks here are subvectors of the first PQ_CODEBOOK corpus
+    vectors (the same deterministic k-means stand-in as sim_ivf_topk /
+    dedup_semantic_clusters, keeping the operator SQL-oracle-able);
+    `train_ivf_centroids` is the production trainer, run per subspace.
+
+    100-TB shape: ONE broadcast join (codebook is
+    PQ_BLOCKS x PQ_CODEBOOK x subdim — KBs) + one map-side-combined
+    aggregation keyed (vec_id, block, cid) + an argmin window over
+    PQ_CODEBOOK rows per key. The corpus shuffles only its exploded
+    components once; emitted codes are 3 small ints per block."""
+    comp = _components(spark, sf_dir).withColumn(
+        "block", (F.col("idx") / (64 // PQ_BLOCKS)).cast("int")
+    )
+    cb = comp.filter(F.col("vec_id") < PQ_CODEBOOK).select(
+        F.col("vec_id").alias("cid"), "block", "idx", F.col("val").alias("cval")
+    )
+    d2 = (
+        comp.join(F.broadcast(cb), ["block", "idx"])
+        .groupBy("vec_id", "block", "cid")
+        .agg(
+            F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
+            .cast("decimal(38,18)")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id", "block").orderBy(F.col("d2").asc(), F.col("cid"))
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "block", F.col("cid").alias("code"))
+    )
+
+
+# DuckDB's comp CTE is 1-based (generate_series(1, len)); Spark's
+# posexplode is 0-based — the block derivation subtracts 1 so both
+# engines slice identical 8-component subvectors.
+EMB_PQ_ORACLE = _COMP_CTES + f""",
+comp2 AS (
+  SELECT vec_id, idx, val, CAST(((idx - 1) // {64 // PQ_BLOCKS}) AS INT) AS block FROM comp
+),
+cb AS (
+  SELECT vec_id AS cid, block, idx, val AS cval FROM comp2 WHERE vec_id < {PQ_CODEBOOK}
+),
+d2 AS (
+  SELECT c.vec_id, c.block, cb.cid,
+         CAST(SUM((c.val - cb.cval) * (c.val - cb.cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp2 c JOIN cb ON cb.block = c.block AND cb.idx = c.idx
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, block, cid AS code FROM (
+  SELECT vec_id, block, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, block ORDER BY d2, cid) AS rn
+  FROM d2
+) WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE),
@@ -690,6 +760,7 @@ SPECS = [
     QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_QUANT_ORACLE),
     QuerySpec("sim_ann_recall", sim_ann_recall, SIM_ANN_RECALL_ORACLE),
     QuerySpec("dedup_semantic_clusters", dedup_semantic_clusters, DEDUP_SEMANTIC_ORACLE),
+    QuerySpec("emb_pq_codes", emb_pq_codes, EMB_PQ_ORACLE),
 ]
 
 

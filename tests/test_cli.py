@@ -188,3 +188,18 @@ def test_cli_merge_upsert(tmp_path, capsys, spark, sf_dir):
     after = spark.read.parquet(tgt)
     assert after.count() == n_before
     assert after.filter(F.col("o_totalprice") == 12345.0).count() == 3
+
+
+def test_cli_clean_corpus(tmp_path, capsys, sf_dir, spark):
+    out_dir = str(tmp_path / "corpus")
+    rc = main(["clean-corpus", "--source", sf_dir, "--target", out_dir,
+               "--pipeline", "fuzzy"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_in"] > 0
+    assert stats["rows_out"] == stats["rows_in"] - stats["removed"]
+    assert stats["rows_out"] <= stats["rows_in"]
+    written = spark.read.parquet(out_dir)
+    assert written.count() == stats["rows_out"]
+    # canonical corpus must carry the representation count
+    assert "represents" in written.columns

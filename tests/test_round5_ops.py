@@ -200,3 +200,33 @@ def test_fit_linear_single_aggregation(spark, sf_dir):
     plan = fit_linear_by_group(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange ")
     assert n_exchanges <= 2, plan  # hashpartition(lang) + rangepartition(sort)
+
+
+# ---------------------------------------------------------------------- pq
+
+def test_pq_codes_are_argmin_per_block(spark, sf_dir):
+    """Every emitted code must be the true argmin subspace centroid
+    (numpy float64 recompute; ties broken by centroid id)."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        PQ_BLOCKS,
+        PQ_CODEBOOK,
+        emb_pq_codes,
+    )
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    sub = 64 // PQ_BLOCKS
+    got = {(r["vec_id"], r["block"]): r["code"] for r in emb_pq_codes(spark, sf_dir).collect()}
+    assert len(got) == len(emb) * PQ_BLOCKS
+    mismatch = 0
+    for (v, b), code in got.items():
+        x = emb[v][b * sub : (b + 1) * sub]
+        d = [float(np.sum((x - emb[c][b * sub : (b + 1) * sub]) ** 2)) for c in range(PQ_CODEBOOK)]
+        best = min(range(PQ_CODEBOOK), key=lambda c: (d[c], c))
+        if best != code:
+            # allow only exact-tie discrepancies from the decimal grid
+            assert abs(d[best] - d[code]) < 1e-9, (v, b, code, best)
+            mismatch += 1
+    assert mismatch <= len(got) * 0.01
