@@ -705,14 +705,22 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation keyed (vec_id, block, cid) + an argmin window over
     PQ_CODEBOOK rows per key. The corpus shuffles only its exploded
     components once; emitted codes are 3 small ints per block."""
-    comp = _components(spark, sf_dir).withColumn(
-        "block", (F.col("idx") / (64 // PQ_BLOCKS)).cast("int")
-    )
-    cb = comp.filter(F.col("vec_id") < PQ_CODEBOOK).select(
+    comp = _components(spark, sf_dir)
+    return _pq_codes(comp)
+
+
+def _pq_comp(comp: DataFrame) -> DataFrame:
+    return comp.withColumn("block", (F.col("idx") / (64 // PQ_BLOCKS)).cast("int"))
+
+
+def _pq_codes(comp: DataFrame) -> DataFrame:
+    """(vec_id, block, code) — shared by the code emitter and ADC search."""
+    pc = _pq_comp(comp)
+    cb = pc.filter(F.col("vec_id") < PQ_CODEBOOK).select(
         F.col("vec_id").alias("cid"), "block", "idx", F.col("val").alias("cval")
     )
     d2 = (
-        comp.join(F.broadcast(cb), ["block", "idx"])
+        pc.join(F.broadcast(cb), ["block", "idx"])
         .groupBy("vec_id", "block", "cid")
         .agg(
             F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
@@ -752,6 +760,102 @@ SELECT vec_id, block, cid AS code FROM (
 """
 
 
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the query side of
+    the FAISS IVF-ADC architecture: the RAW query meets only the
+    compressed corpus. Per query, a lookup table of the query-subvector
+    dot product with every subspace centroid (PQ_BLOCKS x PQ_CODEBOOK
+    entries); a candidate's approximate dot is the SUM of table entries
+    selected by its codes — no float math against corpus vectors at all.
+
+    100-TB shape: the tables are N_QUERIES x PQ_BLOCKS x PQ_CODEBOOK
+    rows (KBs, broadcast); the scan side touches only the code columns
+    (3 small ints per block — the 128x-compressed representation), and
+    the shuffle reduces (qid, vec_id) partial sums. Combined with IVF
+    cell pruning this is how a billion-vector search fits one machine's
+    scan budget. Ranking is on the EXACT decimal approximate dot (the
+    arithmetic is decimal end to end), ties on neighbor_id; the score is
+    emitted as the decimal's canonical string because an 8-dp rounding
+    cut can land exactly on a .5 tie that Spark (HALF_UP) and DuckDB
+    resolve differently — observed at sf0.01 — while the exact value
+    needs no rounding at all."""
+    comp = _components(spark, sf_dir)
+    codes = _pq_codes(comp)
+    pc = _pq_comp(comp)
+    cb = pc.filter(F.col("vec_id") < PQ_CODEBOOK).select(
+        F.col("vec_id").alias("cid"), "block", "idx", F.col("val").alias("cval")
+    )
+    q = pc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "block", "idx", F.col("val").alias("qval")
+    )
+    table = (
+        q.join(cb, ["block", "idx"])
+        .groupBy("qid", "block", "cid")
+        .agg(F.sum(F.col("qval") * F.col("cval")).cast("decimal(38,18)").alias("t"))
+    )
+    partials = codes.join(
+        F.broadcast(table),
+        (codes.block == table.block) & (codes.code == table.cid),
+    ).filter(F.col("vec_id") != F.col("qid"))
+    approx = (
+        partials.groupBy("qid", "vec_id")
+        .agg(F.sum("t").cast("decimal(38,18)").alias("adot"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "adot")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("neighbor_id"))
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "qid", "rank", "neighbor_id",
+            F.col("adot").cast("string").alias("approx_dot"),
+        )
+    )
+
+
+SIM_PQ_ADC_ORACLE = _COMP_CTES + f""",
+comp2 AS (
+  SELECT vec_id, idx, val, CAST(((idx - 1) // {64 // PQ_BLOCKS}) AS INT) AS block FROM comp
+),
+cb AS (
+  SELECT vec_id AS cid, block, idx, val AS cval FROM comp2 WHERE vec_id < {PQ_CODEBOOK}
+),
+d2 AS (
+  SELECT c.vec_id, c.block, cb.cid,
+         CAST(SUM((c.val - cb.cval) * (c.val - cb.cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp2 c JOIN cb ON cb.block = c.block AND cb.idx = c.idx
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, block, cid AS code FROM (
+    SELECT vec_id, block, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, block ORDER BY d2, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, block, idx, val AS qval FROM comp2 WHERE vec_id < {N_QUERIES}
+),
+tbl AS (
+  SELECT qid, q.block, cb.cid, CAST(SUM(qval * cval) AS DECIMAL(38,18)) AS t
+  FROM q JOIN cb ON cb.block = q.block AND cb.idx = q.idx
+  GROUP BY 1, 2, 3
+),
+approx AS (
+  SELECT qid, codes.vec_id AS neighbor_id,
+         CAST(SUM(t) AS DECIMAL(38,18)) AS adot
+  FROM codes JOIN tbl ON tbl.block = codes.block AND tbl.cid = codes.code
+  WHERE codes.vec_id <> qid
+  GROUP BY 1, 2
+)
+SELECT qid, rank, neighbor_id, approx_dot FROM (
+  SELECT qid, neighbor_id, CAST(adot AS VARCHAR) AS approx_dot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, neighbor_id) AS BIGINT) AS rank
+  FROM approx
+) WHERE rank <= {TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE),
@@ -761,6 +865,7 @@ SPECS = [
     QuerySpec("sim_ann_recall", sim_ann_recall, SIM_ANN_RECALL_ORACLE),
     QuerySpec("dedup_semantic_clusters", dedup_semantic_clusters, DEDUP_SEMANTIC_ORACLE),
     QuerySpec("emb_pq_codes", emb_pq_codes, EMB_PQ_ORACLE),
+    QuerySpec("sim_pq_adc_topk", sim_pq_adc_topk, SIM_PQ_ADC_ORACLE),
 ]
 
 

@@ -230,3 +230,30 @@ def test_pq_codes_are_argmin_per_block(spark, sf_dir):
             assert abs(d[best] - d[code]) < 1e-9, (v, b, code, best)
             mismatch += 1
     assert mismatch <= len(got) * 0.01
+
+
+def test_pq_adc_scores_match_numpy_reconstruction(spark, sf_dir):
+    """approx_dot must equal dot(query, PQ-reconstruction(neighbor)) —
+    the defining identity of asymmetric distance computation."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        PQ_BLOCKS,
+        PQ_CODEBOOK,
+        emb_pq_codes,
+        sim_pq_adc_topk,
+    )
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    sub = 64 // PQ_BLOCKS
+    codes = {}
+    for r in emb_pq_codes(spark, sf_dir).collect():
+        codes.setdefault(r["vec_id"], {})[r["block"]] = r["code"]
+    for r in sim_pq_adc_topk(spark, sf_dir).collect():
+        q, n = r["qid"], r["neighbor_id"]
+        recon = np.concatenate([
+            emb[codes[n][b]][b * sub : (b + 1) * sub] for b in range(PQ_BLOCKS)
+        ])
+        expected = float(emb[q] @ recon)
+        assert float(r["approx_dot"]) == pytest.approx(expected, rel=1e-5), (q, n)
