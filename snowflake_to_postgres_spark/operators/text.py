@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from snowflake_to_postgres_spark.registry import QuerySpec
 from snowflake_to_postgres_spark.sources import load_table
@@ -591,6 +592,69 @@ GROUP BY doc_id
 """
 
 
+QD_GRID = 1000   # quality deciles: score grid = floor(score * 1000)
+
+
+def tx_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quality binning — the curriculum / quality-tier step:
+    every document gets a decile 0..9 of the corpus quality-score
+    distribution (0 = worst tenth), so downstream mixing can sample
+    'top-3-decile only' or anneal from easy to hard.
+
+    Scores are snapped to a 1e-3 grid first (floor of an
+    engine-identical double), which bounds the distinct-value histogram
+    regardless of corpus size; deciles come from the histogram CDF in
+    pure integer math — decile(v) = (docs strictly below v) * 10 / N —
+    so ties share a decile deterministically.
+
+    100-TB shape: one map-side-combined histogram aggregation (grid
+    values, bounded at a few thousand rows), ONE ordered window over
+    that bounded frame (a13's histogram-window pattern — the single
+    partition holds the histogram, never corpus rows), N as a scalar
+    collect, and a broadcast join back to the corpus. The corpus
+    shuffles once, for its own histogram."""
+    qs = tx_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * QD_GRID).cast("bigint").alias("q_grid"),
+    )
+    hist = qs.groupBy("q_grid").agg(F.count("*").alias("cnt"))
+    n_total = qs.count()
+    w = Window.orderBy("q_grid").rowsBetween(Window.unboundedPreceding, -1)
+    deciles = (
+        hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .select(
+            "q_grid",
+            # exact integer division (not a double divide) — at corpus
+            # scale cum*10 exceeds double's 53-bit integer range
+            F.expr(f"(cum_before * 10) div {n_total}").cast("bigint").alias("decile"),
+        )
+    )
+    return qs.join(F.broadcast(deciles), "q_grid").select("doc_id", "q_grid", "decile")
+
+
+TX_QUALITY_DECILES_ORACLE = f"""
+WITH qs AS (
+  SELECT doc_id,
+         CAST(floor((
+           (CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains([{_SW_EN}], x))) AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.5
+           + (CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2
+           + (CAST(length(text) - len(string_split(lower(text), ' ')) + 1 AS DOUBLE) / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 0.1
+         ) * {QD_GRID}) AS BIGINT) AS q_grid
+  FROM documents
+),
+hist AS (SELECT q_grid, COUNT(*) AS cnt FROM qs GROUP BY q_grid),
+n AS (SELECT COUNT(*) AS total FROM qs),
+dec AS (
+  SELECT q_grid,
+         (COALESCE(SUM(cnt) OVER (ORDER BY q_grid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+           // (SELECT total FROM n) AS decile
+  FROM hist
+)
+SELECT doc_id, q_grid, CAST(decile AS BIGINT) AS decile
+FROM qs JOIN dec USING (q_grid)
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
@@ -603,4 +667,5 @@ SPECS = [
     QuerySpec("tx_contamination", tx_contamination, TX_CONTAMINATION_ORACLE),
     QuerySpec("tx_boilerplate_strip", tx_boilerplate_strip, TX_BOILERPLATE_ORACLE),
     QuerySpec("tx_bigram_lm_score", tx_bigram_lm_score, TX_BIGRAM_LM_ORACLE),
+    QuerySpec("tx_quality_deciles", tx_quality_deciles, TX_QUALITY_DECILES_ORACLE),
 ]

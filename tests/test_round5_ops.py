@@ -257,3 +257,23 @@ def test_pq_adc_scores_match_numpy_reconstruction(spark, sf_dir):
         ])
         expected = float(emb[q] @ recon)
         assert float(r["approx_dot"]) == pytest.approx(expected, rel=1e-5), (q, n)
+
+
+def test_quality_deciles_equi_depth(spark, sf_dir):
+    """Deciles must cover 0..9, be monotone in the grid score, and be
+    near-equi-depth (each decile within 3x of N/10 on the tie-free
+    fixture grid)."""
+    from snowflake_to_postgres_spark.operators.text import tx_quality_deciles
+
+    rows = tx_quality_deciles(spark, sf_dir).collect()
+    n = len(rows)
+    assert n == load_table(spark, sf_dir, "documents").count()
+    by_dec: dict[int, list[int]] = {}
+    for r in rows:
+        by_dec.setdefault(r["decile"], []).append(r["q_grid"])
+    assert set(by_dec) == set(range(10))
+    # monotone: every score in decile d is <= every score in decile d+1
+    for d in range(9):
+        assert max(by_dec[d]) <= min(by_dec[d + 1])
+    for d, scores in by_dec.items():
+        assert n / 30 <= len(scores) <= 3 * n / 10, (d, len(scores))
