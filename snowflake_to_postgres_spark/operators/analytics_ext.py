@@ -704,3 +704,43 @@ WHERE s_suppkey IN (
 
 
 SPECS.append(QuerySpec("x_q20_excess_suppliers", x_q20_excess_suppliers, X_Q20_ORACLE))
+
+
+HEAVY_TOP_K = 20
+
+
+def diag_heavy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the probe an operator runs BEFORE a
+    big join to decide between plain hash join, salting, and the AQE
+    skew handler: the HEAVY_TOP_K heaviest events.user_id keys with
+    their corpus share. A key holding >> 1/parallelism of the rows is
+    the straggler task in any shuffle keyed on it.
+
+    100-TB shape: one map-side-combined count per key, then a
+    TakeOrdered of the reduced frame (never a global sort); the total
+    is one scalar. This pairs with ``operators.skew.salted_join`` —
+    its output IS this query's heavy-key list."""
+    events = load_table(spark, sf_dir, "events")
+    total = events.count()
+    return (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id", "cnt",
+            (F.col("cnt").cast("double") / F.lit(float(total))).cast("decimal(12,8)").alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(HEAVY_TOP_K)
+    )
+
+
+DIAG_HEAVY_ORACLE = f"""
+WITH tot AS (SELECT COUNT(*) AS total FROM events)
+SELECT user_id, COUNT(*) AS cnt,
+       CAST(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE) AS DECIMAL(12,8)) AS share
+FROM events GROUP BY user_id
+ORDER BY cnt DESC, user_id LIMIT {HEAVY_TOP_K}
+"""
+
+
+SPECS.append(QuerySpec("diag_heavy_keys", diag_heavy_keys, DIAG_HEAVY_ORACLE))

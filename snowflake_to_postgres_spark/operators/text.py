@@ -655,6 +655,71 @@ FROM qs JOIN dec USING (q_grid)
 """
 
 
+PMI_MIN_COUNT = 5   # pairs below this support are noise
+PMI_TOP_K = 20
+
+
+def tx_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word associations by pointwise mutual information over the
+    adjacent-bigram stream — the collocation-mining step (phrase
+    detection a la word2phrase) of corpus analysis: PMI(w1,w2) =
+    ln(c(w1,w2)·T / (c(w1)·c(w2))), keeping pairs with support >=
+    PMI_MIN_COUNT, top PMI_TOP_K by (pmi desc, w1, w2).
+
+    100-TB shape: identical to the bigram-LM trainer — two map-side
+    combined count aggregations over word keys; the PMI arithmetic runs
+    on the REDUCED count frames (vocab-sized, not corpus-sized), and
+    the top-k is a TakeOrdered over that reduced frame. T is one scalar
+    (bounded collect)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") >= 2)
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    total = big.count()
+    uni1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    uni2 = big.groupBy("w2").agg(F.count("*").alias("c2"))
+    pairs = big.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    pmi = F.log(
+        (F.col("cnt") * F.lit(total)).cast("double")
+        / (F.col("c1") * F.col("c2")).cast("double")
+    ).cast("decimal(18,8)")
+    return (
+        pairs.filter(F.col("cnt") >= PMI_MIN_COUNT)
+        .join(uni1, "w1")
+        .join(uni2, "w2")
+        .select("w1", "w2", "cnt", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+TX_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+  WHERE len(t) >= 2
+),
+tot AS (SELECT COUNT(*) AS total FROM big),
+uni1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+uni2 AS (SELECT w2, COUNT(*) AS c2 FROM big GROUP BY w2),
+pairs AS (SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY w1, w2)
+SELECT w1, w2, cnt,
+       CAST(ln(CAST(cnt * (SELECT total FROM tot) AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)) AS DECIMAL(18,8)) AS pmi
+FROM pairs JOIN uni1 USING (w1) JOIN uni2 USING (w2)
+WHERE cnt >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
@@ -668,4 +733,5 @@ SPECS = [
     QuerySpec("tx_boilerplate_strip", tx_boilerplate_strip, TX_BOILERPLATE_ORACLE),
     QuerySpec("tx_bigram_lm_score", tx_bigram_lm_score, TX_BIGRAM_LM_ORACLE),
     QuerySpec("tx_quality_deciles", tx_quality_deciles, TX_QUALITY_DECILES_ORACLE),
+    QuerySpec("tx_pmi_pairs", tx_pmi_pairs, TX_PMI_ORACLE),
 ]
