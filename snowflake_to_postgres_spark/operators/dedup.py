@@ -202,6 +202,43 @@ FROM ranked
 """
 
 
+def build_digest_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "corpus_digests",
+    num_buckets: int = 8,
+) -> str:
+    """Materialize the corpus digest index as a BUCKETED, sorted table —
+    the steady-state artifact behind ``dedup_incremental``: built once
+    (and merged incrementally), it lets every nightly feed probe the
+    corpus WITHOUT rescanning or reshuffling corpus text. Bucketing by
+    digest moves the corpus's shuffle to build time; at probe time only
+    the (small) feed shuffles into the index's bucketing."""
+    from snowflake_to_postgres_spark.sources.bucketed import write_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    digests = docs.select(F.md5("text").alias("text_md5"), "doc_id")
+    write_bucketed_table(digests, table_name, "text_md5", num_buckets, sorted_by="text_md5")
+    return table_name
+
+
+def probe_digest_index(spark: SparkSession, index_table: str, feed: DataFrame) -> DataFrame:
+    """Dedup a feed against the persisted digest index: one join in
+    which the corpus side is read IN PLACE (bucketed — no Exchange on
+    its subtree; only the feed shuffles to the index's bucketing).
+    Returns the feed with a ``dup_of_corpus`` verdict per row. The feed
+    must carry a ``text_md5`` column."""
+    idx = (
+        spark.table(index_table)
+        .select("text_md5")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    return feed.join(idx, "text_md5", "left").withColumn(
+        "dup_of_corpus", F.coalesce(F.col("in_corpus"), F.lit(False))
+    ).drop("in_corpus")
+
+
 # --------------------------------------------------------------------------
 # N-gram Jaccard near-dup
 # --------------------------------------------------------------------------

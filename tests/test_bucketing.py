@@ -52,3 +52,42 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     agg = spark.table(lt).groupBy("l_orderkey").agg(F.count("*").alias("c"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_digest_index_probe_shuffles_only_the_feed(spark, sf_dir):
+    """The persisted digest index must be read in place: the probe join
+    plans with NO Exchange on the index subtree — only the feed side
+    shuffles into the index's bucketing — and verdicts match a direct
+    recompute."""
+    from snowflake_to_postgres_spark.operators.dedup import (
+        build_digest_index,
+        probe_digest_index,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        tbl = build_digest_index(spark, sf_dir, "t_digest_idx", num_buckets=8)
+        docs = load_table(spark, sf_dir, "documents")
+        feed = docs.filter(F.col("doc_id") < 40).select(
+            "doc_id", F.md5("text").alias("text_md5")
+        )
+        probed = probe_digest_index(spark, tbl, feed)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        # exactly one Exchange: the feed repartitioning (the distinct on
+        # the bucketed index and the join both reuse its bucketing)
+        assert plan.count("Exchange") == 1, plan
+        # every feed doc IS in the corpus here -> all dup_of_corpus
+        rows = probed.collect()
+        assert len(rows) == 40 and all(r["dup_of_corpus"] for r in rows)
+        # a novel digest is not flagged
+        novel = spark.createDataFrame(
+            [(999999, "0" * 32)], "doc_id long, text_md5 string"
+        )
+        got = probe_digest_index(spark, tbl, novel).collect()
+        assert len(got) == 1 and not got[0]["dup_of_corpus"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.sql("DROP TABLE IF EXISTS t_digest_idx")
