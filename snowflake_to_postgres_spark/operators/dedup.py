@@ -654,6 +654,75 @@ WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
 """
 
 
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup — the fuzzy twin of ``dedup_incremental``:
+    the feed (md5(doc_id) >= INCR_FEED_PREFIX bucket) is probed against
+    the ingested corpus through the SAME banded-LSH candidate +
+    verification stages as ``dedup_minhash_lsh_pairs``; a feed document
+    is rejected when any verified cross-boundary pair (one side feed,
+    one side corpus) meets the Jaccard threshold. Emits every feed doc
+    with its corpus near-dup count and a rejected verdict.
+
+    100-TB steady state: the corpus's (band, bucket) postings persist
+    as a bucketed index (exactly like ``build_digest_index``) so only
+    the feed computes signatures per run; candidates and verification
+    touch feed-adjacent documents only — corpus work is O(feed), not
+    O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feed_ids = docs.select("doc_id").filter(
+        F.md5(F.col("doc_id").cast("string")) >= INCR_FEED_PREFIX
+    )
+    overlap = _lsh_candidate_overlap(spark, sf_dir)
+    jac = F.col("i").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("i")
+    ).cast("double")
+    pairs = overlap.select("d1", "d2", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    f1 = F.md5(F.col("d1").cast("string")) >= INCR_FEED_PREFIX
+    f2 = F.md5(F.col("d2").cast("string")) >= INCR_FEED_PREFIX
+    cross = pairs.filter(f1 != f2).select(
+        F.when(f1, F.col("d1")).otherwise(F.col("d2")).alias("doc_id")
+    )
+    hits = cross.groupBy("doc_id").agg(F.count("*").alias("nh"))
+    return feed_ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("nh"), F.lit(0)).cast("bigint").alias("n_near_dups"),
+        (F.coalesce(F.col("nh"), F.lit(0)) > 0).alias("rejected"),
+    )
+
+
+DEDUP_INCR_LSH_ORACLE = _minhash_oracle_sig_sql() + f"""
+, candidates AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+jpairs AS (
+  SELECT c.d1, c.d2
+  FROM candidates c
+  JOIN inter ON inter.d1 = c.d1 AND inter.d2 = c.d2
+  JOIN doc_n ca ON ca.doc_id = c.d1
+  JOIN doc_n cb ON cb.doc_id = c.d2
+  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
+cross_p AS (
+  SELECT CASE WHEN md5(CAST(d1 AS VARCHAR)) >= '{INCR_FEED_PREFIX}' THEN d1 ELSE d2 END AS doc_id
+  FROM jpairs
+  WHERE (md5(CAST(d1 AS VARCHAR)) >= '{INCR_FEED_PREFIX}')
+     <> (md5(CAST(d2 AS VARCHAR)) >= '{INCR_FEED_PREFIX}')
+),
+hits AS (SELECT doc_id, COUNT(*) AS nh FROM cross_p GROUP BY doc_id)
+SELECT f.doc_id,
+       CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_near_dups,
+       COALESCE(h.nh, 0) > 0 AS rejected
+FROM (SELECT doc_id FROM documents
+      WHERE md5(CAST(doc_id AS VARCHAR)) >= '{INCR_FEED_PREFIX}') f
+LEFT JOIN hits h ON h.doc_id = f.doc_id
+"""
+
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
@@ -996,4 +1065,5 @@ SPECS = [
     QuerySpec("dedup_containment_pairs", dedup_containment_pairs, DEDUP_CONTAINMENT_ORACLE),
     QuerySpec("dedup_containment_lsh", dedup_containment_lsh, DEDUP_CONTAINMENT_LSH_ORACLE),
     QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_ORACLE),
+    QuerySpec("dedup_incremental_lsh", dedup_incremental_lsh, DEDUP_INCR_LSH_ORACLE),
 ]
