@@ -521,8 +521,16 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = truth.select("qid").distinct()
     out = None
-    for method, fn in (("ivf", sim_ivf_topk), ("rp_lsh", sim_rp_lsh_topk)):
-        approx = fn(spark, sf_dir).select("qid", "neighbor_id")
+    for method, fn in (
+        ("ivf", sim_ivf_topk),
+        ("rp_lsh", sim_rp_lsh_topk),
+        ("pq_adc", sim_pq_adc_topk),
+    ):
+        approx = (
+            fn(spark, sf_dir)
+            .filter(F.col("rank") <= ANN_EVAL_K)
+            .select("qid", "neighbor_id")
+        )
         hits = (
             truth.join(approx, ["qid", "neighbor_id"], "left_semi")
             .groupBy("qid")
@@ -853,6 +861,49 @@ SELECT qid, rank, neighbor_id, approx_dot FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, neighbor_id) AS BIGINT) AS rank
   FROM approx
 ) WHERE rank <= {TOP_K}
+"""
+
+
+# Recall gate, final form: covers all THREE approximate paths (IVF,
+# RP-LSH, PQ-ADC). Redefined here — below the ADC oracle it composes —
+# and SPECS at the bottom of the module picks up this value.
+SIM_ANN_RECALL_ORACLE = f"""
+WITH bf AS (
+  SELECT qid, neighbor_id FROM ({SIM_TOPK_ORACLE}) WHERE rank <= {ANN_EVAL_K}
+),
+ivf AS (SELECT qid, neighbor_id FROM ({SIM_IVF_ORACLE}) WHERE rank <= {ANN_EVAL_K}),
+rp AS (SELECT qid, neighbor_id FROM ({SIM_RP_LSH_ORACLE}) WHERE rank <= {ANN_EVAL_K}),
+adc AS (SELECT qid, neighbor_id FROM ({SIM_PQ_ADC_ORACLE}) WHERE rank <= {ANN_EVAL_K}),
+qids AS (SELECT DISTINCT qid FROM bf),
+ivf_hits AS (
+  SELECT bf.qid, COUNT(*) AS hits FROM bf
+  WHERE EXISTS (SELECT 1 FROM ivf WHERE ivf.qid = bf.qid AND ivf.neighbor_id = bf.neighbor_id)
+  GROUP BY bf.qid
+),
+rp_hits AS (
+  SELECT bf.qid, COUNT(*) AS hits FROM bf
+  WHERE EXISTS (SELECT 1 FROM rp WHERE rp.qid = bf.qid AND rp.neighbor_id = bf.neighbor_id)
+  GROUP BY bf.qid
+),
+adc_hits AS (
+  SELECT bf.qid, COUNT(*) AS hits FROM bf
+  WHERE EXISTS (SELECT 1 FROM adc WHERE adc.qid = bf.qid AND adc.neighbor_id = bf.neighbor_id)
+  GROUP BY bf.qid
+)
+SELECT 'ivf' AS method, qids.qid,
+       CAST(COALESCE(ivf_hits.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(ivf_hits.hits, 0) AS DOUBLE) / {ANN_EVAL_K} AS recall_at_3
+FROM qids LEFT JOIN ivf_hits ON ivf_hits.qid = qids.qid
+UNION ALL
+SELECT 'rp_lsh' AS method, qids.qid,
+       CAST(COALESCE(rp_hits.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(rp_hits.hits, 0) AS DOUBLE) / {ANN_EVAL_K} AS recall_at_3
+FROM qids LEFT JOIN rp_hits ON rp_hits.qid = qids.qid
+UNION ALL
+SELECT 'pq_adc' AS method, qids.qid,
+       CAST(COALESCE(adc_hits.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(adc_hits.hits, 0) AS DOUBLE) / {ANN_EVAL_K} AS recall_at_3
+FROM qids LEFT JOIN adc_hits ON adc_hits.qid = qids.qid
 """
 
 
