@@ -768,6 +768,33 @@ SELECT vec_id, block, cid AS code FROM (
 """
 
 
+def _pq_adc_scores(comp: DataFrame) -> DataFrame:
+    """(qid, neighbor_id, adot DECIMAL(38,18)) — every corpus vector's
+    ADC score against every query, via per-query lookup tables."""
+    codes = _pq_codes(comp)
+    pc = _pq_comp(comp)
+    cb = pc.filter(F.col("vec_id") < PQ_CODEBOOK).select(
+        F.col("vec_id").alias("cid"), "block", "idx", F.col("val").alias("cval")
+    )
+    q = pc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "block", "idx", F.col("val").alias("qval")
+    )
+    table = (
+        q.join(cb, ["block", "idx"])
+        .groupBy("qid", "block", "cid")
+        .agg(F.sum(F.col("qval") * F.col("cval")).cast("decimal(38,18)").alias("t"))
+    )
+    partials = codes.join(
+        F.broadcast(table),
+        (codes.block == table.block) & (codes.code == table.cid),
+    ).filter(F.col("vec_id") != F.col("qid"))
+    return (
+        partials.groupBy("qid", "vec_id")
+        .agg(F.sum("t").cast("decimal(38,18)").alias("adot"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "adot")
+    )
+
+
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the query side of
     the FAISS IVF-ADC architecture: the RAW query meets only the
@@ -788,28 +815,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolve differently — observed at sf0.01 — while the exact value
     needs no rounding at all."""
     comp = _components(spark, sf_dir)
-    codes = _pq_codes(comp)
-    pc = _pq_comp(comp)
-    cb = pc.filter(F.col("vec_id") < PQ_CODEBOOK).select(
-        F.col("vec_id").alias("cid"), "block", "idx", F.col("val").alias("cval")
-    )
-    q = pc.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), "block", "idx", F.col("val").alias("qval")
-    )
-    table = (
-        q.join(cb, ["block", "idx"])
-        .groupBy("qid", "block", "cid")
-        .agg(F.sum(F.col("qval") * F.col("cval")).cast("decimal(38,18)").alias("t"))
-    )
-    partials = codes.join(
-        F.broadcast(table),
-        (codes.block == table.block) & (codes.code == table.cid),
-    ).filter(F.col("vec_id") != F.col("qid"))
-    approx = (
-        partials.groupBy("qid", "vec_id")
-        .agg(F.sum("t").cast("decimal(38,18)").alias("adot"))
-        .select("qid", F.col("vec_id").alias("neighbor_id"), "adot")
-    )
+    approx = _pq_adc_scores(comp)
     w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("neighbor_id"))
     return (
         approx.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -861,6 +867,95 @@ SELECT qid, rank, neighbor_id, approx_dot FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, neighbor_id) AS BIGINT) AS rank
   FROM approx
 ) WHERE rank <= {TOP_K}
+"""
+
+
+# Rescored ADC: candidates fed to the exact rescore. Measured recall@3
+# at sf0.1 (2000 vectors) vs shortlist depth: 10 -> 0.33, 25 -> 0.47,
+# 50 -> 0.67, 100 -> 0.73 (raw ADC with no rescore: 0.20). 50 exact-
+# scores 2.5% of this corpus; at scale the ratio is the tuning knob.
+ADC_SHORTLIST = 50
+
+
+def sim_pq_adc_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC with exact rescoring — the production form of PQ search and
+    the documented remedy for the raw ADC path's measured recall (0.20
+    at sf0.1 with 2-bit codebooks): the compressed scan produces an
+    ADC_SHORTLIST-deep candidate list per query, then ONLY those
+    candidates are scored at exact decimal cosine (the same shared
+    ``_rank_candidates`` tail as IVF and RP-LSH).
+
+    100-TB shape: the expensive exact pass touches
+    N_QUERIES x ADC_SHORTLIST vectors no matter how large the corpus —
+    the corpus itself is only ever read as codes."""
+    comp = _components(spark, sf_dir)
+    approx = _pq_adc_scores(comp)
+    w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("neighbor_id"))
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_SHORTLIST)
+        .select("qid", F.col("neighbor_id").alias("vec_id"))
+    )
+    return _rank_candidates(comp, shortlist, k=ANN_EVAL_K)
+
+
+SIM_PQ_ADC_RESCORE_ORACLE = _COMP_CTES + f""",
+comp2 AS (
+  SELECT vec_id, idx, val, CAST(((idx - 1) // {64 // PQ_BLOCKS}) AS INT) AS block FROM comp
+),
+cb AS (
+  SELECT vec_id AS cid, block, idx, val AS cval FROM comp2 WHERE vec_id < {PQ_CODEBOOK}
+),
+pqd2 AS (
+  SELECT c.vec_id, c.block, cb.cid,
+         CAST(SUM((c.val - cb.cval) * (c.val - cb.cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp2 c JOIN cb ON cb.block = c.block AND cb.idx = c.idx
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, block, cid AS code FROM (
+    SELECT vec_id, block, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, block ORDER BY d2, cid) AS rn
+    FROM pqd2
+  ) WHERE rn = 1
+),
+qq AS (
+  SELECT vec_id AS qid, block, idx, val AS qval FROM comp2 WHERE vec_id < {N_QUERIES}
+),
+tbl AS (
+  SELECT qid, qq.block, cb.cid, CAST(SUM(qval * cval) AS DECIMAL(38,18)) AS t
+  FROM qq JOIN cb ON cb.block = qq.block AND cb.idx = qq.idx
+  GROUP BY 1, 2, 3
+),
+shortlist AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, codes.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY SUM(t) DESC, codes.vec_id) AS rn
+    FROM codes JOIN tbl ON tbl.block = codes.block AND tbl.cid = codes.code
+    WHERE codes.vec_id <> qid
+    GROUP BY qid, codes.vec_id
+  ) WHERE rn <= {ADC_SHORTLIST}
+),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT s.qid, s.vec_id, CAST(SUM(comp.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM shortlist s
+  JOIN comp ON comp.vec_id = s.vec_id
+  JOIN q ON q.qid = s.qid AND q.idx = comp.idx
+  GROUP BY s.qid, s.vec_id
+),
+ranked AS (
+  SELECT qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= {ANN_EVAL_K}
 """
 
 
@@ -917,6 +1012,7 @@ SPECS = [
     QuerySpec("dedup_semantic_clusters", dedup_semantic_clusters, DEDUP_SEMANTIC_ORACLE),
     QuerySpec("emb_pq_codes", emb_pq_codes, EMB_PQ_ORACLE),
     QuerySpec("sim_pq_adc_topk", sim_pq_adc_topk, SIM_PQ_ADC_ORACLE),
+    QuerySpec("sim_pq_adc_rescore_topk", sim_pq_adc_rescore_topk, SIM_PQ_ADC_RESCORE_ORACLE),
 ]
 
 

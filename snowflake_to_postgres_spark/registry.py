@@ -81,6 +81,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "tx_bigram_lm_score": ("avg_logprob",),
     "tx_pmi_pairs": ("pmi",),
     "diag_heavy_keys": ("share",),
+    "sim_pq_adc_rescore_topk": ("cosine",),
     "xj_asof_join": ("p_value",),
     "xj_asof_forward": ("p_value",),
     "xj_range_join": ("s_price",),
