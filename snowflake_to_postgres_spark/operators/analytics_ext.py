@@ -744,3 +744,135 @@ ORDER BY cnt DESC, user_id LIMIT {HEAVY_TOP_K}
 
 
 SPECS.append(QuerySpec("diag_heavy_keys", diag_heavy_keys, DIAG_HEAVY_ORACLE))
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: a user converts
+    at step k when their earliest step-k event follows their conversion
+    time at step k-1 (min-ts semantics — the standard product-analytics
+    funnel). Emits one row per step with the converted-user count and
+    the conversion rate from step 1.
+
+    100-TB shape: ONE conditional aggregation per user computes every
+    step's earliest-qualifying timestamp in a single shuffle on
+    user_id (no per-step self-joins, no window over the raw stream);
+    the per-step rollup then reduces |users| rows to |steps|."""
+    events = load_table(spark, sf_dir, "events")
+    t1 = F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts")))
+    per_user = events.groupBy("user_id").agg(
+        t1.alias("t1"),
+        F.collect_list(F.struct("ts", "event_type")).alias("evs"),
+    )
+    # steps 2..k need "earliest step event AFTER the previous step's
+    # time" — computed per user from the collected (bounded per-user)
+    # event list with array expressions, keeping one shuffle total
+    per_user = per_user.withColumn(
+        "t2",
+        F.expr(
+            f"array_min(transform(filter(evs, e -> e.event_type = '{FUNNEL_STEPS[1]}'"
+            " AND t1 IS NOT NULL AND e.ts > t1), e -> e.ts))"
+        ),
+    ).withColumn(
+        "t3",
+        F.expr(
+            f"array_min(transform(filter(evs, e -> e.event_type = '{FUNNEL_STEPS[2]}'"
+            " AND t2 IS NOT NULL AND e.ts > t2), e -> e.ts))"
+        ),
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("s1"), F.count("t2").alias("s2"), F.count("t3").alias("s3")
+    )
+    r = counts.collect()[0]
+    rows = [(i + 1, FUNNEL_STEPS[i], int(r[f"s{i+1}"])) for i in range(3)]
+    out = spark.createDataFrame(rows, "step int, event_type string, n_users long")
+    return out.withColumn(
+        "conversion",
+        (F.col("n_users").cast("double") / F.lit(float(r["s1"]))).cast("decimal(12,8)"),
+    )
+
+
+X_FUNNEL_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+),
+u2 AS (
+  SELECT p.user_id, p.t1,
+         MIN(CASE WHEN e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > p.t1 THEN e.ts END) AS t2
+  FROM per_user p LEFT JOIN events e ON e.user_id = p.user_id
+  GROUP BY p.user_id, p.t1
+),
+u3 AS (
+  SELECT u.user_id, u.t1, u.t2,
+         MIN(CASE WHEN e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > u.t2 THEN e.ts END) AS t3
+  FROM u2 u LEFT JOIN events e ON e.user_id = u.user_id
+  GROUP BY u.user_id, u.t1, u.t2
+),
+c AS (SELECT COUNT(t1) AS s1, COUNT(t2) AS s2, COUNT(t3) AS s3 FROM u3)
+SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type, CAST(s1 AS BIGINT) AS n_users,
+       CAST(CAST(s1 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) AS conversion FROM c
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', CAST(s2 AS BIGINT),
+       CAST(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) FROM c
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', CAST(s3 AS BIGINT),
+       CAST(CAST(s3 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) FROM c
+"""
+
+
+SPECS.append(QuerySpec("x_funnel", x_funnel, X_FUNNEL_ORACLE))
+
+
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to hourly OHLC bars per event type —
+    the resample step every metrics/feature pipeline runs before
+    modeling: open/close = value at the earliest/latest event in the
+    bucket (ties broken by event_id, deterministic), high/low = extremes.
+
+    100-TB shape: open/close via min/max over a (ts, event_id, value)
+    STRUCT — lexicographic struct ordering gives argmin/argmax INSIDE
+    one hash aggregate, so the whole resample is a single map-side-
+    combined shuffle on (hour, type); no window over raw rows, no
+    second pass."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    base = events.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+        "event_type",
+        F.struct(F.col("ts"), F.col("event_id"), v.alias("v")).alias("tev"),
+        v.alias("v"),
+    )
+    return base.groupBy("bar_ts", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("tev").getField("v").alias("open"),
+        F.max("tev").getField("v").alias("close"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+    )
+
+
+TS_OHLC_ORACLE = """
+WITH base AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_ts,
+         event_type, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY bar_ts, event_type ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY bar_ts, event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base
+)
+SELECT bar_ts, event_type, COUNT(*) AS n_events,
+       MIN(CASE WHEN rn_a = 1 THEN v END) AS open,
+       MIN(CASE WHEN rn_d = 1 THEN v END) AS close,
+       MAX(v) AS high, MIN(v) AS low
+FROM ranked GROUP BY bar_ts, event_type
+"""
+
+
+SPECS.append(QuerySpec("ts_resample_ohlc", ts_resample_ohlc, TS_OHLC_ORACLE))

@@ -502,3 +502,84 @@ def compact_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
         _hadoop_delete(spark, staging)
     return TransferStats("compact", n, _time.perf_counter() - t0)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 apply — the dimension-history
+    maintenance the reference's truncate-and-reload transfer can never
+    express: given the history table (every version of every key, the
+    live one flagged ``is_current`` with NULL ``valid_to``) and an
+    update batch, close out rows whose attributes actually changed
+    (valid_to = the update's effective_ts) and append the new versions;
+    unchanged keys are untouched, so a replay of the same batch is a
+    no-op (idempotent at-least-once).
+
+    100-TB shape: every join is an equi-join on key_cols; the history's
+    non-current majority passes through without joining anything
+    (filter only), the current slice joins the (feed-sized) latest
+    updates once, and attribute comparison is null-safe (<=>) inside
+    that join — no window over the dimension, no full rewrite. Pair
+    with ``merge_upsert_partitioned`` to write the result back
+    partition-scoped."""
+    from pyspark.sql.window import Window
+
+    cur = dim.filter(F.col(current_flag))
+    hist = dim.filter(~F.col(current_flag))
+    out_cols = key_cols + attr_cols + [valid_from, valid_to, current_flag]
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+    latest = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    u = latest.alias("u")
+    c = cur.alias("c")
+    same_attrs = None
+    for a in attr_cols:
+        eq = F.col(f"u.{a}").eqNullSafe(F.col(f"c.{a}"))
+        same_attrs = eq if same_attrs is None else (same_attrs & eq)
+    joined = u.join(c, key_cols, "inner")
+
+    changed = joined.filter(~same_attrs)
+    changed_keys = changed.select(*key_cols)
+
+    closed = (
+        cur.join(changed.select(*key_cols, F.col(ts_col).alias("_close_ts")), key_cols)
+        .withColumn(valid_to, F.col("_close_ts"))
+        .withColumn(current_flag, F.lit(False))
+        .select(*out_cols)
+    )
+    untouched_cur = cur.join(changed_keys, key_cols, "left_anti").select(*out_cols)
+    new_versions = (
+        changed.select(*key_cols, *[f"u.{a}" for a in attr_cols], F.col(ts_col))
+        .withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, F.lit(None).cast(dim.schema[valid_to].dataType))
+        .withColumn(current_flag, F.lit(True))
+        .select(*out_cols)
+    )
+    brand_new = (
+        latest.join(cur, key_cols, "left_anti")
+        .select(*key_cols, *attr_cols, F.col(ts_col))
+        .withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, F.lit(None).cast(dim.schema[valid_to].dataType))
+        .withColumn(current_flag, F.lit(True))
+        .select(*out_cols)
+    )
+    return (
+        hist.select(*out_cols)
+        .unionByName(closed)
+        .unionByName(untouched_cur)
+        .unionByName(new_versions)
+        .unionByName(brand_new)
+    )

@@ -350,3 +350,48 @@ def test_compact_splits_large_partitions(spark, sf_dir, tmp_path):
     assert got.count() == spark.read.parquet(
         table_path(sf_dir, "orders")
     ).count()
+
+
+def test_scd2_apply_semantics_and_replay(spark):
+    """SCD2: changed keys close out and version; unchanged keys pass
+    untouched; new keys insert; replaying the same batch is a no-op."""
+    from snowflake_to_postgres_spark.operators.transfer import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # key, attr, valid_from, valid_to, is_current
+            (1, "a-v1", "2024-01-01", "2024-06-01", False),
+            (1, "a-v2", "2024-06-01", None, True),
+            (2, "b-v1", "2024-01-01", None, True),
+            (3, "c-v1", "2024-01-01", None, True),
+        ],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "a-v3", "2024-09-01"),   # changed -> close + new version
+            (2, "b-v1", "2024-09-01"),   # identical attrs -> untouched
+            (9, "new-v1", "2024-09-01"), # brand-new key
+            (1, "a-v2b", "2024-08-01"),  # stale update for k=1: newer wins
+        ],
+        "k long, attr string, effective_ts string",
+    )
+    out = scd2_apply(dim, updates, ["k"], ["attr"])
+    rows = {(r["k"], r["attr"]): r for r in out.collect()}
+    assert len(rows) == 6  # 4 original + v3 + new key (v2 closed, not dropped)
+    assert rows[(1, "a-v2")]["valid_to"] == "2024-09-01"
+    assert not rows[(1, "a-v2")]["is_current"]
+    assert rows[(1, "a-v3")]["is_current"] and rows[(1, "a-v3")]["valid_from"] == "2024-09-01"
+    assert (1, "a-v2b") not in rows  # older update superseded within batch
+    assert rows[(2, "b-v1")]["is_current"] and rows[(2, "b-v1")]["valid_to"] is None
+    assert rows[(3, "c-v1")]["is_current"]
+    assert rows[(9, "new-v1")]["is_current"] and rows[(9, "new-v1")]["valid_from"] == "2024-09-01"
+    # exactly one current row per key
+    cur = [k for (k, _), r in rows.items() if r["is_current"]]
+    assert sorted(cur) == [1, 2, 3, 9]
+
+    # replay: identical batch on the new state changes nothing
+    replay = scd2_apply(out, updates, ["k"], ["attr"])
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in replay.collect())
+    assert a == b
