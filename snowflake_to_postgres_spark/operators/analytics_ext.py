@@ -876,3 +876,41 @@ FROM ranked GROUP BY bar_ts, event_type
 
 
 SPECS.append(QuerySpec("ts_resample_ohlc", ts_resample_ohlc, TS_OHLC_ORACLE))
+
+
+RETENTION_MAX_OFFSET = 7
+
+
+def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, and
+    for each day-offset 0..RETENTION_MAX_OFFSET how many of that cohort
+    were active again — the standard growth-analytics triangle.
+
+    100-TB shape: the stream reduces to DISTINCT (user, day) first
+    (map-side combine), cohorts are one groupBy on user, the retention
+    join shuffles on user_id only, and the output is |cohorts| x
+    |offsets| — bounded regardless of event volume."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort").cast("bigint"))
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+X_RETENTION_ORACLE = f"""
+WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id)
+SELECT cohort, CAST(d - cohort AS BIGINT) AS day_offset,
+       COUNT(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN first ON first.user_id = ev.user_id
+WHERE d - cohort <= {RETENTION_MAX_OFFSET}
+GROUP BY cohort, day_offset
+"""
+
+
+SPECS.append(QuerySpec("x_retention", x_retention, X_RETENTION_ORACLE))
