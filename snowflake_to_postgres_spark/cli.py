@@ -17,6 +17,7 @@ Usage:
     python -m snowflake_to_postgres_spark.cli migrate --source DIR --target DIR
     python -m snowflake_to_postgres_spark.cli clean-corpus --source DIR --target DIR
         [--pipeline fuzzy|exact]
+    python -m snowflake_to_postgres_spark.cli corpus-stats --source DIR
     python -m snowflake_to_postgres_spark.cli destroy --schema NAME --confirm NAME
 """
 
@@ -296,6 +297,44 @@ def cmd_clean_corpus(args) -> int:
     return 0
 
 
+def cmd_corpus_stats(args) -> int:
+    """One-shot corpus health report: size, language/source mix, exact-
+    duplicate rate, and the quality-score distribution — the numbers an
+    operator checks before green-lighting a training run. Composes the
+    registered operators (exact dedup, quality deciles) and prints one
+    JSON object."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.operators.dedup import dedup_exact_groups
+    from snowflake_to_postgres_spark.operators.text import tx_quality_score
+    from snowflake_to_postgres_spark.sources import load_table
+
+    spark = get_spark("corpus-stats")
+    docs = load_table(spark, args.source, "documents")
+    n = docs.count()
+    langs = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sources = {r["source"]: r["n"] for r in
+               docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    dup_groups = dedup_exact_groups(spark, args.source)
+    n_dup_rows = dup_groups.agg(
+        F.sum(F.col("group_size") - 1).alias("d")).collect()[0]["d"]
+    q = tx_quality_score(spark, args.source).agg(
+        F.min("quality_score"), F.expr("percentile(quality_score, 0.5)"),
+        F.max("quality_score"), F.avg("quality_score"),
+    ).collect()[0]
+    print(json.dumps({
+        "rows": n,
+        "langs": langs,
+        "sources": sources,
+        "exact_dup_rows": int(n_dup_rows or 0),
+        "exact_dup_rate": round(float(n_dup_rows or 0) / n, 6) if n else 0.0,
+        "quality": {"min": round(q[0], 4), "p50": round(q[1], 4),
+                    "max": round(q[2], 4), "mean": round(q[3], 4)},
+    }))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from snowflake_to_postgres_spark.operators.validation import DataValidator
 
@@ -436,6 +475,10 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--pipeline", choices=["fuzzy", "exact"], default="fuzzy",
                     help="fuzzy = MinHash-LSH canonical corpus; exact = keep-first")
     cc.set_defaults(fn=cmd_clean_corpus)
+
+    cs = sub.add_parser("corpus-stats")
+    cs.add_argument("--source", required=True, help="dir holding documents.parquet")
+    cs.set_defaults(fn=cmd_corpus_stats)
 
     v = sub.add_parser("validate")
     v.add_argument("--source", required=True)

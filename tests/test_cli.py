@@ -203,3 +203,15 @@ def test_cli_clean_corpus(tmp_path, capsys, sf_dir, spark):
     assert written.count() == stats["rows_out"]
     # canonical corpus must carry the representation count
     assert "represents" in written.columns
+
+
+def test_cli_corpus_stats(capsys, sf_dir):
+    rc = main(["corpus-stats", "--source", sf_dir])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] > 0
+    assert sum(stats["langs"].values()) == stats["rows"]
+    assert sum(stats["sources"].values()) == stats["rows"]
+    assert 0.0 <= stats["exact_dup_rate"] < 1.0
+    q = stats["quality"]
+    assert q["min"] <= q["p50"] <= q["max"]
