@@ -21,8 +21,8 @@ def test_dense_matches_exact_neighbors(spark, sf_dir):
 
 def test_ann_recall_invariants(spark, sf_dir):
     """sim_ann_recall structural contract: one row per (method, qid) for
-    BOTH bucketed paths (misses appear as 0, never vanish), hits bounded
-    by k, recall = hits/k in [0, 1]."""
+    ALL approximate paths (misses appear as 0, never vanish), hits
+    bounded by k, recall = hits/k in [0, 1]."""
     from snowflake_to_postgres_spark.operators.similarity import (
         ANN_EVAL_K,
         N_QUERIES,
@@ -35,6 +35,6 @@ def test_ann_recall_invariants(spark, sf_dir):
         by_method.setdefault(r["method"], {})[r["qid"]] = r
         assert 0 <= r["hits"] <= ANN_EVAL_K
         assert abs(r["recall_at_3"] - r["hits"] / ANN_EVAL_K) < 1e-12
-    assert set(by_method) == {"ivf", "rp_lsh"}
+    assert set(by_method) == {"ivf", "rp_lsh", "pq_adc"}
     for m, per_q in by_method.items():
         assert set(per_q) == set(range(N_QUERIES)), m
