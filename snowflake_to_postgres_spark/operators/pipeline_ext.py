@@ -729,6 +729,94 @@ FROM solved ORDER BY lang
 """
 
 
+def pipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data preparation composed: quality gate →
+    exact-dup keep-first → boilerplate-span strip → deterministic hash
+    split, rolled up to per-split document and clean-token budgets —
+    the one number a training run actually consumes ("how many tokens
+    of train data survive cleaning?").
+
+    Every stage is an operator this engine ships individually
+    (pipe_clean_corpus's gate + dedup window, tx_boilerplate_strip,
+    tx_train_split); composed they remain ONE Catalyst job whose
+    shuffles are: the dedup digest exchange, the boilerplate gram
+    aggregations, and the final 3-row rollup. The documents table is
+    scanned, never collected; the output is |splits| rows."""
+    from snowflake_to_postgres_spark.operators.text import tx_boilerplate_strip
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    mean_word_len = (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")
+    gated = docs.select("doc_id", "text", n_tok.alias("n_tok")).filter(
+        (F.col("n_tok") >= 10) & (mean_word_len < F.lit(8.0))
+    )
+    w = Window.partitionBy(F.md5(F.trim(F.lower("text")))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    bp = tx_boilerplate_strip(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        deduped.join(bp, "doc_id")
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens") - F.col("n_removed")).cast("bigint").alias("clean_tokens"),
+            F.sum("n_removed").cast("bigint").alias("removed_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+from snowflake_to_postgres_spark.operators.text import TX_BOILERPLATE_ORACLE as _BP_SQL
+
+# DuckDB allows a full WITH...SELECT as a parenthesized subquery, so the
+# boilerplate oracle embeds verbatim — the composed oracle IS the
+# component oracles, not a re-derivation.
+PIPE_TRAINING_ORACLE = f"""
+WITH bp AS ({_BP_SQL}),
+gated AS (
+  SELECT doc_id, md5(trim(lower(text))) AS content_md5
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 10
+    AND CAST(length(text) - len(string_split(lower(text), ' ')) + 1 AS DOUBLE)
+          / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) < 8.0
+),
+ded AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT sp.split, COUNT(*) AS n_docs,
+       CAST(SUM(bp.n_tokens - bp.n_removed) AS BIGINT) AS clean_tokens,
+       CAST(SUM(bp.n_removed) AS BIGINT) AS removed_tokens
+FROM ded JOIN bp USING (doc_id) JOIN sp USING (doc_id)
+GROUP BY sp.split ORDER BY sp.split
+"""
+
+
 SPECS = [
     QuerySpec("tx_pii_scrub", tx_pii_scrub, TX_PII_ORACLE),
     QuerySpec("tx_tfidf_top_terms", tx_tfidf_top_terms, TX_TFIDF_ORACLE),
@@ -740,4 +828,5 @@ SPECS = [
     QuerySpec("sim_doc_hashed_topk", sim_doc_hashed_topk, SIM_DOC_HASHED_ORACLE),
     QuerySpec("tx_train_split", tx_train_split, TX_TRAIN_SPLIT_ORACLE),
     QuerySpec("fit_linear_by_group", fit_linear_by_group, FIT_LINEAR_ORACLE),
+    QuerySpec("pipe_training_corpus", pipe_training_corpus, PIPE_TRAINING_ORACLE),
 ]

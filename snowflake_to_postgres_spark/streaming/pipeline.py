@@ -95,6 +95,35 @@ def dedup_events_within_watermark(events: DataFrame, watermark: str = "2 hours")
     return events.dropDuplicates(["event_id"])
 
 
+def ohlc_bars(events: DataFrame, window: str = "1 hour",
+              watermark: str = "2 hours") -> DataFrame:
+    """Watermarked hourly OHLC bars per event type — the streaming twin
+    of ``operators.analytics_ext.ts_resample_ohlc``. Open/close come
+    from lexicographic min/max over a (ts, event_id, value) struct, so
+    the whole bar is ONE incremental aggregation: state per open
+    window is a handful of scalars, closed by the watermark. Works
+    identically on a batch frame."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    v = F.col("value").cast("decimal(18,2)")
+    tev = F.struct(F.col("ts"), F.col("event_id"), v.alias("v"))
+    return (
+        events.select(F.col("ts"), F.col("event_type"), tev.alias("tev"), v.alias("v"))
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("tev").getField("v").alias("open"),
+            F.max("tev").getField("v").alias("close"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+            "event_type", "n_events", "open", "close", "high", "low",
+        )
+    )
+
+
 def ingest_dedup_against_corpus(events: DataFrame, ingested: DataFrame) -> DataFrame:
     """Streaming incremental ingestion with dedup — the streaming twin
     of ``operators.dedup.dedup_incremental``: drop events whose key was

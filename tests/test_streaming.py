@@ -314,3 +314,45 @@ def test_ingest_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
     assert sorted(got_keys) == sorted(
         r["event_id"] for r in batch.select("event_id").collect()
     )
+
+
+def test_ohlc_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming OHLC bars (struct min/max inside one incremental agg):
+    an availableNow drain produces exactly the batch bars."""
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        ohlc_bars,
+        read_events_stream,
+    )
+    from snowflake_to_postgres_spark.sources import load_table as _lt
+
+    out = str(tmp_path / "bars")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        ohlc_bars(read_events_stream(spark, sf_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode only emits watermark-closed windows; exclude the
+    # still-open tail (watermark 2h + 1h window) from both sides
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    max_ts = _lt(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    cutoff = (max_ts - datetime.timedelta(hours=3)).strftime("%Y-%m-%d %H:%M:%S")
+    streamed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).filter(F.col("bar_ts") <= cutoff).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in ohlc_bars(_lt(spark, sf_dir, "events"))
+        .filter(F.col("bar_ts") <= cutoff)
+        .collect()
+    )
+    assert streamed == batch and len(batch) > 0
