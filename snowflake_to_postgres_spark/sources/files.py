@@ -98,3 +98,46 @@ def write_any(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Fault-tolerant text ingestion: parse CSV/JSON in PERMISSIVE mode
+    and split the result into (good, quarantine) — good rows with the
+    caller's schema, malformed raw lines preserved verbatim for
+    reprocessing. The operational contract a 100-TB ingest needs: one
+    bad line must never kill a job (FAILFAST) or vanish silently
+    (DROPMALFORMED); it goes to the quarantine with full fidelity.
+
+    Implementation notes: the corrupt column rides along as
+    ``_corrupt_record``; Spark disallows queries referencing ONLY that
+    column on the raw relation, so the parsed frame is cached before
+    the split (one scan, two consumers). Both returned frames are
+    plain DataFrames — write the quarantine next to the target and
+    alert on its count."""
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    opts = dict(_READ_DEFAULTS.get(fmt, {}))
+    opts.update(options)
+    parsed = (
+        spark.read.format(fmt)
+        .schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .options(**opts)
+        .load(path)
+        .cache()
+    )
+    from pyspark.sql import functions as F
+
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantine

@@ -55,3 +55,29 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     back = read_any(spark, target, "parquet").filter(F.col("status") == "F")
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "status" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_read_with_quarantine_splits_bad_lines(spark, tmp_path):
+    """PERMISSIVE ingest: good rows parse to the caller's schema, every
+    malformed line lands in the quarantine verbatim, nothing vanishes."""
+    from pyspark.sql import types as T
+
+    from snowflake_to_postgres_spark.sources.files import read_with_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok-one"}\n'
+        '{"id": 2, "name": "ok-two"}\n'
+        '{"id": "BROKEN" "name" no-json}\n'
+        '{"id": 3, "name": "ok-three"}\n'
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    good, quarantine = read_with_quarantine(spark, str(p), schema, fmt="json")
+    assert sorted(r["id"] for r in good.collect()) == [1, 2, 3]
+    bad = quarantine.collect()
+    assert len(bad) == 1 and "BROKEN" in bad[0]["raw_line"]
+    # counts add up: no silent drops
+    assert good.count() + quarantine.count() == 4
