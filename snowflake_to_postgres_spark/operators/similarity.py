@@ -1002,6 +1002,80 @@ FROM qids LEFT JOIN adc_hits ON adc_hits.qid = qids.qid
 """
 
 
+MRL_DIMS = 16   # truncated-embedding search: leading dims kept
+
+
+def sim_truncated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension (Matryoshka-style) search: exact cosine
+    top-k using only the LEADING MRL_DIMS components of every vector —
+    the cheap first pass when embeddings were trained with
+    importance-ordered dimensions (MRL, Kusupati et al. 2022). A 4x
+    dim cut means 4x less scan, shuffle, and dot-product work; rescore
+    survivors at full dim exactly like the ADC shortlist path.
+
+    Spark's exploded idx is 0-based, DuckDB's 1-based — the truncation
+    predicates (idx < k vs idx <= k) select the identical leading
+    block. tests measure recall vs the full-dim truth."""
+    comp = _components(spark, sf_dir).filter(F.col("idx") < MRL_DIMS)
+    norms = _norms(comp)
+    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "idx", F.col("val").alias("qval")
+    )
+    dots = (
+        comp.join(F.broadcast(q), "idx")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("decimal(38,18)").alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+    ).cast("decimal(10,8)")
+    ranked = (
+        dots.join(F.broadcast(qn), "qid")
+        .join(norms, "vec_id")
+        .select("qid", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= ANN_EVAL_K)
+        .select("qid", "rank", "neighbor_id", "cosine")
+    )
+
+
+SIM_TRUNCATED_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, i AS idx, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+  WHERE i <= {MRL_DIMS}
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(val * val) AS DECIMAL(38,18)) AS n2 FROM comp GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT qid, vec_id, CAST(SUM(val * qval) AS DECIMAL(38,18)) AS dot
+  FROM comp JOIN q USING (idx)
+  WHERE vec_id <> qid
+  GROUP BY qid, vec_id
+),
+ranked AS (
+  SELECT qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= {ANN_EVAL_K}
+"""
+
+
 SPECS = [
     QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE),
@@ -1013,6 +1087,7 @@ SPECS = [
     QuerySpec("emb_pq_codes", emb_pq_codes, EMB_PQ_ORACLE),
     QuerySpec("sim_pq_adc_topk", sim_pq_adc_topk, SIM_PQ_ADC_ORACLE),
     QuerySpec("sim_pq_adc_rescore_topk", sim_pq_adc_rescore_topk, SIM_PQ_ADC_RESCORE_ORACLE),
+    QuerySpec("sim_truncated_topk", sim_truncated_topk, SIM_TRUNCATED_ORACLE),
 ]
 
 
