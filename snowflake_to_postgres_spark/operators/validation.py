@@ -439,6 +439,40 @@ WHERE src_status IS DISTINCT FROM tgt_status OR src_total IS DISTINCT FROM tgt_t
 """
 
 
+def schema_drift_report(source, target) -> list[dict]:
+    """Schema-drift detection between two DataFrames (or StructTypes):
+    the check a long-running sync needs BEFORE row validation — a
+    column added, dropped, retyped, or nullability-relaxed upstream
+    silently corrupts every downstream diff. Returns one dict per
+    drift: {column, kind: added|removed|type_changed|nullability,
+    source_type, target_type}. Pure metadata — no data is read."""
+    from pyspark.sql import DataFrame as _DF
+
+    src = source.schema if isinstance(source, _DF) else source
+    tgt = target.schema if isinstance(target, _DF) else target
+    s = {f.name: f for f in src.fields}
+    t = {f.name: f for f in tgt.fields}
+    drifts: list[dict] = []
+    for name in sorted(set(s) | set(t)):
+        if name not in t:
+            drifts.append({"column": name, "kind": "removed",
+                           "source_type": s[name].dataType.simpleString(),
+                           "target_type": None})
+        elif name not in s:
+            drifts.append({"column": name, "kind": "added",
+                           "source_type": None,
+                           "target_type": t[name].dataType.simpleString()})
+        elif s[name].dataType != t[name].dataType:
+            drifts.append({"column": name, "kind": "type_changed",
+                           "source_type": s[name].dataType.simpleString(),
+                           "target_type": t[name].dataType.simpleString()})
+        elif s[name].nullable != t[name].nullable:
+            drifts.append({"column": name, "kind": "nullability",
+                           "source_type": s[name].dataType.simpleString(),
+                           "target_type": t[name].dataType.simpleString()})
+    return drifts
+
+
 SPECS = [
     QuerySpec("val_partition_diff", val_partition_diff, VAL_PARTITION_ORACLE),
     QuerySpec("val_fingerprint_diff", val_fingerprint_diff, VAL_FINGERPRINT_ORACLE),

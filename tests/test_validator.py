@@ -145,3 +145,32 @@ def test_sentinel_date_guard(spark, li):
         ),
     )
     assert not check_sentinel_dates(bad, "l_shipdate").passed
+
+
+def test_schema_drift_report(spark):
+    from pyspark.sql import types as T
+
+    from snowflake_to_postgres_spark.operators.validation import schema_drift_report
+
+    src = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("price", T.DecimalType(18, 2), True),
+        T.StructField("dropped_col", T.StringType(), True),
+    ])
+    tgt = T.StructType([
+        T.StructField("id", T.LongType(), True),          # nullability relaxed
+        T.StructField("name", T.StringType(), True),      # unchanged
+        T.StructField("price", T.DoubleType(), True),     # retyped
+        T.StructField("new_col", T.DateType(), True),     # added
+    ])
+    drifts = {d["column"]: d for d in schema_drift_report(src, tgt)}
+    assert set(drifts) == {"id", "price", "dropped_col", "new_col"}
+    assert drifts["id"]["kind"] == "nullability"
+    assert drifts["price"]["kind"] == "type_changed"
+    assert drifts["price"]["source_type"] == "decimal(18,2)"
+    assert drifts["dropped_col"]["kind"] == "removed"
+    assert drifts["new_col"]["kind"] == "added"
+    # identical schemas -> empty report; DataFrames accepted directly
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    assert schema_drift_report(df, df) == []
