@@ -18,6 +18,8 @@ Usage:
     python -m snowflake_to_postgres_spark.cli clean-corpus --source DIR --target DIR
         [--pipeline fuzzy|exact]
     python -m snowflake_to_postgres_spark.cli corpus-stats --source DIR
+    python -m snowflake_to_postgres_spark.cli scd2 --dim DIR --updates DIR
+        --target DIR --keys k1,k2 --attrs a1,a2 [--ts-col effective_ts]
     python -m snowflake_to_postgres_spark.cli destroy --schema NAME --confirm NAME
 """
 
@@ -297,6 +299,34 @@ def cmd_clean_corpus(args) -> int:
     return 0
 
 
+def cmd_scd2(args) -> int:
+    """Apply an update batch to a type-2 dimension history table:
+    changed keys close out (valid_to = effective_ts) and version;
+    unchanged keys untouched; replays are no-ops. Writes the new
+    history and prints a JSON stats line."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.operators.transfer import scd2_apply
+
+    spark = get_spark("scd2")
+    dim = spark.read.parquet(args.dim)
+    updates = spark.read.parquet(args.updates)
+    out = scd2_apply(
+        dim, updates,
+        key_cols=args.keys.split(","),
+        attr_cols=args.attrs.split(","),
+        ts_col=args.ts_col,
+    )
+    out.write.mode("overwrite").parquet(args.target)
+    written = spark.read.parquet(args.target)
+    print(json.dumps({
+        "rows_before": dim.count(),
+        "rows_after": written.count(),
+        "current_rows": written.filter(F.col("is_current")).count(),
+    }))
+    return 0
+
+
 def cmd_corpus_stats(args) -> int:
     """One-shot corpus health report: size, language/source mix, exact-
     duplicate rate, and the quality-score distribution — the numbers an
@@ -475,6 +505,15 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--pipeline", choices=["fuzzy", "exact"], default="fuzzy",
                     help="fuzzy = MinHash-LSH canonical corpus; exact = keep-first")
     cc.set_defaults(fn=cmd_clean_corpus)
+
+    s2 = sub.add_parser("scd2")
+    s2.add_argument("--dim", required=True, help="history-table parquet dir")
+    s2.add_argument("--updates", required=True, help="update-batch parquet dir")
+    s2.add_argument("--target", required=True, help="output parquet dir")
+    s2.add_argument("--keys", required=True, help="comma-separated key columns")
+    s2.add_argument("--attrs", required=True, help="comma-separated tracked attributes")
+    s2.add_argument("--ts-col", default="effective_ts")
+    s2.set_defaults(fn=cmd_scd2)
 
     cs = sub.add_parser("corpus-stats")
     cs.add_argument("--source", required=True, help="dir holding documents.parquet")

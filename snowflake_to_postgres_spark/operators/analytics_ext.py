@@ -914,3 +914,75 @@ GROUP BY cohort, day_offset
 
 
 SPECS.append(QuerySpec("x_retention", x_retention, X_RETENTION_ORACLE))
+
+
+ANOM_TRAIL = 24   # trailing window (hours) for the baseline
+ANOM_MIN_N = 6    # need this many trailing bars before scoring
+
+
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type scored
+    against their own trailing-24h baseline — z = (cnt - trailing mean)
+    / trailing stddev, flagged at |z| > 3. The alerting primitive for
+    an ingestion pipeline (a crawler dying or a bot flood both show up
+    here first).
+
+    100-TB shape: the raw stream reduces to the (hour, type) rollup
+    FIRST (one map-side-combined aggregation); every window below runs
+    over that bounded frame partitioned BY TYPE — never a window over
+    raw events, never a single global partition. Baselines use
+    ROWS BETWEEN trailing frames, excluding the current bar."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bar_ts"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bar_ts")
+        .rowsBetween(-ANOM_TRAIL, -1)
+    )
+    scored = hourly.select(
+        "bar_ts", "event_type", "cnt",
+        F.count("*").over(w).alias("n_trail"),
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp(F.col("cnt").cast("double")).over(w).alias("sigma"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter((F.col("n_trail") >= ANOM_MIN_N) & (F.col("sigma") > 0))
+        .select(
+            "bar_ts", "event_type", "cnt",
+            z.cast("decimal(12,6)").alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+TS_ANOMALY_ORACLE = f"""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_ts,
+         event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT bar_ts, event_type, cnt,
+         COUNT(*) OVER w AS n_trail,
+         AVG(cnt) OVER w AS mu,
+         STDDEV_SAMP(CAST(cnt AS DOUBLE)) OVER w AS sigma
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bar_ts
+               ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT bar_ts, event_type, cnt,
+       CAST((cnt - mu) / sigma AS DECIMAL(12,6)) AS zscore,
+       abs((cnt - mu) / sigma) > 3.0 AS is_anomaly
+FROM scored
+WHERE n_trail >= {ANOM_MIN_N} AND sigma > 0
+"""
+
+
+SPECS.append(QuerySpec("ts_anomaly_zscore", ts_anomaly_zscore, TS_ANOMALY_ORACLE))

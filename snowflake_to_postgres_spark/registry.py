@@ -85,6 +85,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "sim_truncated_topk": ("cosine",),
     "x_funnel": ("conversion",),
     "ts_resample_ohlc": ("open", "close", "high", "low"),
+    "ts_anomaly_zscore": ("zscore",),
     "xj_asof_join": ("p_value",),
     "xj_asof_forward": ("p_value",),
     "xj_range_join": ("s_price",),

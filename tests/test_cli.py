@@ -215,3 +215,22 @@ def test_cli_corpus_stats(capsys, sf_dir):
     assert 0.0 <= stats["exact_dup_rate"] < 1.0
     q = stats["quality"]
     assert q["min"] <= q["p50"] <= q["max"]
+
+
+def test_cli_scd2(tmp_path, capsys, spark):
+    dim = spark.createDataFrame(
+        [(1, "a-v1", "2024-01-01", None, True), (2, "b-v1", "2024-01-01", None, True)],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a-v2", "2024-09-01")], "k long, attr string, effective_ts string"
+    )
+    dim.write.parquet(str(tmp_path / "dim"))
+    updates.write.parquet(str(tmp_path / "upd"))
+    rc = main([
+        "scd2", "--dim", str(tmp_path / "dim"), "--updates", str(tmp_path / "upd"),
+        "--target", str(tmp_path / "out"), "--keys", "k", "--attrs", "attr",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"rows_before": 2, "rows_after": 3, "current_rows": 2}
