@@ -178,3 +178,79 @@ def test_quantizer_scale_bound(spark, sf_dir):
     mx = out.agg(F.max("max_abs_q")).collect()[0][0]
     assert mx <= QUANT_SCALE
     assert out.filter(F.col("n_dims") != 64).count() == 0
+
+
+# ---------------------------------------------------------------- round 5
+
+from snowflake_to_postgres_spark.operators.layout import (  # noqa: E402
+    _binned,
+    _interleave_expr,
+)
+
+
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+)
+def test_zorder_interleave_expr_is_bijective(bx, by):
+    """The GENERATED interleave expression (evaluated as Python — `//`
+    and `%` semantics match both engines for non-negative ints) must be
+    a bijection [0,256)^2 -> [0,65536) whose bit de-interleave recovers
+    the inputs."""
+    expr = _interleave_expr("bx", "by", 8, "//")
+    z = eval(expr, {}, {"bx": bx, "by": by})  # noqa: S307 — generated by us
+    assert 0 <= z < 65536
+    rx = sum(((z >> (2 * k)) & 1) << k for k in range(8))
+    ry = sum(((z >> (2 * k + 1)) & 1) << k for k in range(8))
+    assert (rx, ry) == (bx, by)
+
+
+@given(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.integers(min_value=-10**9, max_value=10**9),
+)
+def test_zorder_binning_expr_bounds_and_monotone(lo, hi, x):
+    """The generated equi-width binning lands every in-range value in
+    [0, 256) and preserves order."""
+    lo, hi = min(lo, hi), max(lo, hi)
+    x = max(lo, min(hi, x))
+    expr = _binned("x", str(lo), str(hi), 8, "//")
+    b = eval(expr, {}, {"x": x})  # noqa: S307
+    assert 0 <= b < 256
+    if x < hi:
+        b2 = eval(expr, {}, {"x": x + 1})  # noqa: S307
+        assert b2 >= b
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=1000),
+            st.integers(min_value=0, max_value=10000),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_ols_sufficient_statistics_match_lstsq(obs):
+    """fit_linear_by_group's closed form, mirrored in pure Python from
+    the same sufficient statistics, must agree with numpy lstsq
+    whenever x has variance."""
+    import numpy as np
+
+    xs = [o[0] for o in obs]
+    ys = [o[1] for o in obs]
+    n = len(obs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in obs)
+    denom = n * sxx - sx * sx
+    if denom == 0:
+        return  # constant x: model undefined, Spark emits NaN/inf too
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    A = np.stack([np.array(xs, dtype=float), np.ones(n)], axis=1)
+    (np_slope, np_intercept), *_ = np.linalg.lstsq(A, np.array(ys, dtype=float), rcond=None)
+    assert abs(slope - np_slope) < 1e-6 * max(1.0, abs(np_slope))
+    assert abs(intercept - np_intercept) < 1e-5 * max(1.0, abs(np_intercept))
