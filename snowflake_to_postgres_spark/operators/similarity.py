@@ -51,12 +51,23 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine outputs here are additionally rounded to DECIMAL(10,8),
     # which has absorbed any such tie at all tested scales; if a future
     # scale hits one, move this layer to the floor-based integer grid.
-    return emb.select(
+    comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("idx", "fval")
     ).select(
         "vec_id", "idx",
         F.col("fval").cast("double").cast("decimal(18,9)").alias("val"),
     )
+    # Parallelism guard: a small parquet input scans as 1-2 partitions
+    # (files don't split below maxPartitionBytes), and every consumer
+    # here does heavy decimal math IN THE SCAN STAGE (broadcast joins +
+    # map-side partial aggregation) — measured 10x wall-clock loss on a
+    # 20k-vector corpus from exactly this (PERFORMANCE.md). Repartition
+    # only when the scan is under-parallel; at real scale inputs arrive
+    # with thousands of partitions and this is a no-op.
+    target = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < max(2, target // 2):
+        comp = comp.repartition(target, "vec_id")
+    return comp
 
 
 def _norms(comp: DataFrame) -> DataFrame:
@@ -581,7 +592,8 @@ FROM qids LEFT JOIN rp_hits ON rp_hits.qid = qids.qid
 """
 
 
-SEM_CELLS = 32       # semantic-dedup cells (bounds the within-cell quadratic)
+SEM_CELLS = 32       # semantic-dedup cell FLOOR (see SEM_TARGET_OCC)
+SEM_TARGET_OCC = 64  # target vectors per cell: cells = max(SEM_CELLS, N/OCC)
 SEMDEDUP_COS = 0.35  # semantic near-dup threshold (fixture within-cell p99 ~ 0.32)
 
 
@@ -599,13 +611,19 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means cells instead — the search topology is identical.
 
     100-TB shape: assignment is one broadcast join (centroids are
-    SEM_CELLS x dim) + one groupBy; the pairwise stage shuffles on
-    (cell, idx) so each vector's components meet only its own cell's —
-    the quadratic is bounded per cell at (N/k)^2, and k scales with the
-    corpus (k ~ N / target_cell_size) to hold cell occupancy constant.
+    k x dim) + one groupBy; the pairwise stage shuffles on (cell, idx)
+    so each vector's components meet only its own cell's — the
+    quadratic is bounded per cell at occupancy^2, and k SCALES WITH THE
+    CORPUS: k = max(SEM_CELLS, N / SEM_TARGET_OCC), derived from the
+    same COUNT in both engines, holding cell occupancy (and
+    cost-per-vector) constant as N grows. Measured: the 10x rehearsal
+    corpus (20k vectors) ran 34 s with k pinned at 32 (occupancy 625)
+    and ~6 s with this rule (k=312, occupancy ~64) — PERFORMANCE.md.
     The corpus-sized frames never self-join globally."""
     comp = _components(spark, sf_dir)
-    cent = comp.filter(F.col("vec_id") < SEM_CELLS).select(
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    k_cells = max(SEM_CELLS, n_vecs // SEM_TARGET_OCC)
+    cent = comp.filter(F.col("vec_id") < k_cells).select(
         F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
     )
     d2 = (
@@ -661,7 +679,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SEMANTIC_ORACLE = _COMP_CTES + f""",
-cent AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {SEM_CELLS}),
+cent AS (
+  SELECT vec_id AS cid, idx, val AS cval FROM comp
+  WHERE vec_id < GREATEST({SEM_CELLS},
+                          (SELECT COUNT(*) FROM embeddings) // {SEM_TARGET_OCC})
+),
 d2 AS (
   SELECT vec_id, cid,
          CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
