@@ -46,8 +46,18 @@ def _with_tokens(df: DataFrame) -> DataFrame:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct word-3-gram shingles per document,
-    with the hot-shingle df cap applied."""
-    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    with the hot-shingle df cap applied.
+
+    Parallelism guard (same rationale as similarity._components): the
+    shingle explode + per-shingle md5 runs IN THE SCAN STAGE, and a
+    small parquet input scans as 1-2 partitions — repartition the
+    documents first when the scan is under-parallel (no-op on real
+    many-file inputs)."""
+    raw = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < max(2, target // 2):
+        raw = raw.repartition(target, "doc_id")
+    docs = _with_tokens(raw)
     sh = docs.select(
         "doc_id",
         F.explode(
