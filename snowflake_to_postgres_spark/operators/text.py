@@ -40,6 +40,22 @@ def _toks(col: str = "text") -> Column:
     return F.split(F.lower(F.col(col)), " ")
 
 
+
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the scan-parallelism guard (see
+    similarity._components): token-explode + per-gram hashing runs in
+    the scan stage, and a small parquet input scans as 1-2 partitions —
+    repartition first when under-parallel; a no-op on real many-file
+    inputs. Used by the multi-stage text operators whose scan-stage
+    compute dominates; the pure-projection operators keep their
+    shuffle-free plans."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        docs = docs.repartition(target, "doc_id")
+    return docs
+
+
 def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens + chars.
     Validates the fixture's own n_chars column on the way."""
@@ -63,11 +79,14 @@ FROM documents
 """
 
 
-def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tx_quality_score(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio, mean
     word length → weighted score. The standard pre-training quality
-    gate (Gopher/C4-style rules) as one codegen'd projection."""
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    gate (Gopher/C4-style rules) as one codegen'd projection (callers
+    doing further heavy stages pass a _docs_parallel frame instead)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("toks", _toks())
     n_tok = F.size("toks").cast("bigint")
     n_chars = F.length("text").cast("bigint")
     n_punct = (
@@ -433,7 +452,7 @@ def tx_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only corpus-wide shuffle is the per-doc reassembly groupBy —
     keyed on doc_id, the same key the corpus is already bucketed by in
     a real pipeline, so it co-locates for free."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toks = docs.withColumn("toks", _toks())
     occ = (
         toks.select(
@@ -548,9 +567,18 @@ def tx_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    vocab = big.select("w1").union(big.select("w2")).distinct().count()
-    uni = big.groupBy("w1").agg(F.count("*").alias("cu"))
-    bi = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    # ONE corpus aggregation builds the bigram model; unigram history
+    # counts and |V| are derived from the REDUCED (vocab²-bounded,
+    # cached) frame — c(w1) = Σ_w2 c(w1,w2) exactly, so the corpus is
+    # scanned twice total (model build + scoring), not four times
+    bi = big.groupBy("w1", "w2").agg(F.count("*").alias("cb")).cache()
+    uni = bi.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    vocab = (
+        bi.select(F.col("w1").alias("w"))
+        .union(bi.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )
     logprob = F.log(
         (F.col("cb") + 1).cast("double") / (F.col("cu") + F.lit(vocab)).cast("double")
     )
@@ -613,12 +641,14 @@ def tx_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition holds the histogram, never corpus rows), N as a scalar
     collect, and a broadcast join back to the corpus. The corpus
     shuffles once, for its own histogram."""
-    qs = tx_quality_score(spark, sf_dir).select(
+    qs = tx_quality_score(spark, sf_dir, docs=_docs_parallel(spark, sf_dir)).select(
         "doc_id",
         F.floor(F.col("quality_score") * QD_GRID).cast("bigint").alias("q_grid"),
     )
-    hist = qs.groupBy("q_grid").agg(F.count("*").alias("cnt"))
-    n_total = qs.count()
+    # cached: the histogram is grid-bounded, and N comes from ITS sum —
+    # one corpus aggregation total instead of a separate corpus count
+    hist = qs.groupBy("q_grid").agg(F.count("*").alias("cnt")).cache()
+    n_total = hist.agg(F.sum("cnt")).collect()[0][0]
     w = Window.orderBy("q_grid").rowsBetween(Window.unboundedPreceding, -1)
     deciles = (
         hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
@@ -671,7 +701,7 @@ def tx_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the REDUCED count frames (vocab-sized, not corpus-sized), and
     the top-k is a TakeOrdered over that reduced frame. T is one scalar
     (bounded collect)."""
-    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = _docs_parallel(spark, sf_dir).withColumn("toks", _toks())
     docs = docs.filter(F.size("toks") >= 2)
     big = docs.select(
         F.explode(
@@ -681,10 +711,12 @@ def tx_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    total = big.count()
-    uni1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
-    uni2 = big.groupBy("w2").agg(F.count("*").alias("c2"))
-    pairs = big.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    # ONE corpus aggregation; marginals and T derive from the reduced
+    # (vocab²-bounded, cached) pair frame — the corpus is scanned once
+    pairs = big.groupBy("w1", "w2").agg(F.count("*").alias("cnt")).cache()
+    total = pairs.agg(F.sum("cnt")).collect()[0][0]
+    uni1 = pairs.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    uni2 = pairs.groupBy("w2").agg(F.sum("cnt").alias("c2"))
     pmi = F.log(
         (F.col("cnt") * F.lit(total)).cast("double")
         / (F.col("c1") * F.col("c2")).cast("double")
