@@ -1,0 +1,188 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction.
+
+The tokenizer-training step of an LLM data pipeline (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units" —
+public algorithm). Two operators:
+
+* ``tx_bpe_pair_counts`` — the inner statistic of BPE training: adjacent
+  symbol-pair frequencies over the word-frequency table, weighted by
+  word count. SQL-expressible, oracle-checked.
+* ``tx_bpe_merges`` — the full iterative trainer: N merge rounds, each
+  round one distributed aggregation + a single-row argmax collect.
+  Iterative by nature (each round depends on the previous round's merge),
+  so no SQL oracle — pinned instead against a pure-Python reference BPE
+  in tests/test_bpe.py (declared rows-only, like sim_topk_dense).
+
+100-TB shape: the corpus is scanned ONCE, in the word-frequency
+aggregation (map-side combined, shuffles word→count). Every merge round
+then runs on the REDUCED word-frequency frame — bounded by vocabulary
+size (~10M distinct words for a web corpus), not corpus size — with the
+per-round argmax a TakeOrdered(1). The pair-merge rewrite itself is a
+JVM-side ``aggregate`` fold over the symbol array (whole-stage codegen;
+no Python UDFs), and each round's frame is persisted so round k does not
+recompute rounds 1..k-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+EOW = "</w>"          # end-of-word marker symbol (its own symbol, merges like any other)
+WORD_RE = "^[a-z]+$"  # train on clean lowercase word forms
+PAIR_TOP_K = 30
+N_MERGES = 20
+MIN_PAIR_COUNT = 2    # stop when the best pair drops below this support
+
+
+def word_frequencies(docs: DataFrame) -> DataFrame:
+    """(w, freq): the ONE corpus-sized aggregation in BPE training."""
+    return (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w").rlike(WORD_RE))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_symbols() -> Column:
+    """word → its character symbols + the end-of-word marker."""
+    return F.expr(
+        f"concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+        f" array('{EOW}'))"
+    )
+
+
+def _adjacent_pairs(vocab: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent symbol pairs weighted by word frequency,
+    from the vocab-bounded (w, freq, syms) frame."""
+    return (
+        # size guard: a fully-merged word has ONE symbol, and Spark's
+        # sequence(1, 0) is a DESCENDING [1, 0] — not empty — so the
+        # transform would index out of bounds without the filter
+        vocab.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms)-1),"
+                    " i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("p.a", "p.b", "freq")
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merge_pair(syms: Column, a: str, b: str, ab: str) -> Column:
+    """Replace every adjacent (a, b) in the symbol array with ab —
+    left-to-right, non-overlapping (classic BPE pass semantics: in
+    "aaa" the rule (a,a) yields [aa, a]). A JVM-side fold: the merged
+    token lands as the accumulator's last element, so an overlapping
+    second occurrence sees ab (not a) and correctly does not re-merge."""
+    a_l, b_l, ab_l = F.lit(a), F.lit(b), F.lit(ab)
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a_l) & (x == b_l),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(ab_l)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    words: DataFrame, n_merges: int = N_MERGES, min_count: int = MIN_PAIR_COUNT
+) -> list[tuple[str, str, str, int]]:
+    """Learn up to ``n_merges`` BPE merge rules from a (w, freq) frame.
+
+    Returns [(left, right, merged, weighted_count), ...] in merge order.
+    Argmax tie-break: highest count, then lexicographic (a, b) — the
+    deterministic convention the pure-Python reference in tests/test_bpe.py
+    mirrors exactly. Each round collects exactly ONE row (bounded by
+    construction); the working frame stays vocabulary-sized throughout.
+    """
+    # localCheckpoint materializes the round AND truncates lineage, so
+    # round k never replays rounds 1..k-1 (same device as the pointer-
+    # jumping loop in dedup.py); the frame is vocab-bounded throughout.
+    vocab = words.select("w", "freq", _initial_symbols().alias("syms")).localCheckpoint()
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            _adjacent_pairs(vocab)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        ab = a + b
+        merges.append((a, b, ab, cnt))
+        vocab = vocab.withColumn(
+            "syms", _merge_pair(F.col("syms"), a, b, ab)
+        ).localCheckpoint()
+    return merges
+
+
+def tx_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent symbol-pair frequencies over the initial (character)
+    symbolization — round 1 of BPE training as a standalone, oracle-
+    checked statistic."""
+    words = word_frequencies(load_table(spark, sf_dir, "documents"))
+    vocab = words.select("w", "freq", _initial_symbols().alias("syms"))
+    ranked = _adjacent_pairs(vocab).orderBy(F.col("cnt").desc(), "a", "b").limit(PAIR_TOP_K)
+    # rank over the already-limited 30-row frame: the single-partition
+    # window touches PAIR_TOP_K rows, never the corpus
+    w = Window.orderBy(F.col("cnt").desc(), "a", "b")
+    return ranked.select(
+        F.row_number().over(w).cast("bigint").alias("rank"), "a", "b", "cnt"
+    )
+
+
+TX_BPE_PAIR_ORACLE = f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE regexp_matches(w, '{WORD_RE}') GROUP BY w
+),
+syms AS (
+  SELECT freq,
+         list_append(list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)), '{EOW}') AS s
+  FROM words
+),
+pairs AS (
+  SELECT s[i] AS a, s[i+1] AS b, SUM(freq) AS cnt
+  FROM syms, unnest(generate_series(1, len(s)-1)) AS g(i)
+  GROUP BY 1, 2
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rank,
+       a, b, CAST(cnt AS BIGINT) AS cnt
+FROM pairs ORDER BY cnt DESC, a, b LIMIT {PAIR_TOP_K}
+"""
+
+
+def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table after N_MERGES rounds. Iterative →
+    no SQL oracle (declared rows-only); merge-sequence parity vs a
+    pure-Python reference BPE is pinned in tests/test_bpe.py."""
+    words = word_frequencies(load_table(spark, sf_dir, "documents"))
+    merges = train_bpe(words, N_MERGES)
+    rows = [
+        (i + 1, a, b, ab, cnt) for i, (a, b, ab, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "round BIGINT, left STRING, right STRING, merged STRING, cnt BIGINT"
+    )
+
+
+SPECS = [
+    QuerySpec("tx_bpe_pair_counts", tx_bpe_pair_counts, TX_BPE_PAIR_ORACLE),
+    QuerySpec("tx_bpe_merges", tx_bpe_merges, None),
+]

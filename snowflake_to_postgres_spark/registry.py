@@ -256,6 +256,7 @@ def _all_specs() -> list[QuerySpec]:
     # Imported lazily so `import snowflake_to_postgres_spark` stays cheap.
     from snowflake_to_postgres_spark.operators import (
         analytics_ext,
+        bpe,
         breadth,
         dedup,
         layout,
@@ -286,6 +287,7 @@ def _all_specs() -> list[QuerySpec]:
         temporal_joins,
         pipeline_ext,
         layout,
+        bpe,
         streaming_queries,
     ):
         specs.extend(mod.SPECS)
