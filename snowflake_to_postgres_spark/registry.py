@@ -95,6 +95,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "st_enrich_rollup": ("s_value",),
     "st_session_window": ("s_value",),
     "st_ingest_dedup": ("s_value",),
+    "st_latest_state": ("last_value",),
     "st_interval_join": ("p_value",),
     "x_q6_banded_revenue": ("revenue",),
     "w6_range_frame": ("spend_30d",),

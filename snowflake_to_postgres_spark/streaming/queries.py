@@ -162,8 +162,33 @@ FROM ded GROUP BY event_type
 """
 
 
+def st_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming CDC latest-state table: one row per
+    user, the event with the greatest (ts, event_id). The streaming
+    path — foreachBatch driving the partition-scoped MERGE sink with a
+    version column — is exercised in
+    tests/test_streaming.py::test_upsert_latest_stream_equals_batch."""
+    from snowflake_to_postgres_spark.streaming.pipeline import latest_state
+
+    return latest_state(load_table(spark, sf_dir, "events"))
+
+
+ST_LATEST_STATE_ORACLE = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_type,
+       CAST(value AS DECIMAL(18,2)) AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("st_windowed_agg", st_windowed_agg, ST_WINDOWED_ORACLE),
+    QuerySpec("st_latest_state", st_latest_state, ST_LATEST_STATE_ORACLE),
     QuerySpec("st_dedup_events", st_dedup_events, ST_DEDUP_ORACLE),
     QuerySpec("st_enrich_rollup", st_enrich_rollup, ST_ENRICH_ORACLE),
     QuerySpec("st_session_window", st_session_window, ST_SESSION_WINDOW_ORACLE),

@@ -356,3 +356,54 @@ def test_ohlc_stream_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert streamed == batch and len(batch) > 0
+
+
+def test_upsert_latest_stream_equals_batch(spark, sf_dir, tmp_path):
+    """CDC apply: bootstrap the state table from the older half of
+    events, stream the newer half through the foreachBatch MERGE sink,
+    and the resulting table must equal the batch latest-state over ALL
+    events. A replay with a fresh checkpoint must be a no-op
+    (version-wins idempotence)."""
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        bootstrap_latest_state,
+        latest_state,
+        upsert_latest_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.selectExpr(
+        "timestamp_micros(cast(percentile_cont(0.5) WITHIN GROUP "
+        "(ORDER BY unix_micros(ts)) AS bigint)) AS m"
+    ).collect()[0]["m"]
+    target = str(tmp_path / "state")
+    bootstrap_latest_state(events.filter(events.ts < cutoff), target)
+
+    upsert_latest_stream(spark, sf_dir, target, str(tmp_path / "ckpt"), since=cutoff)
+
+    def current(path):
+        df = spark.read.parquet(path)
+        return _rows(
+            df.select(
+                "user_id",
+                "event_id",
+                df.ts.cast("string").alias("ts"),
+                "event_type",
+                df.value.cast("string").alias("value"),
+            )
+        )
+
+    got = current(target)
+    batch = latest_state(events)
+    # compare on the shared identity columns (the streamed table keeps
+    # raw ts/value; the batch twin formats them) — event_id is unique,
+    # so (user_id, event_id) equality pins the same winning rows
+    got_keys = sorted((r[0], r[1]) for r in got)
+    exp_keys = sorted(
+        (str(r["user_id"]), str(r["event_id"])) for r in batch.collect()
+    )
+    assert got_keys == exp_keys
+    assert len(got_keys) == len({k[0] for k in got_keys})  # one row per user
+
+    # replay the same stream with a new checkpoint: nothing may change
+    upsert_latest_stream(spark, sf_dir, target, str(tmp_path / "ckpt2"), since=cutoff)
+    assert current(target) == got
