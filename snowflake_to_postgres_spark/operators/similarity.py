@@ -157,6 +157,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join shuffles on cell id, cutting scanned vectors by
     ~N_PROBE/N_CENTROIDS."""
     comp = _components(spark, sf_dir)
+    candidates = _ivf_candidates(comp)
+    return _rank_candidates(comp, candidates, k=3)
+
+
+def _ivf_candidates(comp: DataFrame) -> DataFrame:
+    """(qid, vec_id) — IVF cell pruning: every vector assigned to its
+    nearest centroid cell, candidates = vectors in the N_PROBE cells
+    nearest each query. Shared by sim_ivf_topk (exact in-cell scoring)
+    and sim_ivf_pq_topk (ADC in-cell scoring)."""
     cent = comp.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
     )
@@ -183,12 +192,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
     )
-    candidates = (
+    return (
         assign.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
     )
-    return _rank_candidates(comp, candidates, k=3)
 
 
 def _rank_candidates(comp: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
@@ -790,9 +798,12 @@ SELECT vec_id, block, cid AS code FROM (
 """
 
 
-def _pq_adc_scores(comp: DataFrame) -> DataFrame:
-    """(qid, neighbor_id, adot DECIMAL(38,18)) — every corpus vector's
-    ADC score against every query, via per-query lookup tables."""
+def _pq_adc_scores(comp: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """(qid, neighbor_id, adot DECIMAL(38,18)) — ADC scores via per-query
+    lookup tables. Without ``candidates``, every corpus vector is scored
+    against every query (flat ADC); with a (qid, vec_id) candidate frame
+    (e.g. IVF cell pruning), only those pairs are scored — the scan
+    touches codes of in-cell vectors only."""
     codes = _pq_codes(comp)
     pc = _pq_comp(comp)
     cb = pc.filter(F.col("vec_id") < PQ_CODEBOOK).select(
@@ -806,10 +817,19 @@ def _pq_adc_scores(comp: DataFrame) -> DataFrame:
         .groupBy("qid", "block", "cid")
         .agg(F.sum(F.col("qval") * F.col("cval")).cast("decimal(38,18)").alias("t"))
     )
-    partials = codes.join(
-        F.broadcast(table),
-        (codes.block == table.block) & (codes.code == table.cid),
-    ).filter(F.col("vec_id") != F.col("qid"))
+    if candidates is not None:
+        pairs = candidates.join(codes, "vec_id")
+        partials = pairs.join(
+            F.broadcast(table),
+            (pairs.qid == table.qid)
+            & (pairs.block == table.block)
+            & (pairs.code == table.cid),
+        ).drop(table.qid)
+    else:
+        partials = codes.join(
+            F.broadcast(table),
+            (codes.block == table.block) & (codes.code == table.cid),
+        ).filter(F.col("vec_id") != F.col("qid"))
     return (
         partials.groupBy("qid", "vec_id")
         .agg(F.sum("t").cast("decimal(38,18)").alias("adot"))
@@ -981,6 +1001,108 @@ SELECT qid, rank, neighbor_id, cosine FROM (
 """
 
 
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ-ADC + exact rescore composed — the full billion-scale
+    ANN architecture (FAISS IVFADC, Jegou et al. 2011): coarse cells
+    prune the corpus to N_PROBE/N_CENTROIDS of its vectors, the ADC
+    lookup-table scan scores ONLY in-cell candidates against the
+    compressed codes, and the exact decimal cosine touches just the
+    ADC_SHORTLIST survivors per query.
+
+    100-TB shape: per query the work is (cells probed × cell size)
+    code-column rows + ADC_SHORTLIST full vectors — both independent of
+    corpus size; the corpus is read once to build codes and cell
+    assignments, both of which persist as bucketed artifacts in a real
+    deployment. Each stage reuses the already-oracle-checked building
+    block (_ivf_candidates, _pq_adc_scores, _rank_candidates)."""
+    comp = _components(spark, sf_dir)
+    candidates = _ivf_candidates(comp)
+    adc = _pq_adc_scores(comp, candidates=candidates)
+    w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("neighbor_id"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_SHORTLIST)
+        .select("qid", F.col("neighbor_id").alias("vec_id"))
+    )
+    return _rank_candidates(comp, shortlist, k=ANN_EVAL_K)
+
+
+SIM_IVF_PQ_ORACLE = _COMP_CTES + f""",
+cent AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {N_CENTROIDS}),
+celld2 AS (
+  SELECT vec_id, cid, CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp JOIN cent USING (idx) GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM celld2
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM celld2 WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+candidates AS (
+  SELECT qid, vec_id FROM assign JOIN probes USING (cell) WHERE vec_id <> qid
+),
+comp2 AS (
+  SELECT vec_id, idx, val, CAST(((idx - 1) // {64 // PQ_BLOCKS}) AS INT) AS block FROM comp
+),
+cb AS (SELECT vec_id AS cid, block, idx, val AS cval FROM comp2 WHERE vec_id < {PQ_CODEBOOK}),
+pqd2 AS (
+  SELECT c.vec_id, c.block, cb.cid,
+         CAST(SUM((c.val - cb.cval) * (c.val - cb.cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp2 c JOIN cb ON cb.block = c.block AND cb.idx = c.idx
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, block, cid AS code FROM (
+    SELECT vec_id, block, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, block ORDER BY d2, cid) AS rn
+    FROM pqd2
+  ) WHERE rn = 1
+),
+qq AS (SELECT vec_id AS qid, block, idx, val AS qval FROM comp2 WHERE vec_id < {N_QUERIES}),
+tbl AS (
+  SELECT qid, qq.block, cb.cid, CAST(SUM(qval * cval) AS DECIMAL(38,18)) AS t
+  FROM qq JOIN cb ON cb.block = qq.block AND cb.idx = qq.idx
+  GROUP BY 1, 2, 3
+),
+shortlist AS (
+  SELECT qid, vec_id FROM (
+    SELECT ca.qid, ca.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY ca.qid ORDER BY SUM(t) DESC, ca.vec_id) AS rn
+    FROM candidates ca
+    JOIN codes ON codes.vec_id = ca.vec_id
+    JOIN tbl ON tbl.qid = ca.qid AND tbl.block = codes.block AND tbl.cid = codes.code
+    GROUP BY ca.qid, ca.vec_id
+  ) WHERE rn <= {ADC_SHORTLIST}
+),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT s.qid, s.vec_id, CAST(SUM(comp.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM shortlist s
+  JOIN comp ON comp.vec_id = s.vec_id
+  JOIN q ON q.qid = s.qid AND q.idx = comp.idx
+  GROUP BY s.qid, s.vec_id
+),
+ranked AS (
+  SELECT qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= {ANN_EVAL_K}
+"""
+
+
 # Recall gate, final form: covers all THREE approximate paths (IVF,
 # RP-LSH, PQ-ADC). Redefined here — below the ADC oracle it composes —
 # and SPECS at the bottom of the module picks up this value.
@@ -1109,6 +1231,7 @@ SPECS = [
     QuerySpec("emb_pq_codes", emb_pq_codes, EMB_PQ_ORACLE),
     QuerySpec("sim_pq_adc_topk", sim_pq_adc_topk, SIM_PQ_ADC_ORACLE),
     QuerySpec("sim_pq_adc_rescore_topk", sim_pq_adc_rescore_topk, SIM_PQ_ADC_RESCORE_ORACLE),
+    QuerySpec("sim_ivf_pq_topk", sim_ivf_pq_topk, SIM_IVF_PQ_ORACLE),
     QuerySpec("sim_truncated_topk", sim_truncated_topk, SIM_TRUNCATED_ORACLE),
 ]
 

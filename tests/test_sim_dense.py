@@ -38,3 +38,37 @@ def test_ann_recall_invariants(spark, sf_dir):
     assert set(by_method) == {"ivf", "rp_lsh", "pq_adc"}
     for m, per_q in by_method.items():
         assert set(per_q) == set(range(N_QUERIES)), m
+
+
+def test_ivf_pq_composition_contract(spark, sf_dir):
+    """The composed IVF+PQ+rescore path: every returned neighbor must lie
+    in the query's probed IVF cells (cell pruning is real), and every
+    returned cosine must equal the brute-force exact cosine for that
+    (qid, neighbor) pair (the rescore is exact, not approximate)."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        _components,
+        _ivf_candidates,
+        sim_ivf_pq_topk,
+        sim_topk_bruteforce,
+    )
+
+    comp = _components(spark, sf_dir)
+    allowed = {
+        (r["qid"], r["vec_id"]) for r in _ivf_candidates(comp).collect()
+    }
+    got = sim_ivf_pq_topk(spark, sf_dir).collect()
+    assert got, "composed path returned nothing"
+    assert all((r["qid"], r["neighbor_id"]) in allowed for r in got)
+
+    # exact-rescore check: re-score exactly the returned pairs through
+    # the shared exact-cosine tail; values must match to the decimal
+    from snowflake_to_postgres_spark.operators.similarity import _rank_candidates
+
+    pairs = spark.createDataFrame(
+        [(r["qid"], r["neighbor_id"]) for r in got], "qid BIGINT, vec_id BIGINT"
+    )
+    exact = {
+        (r["qid"], r["neighbor_id"]): r["cosine"]
+        for r in _rank_candidates(comp, pairs, k=10**6).collect()
+    }
+    assert all(exact[(r["qid"], r["neighbor_id"])] == r["cosine"] for r in got)
