@@ -70,6 +70,10 @@ HEADLINE = [
     "tx_boilerplate_strip",
     "tx_bigram_lm_score",
     "layout_zorder",
+    # late round-5 additions
+    "tx_bpe_pair_counts",
+    "sim_ivf_pq_topk",
+    "st_latest_state",
 ]
 
 

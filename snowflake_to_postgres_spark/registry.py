@@ -129,7 +129,6 @@ _PRIORITY: tuple[str, ...] = (
     "p1_projection_varchar_cast",
     "p2_where_pushdown",
     "p4_order_limit",
-    "p5_offset_pagination",
     # aggregation
     "a2_group_count_by_date",
     "a3_fingerprint_by_date",
@@ -151,13 +150,15 @@ _PRIORITY: tuple[str, ...] = (
     "v1_variant_json_extract",
     "val_fingerprint_diff",
     "x_sessionization",
-    # LLM-pipeline extension families (round-5 mid-round rotation: the
-    # seven new families — semantic dedup, incremental dedup,
+    # LLM-pipeline extension families (round-5 rotations: first the
+    # seven mid-round families — semantic dedup, incremental dedup,
     # boilerplate strip, bigram-LM scoring, hash splits, closed-form
-    # OLS, z-order layout — earn hard-signal rows; single-family
-    # near-duplicates p3/a5/w2/f2/f9/val_partition_diff/x_q5 are
-    # demoted below the window and stay FULL-checked, like f4/f6/j3/g3
-    # and w3/a6/f12/f13/set_union before them)
+    # OLS, z-order layout; then the late-round four — BPE pair counts,
+    # composed IVF+PQ ANN, streaming CDC latest-state, composed
+    # training-corpus pipeline. Single-family near-duplicates
+    # (p3/a5/w2/f2/f9/val_partition_diff/x_q5, then p5/xj_asof_forward/
+    # st_interval_join/sim_ivf_topk) are demoted below the window and
+    # stay FULL-checked, like f4/f6/j3/g3 and w3/a6/f12/f13 before them)
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
@@ -166,23 +167,24 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semantic_clusters",
     "dedup_incremental",
     "sim_topk_bruteforce",
-    "sim_ivf_topk",
+    "sim_ivf_pq_topk",
     "sim_rp_lsh_topk",
     "sim_doc_hashed_topk",
     "tx_token_stats",
     "tx_hashed_features",
     "tx_boilerplate_strip",
     "tx_bigram_lm_score",
+    "tx_bpe_pair_counts",
     "tx_train_split",
     "fit_linear_by_group",
     "layout_zorder",
     "pipe_clean_corpus",
+    "pipe_training_corpus",
     "mm_binary_meta",
     "xj_asof_join",
-    "xj_asof_forward",
     "st_windowed_agg",
     "st_session_window",
-    "st_interval_join",
+    "st_latest_state",
 )
 
 

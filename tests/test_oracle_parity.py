@@ -65,7 +65,7 @@ def test_priority_window_covers_families():
     names = [s.name for s in _all_specs()][:50]
     for family_rep in (
         "q1_", "s1_", "s3_", "s7_", "s10_",            # scans/catalog
-        "p1_", "p2_", "p4_", "p5_",                    # project/filter/page
+        "p1_", "p2_", "p4_",                           # project/filter/page
         "a2_", "a3_", "a4_", "a7_",                    # aggregation
         "j1_", "j2_", "j4_", "j5_",                    # joins
         "w1_", "w4_",                                  # windows
@@ -77,16 +77,14 @@ def test_priority_window_covers_families():
         # containment, semantic (embedding), incremental (batch-vs-corpus)
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_fuzzy",
         "dedup_containment", "dedup_semantic", "dedup_incremental",
-        # similarity: exact + both bucketed ANN paths + embed-and-search
-        "sim_topk_bruteforce", "sim_ivf", "sim_rp_lsh", "sim_doc_hashed",
+        # similarity: exact + composed IVF+PQ + RP-LSH + embed-and-search
+        "sim_topk_bruteforce", "sim_ivf_pq", "sim_rp_lsh", "sim_doc_hashed",
         # text / featurization / pipeline / layout / multimodal
         "tx_token", "tx_hashed", "tx_boilerplate", "tx_bigram_lm",
-        "tx_train_split", "fit_linear", "layout_zorder",
-        "pipe_clean", "mm_",
-        # temporal joins both directions; streaming agg + session windows
-        # + stream-stream interval join
-        "xj_asof_join", "xj_asof_forward", "st_windowed", "st_session",
-        "st_interval",
+        "tx_bpe_pair", "tx_train_split", "fit_linear", "layout_zorder",
+        "pipe_clean", "pipe_training", "mm_",
+        # temporal joins; streaming agg + session windows + CDC state
+        "xj_asof_join", "st_windowed", "st_session", "st_latest",
     ):
         assert any(n.startswith(family_rep) for n in names), family_rep
     # demoted near-duplicates must STAY registered (FULL-checked below
@@ -96,7 +94,11 @@ def test_priority_window_covers_families():
                     "j3_point_lookup_join", "g3_having",
                     "p3_date_range", "a5_minmax_stats", "w2_lag_delta",
                     "f2_nvl_coalesce", "f9_split_to_table",
-                    "val_partition_diff", "x_q5_local_volume"):
+                    "val_partition_diff", "x_q5_local_volume",
+                    # late round-5 rotation: composed/new families in,
+                    # single-family near-duplicates out (still FULL-checked)
+                    "p5_offset_pagination", "xj_asof_forward",
+                    "st_interval_join", "sim_ivf_topk"):
         assert demoted in all_names and demoted not in names, demoted
 
 
