@@ -35,7 +35,7 @@ def test_ann_recall_invariants(spark, sf_dir):
         by_method.setdefault(r["method"], {})[r["qid"]] = r
         assert 0 <= r["hits"] <= ANN_EVAL_K
         assert abs(r["recall_at_3"] - r["hits"] / ANN_EVAL_K) < 1e-12
-    assert set(by_method) == {"ivf", "rp_lsh", "pq_adc"}
+    assert set(by_method) == {"ivf", "rp_lsh", "pq_adc", "ivf_pq"}
     for m, per_q in by_method.items():
         assert set(per_q) == set(range(N_QUERIES)), m
 
