@@ -182,7 +182,50 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def apply_merges(vocab: DataFrame, merges: list[tuple[str, str, str, int]]) -> DataFrame:
+    """Tokenize the (w, freq, syms) frame with a learned merge list: the
+    merges are applied in training order as chained JVM folds — ONE
+    execution pass over the frame (the fold chain is a single codegen'd
+    projection; no per-merge job, unlike training which must argmax
+    between rounds)."""
+    out = vocab
+    for a, b, ab, _cnt in merges:
+        out = out.withColumn("syms", _merge_pair(F.col("syms"), a, b, ab))
+    return out
+
+
+def tx_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff metric of BPE training: tokenize the corpus vocabulary
+    with the learned merges and report corpus-weighted compression —
+    symbols per word before/after, token-count ratio, and the subword
+    vocabulary size. One summary row. Iterative upstream (train_bpe) →
+    declared rows-only; pinned vs the pure-Python tokenizer in
+    tests/test_bpe.py."""
+    words = word_frequencies(load_table(spark, sf_dir, "documents"))
+    merges = train_bpe(words, N_MERGES)
+    toked = apply_merges(
+        words.select("w", "freq", _initial_symbols().alias("syms")), merges
+    ).localCheckpoint()  # two consumers below — don't rescan the corpus twice
+    stats = toked.agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * (F.length("w") + 1)).cast("bigint").alias("symbols_before"),
+        F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("symbols_after"),
+        (
+            F.sum(F.col("freq") * F.size("syms")).cast("double")
+            / F.sum(F.col("freq") * (F.length("w") + 1)).cast("double")
+        ).alias("compression"),
+    )
+    # distinct-token count as its own map-side-combined aggregation (a
+    # collect_list over the vocab would funnel it through one buffer)
+    vocab_tokens = (
+        toked.select(F.explode("syms").alias("tok"))
+        .agg(F.count_distinct("tok").cast("bigint").alias("vocab_tokens"))
+    )
+    return stats.crossJoin(vocab_tokens)
+
+
 SPECS = [
     QuerySpec("tx_bpe_pair_counts", tx_bpe_pair_counts, TX_BPE_PAIR_ORACLE),
     QuerySpec("tx_bpe_merges", tx_bpe_merges, None),
+    QuerySpec("tx_bpe_tokenize", tx_bpe_tokenize, None),
 ]

