@@ -882,9 +882,166 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DECI
 """
 
 
+def tx_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realize the mixture plan: actually DRAW the per-source sample the
+    tx_mixture_plan rates describe, with the same deterministic
+    hash-uniform used everywhere else (u = first 8 md5 hex chars of
+    doc_id; keep iff u < rate·2³²). Emits a per-source reconciliation —
+    drawn docs/chars vs the plan's target — the report a pipeline run
+    publishes after materializing a mixture.
+
+    Cross-engine determinism: rate is computed with the identical
+    operation order in both engines, and the keep test compares the
+    integer draw against rate·2³² in one IEEE multiply — identical
+    inputs, identical ops, identical kept set.
+
+    100-TB shape: the plan is source-cardinality rows (broadcast); the
+    draw is a codegen'd filter over the scan; the reconciliation is one
+    map-side-combined rollup of the kept rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = tx_mixture_plan(spark, sf_dir).select("source", "rate", "planned_chars")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    drawn = (
+        docs.join(F.broadcast(plan), "source")
+        .filter(u < F.col("rate") * F.lit(float(_HASH_SPAN)))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("drawn_docs"),
+            F.sum("n_chars").cast("bigint").alias("drawn_chars"),
+            F.first("planned_chars").alias("planned_chars"),
+        )
+    )
+    return drawn.withColumn(
+        "realization",
+        F.col("drawn_chars").cast("double") / F.col("planned_chars"),
+    )
+
+
+TX_MIXTURE_DRAW_ORACLE = f"""
+WITH plan AS ({TX_MIXTURE_ORACLE}),
+kept AS (
+  SELECT d.source, d.n_chars, p.planned_chars
+  FROM documents d JOIN plan p USING (source)
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+        < p.rate * {float(_HASH_SPAN)}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS drawn_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS drawn_chars,
+       ANY_VALUE(planned_chars) AS planned_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / ANY_VALUE(planned_chars) AS realization
+FROM kept GROUP BY source
+"""
+
+
+def tx_lm_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation composed from the split and the
+    bigram trainer: fit the add-one-smoothed bigram LM on the TRAIN
+    split only, score every VAL-split document — mean log-probability
+    plus the unseen-bigram count. The honest form of LM-based quality
+    scoring (tx_bigram_lm_score trains on everything, fine for
+    filtering; an evaluation must never score its own training data).
+
+    Unseen mass under add-one smoothing: a val bigram absent from the
+    train counts contributes ln(1 / (c(w1) + V)); an unseen history
+    contributes ln(1 / V) — the left joins + coalesce below, with V
+    from the train vocabulary.
+
+    100-TB shape: identical to the trainer — count aggregations on
+    word keys over the train partition of the corpus, scoring join on
+    the same keys over the val partition, per-doc rollup. The split
+    predicate is the same no-shuffle hash projection as tx_train_split."""
+    from snowflake_to_postgres_spark.operators.text import _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    docs = docs.withColumn("bucket", bucket).withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") >= 2)
+    big = docs.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "bucket", "b.w1", "b.w2")
+    train_big = big.filter(F.col("bucket") < SPLIT_TRAIN_PCT)
+    val_big = big.filter(
+        (F.col("bucket") >= SPLIT_TRAIN_PCT) & (F.col("bucket") < SPLIT_VAL_PCT)
+    )
+    bi = train_big.groupBy("w1", "w2").agg(F.count("*").alias("cb")).cache()
+    uni = bi.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    vocab = (
+        bi.select(F.col("w1").alias("w"))
+        .union(bi.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )
+    cb0 = F.coalesce(F.col("cb"), F.lit(0))
+    cu0 = F.coalesce(F.col("cu"), F.lit(0))
+    logprob = F.log((cb0 + 1).cast("double") / (cu0 + F.lit(vocab)).cast("double"))
+    return (
+        val_big.join(bi, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(F.col("cb").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unseen"),
+            F.avg(logprob).cast("decimal(18,8)").alias("avg_logprob"),
+        )
+    )
+
+
+TX_LM_HELDOUT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+         string_split(lower(text), ' ') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, bucket, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+  WHERE len(t) >= 2
+),
+train_big AS (SELECT * FROM big WHERE bucket < {SPLIT_TRAIN_PCT}),
+val_big AS (SELECT * FROM big WHERE bucket >= {SPLIT_TRAIN_PCT} AND bucket < {SPLIT_VAL_PCT}),
+bi AS (SELECT w1, w2, COUNT(*) AS cb FROM train_big GROUP BY w1, w2),
+uni AS (SELECT w1, SUM(cb) AS cu FROM bi GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT w) AS vocab FROM (
+    SELECT w1 AS w FROM bi UNION SELECT w2 AS w FROM bi
+  )
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       CAST(AVG(ln(CAST(COALESCE(cb, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(cu, 0) + vocab AS DOUBLE))) AS DECIMAL(18,8))
+         AS avg_logprob
+FROM val_big
+LEFT JOIN bi USING (w1, w2)
+LEFT JOIN uni USING (w1)
+CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("tx_pii_scrub", tx_pii_scrub, TX_PII_ORACLE),
     QuerySpec("tx_weighted_downsample", tx_weighted_downsample, TX_WEIGHTED_DOWNSAMPLE_ORACLE),
+    QuerySpec("tx_mixture_draw", tx_mixture_draw, TX_MIXTURE_DRAW_ORACLE),
+    QuerySpec("tx_lm_heldout_ppl", tx_lm_heldout_ppl, TX_LM_HELDOUT_ORACLE),
     QuerySpec("tx_tfidf_top_terms", tx_tfidf_top_terms, TX_TFIDF_ORACLE),
     QuerySpec("tx_pack_sequences", tx_pack_sequences, TX_PACK_ORACLE),
     QuerySpec("tx_mixture_plan", tx_mixture_plan, TX_MIXTURE_ORACLE),

@@ -79,6 +79,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "a12_stats_moments": ("stddev_qty", "corr_qty_price"),
     "fit_linear_by_group": ("slope", "intercept", "r2"),
     "tx_bigram_lm_score": ("avg_logprob",),
+    "tx_lm_heldout_ppl": ("avg_logprob",),
     "tx_pmi_pairs": ("pmi",),
     "diag_heavy_keys": ("share",),
     "sim_pq_adc_rescore_topk": ("cosine",),

