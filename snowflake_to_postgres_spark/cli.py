@@ -299,6 +299,40 @@ def cmd_clean_corpus(args) -> int:
     return 0
 
 
+def cmd_bpe_train(args) -> int:
+    """Train a BPE subword vocabulary on the corpus and write the merge
+    table (round, left, right, merged, cnt) as JSON lines — the artifact
+    a tokenizer build consumes. Prints a JSON stats summary including
+    the corpus-weighted compression the learned merges achieve."""
+    import time
+
+    from snowflake_to_postgres_spark.operators.bpe import (
+        tx_bpe_tokenize,
+        tx_bpe_merges,
+    )
+
+    spark = get_spark("bpe-train")
+    t0 = time.time()
+    merges = tx_bpe_merges(spark, args.source).collect()
+    with open(args.out, "w") as f:
+        for r in merges:
+            f.write(json.dumps({
+                "round": r["round"], "left": r["left"], "right": r["right"],
+                "merged": r["merged"], "cnt": r["cnt"],
+            }) + "\n")
+    stats = tx_bpe_tokenize(spark, args.source).collect()[0]
+    print(json.dumps({
+        "n_merges": len(merges),
+        "n_words": stats["n_words"],
+        "symbols_before": stats["symbols_before"],
+        "symbols_after": stats["symbols_after"],
+        "compression": round(stats["compression"], 6),
+        "vocab_tokens": stats["vocab_tokens"],
+        "seconds": round(time.time() - t0, 3),
+    }))
+    return 0
+
+
 def cmd_scd2(args) -> int:
     """Apply an update batch to a type-2 dimension history table:
     changed keys close out (valid_to = effective_ts) and version;
@@ -514,6 +548,11 @@ def main(argv: list[str] | None = None) -> int:
     s2.add_argument("--attrs", required=True, help="comma-separated tracked attributes")
     s2.add_argument("--ts-col", default="effective_ts")
     s2.set_defaults(fn=cmd_scd2)
+
+    bp = sub.add_parser("bpe-train")
+    bp.add_argument("--source", required=True, help="fixture dir with documents.parquet")
+    bp.add_argument("--out", required=True, help="merge-table JSONL output path")
+    bp.set_defaults(fn=cmd_bpe_train)
 
     cs = sub.add_parser("corpus-stats")
     cs.add_argument("--source", required=True, help="dir holding documents.parquet")

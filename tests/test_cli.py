@@ -234,3 +234,17 @@ def test_cli_scd2(tmp_path, capsys, spark):
     assert rc == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats == {"rows_before": 2, "rows_after": 3, "current_rows": 2}
+
+
+def test_cli_bpe_train(tmp_path, capsys, sf_dir):
+    import json as _json
+
+    out = tmp_path / "merges.jsonl"
+    rc = main(["bpe-train", "--source", sf_dir, "--out", str(out)])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lines = [_json.loads(l) for l in out.read_text().splitlines()]
+    assert stats["n_merges"] == len(lines) > 0
+    assert [m["round"] for m in lines] == list(range(1, len(lines) + 1))
+    assert all(m["merged"] == m["left"] + m["right"] for m in lines)
+    assert 0 < stats["compression"] < 1
