@@ -1062,8 +1062,59 @@ WHERE a.doc_id = a.component_id
 """
 
 
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall gate for near-dup detection — the dedup twin of
+    sim_ann_recall: ground truth is the EXACT n-gram-Jaccard pair set
+    (J ≥ 0.5), the approximate side is the banded MinHash-LSH pipeline,
+    and recall is reported PER SIMILARITY BAND (floor(J·10), 1.0
+    clamped into the top band) because LSH recall is an S-curve in J —
+    a single aggregate recall hides exactly the marginal pairs the
+    band/row tuning trades away. Run before trusting an LSH config on a
+    new corpus, like the ANN gate before trusting an index.
+
+    Scale shape: at corpus scale the truth side runs on a SAMPLE (the
+    exact path's candidate guard enforces this); both sides here reduce
+    to pair keys before the semi-join, and the rollup is band-keyed
+    (≤5 rows)."""
+    truth = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    lsh = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2").withColumn(
+        "found", F.lit(1)
+    )
+    band = F.least(F.lit(9), F.floor(F.col("jaccard") * 10)).cast("bigint")
+    return (
+        truth.join(lsh, ["d1", "d2"], "left")
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("found"), F.lit(0))).cast("bigint").alias("n_found"),
+            (
+                F.sum(F.coalesce(F.col("found"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+DEDUP_LSH_RECALL_ORACLE = f"""
+WITH truth AS (
+  SELECT d1, d2, jaccard FROM ({DEDUP_JACCARD_ORACLE})
+),
+lsh AS (
+  SELECT d1, d2 FROM ({DEDUP_MINHASH_PAIRS_ORACLE})
+)
+SELECT LEAST(9, CAST(floor(jaccard * 10) AS BIGINT)) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN lsh.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST(SUM(CASE WHEN lsh.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM truth LEFT JOIN lsh USING (d1, d2)
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_groups", dedup_exact_groups, DEDUP_EXACT_ORACLE),
+    QuerySpec("dedup_lsh_recall", dedup_lsh_recall, DEDUP_LSH_RECALL_ORACLE),
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_KEEP_FIRST_ORACLE),
     QuerySpec("dedup_ngram_jaccard_pairs", dedup_ngram_jaccard_pairs, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_minhash_signatures", dedup_minhash_signatures, DEDUP_MINHASH_SIG_ORACLE),

@@ -40,22 +40,25 @@ NEARDUP_COS = 0.40   # embedding near-dup threshold (fixture max ≈ 0.51)
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, idx, val DECIMAL(18,9)) exploded embedding components."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # float → double → decimal: Spark's direct float→decimal cast rounds
-    # the float's *shortest decimal repr*, DuckDB rounds its exact value —
-    # they disagree at the 9th decimal. Widening to double first makes
-    # both engines round the same 17-digit value. Known residual risk:
-    # a double landing EXACTLY on a .5e-9 rounding boundary is resolved
-    # HALF_UP by Spark and differently by DuckDB (observed once in
-    # emb_quantize_int8's old formulation at sf0.1 — that operator now
-    # uses tie-free floor(x*scale+0.5) double arithmetic instead). The
-    # cosine outputs here are additionally rounded to DECIMAL(10,8),
-    # which has absorbed any such tie at all tested scales; if a future
-    # scale hits one, move this layer to the floor-based integer grid.
+    # float → double → 1e-9 grid → decimal. The grid step is the tie-free
+    # floor(x·1e9 + 0.5): a direct double→decimal cast resolves a double
+    # landing EXACTLY on a .5e-9 boundary HALF_UP in Spark but half-even
+    # in DuckDB — observed first in emb_quantize_int8's old formulation
+    # and again at (vec 364, dim 58) = 0.1494140625 once emb_dim_stats
+    # exposed raw sums. floor-based rounding is identical IEEE double
+    # arithmetic in both engines (x·1e9 exact-nearest, +0.5 exact, floor
+    # exact), so no boundary case exists; the integer result is exact in
+    # DECIMAL(18,0) (|x|<2^31 · 1e9 < 2^53 < 10^18) and the /1e9 rescale
+    # is an exact decimal scale change.
     comp = emb.select(
         "vec_id", F.posexplode("embedding").alias("idx", "fval")
     ).select(
         "vec_id", "idx",
-        F.col("fval").cast("double").cast("decimal(18,9)").alias("val"),
+        (
+            F.floor(F.col("fval").cast("double") * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("decimal(18,0)")
+            / F.lit(1000000000).cast("decimal(10,0)")
+        ).cast("decimal(18,9)").alias("val"),
     )
     # Parallelism guard: a small parquet input scans as 1-2 partitions
     # (files don't split below maxPartitionBytes), and every consumer
@@ -79,7 +82,9 @@ def _norms(comp: DataFrame) -> DataFrame:
 
 _COMP_CTES = """
 WITH comp AS (
-  SELECT vec_id, i AS idx, CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS val
+  SELECT vec_id, i AS idx,
+         CAST(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(18,0))
+              / CAST(1000000000 AS DECIMAL(10,0)) AS DECIMAL(18,9)) AS val
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
 ),
 norms AS (
@@ -1238,8 +1243,67 @@ SELECT qid, rank, neighbor_id, cosine FROM (
 """
 
 
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature health over the embedding corpus: count,
+    mean, std, min, max for each of the 64 components — the profile a
+    pipeline checks before training or indexing (a dead or exploding
+    dimension shows up here first, and IVF/PQ both assume roughly
+    comparable per-dim scales).
+
+    Determinism: Σx and Σx² accumulate in exact decimal (order-free).
+    Two engine quirks meet here: DuckDB's int128-decimal→double
+    conversion is not correctly rounded above 2^53 (1-ulp divergence vs
+    the JVM's BigDecimal), and DuckDB TRUNCATES decimal downcasts where
+    Spark rounds HALF_UP — so neither a direct wide cast nor a
+    downcast-then-convert is cross-engine stable. The stable route is
+    decimal → STRING → double: both engines print the exact decimal
+    canonically and parse strings to the correctly-rounded nearest
+    double, giving bit-identical inputs to the identical mean/variance
+    double arithmetic (variance clamped at zero against rounding
+    residue).
+
+    100-TB shape: ONE map-side-combined aggregation keyed on the
+    64-value dim index — partial aggregation does the heavy lifting in
+    the scan stage, and the final exchange moves 64 rows per partial."""
+    comp = _components(spark, sf_dir)
+    s = F.sum("val").cast("decimal(38,18)")
+    s2 = F.sum(F.col("val") * F.col("val")).cast("decimal(38,18)")
+    agg = comp.groupBy("idx").agg(
+        F.count("*").cast("bigint").alias("n"),
+        s.cast("string").cast("double").alias("s"),
+        s2.cast("string").cast("double").alias("s2"),
+        F.min("val").cast("double").alias("vmin"),
+        F.max("val").cast("double").alias("vmax"),
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    var = F.greatest(
+        F.lit(0.0),
+        F.col("s2") / F.col("n").cast("double") - mean * mean,
+    )
+    return agg.select(
+        "idx", "n", mean.alias("mean"), F.sqrt(var).alias("std"), "vmin", "vmax"
+    )
+
+
+#  DuckDB's comp CTE is 1-based, Spark's posexplode 0-based — shift output
+EMB_DIM_STATS_ORACLE = _COMP_CTES + """
+SELECT CAST(idx - 1 AS INT) AS idx, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(CAST(SUM(val) AS DECIMAL(38,18)) AS VARCHAR) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean,
+       sqrt(GREATEST(0.0,
+         CAST(CAST(CAST(SUM(val * val) AS DECIMAL(38,18)) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         - (CAST(CAST(CAST(SUM(val) AS DECIMAL(38,18)) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+           * (CAST(CAST(CAST(SUM(val) AS DECIMAL(38,18)) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+       )) AS std,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax
+FROM comp GROUP BY idx
+"""
+
+
 SPECS = [
     QuerySpec("sim_topk_bruteforce", sim_topk_bruteforce, SIM_TOPK_ORACLE),
+    QuerySpec("emb_dim_stats", emb_dim_stats, EMB_DIM_STATS_ORACLE),
     QuerySpec("sim_ivf_topk", sim_ivf_topk, SIM_IVF_ORACLE),
     QuerySpec("sim_rp_lsh_topk", sim_rp_lsh_topk, SIM_RP_LSH_ORACLE),
     QuerySpec("dedup_embedding_cosine_pairs", dedup_embedding_cosine_pairs, DEDUP_EMB_ORACLE),

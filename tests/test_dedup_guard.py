@@ -178,3 +178,23 @@ def test_driver_union_find_matches_distributed(spark):
     dist_labels, _ = propagate_components(sym)
     dist = {r["doc_id"]: r["comp"] for r in dist_labels.collect()}
     assert uf == dist
+
+
+def test_lsh_recall_bands(spark, sf_dir):
+    """Recall rows cover only bands >= the Jaccard threshold decile, every
+    recall is a valid fraction, and the top band (0.9-1.0] — which holds
+    the exact-duplicate pairs LSH cannot miss (identical signatures) —
+    has recall 1.0 on the fixture corpus."""
+    from snowflake_to_postgres_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_lsh_recall,
+    )
+
+    rows = dedup_lsh_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert int(JACCARD_THRESHOLD * 10) <= r["band"] <= 9
+        assert 0 <= r["n_found"] <= r["n_pairs"]
+        assert abs(r["recall"] - r["n_found"] / r["n_pairs"]) < 1e-12
+    top = [r for r in rows if r["band"] == 9]
+    assert top and top[0]["recall"] == 1.0

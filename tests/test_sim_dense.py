@@ -72,3 +72,15 @@ def test_ivf_pq_composition_contract(spark, sf_dir):
         for r in _rank_candidates(comp, pairs, k=10**6).collect()
     }
     assert all(exact[(r["qid"], r["neighbor_id"])] == r["cosine"] for r in got)
+
+
+def test_emb_dim_stats_invariants(spark, sf_dir):
+    from snowflake_to_postgres_spark.operators.similarity import emb_dim_stats
+
+    rows = emb_dim_stats(spark, sf_dir).collect()
+    assert {r["idx"] for r in rows} == set(range(64))
+    n = rows[0]["n"]
+    for r in rows:
+        assert r["n"] == n
+        assert r["vmin"] <= r["mean"] <= r["vmax"]
+        assert r["std"] >= 0
