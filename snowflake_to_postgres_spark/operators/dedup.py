@@ -1062,6 +1062,43 @@ WHERE a.doc_id = a.component_id
 """
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile of the corpus: the cluster-SIZE distribution
+    of the near-dup components — how many pairs-of-near-identical docs,
+    how many 10-doc boilerplate families, how much of the corpus
+    deduplication will actually remove. The one-line answer to "is this
+    crawl worth deduping" before running the full fuzzy-corpus
+    materialization.
+
+    100-TB shape: derives entirely from the component assignment (pair-
+    graph-sized, not corpus-sized); two further map-side-combined
+    aggregations on tiny keys."""
+    comp = dedup_cluster_components(spark, sf_dir)
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            (F.count("*") * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+            (F.count("*") * (F.col("cluster_size") - 1)).cast("bigint").alias("removable_docs"),
+        )
+        .withColumn("cluster_size", F.col("cluster_size").cast("bigint"))
+    )
+
+
+DEDUP_CLUSTER_STATS_ORACLE = _CLUSTER_CTE + """
+, sizes AS (
+  SELECT component_id, COUNT(*) AS cluster_size FROM assign GROUP BY component_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS removable_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall gate for near-dup detection — the dedup twin of
     sim_ann_recall: ground truth is the EXACT n-gram-Jaccard pair set
@@ -1115,6 +1152,7 @@ GROUP BY 1
 SPECS = [
     QuerySpec("dedup_exact_groups", dedup_exact_groups, DEDUP_EXACT_ORACLE),
     QuerySpec("dedup_lsh_recall", dedup_lsh_recall, DEDUP_LSH_RECALL_ORACLE),
+    QuerySpec("dedup_cluster_stats", dedup_cluster_stats, DEDUP_CLUSTER_STATS_ORACLE),
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_KEEP_FIRST_ORACLE),
     QuerySpec("dedup_ngram_jaccard_pairs", dedup_ngram_jaccard_pairs, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_minhash_signatures", dedup_minhash_signatures, DEDUP_MINHASH_SIG_ORACLE),

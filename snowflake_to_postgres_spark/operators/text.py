@@ -752,8 +752,62 @@ ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
 """
 
 
+POSTING_MIN_DF = 10   # index only tokens appearing in >= this many docs
+POSTING_TOP_K = 3     # postings kept per token
+
+
+def tx_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-of-index posting lists: for every token with document
+    frequency >= POSTING_MIN_DF, the top POSTING_TOP_K documents by term
+    frequency — the build step of an inverted search index, flattened to
+    (token, df, rank, doc_id, tf) rows.
+
+    100-TB shape: one corpus aggregation to (doc, token) counts (map-
+    side combined; shuffle keys are tokens+doc ids, never text), then
+    df and the per-token top-k both run on the REDUCED frame; the top-k
+    window partitions by token — millions of keys, no parallelism
+    ceiling."""
+    docs = _docs_parallel(spark, sf_dir).withColumn("toks", _toks())
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
+    return (
+        tf.join(df_.filter(F.col("df") >= POSTING_MIN_DF), "tok")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= POSTING_TOP_K)
+        .select("tok", F.col("df").cast("bigint").alias("df"), "rank", "doc_id",
+                F.col("tf").cast("bigint").alias("tf"))
+    )
+
+
+TX_POSTING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT tok, doc_id, COUNT(*) AS tf FROM toks
+  WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok, doc_id
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+SELECT tok, CAST(df AS BIGINT) AS df, rank, doc_id, CAST(tf AS BIGINT) AS tf
+FROM (
+  SELECT tf.tok, dfreq.df, tf.doc_id, tf.tf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.tok ORDER BY tf.tf DESC, tf.doc_id) AS BIGINT) AS rank
+  FROM tf JOIN dfreq USING (tok)
+  WHERE dfreq.df >= {POSTING_MIN_DF}
+)
+WHERE rank <= {POSTING_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
+    QuerySpec("tx_posting_lists", tx_posting_lists, TX_POSTING_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
     QuerySpec("tx_langid", tx_langid, TX_LANGID_ORACLE),
     QuerySpec("tx_fingerprint", tx_fingerprint, TX_FINGERPRINT_ORACLE),
