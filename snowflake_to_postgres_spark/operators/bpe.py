@@ -216,12 +216,15 @@ def tx_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("compression"),
     )
     # distinct-token count as its own map-side-combined aggregation (a
-    # collect_list over the vocab would funnel it through one buffer)
-    vocab_tokens = (
+    # collect_list over the vocab would funnel it through one buffer);
+    # joined as a collected scalar — a 1-row cross join would plan as a
+    # nested-loop join, which the global plan guard forbids
+    n_vocab = (
         toked.select(F.explode("syms").alias("tok"))
-        .agg(F.count_distinct("tok").cast("bigint").alias("vocab_tokens"))
+        .agg(F.count_distinct("tok"))
+        .collect()[0][0]
     )
-    return stats.crossJoin(vocab_tokens)
+    return stats.withColumn("vocab_tokens", F.lit(int(n_vocab)).cast("bigint"))
 
 
 SPECS = [

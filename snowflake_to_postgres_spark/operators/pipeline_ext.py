@@ -837,33 +837,32 @@ def tx_weighted_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keep the identical row set (p_i is emitted as a double for
     reporting only, computed with the identical operation order).
 
-    100-TB shape: one map-side-combined global aggregate (Σw, n —
-    two scalars, broadcast back as a literal-free cross join of a 1-row
-    frame), then a single codegen'd filter over the scan — no shuffle
-    of the corpus at all."""
+    100-TB shape: one map-side-combined global aggregate reduces to two
+    scalars (Σw, n — a bounded collect, the same class as the engine's
+    other threshold scalars), then a single codegen'd filter over the
+    scan with the scalars as literals — no shuffle and no join of the
+    corpus at all (a 1-row cross join would plan as a nested-loop join,
+    which the global plan guard forbids)."""
     docs = load_table(spark, sf_dir, "documents")
-    totals = docs.agg(
+    trow = docs.agg(
         F.sum("n_chars").cast("decimal(38,0)").alias("sw"),
         F.count("*").cast("decimal(38,0)").alias("n"),
-    )
+    ).collect()[0]
+    sw, n = int(trow["sw"]), int(trow["n"])
     u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "decimal(38,0)"
     )
     w = F.col("n_chars").cast("decimal(38,0)")
-    keep = (u * DOWNSAMPLE_RATE_DEN * F.col("sw")) < (
-        w * DOWNSAMPLE_RATE_NUM * _HASH_SPAN * F.col("n")
+    keep = (u * DOWNSAMPLE_RATE_DEN * F.lit(sw).cast("decimal(38,0)")) < (
+        w * DOWNSAMPLE_RATE_NUM * _HASH_SPAN * F.lit(n).cast("decimal(38,0)")
     )
     p = F.least(
         F.lit(1.0),
         (F.lit(float(DOWNSAMPLE_RATE_NUM)) * F.col("n_chars").cast("double")
-         * F.col("n").cast("double"))
-        / (F.lit(float(DOWNSAMPLE_RATE_DEN)) * F.col("sw").cast("double")),
+         * F.lit(float(n)))
+        / (F.lit(float(DOWNSAMPLE_RATE_DEN)) * F.lit(float(sw))),
     )
-    return (
-        docs.crossJoin(F.broadcast(totals))
-        .filter(keep)
-        .select("doc_id", "source", "n_chars", p.alias("p_keep"))
-    )
+    return docs.filter(keep).select("doc_id", "source", "n_chars", p.alias("p_keep"))
 
 
 TX_WEIGHTED_DOWNSAMPLE_ORACLE = f"""
