@@ -254,3 +254,59 @@ def test_ols_sufficient_statistics_match_lstsq(obs):
     (np_slope, np_intercept), *_ = np.linalg.lstsq(A, np.array(ys, dtype=float), rcond=None)
     assert abs(slope - np_slope) < 1e-6 * max(1.0, abs(np_slope))
     assert abs(intercept - np_intercept) < 1e-5 * max(1.0, abs(np_intercept))
+
+
+_bpe_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=8
+)
+_bpe_rule = st.tuples(
+    st.sampled_from(["a", "b", "</w>", "aa", "ab", "ba"]),
+    st.sampled_from(["a", "b", "</w>", "aa", "ab", "ba"]),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_bpe_words, _bpe_rule, _bpe_rule)
+def test_bpe_merge_fold_matches_python(spark, words, r1, r2):
+    """The JVM-side left-to-right non-overlapping pair-merge fold must
+    agree with the obvious Python scan for ANY rule over a two-letter
+    alphabet — including rules whose merged token re-participates
+    (aa+a), rules matching nothing, and chained rules."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.operators.bpe import EOW, _merge_pair
+
+    def py_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    expected = []
+    for w in words:
+        syms = [*w, EOW]
+        syms = py_merge(syms, *r1)
+        syms = py_merge(syms, *r2)
+        expected.append(syms)
+
+    df = spark.createDataFrame([(w,) for w in words], "w STRING")
+    syms = F.expr(
+        "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+        " array('</w>'))"
+    )
+    out = df.select(
+        "w",
+        _merge_pair(
+            _merge_pair(syms, r1[0], r1[1], r1[0] + r1[1]),
+            r2[0], r2[1], r2[0] + r2[1],
+        ).alias("syms"),
+    )
+    got = {r["w"]: r["syms"] for r in out.collect()}
+    # duplicate words collapse in the dict; compare per distinct word
+    exp = {w: e for w, e in zip(words, expected)}
+    assert got == exp
