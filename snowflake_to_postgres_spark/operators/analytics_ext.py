@@ -268,8 +268,131 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.join(F.broadcast(exact), "l_returnflag")
 
 
+KMV_K = 64  # k-minimum-values sketch size
+
+
+def a15_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation via a K-minimum-values sketch
+    (Bar-Yossef et al. 2002) — unlike HLL (x_approx_sketches,
+    rows-only by design), KMV built on md5 is DETERMINISTIC, so the
+    approximate answer itself is oracle-checkable: estimate =
+    (K-1) / u_K where u_K is the K-th smallest hash of the distinct
+    o_custkey values mapped into (0, 1]. Emitted next to the exact
+    count and relative error, so the sketch's accuracy is part of the
+    checked result.
+
+    100-TB shape: the sketch is a bounded TakeOrdered(K) over distinct
+    hashes — mergeable partials, no full shuffle of the key set (the
+    distinct itself reduces map-side); the exact count here is the
+    eval-time truth, sampled or omitted at real scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    hashes = orders.select(F.col("o_custkey")).distinct().select(u.alias("u"))
+    kth = (
+        hashes.orderBy("u").limit(KMV_K)
+        .agg(F.max("u").alias("u_k"), F.count("*").alias("k_eff"))
+        .collect()[0]
+    )
+    exact = orders.agg(F.count_distinct("o_custkey")).collect()[0][0]
+    est = (kth["k_eff"] - 1) / kth["u_k"] if kth["k_eff"] >= KMV_K else float(kth["k_eff"])
+    rel = abs(est - exact) / exact
+    return spark.createDataFrame(
+        [(KMV_K, int(kth["k_eff"]), float(kth["u_k"]), float(est), int(exact), float(rel))],
+        "k INT, k_eff INT, u_k DOUBLE, estimate DOUBLE, exact_distinct INT, rel_error DOUBLE",
+    )
+
+
+A15_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+           / 4294967296.0 AS u
+  FROM (SELECT DISTINCT o_custkey FROM orders)
+),
+kth AS (
+  SELECT MAX(u) AS u_k, COUNT(*) AS k_eff FROM (
+    SELECT u FROM h ORDER BY u LIMIT {KMV_K}
+  )
+),
+ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders)
+SELECT CAST({KMV_K} AS INT) AS k,
+       CAST(k_eff AS INT) AS k_eff,
+       u_k,
+       CASE WHEN k_eff >= {KMV_K} THEN (k_eff - 1) / u_k
+            ELSE CAST(k_eff AS DOUBLE) END AS estimate,
+       CAST(exact_distinct AS INT) AS exact_distinct,
+       abs(CASE WHEN k_eff >= {KMV_K} THEN (k_eff - 1) / u_k
+                ELSE CAST(k_eff AS DOUBLE) END - exact_distinct)
+         / exact_distinct AS rel_error
+FROM kth, ex
+"""
+
+
+def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase event attributed to the
+    user's most recent preceding click/view (ties at the same
+    microsecond broken touch-before-purchase, then by event_id) — the
+    marketing-analytics join every event warehouse runs. Expressed as
+    ONE carry-forward window over (user, time) — the same no-self-join
+    shape as the as-of family, keyed on millions of users at scale, so
+    no parallelism ceiling and no range join."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("click", "view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)).alias("kind"),
+        F.when(F.col("event_type") != "purchase", F.col("event_id")).alias("tid"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias("ttype"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("tid", ignorenulls=True).over(w).alias("touch_event_id"),
+        F.last("ttype", ignorenulls=True).over(w).alias("touch_type"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        "touch_event_id",
+        F.coalesce("touch_type", F.lit("none")).alias("touch_type"),
+    )
+
+
+X_ATTRIBUTION_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
+         CASE WHEN event_type <> 'purchase' THEN event_id END AS tid,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS ttype
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+c AS (
+  SELECT *,
+         LAST_VALUE(tid IGNORE NULLS) OVER w AS touch_event_id,
+         LAST_VALUE(ttype IGNORE NULLS) OVER w AS touch_type
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id AS purchase_event_id, user_id, touch_event_id,
+       COALESCE(touch_type, 'none') AS touch_type
+FROM c WHERE kind = 1
+"""
+
+
 SPECS = [
     QuerySpec("x_sessionization", x_sessionization, X_SESSION_ORACLE),
+    QuerySpec("a15_kmv_distinct", a15_kmv_distinct, A15_KMV_ORACLE),
+    QuerySpec("x_attribution", x_attribution, X_ATTRIBUTION_ORACLE),
     QuerySpec("x_q5_local_volume", x_q5_local_volume, X_Q5_ORACLE),
     QuerySpec("x_q10_returned_items", x_q10_returned_items, X_Q10_ORACLE),
     QuerySpec("x_q14_conditional_agg", x_q14_conditional_agg, X_Q14_ORACLE),

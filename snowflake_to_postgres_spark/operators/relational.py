@@ -767,11 +767,88 @@ FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40
 """
 
 
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def s13_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic one-pass column profile (the discovery report an ETL tool
+    publishes per table): null count, exact distinct count, and
+    canonicalized min/max per column — numerics via DECIMAL(28,6)
+    strings, timestamps via a fixed format, so the report is engine-
+    portable. ONE aggregation job over the table (every statistic is a
+    map-side-combinable aggregate); the per-column rows come from an
+    inline explode of the single result row, not re-scans."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def canon(c: str, kind: str, agg) -> Column:
+        col = agg(F.col(c))
+        if kind == "num":
+            return col.cast("decimal(28,6)").cast("string")
+        if kind == "ts":
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        return col.cast("string")
+
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).cast("bigint").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__nd"),
+            canon(c, kind, F.min).alias(f"{c}__min"),
+            canon(c, kind, F.max).alias(f"{c}__max"),
+        ]
+    one_row = orders.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return one_row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"CAST(CAST(MIN({c}) AS DECIMAL(28,6)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({c}) AS DECIMAL(28,6)) AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = f"CAST(MIN({c}) AS VARCHAR)"
+            mx = f"CAST(MAX({c}) AS VARCHAR)"
+        selects.append(
+            f"SELECT '{c}' AS column_name,"
+            f" CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls,"
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_s, {mx} AS max_s FROM orders"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+S13_PROFILE_ORACLE = _profile_oracle()
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, "flagship A1+A3 kernel"),
     QuerySpec("s1_scan_filter_projection", s1_scan_filter_projection, S1_ORACLE),
     QuerySpec("s7_row_counts", s7_row_counts, S7_ORACLE),
     QuerySpec("s10_deterministic_sample", s10_deterministic_sample, S10_ORACLE),
+    QuerySpec("s13_profile_table", s13_profile_table, S13_PROFILE_ORACLE),
     QuerySpec("p1_projection_varchar_cast", p1_projection_varchar_cast, P1_ORACLE),
     QuerySpec("p2_where_pushdown", p2_where_pushdown, P2_ORACLE),
     QuerySpec("p3_date_range", p3_date_range, P3_ORACLE),
