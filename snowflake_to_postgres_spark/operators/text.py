@@ -762,11 +762,13 @@ def tx_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency — the build step of an inverted search index, flattened to
     (token, df, rank, doc_id, tf) rows.
 
-    100-TB shape: one corpus aggregation to (doc, token) counts (map-
-    side combined; shuffle keys are tokens+doc ids, never text), then
-    df and the per-token top-k both run on the REDUCED frame; the top-k
-    window partitions by token — millions of keys, no parallelism
-    ceiling."""
+    100-TB shape: ONE corpus scan — the (doc, token) tf aggregation
+    (map-side combined; shuffle keys are tokens+doc ids, never text),
+    then df and the per-token top-k as two windows over the SAME
+    token-hash partitioning, so they share one exchange (a separate
+    df aggregate + join would rescan the corpus — the plan audit
+    showed exactly that before this formulation). Token keys number in
+    the millions at scale: no parallelism ceiling."""
     docs = _docs_parallel(spark, sf_dir).withColumn("toks", _toks())
     tf = (
         docs.select("doc_id", F.explode("toks").alias("tok"))
@@ -774,10 +776,11 @@ def tx_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w_df = Window.partitionBy("tok")
     w = Window.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
     return (
-        tf.join(df_.filter(F.col("df") >= POSTING_MIN_DF), "tok")
+        tf.withColumn("df", F.count("*").over(w_df))
+        .filter(F.col("df") >= POSTING_MIN_DF)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= POSTING_TOP_K)
         .select("tok", F.col("df").cast("bigint").alias("df"), "rank", "doc_id",
