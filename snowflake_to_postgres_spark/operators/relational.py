@@ -778,13 +778,22 @@ _PROFILE_COLS = [
 
 
 def s13_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generic one-pass column profile (the discovery report an ETL tool
-    publishes per table): null count, exact distinct count, and
-    canonicalized min/max per column — numerics via DECIMAL(28,6)
-    strings, timestamps via a fixed format, so the report is engine-
-    portable. ONE aggregation job over the table (every statistic is a
-    map-side-combinable aggregate); the per-column rows come from an
-    inline explode of the single result row, not re-scans."""
+    """Generic column profile (the discovery report an ETL tool publishes
+    per table): null count, exact distinct count, and canonicalized
+    min/max per column — numerics via DECIMAL(28,6) strings, timestamps
+    via a fixed format, so the report is engine-portable.
+
+    Two column-pruned passes, both fully parallel:
+    * nulls + typed min/max in ONE narrow HashAggregate (every statistic
+      map-side combinable; per-column rows from an inline explode of
+      the single result row);
+    * exact distincts via explode-to-(column, value) + a TWO-PHASE hash
+      aggregation. Packing six COUNT(DISTINCT)s into the first pass
+      instead planned an Expand (row ×6) feeding SortAggregates — the
+      multi-distinct antipattern; measured 3.6 s vs ~1 s at sf0.1, and
+      the sort/expand cost scales with the table. Distinctness is
+      counted on the string form, which is injective per engine, so the
+      counts equal COUNT(DISTINCT col) on the typed values."""
     orders = load_table(spark, sf_dir, "orders")
 
     def canon(c: str, kind: str, agg) -> Column:
@@ -799,7 +808,6 @@ def s13_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c, kind in _PROFILE_COLS:
         aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).cast("bigint").alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__nd"),
             canon(c, kind, F.min).alias(f"{c}__min"),
             canon(c, kind, F.max).alias(f"{c}__max"),
         ]
@@ -809,14 +817,37 @@ def s13_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(c).alias("column_name"),
                 F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__nd").alias("n_distinct"),
                 F.col(f"{c}__min").alias("min_s"),
                 F.col(f"{c}__max").alias("max_s"),
             )
             for c, _ in _PROFILE_COLS
         ]
     )
-    return one_row.select(F.explode(structs).alias("p")).select("p.*")
+    base = one_row.select(F.explode(structs).alias("p")).select("p.*")
+
+    pairs = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c, _ in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    nd = (
+        pairs.filter(F.col("v").isNotNull())
+        .groupBy("column_name", "v")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("column_name")
+        .agg(F.count("*").cast("bigint").alias("n_distinct"))
+    )
+    return base.join(F.broadcast(nd), "column_name").select(
+        "column_name", "n_nulls", "n_distinct", "min_s", "max_s"
+    )
 
 
 def _profile_oracle() -> str:
