@@ -331,14 +331,21 @@ FROM kth, ex
 """
 
 
+ATTRIB_WINDOW_SEC = 3600  # last-touch lookback window
+
+
 def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-touch attribution: every purchase event attributed to the
-    user's most recent preceding click/view (ties at the same
-    microsecond broken touch-before-purchase, then by event_id) — the
-    marketing-analytics join every event warehouse runs. Expressed as
-    ONE carry-forward window over (user, time) — the same no-self-join
+    """Windowed last-touch attribution: every purchase event attributed
+    to the user's most recent click/view within the preceding hour
+    (ties at the same microsecond broken touch-before-purchase, then by
+    event_id; no touch in the window → 'none') — the marketing-
+    analytics join every event warehouse runs. Expressed as ONE
+    carry-forward window over (user, time) — the same no-self-join
     shape as the as-of family, keyed on millions of users at scale, so
-    no parallelism ceiling and no range join."""
+    no parallelism ceiling and no range join. The lookback window is
+    what makes the STREAMING twin's state bounded
+    (streaming/pipeline.attribution_stream: state expires once the
+    watermark passes touch_ts + window)."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.filter(F.col("event_type").isin("click", "view", "purchase")).select(
         "user_id",
@@ -348,6 +355,7 @@ def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)).alias("kind"),
         F.when(F.col("event_type") != "purchase", F.col("event_id")).alias("tid"),
         F.when(F.col("event_type") != "purchase", F.col("event_type")).alias("ttype"),
+        F.when(F.col("event_type") != "purchase", F.col("ts")).alias("tts"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -356,35 +364,47 @@ def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     carried = u.select(
         "*",
-        F.last("tid", ignorenulls=True).over(w).alias("touch_event_id"),
-        F.last("ttype", ignorenulls=True).over(w).alias("touch_type"),
+        F.last("tid", ignorenulls=True).over(w).alias("c_tid"),
+        F.last("ttype", ignorenulls=True).over(w).alias("c_ttype"),
+        F.last("tts", ignorenulls=True).over(w).alias("c_tts"),
+    )
+    in_window = (
+        F.col("c_tts").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("c_tts") <= ATTRIB_WINDOW_SEC * 1_000_000)
     )
     return carried.filter(F.col("kind") == 1).select(
         F.col("event_id").alias("purchase_event_id"),
         "user_id",
-        "touch_event_id",
-        F.coalesce("touch_type", F.lit("none")).alias("touch_type"),
+        F.when(in_window, F.col("c_tid")).alias("touch_event_id"),
+        F.when(in_window, F.col("c_ttype")).otherwise(F.lit("none")).alias("touch_type"),
     )
 
 
-X_ATTRIBUTION_ORACLE = """
+X_ATTRIBUTION_ORACLE = f"""
 WITH u AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
          CASE WHEN event_type <> 'purchase' THEN event_id END AS tid,
-         CASE WHEN event_type <> 'purchase' THEN event_type END AS ttype
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS ttype,
+         CASE WHEN event_type <> 'purchase' THEN ts END AS tts
   FROM events WHERE event_type IN ('click', 'view', 'purchase')
 ),
 c AS (
   SELECT *,
-         LAST_VALUE(tid IGNORE NULLS) OVER w AS touch_event_id,
-         LAST_VALUE(ttype IGNORE NULLS) OVER w AS touch_type
+         LAST_VALUE(tid IGNORE NULLS) OVER w AS c_tid,
+         LAST_VALUE(ttype IGNORE NULLS) OVER w AS c_ttype,
+         LAST_VALUE(tts IGNORE NULLS) OVER w AS c_tts
   FROM u
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
                ROWS UNBOUNDED PRECEDING)
 )
-SELECT event_id AS purchase_event_id, user_id, touch_event_id,
-       COALESCE(touch_type, 'none') AS touch_type
+SELECT event_id AS purchase_event_id, user_id,
+       CASE WHEN c_tts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(c_tts) <= CAST({ATTRIB_WINDOW_SEC} AS BIGINT) * 1000000
+            THEN c_tid END AS touch_event_id,
+       CASE WHEN c_tts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(c_tts) <= CAST({ATTRIB_WINDOW_SEC} AS BIGINT) * 1000000
+            THEN c_ttype ELSE 'none' END AS touch_type
 FROM c WHERE kind = 1
 """
 

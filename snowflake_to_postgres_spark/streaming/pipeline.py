@@ -450,3 +450,77 @@ def upsert_latest_stream(
         .start()
         .awaitTermination()
     )
+
+
+ATTRIB_OUTPUT_DDL = (
+    "purchase_event_id bigint, user_id bigint, touch_event_id bigint,"
+    " touch_type string"
+)
+ATTRIB_STATE_DDL = "tid bigint, ttype string, tts double"
+
+
+def attribution_stream(
+    events: DataFrame, window_sec: int | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming windowed last-touch attribution — the incremental twin
+    of analytics_ext.x_attribution, as a custom stateful operator
+    (``applyInPandasWithState``): per-user state is exactly ONE row
+    (the latest click/view), each purchase emits its attribution the
+    moment it arrives, and the attribution window is what BOUNDS the
+    state — an event-time timeout expires a user's touch once the
+    watermark passes touch_ts + window, because no future purchase
+    could attribute to it (anything earlier is dropped as late). State
+    size tracks users ACTIVE within one window, not all users ever
+    seen.
+
+    Emits in append semantics (each purchase exactly once). Batch
+    parity — same window, same tie rules — is asserted in
+    tests/test_streaming.py."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        ATTRIB_WINDOW_SEC,
+    )
+
+    win = ATTRIB_WINDOW_SEC if window_sec is None else window_sec
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        tid, ttype, tts = state.get if state.exists else (None, None, None)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf[pdf["event_type"].isin(["click", "view", "purchase"])]
+            pdf = pdf.assign(kind=(pdf["event_type"] == "purchase").astype(int))
+            pdf = pdf.sort_values(["ts", "kind", "event_id"])
+            for ts, eid, etype, kind in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["kind"]
+            ):
+                sec = ts.timestamp()
+                if kind == 0:
+                    tid, ttype, tts = int(eid), etype, sec
+                elif tts is not None and sec - tts <= win:
+                    out.append([int(eid), user_id, tid, ttype])
+                else:
+                    out.append([int(eid), user_id, None, "none"])
+        if tts is not None:
+            state.update((tid, ttype, tts))
+            timeout_ms = int((tts + win) * 1000) + 1
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            out,
+            columns=["purchase_event_id", "user_id", "touch_event_id", "touch_type"],
+        )
+
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ATTRIB_OUTPUT_DDL,
+        stateStructType=ATTRIB_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

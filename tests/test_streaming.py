@@ -407,3 +407,50 @@ def test_upsert_latest_stream_equals_batch(spark, sf_dir, tmp_path):
     # replay the same stream with a new checkpoint: nothing may change
     upsert_latest_stream(spark, sf_dir, target, str(tmp_path / "ckpt2"), since=cutoff)
     assert current(target) == got
+
+
+def test_attribution_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming last-touch attribution (two time-ordered micro-batches,
+    bounded per-user state) emits exactly the batch twin's rows, and
+    expired touches actually leave the state store."""
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import x_attribution
+    from snowflake_to_postgres_spark.streaming.pipeline import attribution_stream
+
+    events = load_table(spark, sf_dir, "events")
+    mid = events.agg(
+        F.percentile_approx(F.col("ts").cast("double"), F.lit(0.5)).alias("m")
+    ).collect()[0][0]
+    src = str(tmp_path / "src")
+    events.filter(F.col("ts").cast("double") <= mid).coalesce(1).write.parquet(src + "/a.parquet")
+    events.filter(F.col("ts").cast("double") > mid).coalesce(1).write.parquet(src + "/b.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    q = (
+        attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName("attrib_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = _rows(spark.sql("SELECT * FROM attrib_stream"))
+    batch = _rows(x_attribution(spark, sf_dir))
+    assert streamed == batch
+
+    n_users = events.select("user_id").distinct().count()
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    # the fixture spans months vs a 1h window: nearly all first-half
+    # touches must have expired from state by the drain's end
+    assert state_rows and state_rows[-1] < n_users
