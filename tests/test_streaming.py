@@ -454,3 +454,77 @@ def test_attribution_stream_equals_batch(spark, sf_dir, tmp_path):
     # the fixture spans months vs a 1h window: nearly all first-half
     # touches must have expired from state by the drain's end
     assert state_rows and state_rows[-1] < n_users
+
+
+def test_upsert_latest_stream_multibatch(spark, sf_dir, tmp_path):
+    """The CDC upsert sink under FOUR time-ordered micro-batches: each
+    batch merges into the state table independently; the final table
+    must still equal the batch latest-state over everything (cross-batch
+    version-wins — a later batch must replace earlier batches' rows)."""
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.operators.transfer import (
+        merge_upsert_partitioned,
+    )
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        _state_rows,
+        bootstrap_latest_state,
+        latest_state,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.selectExpr(
+        "percentile_cont(0.25) WITHIN GROUP (ORDER BY unix_micros(ts)) AS a",
+        "percentile_cont(0.5)  WITHIN GROUP (ORDER BY unix_micros(ts)) AS b",
+        "percentile_cont(0.75) WITHIN GROUP (ORDER BY unix_micros(ts)) AS c",
+    ).collect()[0]
+    src = str(tmp_path / "src")
+    us = F.unix_micros(F.col("ts"))
+    parts = [
+        events.filter(us <= bounds["a"]),
+        events.filter((us > bounds["a"]) & (us <= bounds["b"])),
+        events.filter((us > bounds["b"]) & (us <= bounds["c"])),
+        events.filter(us > bounds["c"]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(f"{src}/part_{i}.parquet")
+
+    target = str(tmp_path / "state")
+    bootstrap_latest_state(parts[0], target)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+
+    n_batches = []
+
+    def handle(batch, _bid):
+        if batch.isEmpty():
+            return
+        n_batches.append(batch.count())
+        merge_upsert_partitioned(
+            batch.sparkSession, target, _state_rows(batch),
+            key_cols=["user_id"], version_col="_ver",
+        )
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert len(n_batches) == 4  # one merge per file
+
+    got = sorted(
+        (r["user_id"], r["event_id"])
+        for r in spark.read.parquet(target).collect()
+    )
+    exp = sorted(
+        (r["user_id"], r["event_id"]) for r in latest_state(events).collect()
+    )
+    assert got == exp
