@@ -188,6 +188,39 @@ FROM s
 TX_LANGID_ORACLE = _langid_oracle()
 
 
+def tx_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality gate — the eval twin of tx_langid, in the
+    same measured-quality family as sim_ann_recall / dedup_lsh_recall:
+    the fixture's ground-truth ``lang`` column scores the classifier as
+    a confusion rollup (truth, predicted, n, share-of-truth). A
+    heuristic classifier without a measured confusion table is a silent
+    quality bug, exactly like an unmeasured ANN index.
+
+    100-TB shape: the per-doc classification is a pure projection; the
+    confusion rollup reduces to |langs|² rows map-side."""
+    pred = tx_langid(spark, sf_dir)
+    counts = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "share_of_truth"
+        ),
+    )
+
+
+TX_LANGID_EVAL_ORACLE = f"""
+WITH p AS ({TX_LANGID_ORACLE}),
+c AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang)
+SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+         AS share_of_truth
+FROM c
+"""
+
+
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact content digest + min-5-gram-shingle
     digest (the winnowing/rolling-hash family collapsed to its min-hash
@@ -813,6 +846,7 @@ SPECS = [
     QuerySpec("tx_posting_lists", tx_posting_lists, TX_POSTING_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
     QuerySpec("tx_langid", tx_langid, TX_LANGID_ORACLE),
+    QuerySpec("tx_langid_eval", tx_langid_eval, TX_LANGID_EVAL_ORACLE),
     QuerySpec("tx_fingerprint", tx_fingerprint, TX_FINGERPRINT_ORACLE),
     QuerySpec("tx_source_rollup", tx_source_rollup, TX_ROLLUP_ORACLE),
     QuerySpec("sk1_salted_source_agg", sk1_salted_source_agg, SK1_ORACLE),
