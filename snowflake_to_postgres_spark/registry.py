@@ -125,7 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "s1_scan_filter_projection",
     "s3_catalog_columns",
     "s7_row_counts",
-    "s10_deterministic_sample",
+    "s13_profile_table",
     # projections / predicates / pagination
     "p1_projection_varchar_cast",
     "p2_where_pushdown",
@@ -134,15 +134,15 @@ _PRIORITY: tuple[str, ...] = (
     "a2_group_count_by_date",
     "a3_fingerprint_by_date",
     "a4_null_counts",
-    "a7_distinct_agg",
+    "a15_kmv_distinct",
     # joins
     "j1_equi_join_chain",
     "j2_multiway_join_topk",
     "j4_fullouter_key_align",
-    "j5_anti_join",
+    "x_attribution",
     # windows / grouping
     "w1_topk_per_group",
-    "w4_rank_dense",
+    "dedup_lsh_recall",
     "g1_rollup",
     # scalar function translations
     "f1_iff_case",
@@ -172,9 +172,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_rp_lsh_topk",
     "sim_doc_hashed_topk",
     "tx_token_stats",
-    "tx_hashed_features",
+    "tx_weighted_downsample",
     "tx_boilerplate_strip",
-    "tx_bigram_lm_score",
+    "tx_lm_heldout_ppl",
     "tx_bpe_pair_counts",
     "tx_train_split",
     "fit_linear_by_group",

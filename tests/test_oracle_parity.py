@@ -64,11 +64,11 @@ def test_priority_window_covers_families():
     window to cover every SURVEY §2 family and every extension family."""
     names = [s.name for s in _all_specs()][:50]
     for family_rep in (
-        "q1_", "s1_", "s3_", "s7_", "s10_",            # scans/catalog
+        "q1_", "s1_", "s3_", "s7_", "s13_",            # scans/catalog/profile
         "p1_", "p2_", "p4_",                           # project/filter/page
-        "a2_", "a3_", "a4_", "a7_",                    # aggregation
-        "j1_", "j2_", "j4_", "j5_",                    # joins
-        "w1_", "w4_",                                  # windows
+        "a2_", "a3_", "a4_", "a15_",                   # aggregation + sketch
+        "j1_", "j2_", "j4_", "x_attribution",          # joins + event join
+        "w1_", "dedup_lsh_recall",                     # windows + recall gate
         "g1_",                                         # grouping
         "f1_", "f7_",                                  # functions
         "v1_", "val_fingerprint",                      # variant / validation
@@ -80,9 +80,9 @@ def test_priority_window_covers_families():
         # similarity: exact + composed IVF+PQ + RP-LSH + embed-and-search
         "sim_topk_bruteforce", "sim_ivf_pq", "sim_rp_lsh", "sim_doc_hashed",
         # text / featurization / pipeline / layout / multimodal
-        "tx_token", "tx_hashed", "tx_boilerplate", "tx_bigram_lm",
-        "tx_bpe_pair", "tx_train_split", "fit_linear", "layout_zorder",
-        "pipe_clean", "pipe_training", "mm_",
+        "tx_token", "tx_weighted_downsample", "tx_boilerplate",
+        "tx_lm_heldout", "tx_bpe_pair", "tx_train_split", "fit_linear",
+        "layout_zorder", "pipe_clean", "pipe_training", "mm_",
         # temporal joins; streaming agg + session windows + CDC state
         "xj_asof_join", "st_windowed", "st_session", "st_latest",
     ):
@@ -95,10 +95,13 @@ def test_priority_window_covers_families():
                     "p3_date_range", "a5_minmax_stats", "w2_lag_delta",
                     "f2_nvl_coalesce", "f9_split_to_table",
                     "val_partition_diff", "x_q5_local_volume",
-                    # late round-5 rotation: composed/new families in,
+                    # late round-5 rotations: composed/new families in,
                     # single-family near-duplicates out (still FULL-checked)
                     "p5_offset_pagination", "xj_asof_forward",
-                    "st_interval_join", "sim_ivf_topk"):
+                    "st_interval_join", "sim_ivf_topk",
+                    "s10_deterministic_sample", "a7_distinct_agg",
+                    "j5_anti_join", "w4_rank_dense",
+                    "tx_hashed_features", "tx_bigram_lm_score"):
         assert demoted in all_names and demoted not in names, demoted
 
 
