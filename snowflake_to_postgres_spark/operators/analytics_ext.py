@@ -409,10 +409,75 @@ FROM c WHERE kind = 1
 """
 
 
+BASKET_MIN_SUPPORT = 3   # pairs co-occurring in fewer orders are noise
+BASKET_TOP_K = 20
+
+
+def x_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top part pairs by lift —
+    lift(a,b) = N·n_ab / (n_a·n_b) over orders-as-baskets, support
+    floor BASKET_MIN_SUPPORT, top BASKET_TOP_K by (lift desc, pa, pb).
+
+    100-TB shape: baskets reduce to DISTINCT (order, part) first; the
+    pair join shuffles on the order key only, and its fanout is
+    Σ k_i·(k_i−1)/2 over basket sizes — bounded by the largest basket
+    (≤7 lines in TPC-H), never N². Item marginals are item-cardinality
+    rows (broadcast); N is one scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = basket.select("l_orderkey").distinct().count()
+    item = basket.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    na = item.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a"))
+    nb = item.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b"))
+    lift = (
+        (F.col("n_ab") * F.lit(n_orders)).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        pairs.join(F.broadcast(na), "pa")
+        .join(F.broadcast(nb), "pb")
+        .select("pa", "pb", F.col("n_ab").cast("bigint").alias("n_ab"), lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(BASKET_TOP_K)
+    )
+
+
+X_BASKET_ORACLE = f"""
+WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM basket GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM basket a JOIN basket b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_ab * (SELECT n_orders FROM n) AS DOUBLE)
+         / CAST(na.n_item * nb.n_item AS DOUBLE) AS lift
+FROM pairs
+JOIN item na ON na.l_partkey = pa
+JOIN item nb ON nb.l_partkey = pb
+ORDER BY lift DESC, pa, pb
+LIMIT {BASKET_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("x_sessionization", x_sessionization, X_SESSION_ORACLE),
     QuerySpec("a15_kmv_distinct", a15_kmv_distinct, A15_KMV_ORACLE),
     QuerySpec("x_attribution", x_attribution, X_ATTRIBUTION_ORACLE),
+    QuerySpec("x_basket_lift", x_basket_lift, X_BASKET_ORACLE),
     QuerySpec("x_q5_local_volume", x_q5_local_volume, X_Q5_ORACLE),
     QuerySpec("x_q10_returned_items", x_q10_returned_items, X_Q10_ORACLE),
     QuerySpec("x_q14_conditional_agg", x_q14_conditional_agg, X_Q14_ORACLE),
