@@ -166,17 +166,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_candidates(comp, candidates, k=3)
 
 
-def _ivf_candidates(comp: DataFrame) -> DataFrame:
-    """(qid, vec_id) — IVF cell pruning: every vector assigned to its
-    nearest centroid cell, candidates = vectors in the N_PROBE cells
-    nearest each query. Shared by sim_ivf_topk (exact in-cell scoring)
-    and sim_ivf_pq_topk (ADC in-cell scoring)."""
-    cent = comp.filter(F.col("vec_id") < N_CENTROIDS).select(
+def _ivf_centroids(comp: DataFrame) -> DataFrame:
+    """(cid, idx, cval) — the deterministic centroid set."""
+    return comp.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
     )
-    # exact squared L2 distance to every centroid
-    d2 = (
-        comp.join(F.broadcast(cent), "idx")
+
+
+def _ivf_cell_d2(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid, d2) — exact squared L2 to every centroid."""
+    return (
+        vectors.join(F.broadcast(cent), "idx")
         .groupBy("vec_id", "cid")
         .agg(
             F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")))
@@ -184,19 +184,40 @@ def _ivf_candidates(comp: DataFrame) -> DataFrame:
             .alias("d2")
         )
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid"))
-    assign = (
-        d2.withColumn("rn", F.row_number().over(w_assign))
+
+
+def _w_assign():
+    # built lazily: a module-level Window spec would need an active session
+    return Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid"))
+
+
+def _ivf_assign(d2: DataFrame) -> DataFrame:
+    """(vec_id, cell) — nearest-centroid cell per vector."""
+    return (
+        d2.withColumn("rn", F.row_number().over(_w_assign()))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("cell"))
     )
-    # probe list: N_PROBE nearest cells per query vector
-    probes = (
+
+
+def _ivf_probes(d2: DataFrame) -> DataFrame:
+    """(qid, cell) — the N_PROBE nearest cells per query vector."""
+    return (
         d2.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(w_assign))
+        .withColumn("rn", F.row_number().over(_w_assign()))
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
     )
+
+
+def _ivf_candidates(comp: DataFrame) -> DataFrame:
+    """(qid, vec_id) — IVF cell pruning: every vector assigned to its
+    nearest centroid cell, candidates = vectors in the N_PROBE cells
+    nearest each query. Shared by sim_ivf_topk (exact in-cell scoring)
+    and sim_ivf_pq_topk (ADC in-cell scoring)."""
+    d2 = _ivf_cell_d2(comp, _ivf_centroids(comp))
+    assign = _ivf_assign(d2)
+    probes = _ivf_probes(d2)
     return (
         assign.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -1440,3 +1461,96 @@ def kmeans_sse(emb: DataFrame, centroids: list[list[float]]) -> float:
         ]
     )
     return emb.select(F.array_min(dists).alias("d")).agg(F.sum("d")).collect()[0][0]
+
+
+# ---------------------------------------------------------------------------
+# Materialized ANN index: the production split of sim_ivf_pq_topk.
+#
+# The registered query rebuilds cells/codes in-query (what keeps it
+# oracle-checkable); a deployment builds them ONCE and searches many
+# times. build_ann_index persists every artifact; sim_ivf_pq_search
+# answers queries touching only the probed cells' partitions (real
+# partition pruning, plan-asserted in tests) + the shortlist vectors.
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Persist the IVF+PQ index artifacts for a corpus:
+
+    * ``codes/``      — (vec_id, block, code) partitioned BY CELL, so a
+      probe reads only its cells' files (hive partition pruning);
+    * ``centroids/``  — the N_CENTROIDS coarse centroids (KBs);
+    * ``codebook/``   — the PQ subspace codebook (KBs);
+    * ``components/`` + ``norms/`` — exact vectors and squared norms
+      for the shortlist rescore.
+
+    One corpus read builds everything (cells and codes both derive from
+    the same exploded components)."""
+    comp = _components(spark, sf_dir)
+    cent = _ivf_centroids(comp)
+    assign = _ivf_assign(_ivf_cell_d2(comp, cent))
+    codes = _pq_codes(comp)
+    cb = _pq_comp(comp).filter(F.col("vec_id") < PQ_CODEBOOK).select(
+        F.col("vec_id").alias("cid"), "block", "idx", F.col("val").alias("cval")
+    )
+    (
+        codes.join(assign, "vec_id")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/codes")
+    )
+    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cb.write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    comp.write.mode("overwrite").parquet(f"{index_dir}/components")
+    _norms(comp).write.mode("overwrite").parquet(f"{index_dir}/norms")
+
+
+def sim_ivf_pq_search(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Search the materialized index for the standard query block
+    (qid < N_QUERIES, taken from the stored components): probe the
+    N_PROBE nearest cells per query, ADC-score ONLY the probed cells'
+    codes — the scan carries a partition filter on ``cell``, so
+    unprobed cells are never read — then exact-rescore the
+    ADC_SHORTLIST survivors. Returns the same shape as the in-query
+    sim_ivf_pq_topk and must agree with it row for row (tested)."""
+    comp = spark.read.parquet(f"{index_dir}/components")
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    q = comp.filter(F.col("vec_id") < N_QUERIES)
+    qd2 = _ivf_cell_d2(q, cent)
+    probes = _ivf_probes(qd2)
+    probe_rows = probes.collect()  # N_QUERIES x N_PROBE — driver-sized
+    cells = sorted({r["cell"] for r in probe_rows})
+    codes = spark.read.parquet(f"{index_dir}/codes").filter(
+        F.col("cell").isin(cells)  # static partition pruning
+    )
+    probes_df = spark.createDataFrame(probe_rows, "qid BIGINT, cell BIGINT")
+    cb = spark.read.parquet(f"{index_dir}/codebook")
+    qb = _pq_comp(q).select(
+        F.col("vec_id").alias("qid"), "block", "idx", F.col("val").alias("qval")
+    )
+    table = (
+        qb.join(cb, ["block", "idx"])
+        .groupBy("qid", "block", "cid")
+        .agg(F.sum(F.col("qval") * F.col("cval")).cast("decimal(38,18)").alias("t"))
+    )
+    in_cell = (
+        codes.join(F.broadcast(probes_df), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    partials = in_cell.join(
+        F.broadcast(table),
+        (in_cell.qid == table.qid)
+        & (in_cell.block == table.block)
+        & (in_cell.code == table.cid),
+    ).drop(table.qid)
+    adc = (
+        partials.groupBy("qid", "vec_id")
+        .agg(F.sum("t").cast("decimal(38,18)").alias("adot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("vec_id"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    return _rank_candidates(comp, shortlist, k=ANN_EVAL_K)

@@ -84,3 +84,32 @@ def test_emb_dim_stats_invariants(spark, sf_dir):
         assert r["n"] == n
         assert r["vmin"] <= r["mean"] <= r["vmax"]
         assert r["std"] >= 0
+
+
+def test_materialized_ann_index_search(spark, sf_dir, tmp_path):
+    """build_ann_index + sim_ivf_pq_search must reproduce the in-query
+    sim_ivf_pq_topk row for row, and the code scan must carry a
+    partition filter on cell (unprobed cells never read)."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        build_ann_index,
+        sim_ivf_pq_search,
+        sim_ivf_pq_topk,
+    )
+
+    idx = str(tmp_path / "ann_index")
+    build_ann_index(spark, sf_dir, idx)
+
+    result = sim_ivf_pq_search(spark, idx)
+    got = sorted(tuple(r) for r in result.collect())
+    exp = sorted(tuple(r) for r in sim_ivf_pq_topk(spark, sf_dir).collect())
+    assert got == exp
+
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re
+
+    pf = [
+        m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "cell" in m
+    ]
+    assert pf, f"no cell partition filter in plan: {plan[:800]}"
