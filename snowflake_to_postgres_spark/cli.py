@@ -333,6 +333,34 @@ def cmd_bpe_train(args) -> int:
     return 0
 
 
+def cmd_ann_index(args) -> int:
+    """Build the materialized IVF+PQ index for a corpus (cell-partitioned
+    codes + centroids + codebook + rescore artifacts), then run the
+    standard query block against it and print a JSON summary — the
+    build-once/search-many lifecycle as a pipeline verb."""
+    import time
+
+    from snowflake_to_postgres_spark.operators.similarity import (
+        build_ann_index,
+        sim_ivf_pq_search,
+    )
+
+    spark = get_spark("ann-index")
+    t0 = time.time()
+    build_ann_index(spark, args.source, args.index_dir)
+    built = time.time() - t0
+    t0 = time.time()
+    rows = sim_ivf_pq_search(spark, args.index_dir).collect()
+    print(json.dumps({
+        "index_dir": args.index_dir,
+        "build_seconds": round(built, 3),
+        "search_seconds": round(time.time() - t0, 3),
+        "result_rows": len(rows),
+        "queries": len({r["qid"] for r in rows}),
+    }))
+    return 0
+
+
 def cmd_scd2(args) -> int:
     """Apply an update batch to a type-2 dimension history table:
     changed keys close out (valid_to = effective_ts) and version;
@@ -548,6 +576,11 @@ def main(argv: list[str] | None = None) -> int:
     s2.add_argument("--attrs", required=True, help="comma-separated tracked attributes")
     s2.add_argument("--ts-col", default="effective_ts")
     s2.set_defaults(fn=cmd_scd2)
+
+    ai = sub.add_parser("ann-index")
+    ai.add_argument("--source", required=True, help="fixture dir with embeddings.parquet")
+    ai.add_argument("--index-dir", required=True, help="output dir for the index artifacts")
+    ai.set_defaults(fn=cmd_ann_index)
 
     bp = sub.add_parser("bpe-train")
     bp.add_argument("--source", required=True, help="fixture dir with documents.parquet")

@@ -248,3 +248,17 @@ def test_cli_bpe_train(tmp_path, capsys, sf_dir):
     assert [m["round"] for m in lines] == list(range(1, len(lines) + 1))
     assert all(m["merged"] == m["left"] + m["right"] for m in lines)
     assert 0 < stats["compression"] < 1
+
+
+def test_cli_ann_index(tmp_path, capsys, sf_dir):
+    import json as _json
+
+    idx = str(tmp_path / "annidx")
+    rc = main(["ann-index", "--source", sf_dir, "--index-dir", idx])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["result_rows"] > 0
+    assert stats["queries"] > 0
+    import os
+
+    assert os.path.isdir(idx + "/codes") and os.path.isdir(idx + "/centroids")
