@@ -1554,3 +1554,62 @@ def sim_ivf_pq_search(spark: SparkSession, index_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     return _rank_candidates(comp, shortlist, k=ANN_EVAL_K)
+
+
+PCA_ITERATIONS = 12  # power iteration rounds (fixed for determinism)
+
+
+def emb_top_component(spark: SparkSession, sf_dir: str, iterations: int = PCA_ITERATIONS):
+    """Leading principal direction of the (mean-centered) embedding
+    corpus by POWER ITERATION — in-engine linear algebra in the same
+    family as the closed-form OLS and the k-means trainer: per round,
+    w = Xᵀ(Xv) via TWO map-side-combined aggregations over the exploded
+    components, then a driver-side normalize of the dim-sized vector.
+    Only O(dim) floats ever reach the driver per round; the corpus is
+    never collected.
+
+    Returns (vector list[float], eigenvalue estimate float). Iterative →
+    not SQL-oracle-able; pinned against numpy's eigendecomposition in
+    tests (direction up to sign) on a planted-spike corpus — power
+    iteration converges at rate (λ2/λ1)^k, so the test plants a large
+    eigengap; on an i.i.d. corpus (like the synthetic fixture) the gap
+    is Marchenko-Pastur-tiny and MORE iterations are needed. The production use is embedding
+    whitening / dominant-direction removal (a standard embedding
+    post-process, e.g. the "all-but-the-top" cleanup of Mu & Viswanath
+    2018 — public paper)."""
+    comp = _components(spark, sf_dir).select(
+        "vec_id", "idx", F.col("val").cast("double").alias("v")
+    )
+    means = {
+        r["idx"]: r["m"]
+        for r in comp.groupBy("idx").agg(F.avg("v").alias("m")).collect()
+    }
+    dim = len(means)
+    mean_col = F.array(*[F.lit(float(means[i])) for i in range(dim)])
+    centered = comp.withColumn("v", F.col("v") - F.element_at(mean_col, F.col("idx") + 1))
+    centered = centered.localCheckpoint()  # one materialization; rounds reuse it
+
+    # deterministic start: e_0 basis vector
+    vec = [1.0] + [0.0] * (dim - 1)
+    eig = 0.0
+    for _ in range(iterations):
+        v_col = F.array(*[F.lit(float(x)) for x in vec])
+        # s(vec_id) = <x_i, v>   (one agg);  w(idx) = Σ_i s_i · x_i[idx]
+        s = centered.groupBy("vec_id").agg(
+            F.sum(F.col("v") * F.element_at(v_col, F.col("idx") + 1)).alias("s")
+        )
+        w_rows = (
+            centered.join(s, "vec_id")
+            .groupBy("idx")
+            .agg(F.sum(F.col("v") * F.col("s")).alias("w"))
+            .collect()
+        )
+        w = [0.0] * dim
+        for r in w_rows:
+            w[r["idx"]] = r["w"]
+        norm = sum(x * x for x in w) ** 0.5
+        if norm == 0.0:
+            break
+        eig = norm  # ||X^T X v|| with unit v -> eigenvalue estimate
+        vec = [x / norm for x in w]
+    return vec, eig

@@ -19,3 +19,39 @@ def test_kmeans_converges(spark, sf_dir):
     assert sse1 <= sse_seed
     assert sse3 <= sse1 + 1e-9
     assert sse3 < sse_seed * 0.99  # training actually moved the centroids
+
+
+def test_power_iteration_matches_numpy(spark, tmp_path):
+    """On a corpus with a PLANTED dominant direction (large eigengap),
+    the in-engine power iteration must align with numpy's top
+    eigenvector (|cosine| -> 1) and match the top eigenvalue. (The
+    fixture embeddings are i.i.d., so their eigengap is Marchenko-
+    Pastur-tiny and NO power method converges quickly there — the
+    planted corpus is the honest convergence test.)"""
+    import numpy as np
+
+    from snowflake_to_postgres_spark.operators.similarity import emb_top_component
+
+    rng = np.random.RandomState(7)
+    u = rng.randn(64)
+    u /= np.linalg.norm(u)
+    X = rng.randn(400, 64) * 0.1 + np.outer(rng.randn(400) * 2.0, u)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    sf_dir = str(tmp_path / "planted")
+    df.write.parquet(sf_dir + "/embeddings.parquet")
+
+    # numpy truth on the SAME float32-rounded, 1e-9-gridded values the
+    # engine reads (parquet stores float32)
+    Xr = np.array([[float(np.float32(x)) for x in row] for row in X])
+    Xr = np.floor(Xr * 1e9 + 0.5) / 1e9
+    Xc = Xr - Xr.mean(axis=0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    top_vec, top_val = evecs[:, -1], evals[-1]
+    assert evals[-1] / evals[-2] > 50  # the plant worked: big eigengap
+
+    vec, eig = emb_top_component(spark, sf_dir)
+    v = np.array(vec)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    assert abs(abs(v @ top_vec) - 1.0) < 1e-9
+    assert abs(eig - top_val) / top_val < 1e-9
