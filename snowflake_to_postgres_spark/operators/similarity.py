@@ -1613,3 +1613,45 @@ def emb_top_component(spark: SparkSession, sf_dir: str, iterations: int = PCA_IT
         eig = norm  # ||X^T X v|| with unit v -> eigenvalue estimate
         vec = [x / norm for x in w]
     return vec, eig
+
+
+def emb_remove_top_component(
+    spark: SparkSession, sf_dir: str, iterations: int = PCA_ITERATIONS
+) -> DataFrame:
+    """All-but-the-top embedding cleanup (Mu & Viswanath 2018): center
+    the corpus and project out the leading principal direction —
+    x' = (x − μ) − ⟨x − μ, v⟩·v — the standard post-process that
+    removes the dominant "common direction" before similarity search.
+
+    The direction comes from :func:`emb_top_component` (driver-bounded
+    power iteration); the projection itself is one codegen'd pass over
+    the exploded components with μ and v as broadcast literals — no
+    shuffle beyond the per-vector dot product's aggregation. Returns
+    (vec_id, idx, val double) corrected components; tests assert the
+    corpus variance along v collapses to ~0 while total variance drops
+    by exactly the removed eigenvalue."""
+    vec, _eig = emb_top_component(spark, sf_dir, iterations)
+    comp = _components(spark, sf_dir).select(
+        "vec_id", "idx", F.col("val").cast("double").alias("v")
+    )
+    means = {
+        r["idx"]: r["m"]
+        for r in comp.groupBy("idx").agg(F.avg("v").alias("m")).collect()
+    }
+    dim = len(means)
+    mean_col = F.array(*[F.lit(float(means[i])) for i in range(dim)])
+    v_col = F.array(*[F.lit(float(x)) for x in vec])
+    centered = comp.withColumn(
+        "v", F.col("v") - F.element_at(mean_col, F.col("idx") + 1)
+    )
+    proj = centered.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.element_at(v_col, F.col("idx") + 1)).alias("p")
+    )
+    return (
+        centered.join(proj, "vec_id")
+        .select(
+            "vec_id",
+            "idx",
+            (F.col("v") - F.col("p") * F.element_at(v_col, F.col("idx") + 1)).alias("val"),
+        )
+    )

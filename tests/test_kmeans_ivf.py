@@ -55,3 +55,40 @@ def test_power_iteration_matches_numpy(spark, tmp_path):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-9
     assert abs(abs(v @ top_vec) - 1.0) < 1e-9
     assert abs(eig - top_val) / top_val < 1e-9
+
+
+def test_remove_top_component_kills_dominant_variance(spark, tmp_path):
+    """After all-but-the-top removal on the planted corpus: variance
+    along the planted direction collapses to ~0, every other direction
+    keeps its variance, and total variance drops by the top eigenvalue."""
+    import numpy as np
+
+    from snowflake_to_postgres_spark.operators.similarity import (
+        emb_remove_top_component,
+        emb_top_component,
+    )
+
+    rng = np.random.RandomState(11)
+    u = rng.randn(64)
+    u /= np.linalg.norm(u)
+    X = rng.randn(300, 64) * 0.1 + np.outer(rng.randn(300) * 2.0, u)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    sf_dir = str(tmp_path / "planted2")
+    df.write.parquet(sf_dir + "/embeddings.parquet")
+
+    vec, eig = emb_top_component(spark, sf_dir)
+    rows = emb_remove_top_component(spark, sf_dir).collect()
+    Y = np.zeros((300, 64))
+    for r in rows:
+        Y[r["vec_id"], r["idx"]] = r["val"]
+    v = np.array(vec)
+    along = Y @ v
+    assert float(np.max(np.abs(along))) < 1e-9  # nothing left along v
+    # total SS drops by exactly the removed eigenvalue (Pythagoras)
+    # vs the centered original
+    Xg = np.floor(np.array([[float(np.float32(x)) for x in row] for row in X]) * 1e9 + 0.5) / 1e9
+    Xc = Xg - Xg.mean(axis=0)
+    assert abs((Xc ** 2).sum() - (Y ** 2).sum() - eig) / eig < 1e-9
