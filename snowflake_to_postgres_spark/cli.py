@@ -333,6 +333,20 @@ def cmd_bpe_train(args) -> int:
     return 0
 
 
+def cmd_repair(args) -> int:
+    """Anti-entropy repair of a partitioned target against its source:
+    fingerprint both sides per partition, rewrite only the stale or
+    missing partitions, print the JSON stats line."""
+    from snowflake_to_postgres_spark.operators.transfer import repair_partitions
+
+    spark = get_spark("repair")
+    stats = repair_partitions(
+        spark, args.source, args.target, partition_col=args.partition_col
+    )
+    print(json.dumps(stats))
+    return 0 if not args.fail_on_drift or not stats["stale"] else 3
+
+
 def cmd_ann_index(args) -> int:
     """Build the materialized IVF+PQ index for a corpus (cell-partitioned
     codes + centroids + codebook + rescore artifacts), then run the
@@ -576,6 +590,14 @@ def main(argv: list[str] | None = None) -> int:
     s2.add_argument("--attrs", required=True, help="comma-separated tracked attributes")
     s2.add_argument("--ts-col", default="effective_ts")
     s2.set_defaults(fn=cmd_scd2)
+
+    rp = sub.add_parser("repair")
+    rp.add_argument("--source", required=True)
+    rp.add_argument("--target", required=True)
+    rp.add_argument("--partition-col", default="_pt")
+    rp.add_argument("--fail-on-drift", action="store_true",
+                    help="exit 3 when drift was found (repaired or not)")
+    rp.set_defaults(fn=cmd_repair)
 
     ai = sub.add_parser("ann-index")
     ai.add_argument("--source", required=True, help="fixture dir with embeddings.parquet")

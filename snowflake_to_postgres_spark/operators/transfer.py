@@ -583,3 +583,76 @@ def scd2_apply(
         .unionByName(new_versions)
         .unionByName(brand_new)
     )
+
+
+def repair_partitions(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    partition_col: str = "_pt",
+) -> dict:
+    """Anti-entropy repair: the ACTION that follows validation. Compare
+    source and target per partition by (row count, order-insensitive
+    content hash = SUM of xxhash64 over all non-partition columns) and
+    rewrite ONLY the stale or missing partitions from the source via
+    dynamic partition overwrite — matching partitions are never read
+    beyond their hash pass and never written (asserted by file mtimes
+    in tests).
+
+    100-TB shape: the fingerprint pass is one map-side-combined
+    aggregation per side keyed on the partition value (driver-sized
+    result, like every dynamic-overwrite plan); repair IO is
+    proportional to the DRIFT, not the table. The content hash is
+    duplicate-sensitive (hashes accumulate under SUM) and
+    order-insensitive (SUM commutes) — the same properties as the
+    validator's fingerprint kernel.
+
+    Returns {"checked": n, "stale": [...], "rewritten_rows": n}."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    src = spark.read.parquet(source_path)
+    tgt = spark.read.parquet(target_path)
+
+    def fp(df: DataFrame, side: str) -> DataFrame:
+        cols = sorted(c for c in df.columns if c != partition_col)
+        # decimal accumulator: a bigint SUM of int64 hashes overflows
+        # under ANSI mode; DECIMAL(38,0) holds ~10^12 rows x 2^63 exactly
+        h = F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+        return df.groupBy(partition_col).agg(
+            F.count("*").alias(f"{side}_n"),
+            F.sum(h).alias(f"{side}_h"),
+        )
+
+    diff = fp(src, "s").join(fp(tgt, "t"), partition_col, "full_outer")
+    stale = [
+        r[partition_col]
+        for r in diff.filter(
+            ~(
+                F.col("s_n").eqNullSafe(F.col("t_n"))
+                & F.col("s_h").eqNullSafe(F.col("t_h"))
+            )
+        ).collect()
+    ]
+    checked = diff.count()
+    rewritten = 0
+    if stale:
+        slice_ = src.filter(F.col(partition_col).isin(stale))
+        rewritten = slice_.count()
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                slice_.repartition(partition_col)
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(target_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    return {
+        "checked": checked,
+        "stale": sorted(map(str, stale)),
+        "rewritten_rows": rewritten,
+        "seconds": round(_time.perf_counter() - t0, 3),
+    }

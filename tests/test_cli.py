@@ -262,3 +262,20 @@ def test_cli_ann_index(tmp_path, capsys, sf_dir):
     import os
 
     assert os.path.isdir(idx + "/codes") and os.path.isdir(idx + "/centroids")
+
+
+def test_cli_repair(tmp_path, capsys, sf_dir):
+    import json as _json
+
+    from snowflake_to_postgres_spark.operators.transfer import transfer_partitioned
+    from snowflake_to_postgres_spark.sources import table_path
+    from snowflake_to_postgres_spark.session import get_spark
+
+    spark = get_spark("test-repair-cli")
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), src, None, granularity="month")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), tgt, None, granularity="month")
+    rc = main(["repair", "--source", src, "--target", tgt])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["stale"] == [] and stats["rewritten_rows"] == 0

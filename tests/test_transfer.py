@@ -395,3 +395,65 @@ def test_scd2_apply_semantics_and_replay(spark):
     a = sorted(tuple(r) for r in out.collect())
     b = sorted(tuple(r) for r in replay.collect())
     assert a == b
+
+
+def test_repair_partitions_rewrites_only_stale(spark, sf_dir, tmp_path):
+    """Corrupt one partition of a copy; repair must restore equality,
+    report exactly that partition, and leave every other partition's
+    files untouched (mtime-asserted)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.operators.transfer import (
+        repair_partitions,
+        transfer_partitioned,
+    )
+    from snowflake_to_postgres_spark.sources import table_path
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), src, None, granularity="month")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), tgt, None, granularity="month")
+
+    parts = sorted(
+        r["_pt"] for r in spark.read.parquet(tgt).select("_pt").distinct().collect()
+    )
+    victim = parts[len(parts) // 2]
+    # corrupt: drop half the victim partition's rows
+    dmg = (
+        spark.read.parquet(tgt)
+        .filter(F.col("_pt") == victim)
+        .filter(F.col("o_orderkey") % 2 == 0)
+    )
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        dmg.repartition("_pt").write.mode("overwrite").partitionBy("_pt").parquet(tgt)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    def mtimes():
+        out = {}
+        for p in os.listdir(tgt):
+            if p.startswith("_pt="):
+                d = os.path.join(tgt, p)
+                out[p] = {f: os.path.getmtime(os.path.join(d, f))
+                          for f in os.listdir(d) if f.endswith(".parquet")}
+        return out
+
+    before = mtimes()
+    stats = repair_partitions(spark, src, tgt, "_pt")
+    assert stats["stale"] == [str(victim)]
+    assert stats["rewritten_rows"] > 0
+    after = mtimes()
+    for p in before:
+        if p != f"_pt={victim}":
+            assert before[p] == after[p], f"untouched partition {p} was rewritten"
+
+    a = sorted(tuple(str(x) for x in r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(str(x) for x in r) for r in spark.read.parquet(tgt).collect())
+    assert a == b
+
+    # idempotence: a second repair finds nothing
+    assert repair_partitions(spark, src, tgt, "_pt")["stale"] == []
