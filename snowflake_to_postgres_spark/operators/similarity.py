@@ -1655,3 +1655,21 @@ def emb_remove_top_component(
             (F.col("v") - F.col("p") * F.element_at(v_col, F.col("idx") + 1)).alias("val"),
         )
     )
+
+
+def emb_pca_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of the power-iteration principal direction:
+    (idx, loading, eigenvalue) rows. Iterative → declared rows-only;
+    numpy parity pinned in tests/test_kmeans_ivf.py."""
+    vec, eig = emb_top_component(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, float(x), float(eig)) for i, x in enumerate(vec)],
+        "idx INT, loading DOUBLE, eigenvalue DOUBLE",
+    )
+
+
+SPECS.append(
+    QuerySpec("emb_pca_direction", emb_pca_direction, None,
+              "power iteration is iterative — rows-only by design; "
+              "numpy-pinned in tests")
+)
