@@ -841,9 +841,99 @@ WHERE rank <= {POSTING_TOP_K}
 """
 
 
+SPAN_LEN = 10   # duplicated-span window, in tokens
+
+
+def tx_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN coverage — the analysis core of
+    substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): slide a SPAN_LEN-token window
+    over every document, hash each span, find spans occurring more than
+    once in the corpus, and report per document how many token
+    positions are covered by at least one duplicated span. Documents
+    with high coverage are the ones substring dedup would rewrite;
+    doc-level near-dup (MinHash) misses exactly these partial overlaps.
+
+    100-TB shape: two corpus-token-bounded exploded frames (windows ×1,
+    covered positions ×SPAN_LEN with immediate DISTINCT reduction);
+    shuffle keys are 32-byte span hashes and (doc, pos) pairs — text
+    never shuffles. The duplicated-span set joins back by hash
+    (millions of keys, no ceiling)."""
+    docs = _docs_parallel(spark, sf_dir).withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") >= SPAN_LEN)
+    wins = docs.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {SPAN_LEN} + 1),"
+                f" i -> struct(i AS start,"
+                f" md5(concat_ws(' ', slice(toks, i, {SPAN_LEN}))) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "n_toks", "w.start", "w.h")
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    covered = (
+        wins.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(start, start + {SPAN_LEN} - 1)")
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    return (
+        docs.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+TX_DUP_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+eligible AS (SELECT * FROM toks WHERE len(t) >= {SPAN_LEN}),
+wins AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(t[i:i+{SPAN_LEN}-1], ' ')) AS h
+  FROM eligible, unnest(generate_series(1, len(t) - {SPAN_LEN} + 1)) AS g(i)
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+covered AS (
+  SELECT doc_id, COUNT(*) AS dup_tokens FROM (
+    SELECT DISTINCT doc_id, p
+    FROM wins JOIN dup USING (h),
+         unnest(generate_series(start, start + {SPAN_LEN} - 1)) AS u(p)
+  ) GROUP BY doc_id
+)
+SELECT e.doc_id, CAST(len(e.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / CAST(len(e.t) AS DOUBLE) AS dup_ratio
+FROM eligible e LEFT JOIN covered c USING (doc_id)
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
     QuerySpec("tx_posting_lists", tx_posting_lists, TX_POSTING_ORACLE),
+    QuerySpec("tx_dup_span_coverage", tx_dup_span_coverage, TX_DUP_SPAN_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
     QuerySpec("tx_langid", tx_langid, TX_LANGID_ORACLE),
     QuerySpec("tx_langid_eval", tx_langid_eval, TX_LANGID_EVAL_ORACLE),

@@ -316,3 +316,36 @@ def test_truncated_search_matches_numpy_on_leading_dims(spark, sf_dir):
         )[:ANN_EVAL_K]
         expected = [nid for _, nid in scored]
         assert [nid for _, nid in rows] == expected, (qid, rows, expected)
+
+
+def test_dup_span_coverage_catches_planted_overlap(spark, tmp_path):
+    """Two documents that share ONLY a 12-token boilerplate span (well
+    below doc-level near-dup thresholds) must both show exactly that
+    span's positions as duplicated; a third unrelated doc shows zero."""
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.operators.text import (
+        SPAN_LEN,
+        tx_dup_span_coverage,
+    )
+
+    boiler = "please subscribe to our newsletter for updates and exclusive offers today"
+    a = "alpha beta gamma delta epsilon zeta " + boiler + " eta theta iota"
+    b = "one two three four five six seven " + boiler + " eight nine ten"
+    c = "totally unrelated words that repeat nothing from the others at all here"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id BIGINT, text STRING"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
+     .withColumn("n_chars", F.length("text"))
+    sf_dir = str(tmp_path / "planted")
+    df.write.parquet(sf_dir + "/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in tx_dup_span_coverage(spark, sf_dir).collect()}
+    n_boiler = len(boiler.split(" "))
+    assert n_boiler >= SPAN_LEN
+    # duplicated windows are exactly the boiler's internal SPAN_LEN
+    # windows; their union covers exactly the boiler tokens
+    assert rows[1]["dup_tokens"] == n_boiler
+    assert rows[2]["dup_tokens"] == n_boiler
+    assert rows[3]["dup_tokens"] == 0
+    assert 0 < rows[1]["dup_ratio"] < 1
