@@ -930,10 +930,123 @@ FROM eligible e LEFT JOIN covered c USING (doc_id)
 """
 
 
+def pipe_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of substring dedup (the span-level analogue of
+    dedup_fuzzy_corpus): remove every token position covered by a
+    NON-FIRST occurrence of a duplicated span — the span's first
+    occurrence corpus-wide (min (doc_id, start)) survives, replicas
+    are stripped — and emit the cleaned document as counts + an md5 of
+    the reassembled text (an exact content check without shipping the
+    corpus through the compare).
+
+    100-TB shape: occurrence ranking is a window keyed on the span
+    HASH (millions of keys); removable positions and the kept-token
+    reassembly shuffle (doc, pos) pairs and per-doc token lists —
+    bounded by document length, text never shuffles before the final
+    per-doc regroup."""
+    docs = _docs_parallel(spark, sf_dir).withColumn("toks", _toks())
+    wins = docs.filter(F.size("toks") >= SPAN_LEN).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {SPAN_LEN} + 1),"
+                f" i -> struct(i AS start,"
+                f" md5(concat_ws(' ', slice(toks, i, {SPAN_LEN}))) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.start", "w.h")
+    dup = (
+        wins.groupBy("h").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2).select("h")
+    )
+    w_occ = Window.partitionBy("h").orderBy("doc_id", "start")
+    removable = (
+        wins.join(dup, "h")
+        .withColumn("rn", F.row_number().over(w_occ))
+        .filter(F.col("rn") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(start, start + {SPAN_LEN} - 1)")).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_pos = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_pos.join(removable, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_after"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)"),
+            )
+        ).alias("cleaned_md5"),
+    )
+    return (
+        docs.select("doc_id", F.size("toks").cast("bigint").alias("n_before"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            (
+                (F.col("n_before") - F.coalesce("n_after", F.lit(0))).cast("double")
+                / F.col("n_before").cast("double")
+            ).alias("removed_ratio"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
+PIPE_STRIP_DUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(t[i:i+{SPAN_LEN}-1], ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(t) - {SPAN_LEN} + 1)) AS g(i)
+  WHERE len(t) >= {SPAN_LEN}
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+occ AS (
+  SELECT doc_id, start,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+  FROM wins JOIN dup USING (h)
+),
+removable AS (
+  SELECT DISTINCT doc_id, p AS pos
+  FROM occ, unnest(generate_series(start, start + {SPAN_LEN} - 1)) AS u(p)
+  WHERE rn >= 2
+),
+tok_pos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tok_pos tp ANTI JOIN removable r
+    ON r.doc_id = tp.doc_id AND r.pos = tp.pos
+),
+cleaned AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_before,
+       CAST(COALESCE(c.n_after, 0) AS BIGINT) AS n_after,
+       CAST(len(t.t) - COALESCE(c.n_after, 0) AS DOUBLE) / CAST(len(t.t) AS DOUBLE) AS removed_ratio,
+       COALESCE(c.cleaned_md5, md5('')) AS cleaned_md5
+FROM toks t LEFT JOIN cleaned c USING (doc_id)
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
     QuerySpec("tx_posting_lists", tx_posting_lists, TX_POSTING_ORACLE),
     QuerySpec("tx_dup_span_coverage", tx_dup_span_coverage, TX_DUP_SPAN_ORACLE),
+    QuerySpec("pipe_strip_dup_spans", pipe_strip_dup_spans, PIPE_STRIP_DUP_ORACLE),
     QuerySpec("tx_quality_score", tx_quality_score, TX_QUALITY_ORACLE),
     QuerySpec("tx_langid", tx_langid, TX_LANGID_ORACLE),
     QuerySpec("tx_langid_eval", tx_langid_eval, TX_LANGID_EVAL_ORACLE),

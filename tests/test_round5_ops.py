@@ -349,3 +349,38 @@ def test_dup_span_coverage_catches_planted_overlap(spark, tmp_path):
     assert rows[2]["dup_tokens"] == n_boiler
     assert rows[3]["dup_tokens"] == 0
     assert 0 < rows[1]["dup_ratio"] < 1
+
+
+def test_strip_dup_spans_keeps_first_occurrence(spark, tmp_path):
+    """The boilerplate span survives in the first document (by doc_id)
+    and is stripped from the second; the unrelated doc is untouched
+    (cleaned_md5 == md5 of its own lowercased text)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.operators.text import pipe_strip_dup_spans
+
+    boiler = "please subscribe to our newsletter for updates and exclusive offers today"
+    a = "alpha beta gamma delta epsilon zeta " + boiler + " eta theta iota"
+    b = "one two three four five six seven " + boiler + " eight nine ten"
+    c = "totally unrelated words that repeat nothing from the others at all here"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id BIGINT, text STRING"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")) \
+     .withColumn("n_chars", F.length("text"))
+    sf_dir = str(tmp_path / "planted_strip")
+    df.write.parquet(sf_dir + "/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in pipe_strip_dup_spans(spark, sf_dir).collect()}
+    n_boiler = len(boiler.split(" "))
+    # doc 1 holds every span's first occurrence -> fully intact
+    assert rows[1]["n_after"] == rows[1]["n_before"]
+    assert rows[1]["cleaned_md5"] == hashlib.md5(a.encode()).hexdigest()
+    # doc 2 loses exactly the boilerplate tokens
+    assert rows[2]["n_before"] - rows[2]["n_after"] == n_boiler
+    expected_b = "one two three four five six seven eight nine ten"
+    assert rows[2]["cleaned_md5"] == hashlib.md5(expected_b.encode()).hexdigest()
+    # doc 3 untouched
+    assert rows[3]["n_after"] == rows[3]["n_before"]
+    assert rows[3]["cleaned_md5"] == hashlib.md5(c.encode()).hexdigest()
