@@ -173,7 +173,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_doc_hashed_topk",
     "tx_token_stats",
     "tx_weighted_downsample",
-    "tx_boilerplate_strip",
+    "pipe_strip_dup_spans",
     "tx_lm_heldout_ppl",
     "tx_bpe_pair_counts",
     "tx_train_split",

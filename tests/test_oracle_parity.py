@@ -80,7 +80,7 @@ def test_priority_window_covers_families():
         # similarity: exact + composed IVF+PQ + RP-LSH + embed-and-search
         "sim_topk_bruteforce", "sim_ivf_pq", "sim_rp_lsh", "sim_doc_hashed",
         # text / featurization / pipeline / layout / multimodal
-        "tx_token", "tx_weighted_downsample", "tx_boilerplate",
+        "tx_token", "tx_weighted_downsample", "pipe_strip_dup",
         "tx_lm_heldout", "tx_bpe_pair", "tx_train_split", "fit_linear",
         "layout_zorder", "pipe_clean", "pipe_training", "mm_",
         # temporal joins; streaming agg + session windows + CDC state
@@ -100,6 +100,7 @@ def test_priority_window_covers_families():
                     "p5_offset_pagination", "xj_asof_forward",
                     "st_interval_join", "sim_ivf_topk",
                     "s10_deterministic_sample", "a7_distinct_agg",
+                    "tx_boilerplate_strip",
                     "j5_anti_join", "w4_rank_dense",
                     "tx_hashed_features", "tx_bigram_lm_score"):
         assert demoted in all_names and demoted not in names, demoted
