@@ -473,8 +473,15 @@ def attribution_stream(
     size tracks users ACTIVE within one window, not all users ever
     seen.
 
-    Emits in append semantics (each purchase exactly once). Batch
-    parity — same window, same tie rules — is asserted in
+    Emits in append semantics (each purchase exactly once) — which
+    means a purchase is attributed against the state AT ARRIVAL: a
+    touch that arrives in a LATER micro-batch (late but still inside
+    the watermark) cannot retroactively re-attribute an already-emitted
+    purchase. Stream == batch therefore holds for per-user event-time-
+    ordered feeds (the common case for an event log; the tests feed
+    time-ordered batches). Contrast upsert_latest_stream, whose
+    version-wins merge is order-robust by construction. Batch parity —
+    same window, same tie rules — is asserted in
     tests/test_streaming.py."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
