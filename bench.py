@@ -1,10 +1,13 @@
 """Benchmark: headline queries + a transfer-throughput run at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints the compact headline object as the FINAL stdout line:
   {"metric": "headline_total_sec", "value": N, "unit": "sec",
    "queries": {...per-query median sec...}, "sf": ...,
    "transfer_rows_per_sec": R, "lineitem_rows": N}
+Per-query [min, median, max] spread goes to a separate PRECEDING line and
+to BENCH_DETAIL.json — the driver tail-captures stdout, and round 5's
+single combined line outgrew that window (BENCH_r05 "parsed": null).
 
 Every reported time is the MEDIAN of ``RUNS`` (default 3) timed
 executions after a warm-up pass — single-shot timing produced a phantom
@@ -130,7 +133,11 @@ def main() -> None:
     run_pass(RUNS)
     attempts = 1
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
-    while len(loaded_queries()) >= 3 and attempts < max_attempts:
+    # Round-5 verdict #4: two load-flagged medians were published off a
+    # single attempt because the rerun trigger needed >=3 flagged queries.
+    # Any flagged query now forces another interleaved pass (capped by
+    # max_attempts), so a published median is either clean or labeled.
+    while len(loaded_queries()) >= 1 and attempts < max_attempts:
         # Machine under load: add more interleaved rounds so medians are
         # computed over a window that includes quiet periods.
         print(
@@ -169,7 +176,6 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "query_spread": query_spread,
         "bench_attempts": attempts,
         "load_flagged": load_flagged,
         "load_suspect": len(load_flagged) >= 3,
@@ -177,6 +183,19 @@ def main() -> None:
         "transfer_sec": round(transfer_sec, 3),
         "transfer_rows_per_sec": int(n_rows / transfer_sec) if transfer_sec > 0 else None,
     }
+    # Round-5 verdict #1: the driver captures only the TAIL of stdout, and
+    # round 5's single ever-growing line outgrew that window — BENCH_r05
+    # shipped "parsed": null. Diagnostics (per-query spread) now go to a
+    # SEPARATE earlier line plus BENCH_DETAIL.json; the compact headline
+    # object is the FINAL line, so tail truncation can never eat it.
+    detail = {"query_spread": query_spread, **result}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({"query_spread": query_spread}))
     print(json.dumps(result))
     sys.stdout.flush()
     spark.stop()

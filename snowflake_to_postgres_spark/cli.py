@@ -561,9 +561,11 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--version-col", help="max-version-wins (idempotent replays)")
     m.add_argument(
         "--check-moved-keys",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
+        default=True,
         help="fail if update keys exist in target partitions the updates "
-        "don't cover (partition_col not determined by keys)",
+        "don't cover (partition_col not determined by keys). Default ON; "
+        "--no-check-moved-keys skips the key-column target scan",
     )
     m.set_defaults(fn=cmd_merge)
 

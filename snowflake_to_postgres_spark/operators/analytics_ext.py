@@ -298,11 +298,19 @@ def a15_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     exact = orders.agg(F.count_distinct("o_custkey")).collect()[0][0]
-    est = (kth["k_eff"] - 1) / kth["u_k"] if kth["k_eff"] >= KMV_K else float(kth["k_eff"])
+    # u_k == 0 guard: if >= K distinct keys hash to prefix 00000000 the
+    # divisor vanishes — astronomically unlikely, but fall back to the
+    # exact-so-far count rather than raise. exact_distinct is BIGINT:
+    # the docstring's 100-TB target exceeds 2^31 distinct keys.
+    est = (
+        (kth["k_eff"] - 1) / kth["u_k"]
+        if kth["k_eff"] >= KMV_K and kth["u_k"] > 0
+        else float(kth["k_eff"])
+    )
     rel = abs(est - exact) / exact
     return spark.createDataFrame(
         [(KMV_K, int(kth["k_eff"]), float(kth["u_k"]), float(est), int(exact), float(rel))],
-        "k INT, k_eff INT, u_k DOUBLE, estimate DOUBLE, exact_distinct INT, rel_error DOUBLE",
+        "k INT, k_eff INT, u_k DOUBLE, estimate DOUBLE, exact_distinct BIGINT, rel_error DOUBLE",
     )
 
 
@@ -321,10 +329,10 @@ ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders)
 SELECT CAST({KMV_K} AS INT) AS k,
        CAST(k_eff AS INT) AS k_eff,
        u_k,
-       CASE WHEN k_eff >= {KMV_K} THEN (k_eff - 1) / u_k
+       CASE WHEN k_eff >= {KMV_K} AND u_k > 0 THEN (k_eff - 1) / u_k
             ELSE CAST(k_eff AS DOUBLE) END AS estimate,
-       CAST(exact_distinct AS INT) AS exact_distinct,
-       abs(CASE WHEN k_eff >= {KMV_K} THEN (k_eff - 1) / u_k
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       abs(CASE WHEN k_eff >= {KMV_K} AND u_k > 0 THEN (k_eff - 1) / u_k
                 ELSE CAST(k_eff AS DOUBLE) END - exact_distinct)
          / exact_distinct AS rel_error
 FROM kth, ex

@@ -845,8 +845,15 @@ def s13_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("column_name")
         .agg(F.count("*").cast("bigint").alias("n_distinct"))
     )
-    return base.join(F.broadcast(nd), "column_name").select(
-        "column_name", "n_nulls", "n_distinct", "min_s", "max_s"
+    # LEFT join + coalesce(0): a column whose values are all NULL has no
+    # row in nd, and an inner join would silently drop it from the
+    # profile while the oracle reports it with n_distinct = 0.
+    return base.join(F.broadcast(nd), "column_name", "left").select(
+        "column_name",
+        "n_nulls",
+        F.coalesce(F.col("n_distinct"), F.lit(0).cast("bigint")).alias("n_distinct"),
+        "min_s",
+        "max_s",
     )
 
 

@@ -283,7 +283,7 @@ def merge_upsert_partitioned(
     key_cols: list[str],
     partition_col: str = "_pt",
     version_col: str | None = None,
-    check_moved_keys: bool = False,
+    check_moved_keys: bool = True,
 ) -> TransferStats:
     """MERGE (upsert) into a hive-partitioned parquet target: rows in
     ``updates`` replace target rows with the same key; new keys append.
@@ -321,13 +321,15 @@ def merge_upsert_partitioned(
     Only target partitions present in the updates are scanned, so if an
     update carries a *different* partition value than the target's
     existing row for the same key, the old copy in the unscanned
-    partition survives — duplicate keys after the merge. Pass
-    ``check_moved_keys=True`` to detect this loudly: a column-pruned
-    scan of the full target's (key, partition) index is semi-joined
-    with the update keys, and any hit outside the scanned partitions
-    raises before anything is written. The check costs one key-column
-    scan of the target — off by default, required for feeds whose
-    partition derivation is not provably key-stable.
+    partition survives — duplicate keys after the merge.
+    ``check_moved_keys`` (DEFAULT ON — round-5 verdict: the silent
+    duplicate outranks the scan cost) detects this loudly: a
+    column-pruned scan of the full target's (key, partition) index is
+    semi-joined with the update keys, and any hit outside the scanned
+    partitions raises before anything is written. The check costs one
+    key-column scan of the target; pass ``check_moved_keys=False``
+    only when the partition derivation is provably key-stable and the
+    scan matters.
 
     Updates must already carry ``partition_col`` (use the same bucket
     expression as :func:`transfer_partitioned`)."""
@@ -597,7 +599,11 @@ def repair_partitions(
     rewrite ONLY the stale or missing partitions from the source via
     dynamic partition overwrite — matching partitions are never read
     beyond their hash pass and never written (asserted by file mtimes
-    in tests).
+    in tests). Partitions present ONLY in the target are deleted
+    through the Hadoop FS API (dynamic overwrite alone cannot remove
+    them: it rewrites only partitions present in the written data, so
+    a target-only partition would be re-flagged on every run and the
+    repair would never converge).
 
     100-TB shape: the fingerprint pass is one map-side-combined
     aggregation per side keyed on the partition value (driver-sized
@@ -607,7 +613,8 @@ def repair_partitions(
     order-insensitive (SUM commutes) — the same properties as the
     validator's fingerprint kernel.
 
-    Returns {"checked": n, "stale": [...], "rewritten_rows": n}."""
+    Returns {"checked": n, "stale": [...], "deleted_partitions": [...],
+    "rewritten_rows": n}."""
     import time as _time
 
     t0 = _time.perf_counter()
@@ -625,19 +632,30 @@ def repair_partitions(
         )
 
     diff = fp(src, "s").join(fp(tgt, "t"), partition_col, "full_outer")
-    stale = [
-        r[partition_col]
-        for r in diff.filter(
-            ~(
-                F.col("s_n").eqNullSafe(F.col("t_n"))
-                & F.col("s_h").eqNullSafe(F.col("t_h"))
-            )
-        ).collect()
-    ]
-    checked = diff.count()
+    stale_rows = diff.filter(
+        ~(
+            F.col("s_n").eqNullSafe(F.col("t_n"))
+            & F.col("s_h").eqNullSafe(F.col("t_h"))
+        )
+    ).collect()
+    stale = [r[partition_col] for r in stale_rows]
+    checked = diff.count()  # before any delete mutates the scanned files
+    # Partitions that exist ONLY in the target (s_n IS NULL): dynamic
+    # partition overwrite rewrites only partitions PRESENT in the written
+    # data, and the source slice has no rows for these — without an
+    # explicit delete they survive every repair and --fail-on-drift never
+    # converges. Drop their directories through the Hadoop FS API (same
+    # filesystem resolution as the write path).
+    extra = [r[partition_col] for r in stale_rows if r["s_n"] is None]
+    for v in extra:
+        dirname = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        _hadoop_delete(
+            spark, f"{target_path.rstrip('/')}/{partition_col}={dirname}"
+        )
     rewritten = 0
-    if stale:
-        slice_ = src.filter(F.col(partition_col).isin(stale))
+    to_rewrite = [v for v in stale if v not in set(extra)]
+    if to_rewrite:
+        slice_ = src.filter(F.col(partition_col).isin(to_rewrite))
         rewritten = slice_.count()
         prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
@@ -653,6 +671,7 @@ def repair_partitions(
     return {
         "checked": checked,
         "stale": sorted(map(str, stale)),
+        "deleted_partitions": sorted(map(str, extra)),
         "rewritten_rows": rewritten,
         "seconds": round(_time.perf_counter() - t0, 3),
     }

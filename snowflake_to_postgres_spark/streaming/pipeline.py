@@ -441,6 +441,9 @@ def upsert_latest_stream(
             _state_rows(batch),
             key_cols=["user_id"],
             version_col="_ver",
+            # _pt is a hash bucket of user_id (provably key-stable), so
+            # the moved-key guard's per-batch target scan buys nothing.
+            check_moved_keys=False,
         )
 
     (

@@ -221,12 +221,31 @@ def test_merge_moved_key_guard(spark, sf_dir, tmp_path):
         .limit(2)
         .withColumn("_pt", F.lit("1998-01"))  # key migrates partitions
     )
+    # DEFAULT path (no flag passed): the guard is on unless explicitly
+    # disabled — a moved-key update must fail loudly out of the box.
     with pytest.raises(ValueError, match="stale duplicates"):
-        merge_upsert_partitioned(
-            spark, out, moved, ["o_orderkey"], check_moved_keys=True
-        )
+        merge_upsert_partitioned(spark, out, moved, ["o_orderkey"])
     # guard fired before any write: target untouched
     assert spark.read.parquet(out).count() == n_before
+    # explicit opt-out skips the guard (and leaves the stale duplicate —
+    # the documented hazard); run on a throwaway copy
+    import shutil as _sh
+
+    out2 = str(tmp_path / "orders_mk_optout")
+    _sh.copytree(out, out2)
+    merge_upsert_partitioned(
+        spark, out2, moved, ["o_orderkey"], check_moved_keys=False
+    )
+    keys = [r[0] for r in moved.select("o_orderkey").collect()]
+    dup = (
+        spark.read.parquet(out2)
+        .filter(F.col("o_orderkey").isin(keys))
+        .groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == len(keys)  # the silent-duplicate hazard the guard stops
 
     stable = (
         before.filter(F.col("_pt") == "1997-03")
@@ -457,3 +476,46 @@ def test_repair_partitions_rewrites_only_stale(spark, sf_dir, tmp_path):
 
     # idempotence: a second repair finds nothing
     assert repair_partitions(spark, src, tgt, "_pt")["stale"] == []
+
+
+def test_repair_partitions_deletes_target_only(spark, sf_dir, tmp_path):
+    """A partition present ONLY in the target must be DELETED by repair
+    (dynamic overwrite alone cannot remove it — the source slice writes
+    no rows for that value, so without an explicit directory delete the
+    extra partition survives every repair and drift never converges)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.operators.transfer import (
+        repair_partitions,
+        transfer_partitioned,
+    )
+    from snowflake_to_postgres_spark.sources import table_path
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), src, None, granularity="month")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), tgt, None, granularity="month")
+
+    # plant an extra partition in the target only
+    extra = (
+        spark.read.parquet(tgt)
+        .limit(10)
+        .withColumn("_pt", F.lit("2099-12"))
+    )
+    extra.write.mode("append").partitionBy("_pt").parquet(tgt)
+    assert os.path.isdir(os.path.join(tgt, "_pt=2099-12"))
+
+    stats = repair_partitions(spark, src, tgt, "_pt")
+    assert stats["stale"] == ["2099-12"]
+    assert stats["deleted_partitions"] == ["2099-12"]
+    assert stats["rewritten_rows"] == 0
+    assert not os.path.exists(os.path.join(tgt, "_pt=2099-12"))
+
+    # converged: equality restored, second repair clean
+    a = sorted(tuple(str(x) for x in r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(str(x) for x in r) for r in spark.read.parquet(tgt).collect())
+    assert a == b
+    again = repair_partitions(spark, src, tgt, "_pt")
+    assert again["stale"] == [] and again["deleted_partitions"] == []
