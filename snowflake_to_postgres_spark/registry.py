@@ -151,26 +151,28 @@ _PRIORITY: tuple[str, ...] = (
     "v1_variant_json_extract",
     "val_fingerprint_diff",
     "x_sessionization",
-    # LLM-pipeline extension families (round-5 rotations: first the
-    # seven mid-round families — semantic dedup, incremental dedup,
-    # boilerplate strip, bigram-LM scoring, hash splits, closed-form
-    # OLS, z-order layout; then the late-round four — BPE pair counts,
-    # composed IVF+PQ ANN, streaming CDC latest-state, composed
-    # training-corpus pipeline. Single-family near-duplicates
-    # (p3/a5/w2/f2/f9/val_partition_diff/x_q5, then p5/xj_asof_forward/
-    # st_interval_join/sim_ivf_topk) are demoted below the window and
-    # stay FULL-checked, like f4/f6/j3/g3 and w3/a6/f12/f13 before them)
+    # LLM-pipeline extension families. Round-6 rotation (verdict #5):
+    # three FULL-only keys with semantics no same-family window row
+    # carries swap IN — sim_ann_recall (the measured ANN recall gate),
+    # st_interval_join (stream-stream join state), dedup_incremental_lsh
+    # (probe-vs-corpus banding) — displacing three near-duplicates of
+    # surviving rows: dedup_fuzzy_corpus (exact groups + LSH pairs stay),
+    # sim_doc_hashed_topk (sim_rp_lsh_topk stays), st_windowed_agg
+    # (st_session_window + st_latest_state stay). Demoted rows remain
+    # registered below the window and FULL-checked, like p3/a5/w2/f2/f9/
+    # val_partition_diff/x_q5 and p5/xj_asof_forward/sim_ivf_topk in
+    # earlier rounds.
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
-    "dedup_fuzzy_corpus",
+    "dedup_incremental_lsh",
     "dedup_containment_pairs",
     "dedup_semantic_clusters",
     "dedup_incremental",
     "sim_topk_bruteforce",
     "sim_ivf_pq_topk",
     "sim_rp_lsh_topk",
-    "sim_doc_hashed_topk",
+    "sim_ann_recall",
     "tx_token_stats",
     "tx_weighted_downsample",
     "pipe_strip_dup_spans",
@@ -183,7 +185,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipe_training_corpus",
     "mm_binary_meta",
     "xj_asof_join",
-    "st_windowed_agg",
+    "st_interval_join",
     "st_session_window",
     "st_latest_state",
 )

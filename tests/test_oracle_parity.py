@@ -73,18 +73,19 @@ def test_priority_window_covers_families():
         "f1_", "f7_",                                  # functions
         "v1_", "val_fingerprint",                      # variant / validation
         "x_sessionization",                            # analytics
-        # dedup: exact, LSH near-dup, simhash, fuzzy-corpus end product,
+        # dedup: exact, LSH near-dup, simhash, incremental LSH banding,
         # containment, semantic (embedding), incremental (batch-vs-corpus)
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_fuzzy",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+        "dedup_incremental_lsh",
         "dedup_containment", "dedup_semantic", "dedup_incremental",
-        # similarity: exact + composed IVF+PQ + RP-LSH + embed-and-search
-        "sim_topk_bruteforce", "sim_ivf_pq", "sim_rp_lsh", "sim_doc_hashed",
+        # similarity: exact + composed IVF+PQ + RP-LSH + measured recall
+        "sim_topk_bruteforce", "sim_ivf_pq", "sim_rp_lsh", "sim_ann_recall",
         # text / featurization / pipeline / layout / multimodal
         "tx_token", "tx_weighted_downsample", "pipe_strip_dup",
         "tx_lm_heldout", "tx_bpe_pair", "tx_train_split", "fit_linear",
         "layout_zorder", "pipe_clean", "pipe_training", "mm_",
-        # temporal joins; streaming agg + session windows + CDC state
-        "xj_asof_join", "st_windowed", "st_session", "st_latest",
+        # temporal joins; stream-stream join + session windows + CDC state
+        "xj_asof_join", "st_interval_join", "st_session", "st_latest",
     ):
         assert any(n.startswith(family_rep) for n in names), family_rep
     # demoted near-duplicates must STAY registered (FULL-checked below
@@ -98,11 +99,15 @@ def test_priority_window_covers_families():
                     # late round-5 rotations: composed/new families in,
                     # single-family near-duplicates out (still FULL-checked)
                     "p5_offset_pagination", "xj_asof_forward",
-                    "st_interval_join", "sim_ivf_topk",
+                    "sim_ivf_topk",
                     "s10_deterministic_sample", "a7_distinct_agg",
                     "tx_boilerplate_strip",
                     "j5_anti_join", "w4_rank_dense",
-                    "tx_hashed_features", "tx_bigram_lm_score"):
+                    "tx_hashed_features", "tx_bigram_lm_score",
+                    # round-6 rotations (verdict #5): near-duplicates of
+                    # surviving window rows, demoted but FULL-checked
+                    "dedup_fuzzy_corpus", "sim_doc_hashed_topk",
+                    "st_windowed_agg"):
         assert demoted in all_names and demoted not in names, demoted
 
 
