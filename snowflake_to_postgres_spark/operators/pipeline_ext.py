@@ -487,6 +487,16 @@ def tx_hashed_features(
     tf = toks.select("doc_id", bucket).groupBy("doc_id", "dim_idx").agg(
         F.count("*").alias("tf")
     )
+    # tf feeds BOTH the df aggregation and the join probe side; without
+    # a persist the scan+explode+shuffle subtree executes twice (the
+    # round-4→5 rework traded the Window parallelism ceiling for this
+    # double-compute). Persisting the compact (doc, dim, tf) frame —
+    # ids and ints, far smaller than the text it came from — makes the
+    # corpus pass happen once; MEMORY_AND_DISK so a 100 TB corpus
+    # spills instead of evicting mid-job.
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     # df = docs-per-bucket: hash_dim rows total, broadcast onto tf.
     dfc = tf.groupBy("dim_idx").agg(F.count("*").alias("df"))
     return tf.join(F.broadcast(dfc), "dim_idx").select(

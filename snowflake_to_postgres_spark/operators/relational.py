@@ -704,12 +704,23 @@ SELECT * FROM (
 # --------------------------------------------------------------------------
 
 def g1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals — computed over finest-level PARTIALS, not raw
+    rows. A naive ``df.rollup(a, b)`` plans Expand×3 over the INPUT
+    (every lineitem row triplicated before the hash aggregate — 300 TB
+    of expand output on a 100 TB table); count/sum re-aggregate exactly,
+    so the rollup here runs on the grouped base (|a|×|b| rows, single
+    digits) after ONE ordinary map-side-combined aggregation. Same
+    result, one corpus shuffle, Expand cost ~zero."""
     li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_cnt"),
+        F.sum(dec("l_quantity")).alias("_qty"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count("*").alias("cnt"),
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("s_qty"),
+            F.sum("_cnt").alias("cnt"),
+            F.sum("_qty").cast("decimal(38,2)").alias("s_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
