@@ -1202,3 +1202,201 @@ WHERE n_trail >= {ANOM_MIN_N} AND sigma > 0
 
 
 SPECS.append(QuerySpec("ts_anomaly_zscore", ts_anomaly_zscore, TS_ANOMALY_ORACLE))
+
+
+IVM_SPLIT = "1997-06-01"  # base/delta boundary for the refresh demo
+
+
+def ivm_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a grouped rollup: the maintained
+    view is revenue per (o_orderpriority, month); refresh merges the
+    stored BASE partials with partials computed over only the DELTA
+    batch (orders on/after :data:`IVM_SPLIT`) — SUM/COUNT are
+    commutative monoids, so ``merge(partial(base), partial(delta)) ==
+    full recompute``, which is exactly what the oracle asserts (the
+    oracle aggregates the whole table directly; a hash match proves the
+    incremental algebra). AVG is derived from the MERGED sums — the
+    averaged-averages bug is structurally impossible here.
+
+    100-TB shape: refresh IO is |delta| + |groups| — the base table is
+    never rescanned (in this self-contained demo the base partials are
+    derived for checkability; a deployment stores them, cf.
+    merge_upsert_partitioned for the storage side). The reference has
+    no incremental anything — its transfer is truncate-and-reload
+    (data_transfer.py full-table SELECT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority", month).agg(
+            F.count("*").alias("_c"),
+            F.sum(dec("o_totalprice")).alias("_s"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < IVM_SPLIT))
+    delta = partials(orders.filter(F.col("o_orderdate") >= IVM_SPLIT))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "month")
+        .agg(F.sum("_c").alias("cnt"), F.sum("_s").alias("_s"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "month",
+        "cnt",
+        F.col("_s").cast("decimal(38,2)").alias("s_price"),
+        (F.col("_s").cast("double") / F.col("cnt")).alias("avg_price"),
+    )
+
+
+IVM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+KMV_SET_A = "click"      # left user set: users who clicked
+KMV_SET_B = "purchase"   # right user set: users who purchased
+
+
+def a16_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations on mergeable KMV sketches (theta-sketch style,
+    Dasgupta et al. / Beyer et al. — public literature): two user sets
+    (users who {KMV_SET_A} vs who {KMV_SET_B}) are each summarized by
+    their K smallest md5 hashes; the UNION sketch is the K smallest of
+    the merged hash lists, and the intersection estimate comes from the
+    fraction of retained union hashes present in BOTH input sketches
+    (Jaccard over the union's theta region). Deterministic md5 makes
+    every estimate oracle-checkable — the sketch math itself is part of
+    the value-hash gate, exact counts emitted alongside.
+
+    100-TB shape: each sketch is a map-side TakeOrdered(K) over distinct
+    keys — sketches are tiny, mergeable, and the union/intersection
+    estimates never touch the raw sets again (the exact counts here are
+    eval-time truth, omitted at real scale)."""
+    events = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+    def sketch(event_type: str) -> list[float]:
+        rows = (
+            events.filter(F.col("event_type") == event_type)
+            .select("user_id").distinct()
+            .select(u.alias("u"))
+            .orderBy("u").limit(KMV_K)
+            .collect()
+        )
+        return [r["u"] for r in rows]
+
+    def kmv_est(us: list[float]) -> float:
+        if len(us) >= KMV_K and us[-1] > 0:
+            return (len(us) - 1) / us[-1]
+        return float(len(us))
+
+    sa, sb = sketch(KMV_SET_A), sketch(KMV_SET_B)
+    union_sorted = sorted(set(sa) | set(sb))[:KMV_K]
+    theta = union_sorted[-1] if union_sorted else 0.0
+    common = len({h for h in set(sa) & set(sb) if h <= theta})
+    union_est = kmv_est(union_sorted)
+    jaccard_est = common / KMV_K
+    inter_est = jaccard_est * union_est
+
+    a_ex, b_ex, i_ex = (
+        events.agg(
+            F.count_distinct(
+                F.when(F.col("event_type") == KMV_SET_A, F.col("user_id"))
+            ).alias("a"),
+            F.count_distinct(
+                F.when(F.col("event_type") == KMV_SET_B, F.col("user_id"))
+            ).alias("b"),
+        ).collect()[0]["a"],
+        events.agg(
+            F.count_distinct(
+                F.when(F.col("event_type") == KMV_SET_B, F.col("user_id"))
+            ).alias("b")
+        ).collect()[0]["b"],
+        events.filter(F.col("event_type") == KMV_SET_A)
+        .select("user_id").distinct()
+        .join(
+            events.filter(F.col("event_type") == KMV_SET_B)
+            .select("user_id").distinct(),
+            "user_id",
+        )
+        .count(),
+    )
+    union_ex = a_ex + b_ex - i_ex
+    return spark.createDataFrame(
+        [(
+            KMV_K,
+            float(kmv_est(sa)), float(kmv_est(sb)),
+            float(union_est), float(jaccard_est), float(inter_est),
+            int(a_ex), int(b_ex), int(union_ex), int(i_ex),
+        )],
+        "k INT, a_est DOUBLE, b_est DOUBLE, union_est DOUBLE,"
+        " jaccard_est DOUBLE, inter_est DOUBLE,"
+        " a_exact BIGINT, b_exact BIGINT, union_exact BIGINT, inter_exact BIGINT",
+    )
+
+
+A16_KMV_SET_ORACLE = f"""
+WITH ha AS (
+  SELECT u FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+             / 4294967296.0 AS u
+    FROM (SELECT DISTINCT user_id FROM events WHERE event_type = '{KMV_SET_A}')
+  ) ORDER BY u LIMIT {KMV_K}),
+hb AS (
+  SELECT u FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+             / 4294967296.0 AS u
+    FROM (SELECT DISTINCT user_id FROM events WHERE event_type = '{KMV_SET_B}')
+  ) ORDER BY u LIMIT {KMV_K}),
+un AS (
+  SELECT u FROM (
+    SELECT DISTINCT u FROM (SELECT u FROM ha UNION ALL SELECT u FROM hb)
+  ) ORDER BY u LIMIT {KMV_K}),
+unstats AS (SELECT MAX(u) AS theta, COUNT(*) AS k_eff FROM un),
+astats AS (SELECT MAX(u) AS u_k, COUNT(*) AS k_eff FROM ha),
+bstats AS (SELECT MAX(u) AS u_k, COUNT(*) AS k_eff FROM hb),
+common AS (
+  SELECT COUNT(*) AS c FROM (SELECT u FROM ha INTERSECT SELECT u FROM hb) x, unstats
+  WHERE x.u <= unstats.theta),
+exact AS (
+  SELECT COUNT(DISTINCT CASE WHEN event_type = '{KMV_SET_A}' THEN user_id END) AS a_ex,
+         COUNT(DISTINCT CASE WHEN event_type = '{KMV_SET_B}' THEN user_id END) AS b_ex
+  FROM events),
+iexact AS (
+  SELECT COUNT(*) AS i_ex FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = '{KMV_SET_A}'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = '{KMV_SET_B}')),
+est AS (
+  SELECT
+    CASE WHEN astats.k_eff >= {KMV_K} AND astats.u_k > 0
+         THEN (astats.k_eff - 1) / astats.u_k ELSE CAST(astats.k_eff AS DOUBLE) END AS a_est,
+    CASE WHEN bstats.k_eff >= {KMV_K} AND bstats.u_k > 0
+         THEN (bstats.k_eff - 1) / bstats.u_k ELSE CAST(bstats.k_eff AS DOUBLE) END AS b_est,
+    CASE WHEN unstats.k_eff >= {KMV_K} AND unstats.theta > 0
+         THEN (unstats.k_eff - 1) / unstats.theta ELSE CAST(unstats.k_eff AS DOUBLE) END AS union_est,
+    CAST(common.c AS DOUBLE) / {KMV_K} AS jaccard_est
+  FROM astats, bstats, unstats, common)
+SELECT CAST({KMV_K} AS INT) AS k,
+       a_est, b_est, union_est, jaccard_est,
+       jaccard_est * union_est AS inter_est,
+       CAST(a_ex AS BIGINT) AS a_exact,
+       CAST(b_ex AS BIGINT) AS b_exact,
+       CAST(a_ex + b_ex - i_ex AS BIGINT) AS union_exact,
+       CAST(i_ex AS BIGINT) AS inter_exact
+FROM est, exact, iexact
+"""
+
+
+SPECS.append(QuerySpec("ivm_agg_refresh", ivm_agg_refresh, IVM_ORACLE))
+SPECS.append(QuerySpec("a16_kmv_set_ops", a16_kmv_set_ops, A16_KMV_SET_ORACLE))

@@ -1061,3 +1061,87 @@ SPECS = [
     QuerySpec("tx_quality_deciles", tx_quality_deciles, TX_QUALITY_DECILES_ORACLE),
     QuerySpec("tx_pmi_pairs", tx_pmi_pairs, TX_PMI_ORACLE),
 ]
+
+
+ZIPF_R = 200  # head of the rank-frequency curve used for the fit
+
+
+def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: closed-form OLS
+    of ln(freq) on ln(rank) over the top-:data:`ZIPF_R` terms — the
+    standard corpus-health diagnostic (a healthy natural-language crawl
+    sits near slope −1; template/boilerplate-heavy corpora flatten).
+
+    Cross-engine determinism: ln() is libm-backed, so each ln is
+    ROUNDED TO DECIMAL(10,5) before any arithmetic (the tx_pmi/bigram-LM
+    idiom, one scale tighter); products and sums then stay in exact
+    decimal — scale 10 keeps the widest sum's scaled integer below 2^53,
+    where decimal→double conversion is correctly rounded in BOTH engines
+    (DuckDB's int128 path is not, above it) — and the final slope /
+    intercept are identical chains of IEEE double ops on identical
+    inputs. Ranks tie-break by term so both engines agree.
+
+    100-TB shape: one corpus groupBy for term counts, TakeOrdered(R)
+    head, then all fit math over R rows."""
+    docs = _docs_parallel(spark, sf_dir)
+    terms = docs.select(F.explode(_toks()).alias("term")).filter(F.col("term") != "")
+    freq = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    top = freq.orderBy(F.desc("cnt"), F.asc("term")).limit(ZIPF_R)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))  # R rows — bounded
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).cast("decimal(10,5)").alias("x"),
+        F.log(F.col("cnt").cast("double")).cast("decimal(10,5)").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        F.col("n").cast("int").alias("r_terms"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd).alias("intercept"),
+    )
+
+
+TX_ZIPF_ORACLE = f"""
+WITH terms AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+freq AS (
+  SELECT term, COUNT(*) AS cnt FROM terms WHERE term <> '' GROUP BY term),
+top AS (
+  SELECT term, cnt FROM freq ORDER BY cnt DESC, term LIMIT {ZIPF_R}),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM top),
+xy AS (
+  SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(10,5)) AS x,
+         CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(10,5)) AS y
+  FROM ranked),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM xy)
+SELECT CAST(n AS INT) AS r_terms,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM s
+"""
+
+
+SPECS.append(QuerySpec("tx_zipf_fit", tx_zipf_fit, TX_ZIPF_ORACLE))

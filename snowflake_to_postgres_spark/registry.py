@@ -58,6 +58,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "w3_running_sum": ("running_spend",),
     "w4_rank_dense": ("c_acctbal",),
     "g1_rollup": ("s_qty",),
+    "ivm_agg_refresh": ("s_price",),
     "g3_having": ("s_qty",),
     "g4_grouping_sets": ("s_qty",),
     "f2_nvl_coalesce": ("s_disc_nvl",),
