@@ -1062,3 +1062,94 @@ SPECS = [
     QuerySpec("fit_linear_by_group", fit_linear_by_group, FIT_LINEAR_ORACLE),
     QuerySpec("pipe_training_corpus", pipe_training_corpus, PIPE_TRAINING_ORACLE),
 ]
+
+
+PR_ITERS = 8
+PR_DAMP = 0.85
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer—supplier trade graph from lineitem⋈orders:
+    node ids disjoint by parity (customer 2k, supplier 2k+1), each
+    distinct trading pair contributing both edge directions."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+
+def pagerank(
+    edges: DataFrame, iters: int = PR_ITERS, damp: float = PR_DAMP
+) -> DataFrame:
+    """Distributed PageRank (Brin & Page) by iterated join-aggregate:
+    each round joins the node-sized rank frame to the edge list on src,
+    ships rank/degree contributions, and re-aggregates per dst — the
+    canonical Spark formulation (two shuffles per round, both on node
+    id; co-partitioning makes the join shuffle-free on a cluster that
+    pre-partitions edges by src). Every round materializes and persists
+    its rank frame and releases the previous one, so lineage stays
+    O(1) deep instead of O(iters) — the iterative-plan discipline that
+    keeps round N from re-running rounds 1..N-1.
+
+    Undirected input ⇒ every node has out-degree ≥ 1 ⇒ no dangling-mass
+    correction needed. Iterative → rows-only by declared policy
+    (emb_pca_direction precedent); numpy parity pinned in
+    tests/test_round6_ops.py."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = deg.persist()
+    n = deg.count()
+    e = edges.join(deg, "src").select("src", "dst", "deg").persist()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    prev = None
+    for _ in range(iters):
+        contribs = e.join(ranks, e["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        new = (
+            contribs.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit((1.0 - damp) / n) + F.lit(damp) * F.col("s")).alias("rank"),
+            )
+            .persist()
+        )
+        new.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks = new
+    deg.unpersist()
+    e.unpersist()
+    return ranks
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: (node_kind, key, rank) over the trade graph,
+    rank rounded to 10 dp for display stability."""
+    ranks = pagerank(_trade_edges(spark, sf_dir))
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_kind"),
+        (F.col("node") / 2).cast("bigint").alias("key"),
+        F.round("rank", 10).alias("rank"),
+    ).orderBy("node_kind", "key")
+
+
+SPECS.append(
+    QuerySpec(
+        "graph_pagerank", graph_pagerank, None,
+        "iterative join-aggregate loop — rows-only by declared policy; "
+        "numpy parity pinned in tests/test_round6_ops.py",
+    )
+)

@@ -1673,3 +1673,118 @@ SPECS.append(
               "power iteration is iterative — rows-only by design; "
               "numpy-pinned in tests")
 )
+
+
+MMR_LAMBDA = 0.7     # relevance weight; 1-λ weights diversity
+MMR_SHORTLIST = 20   # candidates per query fed to the greedy rerank
+MMR_K = 5            # final selections per query
+
+
+def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query rerank shortlist: top-MMR_SHORTLIST cosine candidates
+    (exact-decimal dots, the sim_topk kernel) joined back to their raw
+    embedding arrays — (qid, neighbor_id, cosine, embedding)."""
+    comp = _components(spark, sf_dir)
+    norms = _norms(comp)
+    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "idx", F.col("val").alias("qval")
+    )
+    dots = (
+        comp.join(F.broadcast(q), "idx")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("decimal(38,18)").alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+    ).cast("decimal(10,8)")
+    ranked = (
+        dots.join(F.broadcast(qn), "qid")
+        .join(norms, "vec_id")
+        .select("qid", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    shortlist = (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MMR_SHORTLIST)
+        .drop("rnk")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return shortlist.join(emb, "neighbor_id").select(
+        "qid", "neighbor_id", F.col("cosine").cast("double").alias("cosine"), "embedding"
+    )
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware rerank of retrieval shortlists: Maximal Marginal
+    Relevance (Carbonell & Goldstein 1998) — greedily pick the candidate
+    maximizing λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s), so
+    near-duplicate neighbors don't crowd the final k. The training-data
+    use: diversified exemplar selection from an over-fetched ANN
+    shortlist.
+
+    100-TB shape: stage 1 is the existing distributed shortlist
+    (brute-force here; IVF+PQ in production — interchangeable). Stage 2
+    is `applyInPandas` grouped BY QUERY: each group is a bounded
+    SHORTLIST×dim matrix, so the greedy quadratic is O(shortlist²) per
+    query regardless of corpus size, parallel across queries. The
+    greedy argmax is order-dependent → not SQL-expressible → rows-only
+    by declared policy (BPE-merge precedent); parity pinned against an
+    independent pure-python MMR in tests/test_round6_ops.py."""
+    import numpy as np
+    import pandas as pd
+
+    cands = _mmr_candidates(spark, sf_dir)
+    def mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        pair = vecs @ vecs.T
+        rel = pdf["cosine"].to_numpy()
+        nid = pdf["neighbor_id"].to_numpy()
+        selected: list[int] = []
+        remaining = list(range(len(pdf)))
+        out = []
+        while remaining and len(selected) < MMR_K:
+            # deterministic argmax: score, then smaller neighbor_id
+            best = max(
+                remaining,
+                key=lambda i: (
+                    MMR_LAMBDA * rel[i]
+                    - (1.0 - MMR_LAMBDA)
+                    * (max(pair[i][j] for j in selected) if selected else 0.0),
+                    -int(nid[i]),
+                ),
+            )
+            score = MMR_LAMBDA * rel[best] - (1.0 - MMR_LAMBDA) * (
+                max(pair[best][j] for j in selected) if selected else 0.0
+            )
+            selected.append(best)
+            remaining.remove(best)
+            out.append(
+                (int(pdf["qid"][best]), len(selected), int(nid[best]), round(float(score), 8))
+            )
+        return pd.DataFrame(
+            out, columns=["qid", "sel_rank", "neighbor_id", "mmr_score"]
+        )
+
+    return (
+        cands.groupBy("qid")
+        .applyInPandas(mmr, "qid bigint, sel_rank int, neighbor_id bigint, mmr_score double")
+        .orderBy("qid", "sel_rank")
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_mmr_rerank", sim_mmr_rerank, None,
+        "greedy argmax is order-dependent — rows-only by declared "
+        "policy; pure-python parity pinned in tests/test_round6_ops.py",
+    )
+)
