@@ -77,6 +77,12 @@ HEADLINE = [
     "tx_bpe_pair_counts",
     "sim_ivf_pq_topk",
     "st_latest_state",
+    # round-6 additions (one per new family; prior keys unchanged)
+    "ivm_agg_refresh",
+    "a16_kmv_set_ops",
+    "tx_zipf_fit",
+    "graph_pagerank",
+    "sim_mmr_rerank",
 ]
 
 

@@ -157,3 +157,140 @@ FROM binned
 SPECS = [
     QuerySpec("layout_zorder", layout_zorder, LAYOUT_ZORDER_ORACLE),
 ]
+
+
+def _hilbert_fold_expr(bx: str, by: str, bits: int) -> str:
+    """Hilbert xy2d (Wikipedia's canonical loop) as a Spark ``aggregate``
+    higher-order fold: the (x, y, d, s) state threads through ``bits``
+    iterations in ONE expression of LINEAR size. The naive alternative —
+    chained per-level projections — is collapsed by Catalyst into an
+    expression that grows ~3× per level (3^bits leaf terms, past the
+    64 KB codegen method limit); the fold sidesteps that entirely.
+    Bit test (x & s) > 0 is written ``(x div s) % 2`` so the identical
+    integer form runs on engines without portable bitwise ops."""
+    n = 1 << bits
+    return f"""
+aggregate(
+  sequence(1, {bits}),
+  named_struct('x', CAST({bx} AS BIGINT), 'y', CAST({by} AS BIGINT),
+               'd', CAST(0 AS BIGINT), 's', CAST({n // 2} AS BIGINT)),
+  (acc, i) -> named_struct(
+    'x', CASE WHEN (acc.y div acc.s) % 2 = 0
+              THEN CASE WHEN (acc.x div acc.s) % 2 = 1 THEN {n - 1} - acc.y ELSE acc.y END
+              ELSE acc.x END,
+    'y', CASE WHEN (acc.y div acc.s) % 2 = 0
+              THEN CASE WHEN (acc.x div acc.s) % 2 = 1 THEN {n - 1} - acc.x ELSE acc.x END
+              ELSE acc.y END,
+    'd', acc.d + acc.s * acc.s *
+         (CASE WHEN (acc.x div acc.s) % 2 = 0 AND (acc.y div acc.s) % 2 = 0 THEN 0
+               WHEN (acc.x div acc.s) % 2 = 0 THEN 1
+               WHEN (acc.y div acc.s) % 2 = 0 THEN 3
+               ELSE 2 END),
+    's', acc.s div 2),
+  acc -> acc.d)
+"""
+
+
+def hilbert_key(
+    df: DataFrame, col_x: str, col_y: str, bits: int = Z_BITS
+) -> DataFrame:
+    """Append ``_hx``/``_hy`` (bin ids) and ``_hkey`` (Hilbert index).
+    Same stats pre-pass as :func:`zorder_key`; the key projection is one
+    codegen'd fold per row. Hilbert improves on Morton where it matters
+    at scale: the curve has no 'seams' (consecutive keys are always
+    4-adjacent cells), so range reads touch fewer file boxes for the
+    same predicate — the reason Delta/Iceberg offer it next to z-order."""
+    b = df.agg(
+        F.min(col_x).alias("xmin"), F.max(col_x).alias("xmax"),
+        F.min(col_y).alias("ymin"), F.max(col_y).alias("ymax"),
+    ).collect()[0]
+    bx = _binned(col_x, str(b["xmin"]), str(b["xmax"]), bits, "div")
+    by = _binned(col_y, str(b["ymin"]), str(b["ymax"]), bits, "div")
+    return (
+        df.withColumn("_hx", F.expr(bx).cast("bigint"))
+        .withColumn("_hy", F.expr(by).cast("bigint"))
+        .withColumn("_hkey", F.expr(_hilbert_fold_expr("_hx", "_hy", bits)))
+    )
+
+
+def write_hilbert(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    path: str,
+    n_files: int = 16,
+    bits: int = Z_BITS,
+) -> None:
+    """Hilbert-clustered parquet write (the write_zordered twin)."""
+    h = hilbert_key(df, col_x, col_y, bits)
+    (
+        h.repartitionByRange(n_files, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .drop("_hx", "_hy", "_hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert index over orders (customer × order-date), the
+    layout_zorder twin: bin + canonical xy2d fold, verified cross-engine
+    (the DuckDB oracle runs the SAME integer recurrence as a recursive
+    CTE — each engine folds the identical (x, y, d, s) state)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("cx"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    h = hilbert_key(orders, "cx", "cy")
+    return h.select(
+        "o_orderkey",
+        F.col("_hx").alias("bin_cust"),
+        F.col("_hy").alias("bin_date"),
+        F.col("_hkey").alias("hkey"),
+    )
+
+
+_HN = 1 << Z_BITS
+LAYOUT_HILBERT_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS cx,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS cy
+  FROM orders
+),
+bounds AS (
+  SELECT MIN(cx) AS xmin, MAX(cx) AS xmax, MIN(cy) AS ymin, MAX(cy) AS ymax FROM base
+),
+binned AS (
+  SELECT o_orderkey,
+         CAST({_binned("cx", "xmin", "xmax", Z_BITS, "//")} AS BIGINT) AS bx,
+         CAST({_binned("cy", "ymin", "ymax", Z_BITS, "//")} AS BIGINT) AS by
+  FROM base, bounds
+),
+h AS (
+  SELECT o_orderkey, bx, by, bx AS x, by AS y,
+         CAST(0 AS BIGINT) AS d, CAST({_HN // 2} AS BIGINT) AS s
+  FROM binned
+  UNION ALL
+  SELECT o_orderkey, bx, by,
+    CASE WHEN (y // s) % 2 = 0
+         THEN CASE WHEN (x // s) % 2 = 1 THEN {_HN - 1} - y ELSE y END
+         ELSE x END,
+    CASE WHEN (y // s) % 2 = 0
+         THEN CASE WHEN (x // s) % 2 = 1 THEN {_HN - 1} - x ELSE x END
+         ELSE y END,
+    d + s * s * (CASE WHEN (x // s) % 2 = 0 AND (y // s) % 2 = 0 THEN 0
+                      WHEN (x // s) % 2 = 0 THEN 1
+                      WHEN (y // s) % 2 = 0 THEN 3
+                      ELSE 2 END),
+    s // 2
+  FROM h WHERE s > 0
+)
+SELECT o_orderkey, bx AS bin_cust, by AS bin_date, d AS hkey
+FROM h WHERE s = 0
+"""
+
+
+SPECS.append(QuerySpec("layout_hilbert", layout_hilbert, LAYOUT_HILBERT_ORACLE))

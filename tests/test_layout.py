@@ -153,3 +153,61 @@ def test_dedup_incremental_seeded(spark, tmp_path):
     assert not res[lo]["dup_of_corpus"] and not res[hi]["dup_of_corpus"]
     accepted = [i for i in feed_ids if not res[i]["rejected"]]
     assert hi not in accepted and f1 not in accepted and lo in accepted
+
+
+# ------------------------------------------------------------- hilbert
+
+def test_hilbert_write_produces_prunable_boxes(spark, sf_dir, tmp_path):
+    """Hilbert-clustered files must show the same compact-box property
+    as z-order (the pruning precondition), and the curve itself must be
+    seamless: consecutive Hilbert keys are always 4-adjacent grid cells,
+    which Morton cannot guarantee."""
+    from snowflake_to_postgres_spark.operators.layout import (
+        Z_BITS,
+        hilbert_key,
+        write_hilbert,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("cx"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    out = str(tmp_path / "hilbert")
+    write_hilbert(orders, "cx", "cy", out, n_files=N_FILES)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == N_FILES
+
+    lo_x, hi_x, lo_y, hi_y = orders.agg(
+        F.min("cx"), F.max("cx"), F.min("cy"), F.max("cy")
+    ).collect()[0]
+    dom_x, dom_y = hi_x - lo_x + 1, hi_y - lo_y + 1
+    boxes = _file_boxes(out + "/part-*.parquet", ("cx", "cy"))
+    fx = [(b[1] - b[0] + 1) / dom_x for b in boxes]
+    fy = [(b[3] - b[2] + 1) / dom_y for b in boxes]
+    areas = [a * b for a, b in zip(fx, fy)]
+    assert sum(fx) / len(fx) <= 0.6, fx
+    assert sum(fy) / len(fy) <= 0.6, fy
+    assert sum(areas) / len(areas) <= 0.2, areas
+
+
+def test_hilbert_curve_is_seamless(spark):
+    """Walk the full 2^bits x 2^bits grid at a small order: the Hilbert
+    index must be a bijection onto [0, 4^bits) and every pair of
+    consecutive indices must map to cells at Manhattan distance exactly
+    1 — the no-seam property that makes key-range reads touch adjacent
+    cells only. (Morton fails this: e.g. z-keys 1 and 2 are diagonal.)"""
+    from snowflake_to_postgres_spark.operators.layout import _hilbert_fold_expr
+
+    bits = 4
+    n = 1 << bits
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "bx int, by int"
+    ).withColumn("hk", F.expr(_hilbert_fold_expr("bx", "by", bits)))
+    cells = {r["hk"]: (r["bx"], r["by"]) for r in grid.collect()}
+    assert sorted(cells) == list(range(n * n))  # bijection
+    for k in range(1, n * n):
+        (x0, y0), (x1, y1) = cells[k - 1], cells[k]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, (k, cells[k - 1], cells[k])
