@@ -135,7 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "a2_group_count_by_date",
     "a3_fingerprint_by_date",
     "a4_null_counts",
-    "a15_kmv_distinct",
+    "a16_kmv_set_ops",
     # joins
     "j1_equi_join_chain",
     "j2_multiway_join_topk",
@@ -152,7 +152,15 @@ _PRIORITY: tuple[str, ...] = (
     "v1_variant_json_extract",
     "val_fingerprint_diff",
     "x_sessionization",
-    # LLM-pipeline extension families. Round-6 rotation (verdict #5):
+    # LLM-pipeline extension families. Round-6 rotations: verdict-#5
+    # swaps (sim_ann_recall / st_interval_join / dedup_incremental_lsh
+    # in) plus the round-6 new families — a16_kmv_set_ops (supersedes
+    # a15's single-set sketch), layout_hilbert (supersedes zorder's
+    # Morton math), ivm_agg_refresh (incremental-maintenance algebra),
+    # tx_zipf_fit (corpus-health fit) — displacing a15_kmv_distinct,
+    # layout_zorder, tx_train_split (split family keeps
+    # tx_weighted_downsample) and pipe_clean_corpus (composition keeps
+    # pipe_training_corpus). Original note:
     # three FULL-only keys with semantics no same-family window row
     # carries swap IN — sim_ann_recall (the measured ANN recall gate),
     # st_interval_join (stream-stream join state), dedup_incremental_lsh
@@ -179,10 +187,10 @@ _PRIORITY: tuple[str, ...] = (
     "pipe_strip_dup_spans",
     "tx_lm_heldout_ppl",
     "tx_bpe_pair_counts",
-    "tx_train_split",
+    "ivm_agg_refresh",
     "fit_linear_by_group",
-    "layout_zorder",
-    "pipe_clean_corpus",
+    "layout_hilbert",
+    "tx_zipf_fit",
     "pipe_training_corpus",
     "mm_binary_meta",
     "xj_asof_join",

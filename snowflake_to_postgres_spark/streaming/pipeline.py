@@ -534,3 +534,101 @@ def attribution_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+QUARANTINE_SCHEMA = "k BIGINT, tag STRING"
+
+
+def quarantine_split(events: DataFrame, schema: str = QUARANTINE_SCHEMA):
+    """Dead-letter routing for a streaming ingest: rows whose ``props``
+    JSON fails the declared-schema parse (malformed OR schema-drifted)
+    split into a quarantine stream carrying the RAW payload + failure
+    evidence; clean rows continue with typed columns. Returns
+    (good, quarantined) — two lazily-derived streams off one source.
+
+    Production pipelines die without this: one malformed upstream record
+    either poisons the batch (fail-the-job) or silently nulls through an
+    unchecked ``from_json``. Splitting keeps the pipeline flowing while
+    preserving every bad payload byte-for-byte for replay after a fix —
+    the quarantine sink is replayable INPUT, not a log line.
+
+    100-TB shape: both branches are narrow projections of the same scan
+    (Spark evaluates the filter per branch — no shuffle, no duplication
+    of source IO under one foreachBatch, and file-stream sources are
+    cheap to re-filter); the quarantine branch is ~empty in steady state
+    so its sink costs nothing until something breaks."""
+    # PERMISSIVE from_json yields an all-null struct (not NULL) for
+    # malformed input, so failure detection uses the corrupt-record
+    # column: the raw payload lands in _corrupt if and only if the parse
+    # failed — which also distinguishes a genuinely NULL payload.
+    parsed = events.withColumn(
+        "_j",
+        F.from_json(
+            F.col("props"),
+            schema + ", _corrupt STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    failed = F.col("_j._corrupt").isNotNull()
+    bad = parsed.filter(failed)
+    good = parsed.filter(~failed | F.col("props").isNull())
+    quarantined = bad.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("props").alias("raw_payload"),
+        F.lit("json_parse_failed").alias("reason"),
+    )
+    return good.drop("_j"), quarantined
+
+
+def run_quarantine_split_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    good_dir: str,
+    dlq_dir: str,
+) -> None:
+    """Drain the events stream through the DLQ split: clean rows to
+    ``good_dir``, quarantined payloads to ``dlq_dir``, one checkpointed
+    query via foreachBatch (both sinks commit under the SAME batch id —
+    a row can never land in both or neither after a crash-replay)."""
+    good, bad = quarantine_split(read_events_stream(spark, sf_dir))
+    tagged = good.select(F.lit("good").alias("_route"), "*").unionByName(
+        bad.select(
+            F.lit("dlq").alias("_route"),
+            "event_id", "ts", "user_id",
+            F.col("raw_payload").alias("props"),
+        ).withColumns(
+            {c: F.lit(None).cast(t) for c, t in
+             [("event_type", "string"), ("value", "double")]}
+        ).select("_route", "event_id", "ts", "user_id", "event_type", "value", "props"),
+        allowMissingColumns=False,
+    )
+
+    def handle(batch: DataFrame, _bid: int) -> None:
+        batch.persist()
+        try:
+            batch.filter(F.col("_route") == "good").drop("_route").write.mode(
+                "append"
+            ).parquet(good_dir)
+            (
+                batch.filter(F.col("_route") == "dlq")
+                .select(
+                    "event_id", "ts", "user_id",
+                    F.col("props").alias("raw_payload"),
+                    F.lit("json_parse_failed").alias("reason"),
+                )
+                .write.mode("append")
+                .parquet(dlq_dir)
+            )
+        finally:
+            batch.unpersist()
+
+    (
+        tagged.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -66,7 +66,7 @@ def test_priority_window_covers_families():
     for family_rep in (
         "q1_", "s1_", "s3_", "s7_", "s13_",            # scans/catalog/profile
         "p1_", "p2_", "p4_",                           # project/filter/page
-        "a2_", "a3_", "a4_", "a15_",                   # aggregation + sketch
+        "a2_", "a3_", "a4_", "a16_",                   # aggregation + set-op sketch
         "j1_", "j2_", "j4_", "x_attribution",          # joins + event join
         "w1_", "dedup_lsh_recall",                     # windows + recall gate
         "g1_",                                         # grouping
@@ -82,8 +82,8 @@ def test_priority_window_covers_families():
         "sim_topk_bruteforce", "sim_ivf_pq", "sim_rp_lsh", "sim_ann_recall",
         # text / featurization / pipeline / layout / multimodal
         "tx_token", "tx_weighted_downsample", "pipe_strip_dup",
-        "tx_lm_heldout", "tx_bpe_pair", "tx_train_split", "fit_linear",
-        "layout_zorder", "pipe_clean", "pipe_training", "mm_",
+        "tx_lm_heldout", "tx_bpe_pair", "ivm_agg_refresh", "fit_linear",
+        "layout_hilbert", "tx_zipf_fit", "pipe_training", "mm_",
         # temporal joins; stream-stream join + session windows + CDC state
         "xj_asof_join", "st_interval_join", "st_session", "st_latest",
     ):
@@ -107,7 +107,9 @@ def test_priority_window_covers_families():
                     # round-6 rotations (verdict #5): near-duplicates of
                     # surviving window rows, demoted but FULL-checked
                     "dedup_fuzzy_corpus", "sim_doc_hashed_topk",
-                    "st_windowed_agg"):
+                    "st_windowed_agg",
+                    "a15_kmv_distinct", "layout_zorder",
+                    "tx_train_split", "pipe_clean_corpus"):
         assert demoted in all_names and demoted not in names, demoted
 
 

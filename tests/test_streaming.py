@@ -528,3 +528,75 @@ def test_upsert_latest_stream_multibatch(spark, sf_dir, tmp_path):
         (r["user_id"], r["event_id"]) for r in latest_state(events).collect()
     )
     assert got == exp
+
+
+def test_quarantine_split_routes_and_replays(spark, sf_dir, tmp_path):
+    """DLQ split: seeded malformed props must land in the quarantine
+    sink byte-for-byte (replayable), clean rows flow through untouched,
+    and good+dlq exactly partition the input (nothing dropped, nothing
+    duplicated). After 'fixing' the upstream bug, replaying the DLQ
+    through the same split must fully recover the rows."""
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        quarantine_split,
+        run_quarantine_split_available_now,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    # corrupt ~1/8 of props payloads deterministically
+    broken = events.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 8 == 0,
+            F.concat(F.lit("{corrupt::"), F.col("props")),
+        ).otherwise(F.col("props")),
+    )
+    # the stream reader globs a FILE named events.parquet (the fixture
+    # layout) — write one part file and move it into place
+    import glob as _glob
+    import shutil as _sh
+
+    stage = str(tmp_path / "stage")
+    broken.coalesce(1).write.parquet(stage)
+    src = tmp_path / "src"
+    src.mkdir()
+    _sh.move(_glob.glob(stage + "/part-*.parquet")[0], str(src / "events.parquet"))
+
+    good_dir, dlq_dir = str(tmp_path / "good"), str(tmp_path / "dlq")
+    run_quarantine_split_available_now(
+        spark, str(src), str(tmp_path / "ckpt"), good_dir, dlq_dir
+    )
+
+    good = spark.read.parquet(good_dir)
+    dlq = spark.read.parquet(dlq_dir)
+    n_broken = broken.filter(
+        F.col("props").isNotNull() & (F.col("event_id") % 8 == 0)
+    ).count()
+    assert dlq.count() == n_broken and n_broken > 0
+    assert good.count() + dlq.count() == events.count()
+    assert {r[0] for r in dlq.select("reason").distinct().collect()} == {
+        "json_parse_failed"
+    }
+    # byte-for-byte payload preservation
+    sample = dlq.limit(5).collect()
+    orig = {
+        r["event_id"]: r["props"]
+        for r in broken.filter(
+            F.col("event_id").isin([s["event_id"] for s in sample])
+        ).collect()
+    }
+    for s in sample:
+        assert s["raw_payload"] == orig[s["event_id"]]
+
+    # replay after the fix: strip the corruption prefix, re-split — all
+    # previously-quarantined rows now parse clean
+    fixed = dlq.select(
+        "event_id", "ts", "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.regexp_replace("raw_payload", "^\\{corrupt::", "").alias("props"),
+    )
+    regood, rebad = quarantine_split(fixed)
+    assert rebad.count() == 0
+    assert regood.count() == n_broken
