@@ -141,3 +141,67 @@ def read_with_quarantine(
         F.col("_corrupt_record").alias("raw_line")
     )
     return good, quarantine
+
+
+# Numeric widening lattice for cross-generation schema reconciliation.
+_WIDEN_ORDER = ["byte", "short", "int", "bigint", "float", "double"]
+
+
+def _widest(a: T.DataType, b: T.DataType) -> T.DataType:
+    if a == b:
+        return a
+    names = {a.simpleString(), b.simpleString()}
+    if names <= set(_WIDEN_ORDER):
+        return T._parse_datatype_string(
+            max(names, key=_WIDEN_ORDER.index)
+        )
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        scale = max(a.scale, b.scale)
+        intd = max(a.precision - a.scale, b.precision - b.scale)
+        return T.DecimalType(min(38, intd + scale), scale)
+    raise ValueError(
+        f"cannot reconcile column types {a.simpleString()} / {b.simpleString()}"
+    )
+
+
+def read_evolving(spark: SparkSession, paths: list[str], fmt: str | None = None) -> DataFrame:
+    """Read a dataset whose schema EVOLVED across write generations —
+    added columns and widened numeric types — as one frame with the
+    reconciled schema. ``mergeSchema`` only merges disjoint columns; a
+    column that went int→bigint between generations fails the footer
+    merge outright, yet that is the most common real evolution (id
+    overflow). Reconciliation here: per column, the widest type on the
+    numeric lattice (byte<short<int<bigint, float<double, decimal by
+    max integral digits + max scale); missing columns null-fill via
+    unionByName(allowMissingColumns=True).
+
+    100-TB shape: per-generation reads stay separate scans (each with
+    its own pushdown + pruning); the union is a zero-shuffle bag
+    concatenation; the casts are map-side. Nothing is rewritten — old
+    files stay valid, which is the point of evolution."""
+    from pyspark.sql import functions as F
+
+    dfs = [read_any(spark, p, fmt) for p in paths]
+    types: dict[str, T.DataType] = {}
+    order: list[str] = []
+    for df in dfs:
+        for f in df.schema.fields:
+            if f.name not in types:
+                types[f.name] = f.dataType
+                order.append(f.name)
+            else:
+                types[f.name] = _widest(types[f.name], f.dataType)
+    casted = [
+        df.select(
+            *[
+                F.col(c).cast(types[c]).alias(c)
+                for c in order
+                if c in df.columns
+            ]
+        )
+        for df in dfs
+    ]
+    out = casted[0]
+    for df in casted[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out.select(*order)

@@ -81,3 +81,53 @@ def test_read_with_quarantine_splits_bad_lines(spark, tmp_path):
     assert len(bad) == 1 and "BROKEN" in bad[0]["raw_line"]
     # counts add up: no silent drops
     assert good.count() + quarantine.count() == 4
+
+
+def test_read_evolving_widens_and_nullfills(spark, tmp_path):
+    """Three write generations: base (id int, v double), widened
+    (id bigint — overflow fix), extended (+ tag string). mergeSchema
+    rejects the int→bigint conflict; read_evolving reconciles to the
+    widest schema, null-fills the late column, and loses no rows."""
+    import pytest as _pytest
+
+    from snowflake_to_postgres_spark.sources.files import read_evolving
+
+    g1 = str(tmp_path / "g1")
+    g2 = str(tmp_path / "g2")
+    g3 = str(tmp_path / "g3")
+    spark.createDataFrame([(1, 1.5), (2, 2.5)], "id int, v double").write.parquet(g1)
+    spark.createDataFrame(
+        [(3_000_000_000, 3.5)], "id bigint, v double"
+    ).write.parquet(g2)
+    spark.createDataFrame(
+        [(4, 4.5, "x")], "id bigint, v double, tag string"
+    ).write.parquet(g3)
+
+    # the stock path really does fail on the widened column
+    with _pytest.raises(Exception):
+        spark.read.option("mergeSchema", "true").parquet(g1, g2, g3).collect()
+
+    out = read_evolving(spark, [g1, g2, g3])
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "id:bigint", "v:double", "tag:string"
+    ]
+    rows = sorted((r["id"], r["v"], r["tag"]) for r in out.collect())
+    assert rows == [
+        (1, 1.5, None), (2, 2.5, None), (4, 4.5, "x"), (3_000_000_000, 3.5, None)
+    ]
+
+
+def test_read_evolving_decimal_widening(spark, tmp_path):
+    """DECIMAL(10,2) + DECIMAL(12,4) reconcile to DECIMAL(12,4): max
+    integral digits (8, same on both sides) + max scale (4) — widening
+    can never truncate either side."""
+    from snowflake_to_postgres_spark.sources.files import read_evolving
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.sql("SELECT CAST(12345678.99 AS DECIMAL(10,2)) AS amt").write.parquet(a)
+    spark.sql("SELECT CAST(123.4567 AS DECIMAL(12,4)) AS amt").write.parquet(b)
+    out = read_evolving(spark, [a, b])
+    assert out.schema["amt"].dataType.simpleString() == "decimal(12,4)"
+    vals = sorted(str(r["amt"]) for r in out.collect())
+    assert vals == ["123.4567", "12345678.9900"]
