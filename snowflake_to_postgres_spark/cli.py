@@ -272,6 +272,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Space-filling-curve clustering rewrite: read a parquet table,
+    write it re-clustered on the z-order or Hilbert key of two columns
+    so parquet min/max footer stats prune scans on EITHER column. The
+    OPTIMIZE ZORDER BY verb, without a table format."""
+    from snowflake_to_postgres_spark.operators.layout import (
+        write_hilbert,
+        write_zordered,
+    )
+
+    spark = get_spark("layout")
+    df = spark.read.parquet(args.source)
+    writer = write_hilbert if args.curve == "hilbert" else write_zordered
+    writer(df, args.col_x, args.col_y, args.target, n_files=args.n_files)
+    n = spark.read.parquet(args.target).count()
+    print(json.dumps({"curve": args.curve, "rows": n, "files": args.n_files}))
+    return 0
+
+
 def cmd_clean_corpus(args) -> int:
     """Materialize the cleaned training corpus: near-duplicate removal
     (MinHash-LSH verified clusters, one canonical document per cluster —
@@ -600,6 +619,15 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--fail-on-drift", action="store_true",
                     help="exit 3 when drift was found (repaired or not)")
     rp.set_defaults(fn=cmd_repair)
+
+    ly = sub.add_parser("layout")
+    ly.add_argument("--source", required=True, help="parquet dir to re-cluster")
+    ly.add_argument("--target", required=True, help="clustered parquet output dir")
+    ly.add_argument("--col-x", required=True)
+    ly.add_argument("--col-y", required=True)
+    ly.add_argument("--curve", choices=["zorder", "hilbert"], default="hilbert")
+    ly.add_argument("--n-files", type=int, default=16)
+    ly.set_defaults(fn=cmd_layout)
 
     ai = sub.add_parser("ann-index")
     ai.add_argument("--source", required=True, help="fixture dir with embeddings.parquet")

@@ -368,3 +368,54 @@ SPECS.append(QuerySpec("x_q9_product_profit", x_q9_product_profit, X_Q9_ORACLE))
 SPECS.append(QuerySpec("x_q11_important_stock", x_q11_important_stock, X_Q11_ORACLE))
 SPECS.append(QuerySpec("x_q12_late_priority", x_q12_late_priority, X_Q12_ORACLE))
 SPECS.append(QuerySpec("x_q15_top_supplier", x_q15_top_supplier, X_Q15_ORACLE))
+
+
+def x_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 flavor (shipping priority): unshipped BUILDING-segment
+    orders placed before the cutoff, top-10 by pending revenue —
+    completes the 22-query TPC-H flavor set. The fixture's orders table
+    has no o_shippriority column, so o_orderpriority stands in (same
+    plan shape). Physical form: customer broadcasts into orders, the
+    single shuffle is lineitem⋈orders on the orderkey, and the top-10 is
+    TakeOrderedAndProject — never a global sort."""
+    cutoff = "1995-03-15"
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = (dec("l_extendedprice") * (one() - dec("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+X_Q3_ORACLE = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+SPECS.append(QuerySpec("x_q3_shipping_priority", x_q3_shipping_priority, X_Q3_ORACLE))

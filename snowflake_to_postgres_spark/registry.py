@@ -112,6 +112,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "x_q7_volume_shipping": ("revenue",),
     "x_q19_flagged_revenue": ("revenue",),
     "x_q22_dormant_balance": ("totacctbal",),
+    "x_q3_shipping_priority": ("revenue",),
 }
 
 # The driver's correctness harness checks the FIRST 50 registered queries

