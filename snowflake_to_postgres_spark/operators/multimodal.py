@@ -214,3 +214,66 @@ SPECS = [
     QuerySpec("mm_binary_meta", mm_binary_meta, MM_META_ORACLE),
     QuerySpec("mm_decode_meta", mm_decode_meta, MM_DECODE_ORACLE),
 ]
+
+
+MM_CHUNK_BYTES = 64  # fixed segmentation window (bytes)
+
+
+def mm_chunk_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window byte segmentation of opaque media payloads — the
+    audio-segmentation shape (waveform → fixed-duration windows) done as
+    pure byte math, so unlike the codec-gated decode kernels it is fully
+    oracle-checkable: each payload explodes into ⌈bytes/W⌉ chunks with
+    (offset, length, fingerprint). Chunk fingerprints are md5 over the
+    HEX image of the slice (DuckDB's md5/substring are VARCHAR-only; hex
+    is byte-faithful in both engines so the fingerprints still identify
+    byte ranges exactly).
+
+    100-TB shape: explode + projection only — chunking is a map stage,
+    the payload never shuffles; downstream per-chunk feature extraction
+    (the decode UDFs above) parallelizes over chunks instead of whole
+    files, which is what bounds Arrow batch memory for hour-long audio."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = MM_CHUNK_BYTES
+    media = docs.select(
+        "doc_id",
+        F.hex(F.encode("text", "utf-8")).alias("hx"),
+        F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
+    ).filter(F.col("n_bytes") > 0)
+    return media.select(
+        "doc_id",
+        "n_bytes",
+        "hx",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("n_bytes") - 1) / w).cast("int"))
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("bigint") * w).alias("start_byte"),
+        F.least(F.lit(w).cast("bigint"), F.col("n_bytes") - F.col("chunk_idx") * w).alias(
+            "chunk_bytes"
+        ),
+        F.md5(
+            F.expr(f"substring(hx, chunk_idx * {2 * w} + 1, {2 * w})")
+        ).alias("chunk_md5"),
+    )
+
+
+MM_CHUNK_ORACLE = f"""
+WITH media AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE octet_length(encode(text)) > 0),
+chunks AS (
+  SELECT doc_id, n_bytes, hx, CAST(i AS BIGINT) AS chunk_idx
+  FROM media, unnest(generate_series(0, CAST((n_bytes - 1) // {MM_CHUNK_BYTES} AS INT))) AS g(i))
+SELECT doc_id, chunk_idx,
+       chunk_idx * {MM_CHUNK_BYTES} AS start_byte,
+       least({MM_CHUNK_BYTES}, n_bytes - chunk_idx * {MM_CHUNK_BYTES}) AS chunk_bytes,
+       md5(substring(hx, CAST(chunk_idx * {2 * MM_CHUNK_BYTES} + 1 AS INT), {2 * MM_CHUNK_BYTES})) AS chunk_md5
+FROM chunks
+"""
+
+
+SPECS.append(QuerySpec("mm_chunk_media", mm_chunk_media, MM_CHUNK_ORACLE))
