@@ -1400,3 +1400,86 @@ FROM est, exact, iexact
 
 SPECS.append(QuerySpec("ivm_agg_refresh", ivm_agg_refresh, IVM_ORACLE))
 SPECS.append(QuerySpec("a16_kmv_set_ops", a16_kmv_set_ops, A16_KMV_SET_ORACLE))
+
+
+KMV_GROUP_K = 32  # per-group sketch size
+
+
+def a17_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP distinct-count estimation: one KMV sketch per
+    event_type (distinct users who performed it). The grouped form is
+    what dashboards actually run — a15/a16 sketch one set, this sketches
+    every group in ONE pass: distinct (group, key) pairs, a per-group
+    rank window over the hash, and a per-group aggregate of the K-th
+    smallest. Deterministic md5 → the per-group estimates are part of
+    the value-hash gate; exact counts alongside.
+
+    100-TB shape: the rank window partitions BY GROUP (parallel across
+    groups, never a global window); state per group is K hashes. The
+    exact count is eval-time truth, omitted at real scale."""
+    events = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    pairs = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .select("event_type", u.alias("u"))
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    sketch = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KMV_GROUP_K)
+        .groupBy("event_type")
+        .agg(F.max("u").alias("u_k"), F.count("*").alias("k_eff"))
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    est = F.when(
+        (F.col("k_eff") >= KMV_GROUP_K) & (F.col("u_k") > 0),
+        (F.col("k_eff") - 1) / F.col("u_k"),
+    ).otherwise(F.col("k_eff").cast("double"))
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("k_eff").cast("int").alias("k_eff"),
+            "u_k",
+            est.alias("est_users"),
+            "exact_users",
+            (F.abs(est - F.col("exact_users")) / F.col("exact_users")).alias("rel_error"),
+        )
+    )
+
+
+A17_KMV_GROUPED_ORACLE = f"""
+WITH pairs AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+           / 4294967296.0 AS u
+  FROM (SELECT DISTINCT event_type, user_id FROM events)),
+sk AS (
+  SELECT event_type, MAX(u) AS u_k, COUNT(*) AS k_eff FROM (
+    SELECT event_type, u,
+           row_number() OVER (PARTITION BY event_type ORDER BY u) AS rnk
+    FROM pairs) WHERE rnk <= {KMV_GROUP_K}
+  GROUP BY event_type),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type)
+SELECT event_type,
+       CAST(k_eff AS INT) AS k_eff,
+       u_k,
+       CASE WHEN k_eff >= {KMV_GROUP_K} AND u_k > 0 THEN (k_eff - 1) / u_k
+            ELSE CAST(k_eff AS DOUBLE) END AS est_users,
+       exact_users,
+       abs(CASE WHEN k_eff >= {KMV_GROUP_K} AND u_k > 0 THEN (k_eff - 1) / u_k
+                ELSE CAST(k_eff AS DOUBLE) END - exact_users) / exact_users AS rel_error
+FROM sk JOIN ex USING (event_type)
+"""
+
+
+SPECS.append(QuerySpec("a17_kmv_grouped", a17_kmv_grouped, A17_KMV_GROUPED_ORACLE))

@@ -294,3 +294,58 @@ FROM h WHERE s = 0
 
 
 SPECS.append(QuerySpec("layout_hilbert", layout_hilbert, LAYOUT_HILBERT_ORACLE))
+
+
+MANIFEST_NAME = "_stats_manifest.parquet"
+
+
+def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> int:
+    """File-level statistics manifest for a parquet directory: one row
+    per data file with (rows, min, max) for each requested column —
+    what Delta/Iceberg keep in their metadata layer, built here with one
+    aggregation over ``input_file_name()``.
+
+    Why it matters at 100 TB: Spark's parquet reader already skips ROW
+    GROUPS via footer stats, but it must OPEN every footer to do so — a
+    million-file table pays a million reads just to plan. A manifest is
+    one small parquet file; :func:`scan_with_manifest` turns a predicate
+    into the exact file list before the real scan starts. Pairs with the
+    clustering sinks above: z-order/Hilbert make per-file min/max boxes
+    tight, the manifest makes them cheap to consult. Returns the file
+    count."""
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").alias("rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    man = (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(*aggs)
+    )
+    out = path.rstrip("/") + "/" + MANIFEST_NAME
+    man.coalesce(1).write.mode("overwrite").parquet(out)
+    return man.count()
+
+
+def scan_with_manifest(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Manifest-pruned scan: consult the stats manifest for files whose
+    [min, max] range intersects [lo, hi], then read ONLY those files.
+    Returns (frame, files_selected, files_total) so callers can assert
+    the pruning ratio. The frame still carries the predicate — manifest
+    pruning is an IO optimization, never a correctness device (a file
+    may contain non-matching rows inside its range)."""
+    man = spark.read.parquet(path.rstrip("/") + "/" + MANIFEST_NAME)
+    total = man.count()
+    picked = [
+        r["_file"]
+        for r in man.filter(
+            (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
+        ).collect()
+    ]
+    if not picked:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, total
+    df = spark.read.parquet(*picked).filter(F.col(col).between(lo, hi))
+    return df, len(picked), total

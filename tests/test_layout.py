@@ -211,3 +211,47 @@ def test_hilbert_curve_is_seamless(spark):
     for k in range(1, n * n):
         (x0, y0), (x1, y1) = cells[k - 1], cells[k]
         assert abs(x0 - x1) + abs(y0 - y1) == 1, (k, cells[k - 1], cells[k])
+
+
+def test_manifest_pruned_scan(spark, sf_dir, tmp_path):
+    """Build a Hilbert-clustered table + file-stats manifest; a narrow
+    range predicate on either clustered column must (a) select a strict
+    subset of files from the manifest and (b) return exactly the rows a
+    full scan + filter returns."""
+    from snowflake_to_postgres_spark.operators.layout import (
+        build_manifest,
+        scan_with_manifest,
+        write_hilbert,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("cx"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    out = str(tmp_path / "clustered")
+    write_hilbert(orders, "cx", "cy", out, n_files=N_FILES)
+    n_manifest = build_manifest(spark, out, ["cx", "cy"])
+    assert n_manifest == N_FILES
+
+    hi_cx = orders.agg(F.max("cx")).collect()[0][0]
+    lo, hi = 1, max(2, hi_cx // 20)  # ~5% of the cx domain
+    got, picked, total = scan_with_manifest(spark, out, "cx", lo, hi)
+    assert total == N_FILES and 0 < picked < N_FILES, (picked, total)
+    exp = sorted(
+        r["o_orderkey"] for r in orders.filter(F.col("cx").between(lo, hi)).collect()
+    )
+    assert sorted(r["o_orderkey"] for r in got.collect()) == exp
+
+    # empty-range predicate selects zero files and returns zero rows
+    empty, p0, _ = scan_with_manifest(spark, out, "cx", hi_cx + 10, hi_cx + 20)
+    assert p0 == 0 and empty.count() == 0
+
+    # the second clustered dim prunes too (the whole point vs single sort)
+    lo_cy, hi_cy = orders.agg(F.min("cy"), F.max("cy")).collect()[0]
+    _, picked_y, _ = scan_with_manifest(
+        spark, out, "cy", lo_cy, lo_cy + max(2, (hi_cy - lo_cy) // 20)
+    )
+    assert 0 < picked_y < N_FILES
