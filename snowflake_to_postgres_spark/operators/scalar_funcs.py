@@ -337,3 +337,56 @@ SPECS = [
     QuerySpec("v1_variant_json_extract", v1_variant_json_extract, V1_ORACLE),
     QuerySpec("v3_variant_typed_extract", v3_variant_typed_extract, V1_ORACLE),
 ]
+
+
+_F20_SNOWFLAKE_DDL = """CREATE OR REPLACE VIEW "DB"."PUBLIC"."CUST_LATEST" AS
+SELECT o_custkey,
+       o_orderkey::VARCHAR AS key_str,
+       IFF(o_totalprice > 200000, 'big', 'small') AS bucket,
+       DATEDIFF(day, o_orderdate, '1998-01-01'::DATE) AS age_days,
+       NVL(NULL, o_orderpriority) AS prio
+FROM public.orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) = 1"""
+
+
+def f20_translated_view_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dialect-translation EXECUTION, value-hash-gated: a
+    Snowflake-dialect view DDL (3-part name, IFF, ``::`` casts,
+    Snowflake DATEDIFF argument order, NVL, QUALIFY) goes through the
+    full F18 translator, the translated SQL runs on Spark, and the
+    RESULT is compared against a hand-written ANSI oracle. The pytest
+    suite already proves the translator's output parses; this row
+    proves the translated semantics produce the same VALUES — the
+    strongest form of translator parity, continuously checked."""
+    from snowflake_to_postgres_spark.plans.dialect import translate_view
+    from snowflake_to_postgres_spark.sources import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    tv = translate_view(_F20_SNOWFLAKE_DDL, home_schema="public")
+    # temp views are unqualified; strip the home-schema prefix the
+    # translator correctly added for a real catalog
+    spark.sql(tv.spark_sql.replace("public.orders", "orders"))
+    return spark.table(tv.name).select(
+        "o_custkey",
+        "key_str",
+        "bucket",
+        F.col("age_days").cast("bigint").alias("age_days"),
+        "prio",
+    )
+
+
+F20_ORACLE = """
+SELECT o_custkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS age_days,
+       COALESCE(NULL, o_orderpriority) AS prio
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+SPECS.append(QuerySpec("f20_translated_view_exec", f20_translated_view_exec, F20_ORACLE))
