@@ -366,3 +366,48 @@ FROM m
 
 SPECS.append(QuerySpec("a11_string_agg", a11_string_agg, A11_ORACLE))
 SPECS.append(QuerySpec("a12_stats_moments", a12_stats_moments, A12_ORACLE))
+
+
+def v4_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming DLQ split, value-hash-gated: corrupt
+    a deterministic 1-in-8 slice of props (prefix injection keyed on
+    event_id), parse with the corrupt-record column, and report
+    per-event-type routing counts — the monitoring query a quarantine
+    pipeline alerts on. Oracle uses DuckDB's json_valid on the same
+    corrupted payloads; both engines agree the injected prefix breaks
+    the document and the untouched fixture objects parse."""
+    events = load_table(spark, sf_dir, "events")
+    corrupted = F.when(
+        F.col("event_id") % 8 == 0,
+        F.concat(F.lit("{corrupt::"), F.col("props")),
+    ).otherwise(F.col("props"))
+    parsed = events.select(
+        "event_type",
+        F.from_json(
+            corrupted,
+            "k BIGINT, _corrupt STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("_j"),
+    )
+    failed = F.col("_j._corrupt").isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(failed.cast("bigint")).alias("n_quarantined"),
+        F.sum((~failed).cast("bigint")).alias("n_clean"),
+    )
+
+
+V4_QUARANTINE_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CASE WHEN event_id % 8 = 0 THEN '{corrupt::' || props ELSE props END AS p
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(SUM(CASE WHEN json_valid(p) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM c GROUP BY event_type
+"""
+
+
+SPECS.append(QuerySpec("v4_quarantine_stats", v4_quarantine_stats, V4_QUARANTINE_ORACLE))
