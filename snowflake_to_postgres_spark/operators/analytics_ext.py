@@ -1308,20 +1308,16 @@ def a16_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_est = common / KMV_K
     inter_est = jaccard_est * union_est
 
-    a_ex, b_ex, i_ex = (
-        events.agg(
-            F.count_distinct(
-                F.when(F.col("event_type") == KMV_SET_A, F.col("user_id"))
-            ).alias("a"),
-            F.count_distinct(
-                F.when(F.col("event_type") == KMV_SET_B, F.col("user_id"))
-            ).alias("b"),
-        ).collect()[0]["a"],
-        events.agg(
-            F.count_distinct(
-                F.when(F.col("event_type") == KMV_SET_B, F.col("user_id"))
-            ).alias("b")
-        ).collect()[0]["b"],
+    ex = events.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == KMV_SET_A, F.col("user_id"))
+        ).alias("a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == KMV_SET_B, F.col("user_id"))
+        ).alias("b"),
+    ).collect()[0]
+    a_ex, b_ex = ex["a"], ex["b"]
+    i_ex = (
         events.filter(F.col("event_type") == KMV_SET_A)
         .select("user_id").distinct()
         .join(
@@ -1329,7 +1325,7 @@ def a16_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id").distinct(),
             "user_id",
         )
-        .count(),
+        .count()
     )
     union_ex = a_ex + b_ex - i_ex
     return spark.createDataFrame(

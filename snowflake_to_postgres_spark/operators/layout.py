@@ -191,25 +191,76 @@ aggregate(
 """
 
 
+def _hilbert_table(bits: int) -> list[tuple[int, int, int]]:
+    """Driver-side (x, y, hkey) lookup for the full 2^bits × 2^bits
+    grid — the canonical xy2d loop in plain python (4^bits entries; 65k
+    at the default order, built in ~0.1 s and broadcast at ~1.5 MB)."""
+    n = 1 << bits
+    out = []
+    for x0 in range(n):
+        for y0 in range(n):
+            x, y, d, s = x0, y0, 0, n // 2
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = n - 1 - x, n - 1 - y
+                    x, y = y, x
+                s //= 2
+            out.append((x0, y0, d))
+    return out
+
+
+_LUT_CACHE: dict[tuple[str, int], "DataFrame"] = {}
+
+
+def _hilbert_lut(spark, bits: int) -> DataFrame:
+    """The (bin_x, bin_y) → hkey frame, built ONCE per session and kept
+    persisted: the table is static, and rebuilding it per call costs
+    more in driver→JVM serialization (65k tuples) than the join it
+    feeds. Keyed by applicationId so a new session rebuilds."""
+    key = (spark.sparkContext.applicationId, bits)
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = spark.createDataFrame(
+            _hilbert_table(bits), "_hx bigint, _hy bigint, _hkey bigint"
+        ).persist()
+        lut.count()
+        _LUT_CACHE[key] = lut
+    return lut
+
+
 def hilbert_key(
     df: DataFrame, col_x: str, col_y: str, bits: int = Z_BITS
 ) -> DataFrame:
     """Append ``_hx``/``_hy`` (bin ids) and ``_hkey`` (Hilbert index).
-    Same stats pre-pass as :func:`zorder_key`; the key projection is one
-    codegen'd fold per row. Hilbert improves on Morton where it matters
-    at scale: the curve has no 'seams' (consecutive keys are always
-    4-adjacent cells), so range reads touch fewer file boxes for the
-    same predicate — the reason Delta/Iceberg offer it next to z-order."""
+    Same stats pre-pass as :func:`zorder_key`; the key attaches via a
+    BROADCAST LOOKUP JOIN on (bin_x, bin_y) — the bin space is only
+    4^bits cells, so the full xy2d table ships as a ~1.5 MB broadcast
+    and the per-row work is one codegen'd hash probe. (The expression
+    alternative — the ``aggregate`` fold used by the oracle — is a
+    higher-order function, which Spark evaluates INTERPRETED, never
+    whole-stage-codegen: measured 2.2 s vs 0.2 s for z-order on the
+    same 150k rows. The fold stays as the cross-engine semantic spec;
+    the join is the execution path.) Hilbert improves on Morton where
+    it matters at scale: the curve has no 'seams' (consecutive keys are
+    always 4-adjacent cells), so range reads touch fewer file boxes for
+    the same predicate — the reason Delta/Iceberg offer it next to
+    z-order."""
     b = df.agg(
         F.min(col_x).alias("xmin"), F.max(col_x).alias("xmax"),
         F.min(col_y).alias("ymin"), F.max(col_y).alias("ymax"),
     ).collect()[0]
     bx = _binned(col_x, str(b["xmin"]), str(b["xmax"]), bits, "div")
     by = _binned(col_y, str(b["ymin"]), str(b["ymax"]), bits, "div")
+    spark = df.sparkSession
+    lut = _hilbert_lut(spark, bits)
     return (
         df.withColumn("_hx", F.expr(bx).cast("bigint"))
         .withColumn("_hy", F.expr(by).cast("bigint"))
-        .withColumn("_hkey", F.expr(_hilbert_fold_expr("_hx", "_hy", bits)))
+        .join(F.broadcast(lut), ["_hx", "_hy"])
     )
 
 
