@@ -600,3 +600,29 @@ def test_quarantine_split_routes_and_replays(spark, sf_dir, tmp_path):
     regood, rebad = quarantine_split(fixed)
     assert rebad.count() == 0
     assert regood.count() == n_broken
+
+
+def test_drain_with_progress_reports_batches(spark, sf_dir, tmp_path):
+    """The progress-instrumented drain must surface the engine's batch
+    telemetry: every input row accounted for across reported batches,
+    and a watermark that advances once the windowed agg runs."""
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        drain_with_progress,
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    agg = windowed_event_counts(read_events_stream(spark, sf_dir))
+    prog = drain_with_progress(
+        agg, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    assert prog, "no progress records captured"
+    total_in = sum(p["num_input_rows"] for p in prog)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total_in == n_events
+    assert all(p["batch_duration_ms"] is not None for p in prog)
+    # the sink actually received the windowed rows
+    import pyspark.sql.functions as F  # noqa: F401
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
