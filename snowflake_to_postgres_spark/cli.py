@@ -272,6 +272,28 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete_keys(args) -> int:
+    """Targeted delete (GDPR verb): remove every target row whose key
+    appears in the --keys parquet; partition-scoped IO, fully-emptied
+    partitions dropped from disk."""
+    from snowflake_to_postgres_spark.operators.transfer import (
+        delete_keys_partitioned,
+    )
+
+    spark = get_spark("delete-keys")
+    keys = spark.read.parquet(args.keys)
+    stats = delete_keys_partitioned(
+        spark,
+        args.target,
+        keys,
+        key_cols=args.key_cols.split(","),
+        partition_col=args.partition_col,
+    )
+    print(json.dumps({"surviving_rows_rewritten": stats.rows,
+                      "seconds": round(stats.seconds, 3)}))
+    return 0
+
+
 def cmd_layout(args) -> int:
     """Space-filling-curve clustering rewrite: read a parquet table,
     write it re-clustered on the z-order or Hilbert key of two columns
@@ -619,6 +641,13 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--fail-on-drift", action="store_true",
                     help="exit 3 when drift was found (repaired or not)")
     rp.set_defaults(fn=cmd_repair)
+
+    dk = sub.add_parser("delete-keys")
+    dk.add_argument("--target", required=True, help="hive-partitioned parquet dir")
+    dk.add_argument("--keys", required=True, help="parquet dir of keys to delete")
+    dk.add_argument("--key-cols", required=True, help="comma-separated key columns")
+    dk.add_argument("--partition-col", default="_pt")
+    dk.set_defaults(fn=cmd_delete_keys)
 
     ly = sub.add_parser("layout")
     ly.add_argument("--source", required=True, help="parquet dir to re-cluster")

@@ -675,3 +675,77 @@ def repair_partitions(
         "rewritten_rows": rewritten,
         "seconds": round(_time.perf_counter() - t0, 3),
     }
+
+
+def delete_keys_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    partition_col: str = "_pt",
+) -> TransferStats:
+    """Targeted delete (the GDPR/right-to-be-forgotten verb): remove
+    every target row matching ``keys`` — the deletion twin of
+    :func:`merge_upsert_partitioned`, sharing its scale shape:
+
+    * **Partition-scoped IO.** Affected partitions come from a
+      column-pruned (key, partition) index scan of the target
+      semi-joined with the delete keys (driver-sized list); only those
+      partitions are read, anti-joined, and rewritten via dynamic
+      partition overwrite. A 100 TB table with 1k doomed users rewrites
+      the partitions those users touch, nothing else.
+    * **Whole-partition drops.** A partition whose every row dies would
+      write ZERO rows — invisible to dynamic overwrite (the
+      repair_partitions lesson), so those partitions are deleted
+      through the Hadoop FS API instead.
+    * **Staging.** Same sibling-path staging as merge (Spark cannot
+      overwrite a path it is reading).
+
+    ``keys`` may be any frame carrying ``key_cols`` (a parquet list of
+    user ids, a subquery); it is reduced to distinct keys and broadcast
+    when small."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    k = keys.select(*key_cols).distinct()
+    idx = (
+        spark.read.parquet(target_path)
+        .select(*key_cols, partition_col)
+        .join(k, key_cols, "left_semi")
+    )
+    parts = [r[0] for r in idx.select(partition_col).distinct().collect()]
+    if not parts:
+        return TransferStats("delete_keys", 0, _time.perf_counter() - t0)
+
+    tgt = spark.read.parquet(target_path).filter(F.col(partition_col).isin(parts))
+    survivors = tgt.join(k, key_cols, "left_anti")
+
+    staging = _staging_path(target_path)
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        survivors.repartition(partition_col).write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        n = staged.count()
+        kept_parts = {
+            r[0] for r in staged.select(partition_col).distinct().collect()
+        }
+        # partitions where every row died: dynamic overwrite writes no
+        # data for them — drop their directories explicitly
+        for v in parts:
+            if v not in kept_parts:
+                dirname = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+                _hadoop_delete(
+                    spark, f"{target_path.rstrip('/')}/{partition_col}={dirname}"
+                )
+        if n > 0:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                staged.repartition(partition_col)
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(target_path)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        _hadoop_delete(spark, staging)
+    return TransferStats("delete_keys", n, _time.perf_counter() - t0)

@@ -519,3 +519,68 @@ def test_repair_partitions_deletes_target_only(spark, sf_dir, tmp_path):
     assert a == b
     again = repair_partitions(spark, src, tgt, "_pt")
     assert again["stale"] == [] and again["deleted_partitions"] == []
+
+
+def test_delete_keys_partition_scoped(spark, sf_dir, tmp_path):
+    """Targeted delete: doomed keys vanish, survivors intact, untouched
+    partitions never rewritten (mtime-asserted), and a partition whose
+    every row dies is REMOVED from disk."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.operators.transfer import (
+        delete_keys_partitioned,
+        transfer_partitioned,
+    )
+
+    out = str(tmp_path / "orders_del")
+    transfer_partitioned(spark, table_path(sf_dir, "orders"), out, "o_orderdate")
+    before = spark.read.parquet(out)
+    n_before = before.count()
+
+    # doom 5 keys from 1997-03 plus EVERY key of one whole partition
+    parts = sorted(r[0] for r in before.select("_pt").distinct().collect())
+    victim_part = parts[0]
+    doomed_keys = sorted(
+        {
+            r[0]
+            for r in before.filter(F.col("_pt") == "1997-03")
+            .limit(5)
+            .select("o_orderkey")
+            .unionByName(
+                before.filter(F.col("_pt") == victim_part).select("o_orderkey")
+            )
+            .collect()
+        }
+    )
+    # materialized as literals: the lazy frame would re-read files the
+    # delete is about to remove
+    doomed = spark.createDataFrame([(k,) for k in doomed_keys], "o_orderkey bigint")
+    n_doomed = len(doomed_keys)
+
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(out + "/_pt=*/**/*.parquet", recursive=True)
+    }
+    stats = delete_keys_partitioned(spark, out, doomed, ["o_orderkey"])
+    after = spark.read.parquet(out)
+    assert after.count() == n_before - n_doomed
+    assert after.join(doomed, "o_orderkey", "left_semi").count() == 0
+    # fully-doomed partition removed from disk
+    assert not os.path.exists(os.path.join(out, f"_pt={victim_part}"))
+    # untouched partitions: identical files and mtimes
+    untouched = {
+        p: t
+        for p, t in mtimes.items()
+        if f"/_pt={victim_part}/" not in p and "/_pt=1997-03/" not in p
+    }
+    for p, t in untouched.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == t, p
+    assert stats.rows == after.filter(F.col("_pt") == "1997-03").count()
+
+    # idempotence: deleting the same keys again touches nothing
+    again = delete_keys_partitioned(spark, out, doomed, ["o_orderkey"])
+    assert again.rows == 0
+    assert spark.read.parquet(out).count() == n_before - n_doomed
