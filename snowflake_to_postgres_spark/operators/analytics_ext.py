@@ -1479,3 +1479,106 @@ FROM sk JOIN ex USING (event_type)
 
 
 SPECS.append(QuerySpec("a17_kmv_grouped", a17_kmv_grouped, A17_KMV_GROUPED_ORACLE))
+
+
+TS_TREND_HALF = 12  # centered moving-average half-width (hours)
+
+
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of the hourly event
+    counts per type: trend (centered ±{TS_TREND_HALF}h moving average),
+    seasonal (mean detrended value per hour-of-day), residual — the
+    hypertable diagnostic behind anomaly baselines (ts_anomaly_zscore
+    scores against a trailing window; this separates WHY: drift vs
+    daily cycle vs noise).
+
+    Determinism: counts are exact ints; both divisions (trend,
+    seasonal) land on the tie-free fixed-point grid floor(x·10⁸ + 0.5)
+    — the similarity-kernel idiom — so Spark's HALF_UP and DuckDB's
+    rounding can never disagree; every subtraction is exact decimal.
+
+    100-TB shape: one hash aggregate to hourly grain (map-side
+    combined), then all windows/joins run over the BUCKETED series
+    (|types| × |hours| rows — bounded by wall-clock time, not events),
+    partitioned by type."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    hrs = (F.unix_timestamp("bucket") / 3600).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(hrs)
+        .rangeBetween(-TS_TREND_HALF, TS_TREND_HALF)
+    )
+    grid = lambda x: (  # noqa: E731 — tie-free 1e-8 grid, both engines
+        F.floor(x * 1e8 + F.lit(0.5)).cast("decimal(28,0)")
+        / F.lit(100000000).cast("decimal(10,0)")
+    ).cast("decimal(18,8)")
+    t = hourly.withColumn(
+        "trend",
+        grid(
+            F.sum("cnt").over(w).cast("double") / F.count("*").over(w)
+        ),
+    ).withColumn("diff", F.col("cnt").cast("decimal(18,8)") - F.col("trend"))
+    hod = F.hour("bucket")
+    seasonal = (
+        t.groupBy("event_type", hod.alias("hod"))
+        .agg(
+            grid(
+                F.sum("diff").cast("double") / F.count("*")
+            ).alias("seasonal")
+        )
+    )
+    return (
+        t.withColumn("hod", hod)
+        .join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "event_type",
+            "cnt",
+            "trend",
+            "seasonal",
+            (
+                F.col("cnt").cast("decimal(18,8)")
+                - F.col("trend")
+                - F.col("seasonal")
+            ).cast("decimal(18,8)").alias("residual"),
+        )
+    )
+
+
+TS_DECOMPOSE_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+tr AS (
+  SELECT bucket, event_type, cnt,
+         CAST(CAST(floor((CAST(SUM(cnt) OVER w AS DOUBLE)
+                          / COUNT(*) OVER w) * 100000000.0 + 0.5) AS DECIMAL(28,0))
+              / CAST(100000000 AS DECIMAL(10,0)) AS DECIMAL(18,8)) AS trend
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY CAST(epoch(bucket) // 3600 AS BIGINT)
+               RANGE BETWEEN {TS_TREND_HALF} PRECEDING AND {TS_TREND_HALF} FOLLOWING)),
+dt AS (
+  SELECT *, CAST(cnt AS DECIMAL(18,8)) - trend AS diff,
+         CAST(hour(bucket) AS INT) AS hod
+  FROM tr),
+seas AS (
+  SELECT event_type, hod,
+         CAST(CAST(floor((CAST(SUM(diff) AS DOUBLE) / COUNT(*)) * 100000000.0 + 0.5) AS DECIMAL(28,0))
+              / CAST(100000000 AS DECIMAL(10,0)) AS DECIMAL(18,8)) AS seasonal
+  FROM dt GROUP BY 1, 2)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       dt.event_type, cnt, trend, seasonal,
+       CAST(CAST(cnt AS DECIMAL(18,8)) - trend - seasonal AS DECIMAL(18,8)) AS residual
+FROM dt JOIN seas ON dt.event_type = seas.event_type AND dt.hod = seas.hod
+"""
+
+
+SPECS.append(QuerySpec("ts_decompose", ts_decompose, TS_DECOMPOSE_ORACLE))

@@ -113,6 +113,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "x_q19_flagged_revenue": ("revenue",),
     "x_q22_dormant_balance": ("totacctbal",),
     "x_q3_shipping_priority": ("revenue",),
+    "ts_decompose": ("trend", "seasonal", "residual"),
 }
 
 # The driver's correctness harness checks the FIRST 50 registered queries
