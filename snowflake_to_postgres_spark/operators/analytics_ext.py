@@ -1582,3 +1582,91 @@ FROM dt JOIN seas ON dt.event_type = seas.event_type AND dt.hod = seas.hod
 
 
 SPECS.append(QuerySpec("ts_decompose", ts_decompose, TS_DECOMPOSE_ORACLE))
+
+
+TS_SEASON_LAG_H = 24  # seasonal-naive lag (hours)
+
+
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast with a full backtest: predict each hour's
+    event count per type as the count {TS_SEASON_LAG_H} hours earlier,
+    then score MAE / MAPE / bias over every hour where the lag exists —
+    the capacity-planning baseline every fancier model must beat, and
+    the backtest harness is the reusable part (swap the predictor, keep
+    the scoring).
+
+    Exact integer errors, one tie-free grid division per metric —
+    deterministic cross-engine. One bucketing aggregate; the self-join
+    runs on the bounded hourly series keyed by (type, hour)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    hrs = (F.unix_timestamp("bucket") / 3600).cast("bigint")
+    cur = hourly.select("event_type", hrs.alias("h"), "cnt")
+    past = hourly.select(
+        "event_type",
+        (hrs + TS_SEASON_LAG_H).alias("h"),
+        F.col("cnt").alias("pred"),
+    )
+    grid = lambda x: (  # noqa: E731
+        F.floor(x * 1e8 + F.lit(0.5)).cast("decimal(28,0)")
+        / F.lit(100000000).cast("decimal(10,0)")
+    ).cast("decimal(18,8)")
+    j = cur.join(past, ["event_type", "h"]).withColumn(
+        # per-row ratio snapped to the grid BEFORE summation: a sum of
+        # raw doubles is order-dependent across engines; a sum of exact
+        # decimals is not
+        "_ape",
+        grid(F.abs(F.col("cnt") - F.col("pred")).cast("double") / F.col("cnt")),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(F.abs(F.col("cnt") - F.col("pred"))).alias("_sae"),
+            F.sum("_ape").alias("_sape"),
+            F.sum(F.col("pred") - F.col("cnt")).alias("_bias"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            grid(F.col("_sae").cast("double") / F.col("n_hours")).alias("mae"),
+            grid(F.col("_sape").cast("double") / F.col("n_hours")).alias("mape"),
+            grid(F.col("_bias").cast("double") / F.col("n_hours")).alias("bias"),
+        )
+    )
+
+
+TS_FORECAST_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+cur AS (
+  SELECT event_type, CAST(epoch(bucket) // 3600 AS BIGINT) AS h, cnt FROM hourly),
+past AS (
+  SELECT event_type, CAST(epoch(bucket) // 3600 AS BIGINT) + {lag} AS h,
+         cnt AS pred
+  FROM hourly),
+j AS (
+  SELECT cur.event_type, cur.cnt, past.pred,
+         CAST(CAST(floor((CAST(abs(cur.cnt - past.pred) AS DOUBLE) / cur.cnt)
+                         * 100000000.0 + 0.5) AS DECIMAL(28,0))
+              / CAST(100000000 AS DECIMAL(10,0)) AS DECIMAL(18,8)) AS ape
+  FROM cur JOIN past ON cur.event_type = past.event_type AND cur.h = past.h)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       CAST(CAST(floor((CAST(SUM(abs(cnt - pred)) AS DOUBLE) / COUNT(*))
+                       * 100000000.0 + 0.5) AS DECIMAL(28,0))
+            / CAST(100000000 AS DECIMAL(10,0)) AS DECIMAL(18,8)) AS mae,
+       CAST(CAST(floor((CAST(SUM(ape) AS DOUBLE) / COUNT(*))
+                       * 100000000.0 + 0.5) AS DECIMAL(28,0))
+            / CAST(100000000 AS DECIMAL(10,0)) AS DECIMAL(18,8)) AS mape,
+       CAST(CAST(floor((CAST(SUM(pred - cnt) AS DOUBLE) / COUNT(*))
+                       * 100000000.0 + 0.5) AS DECIMAL(28,0))
+            / CAST(100000000 AS DECIMAL(10,0)) AS DECIMAL(18,8)) AS bias
+FROM j GROUP BY event_type
+""".format(lag=TS_SEASON_LAG_H)
+
+
+SPECS.append(QuerySpec("ts_forecast_backtest", ts_forecast_backtest, TS_FORECAST_ORACLE))

@@ -114,6 +114,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "x_q22_dormant_balance": ("totacctbal",),
     "x_q3_shipping_priority": ("revenue",),
     "ts_decompose": ("trend", "seasonal", "residual"),
+    "ts_forecast_backtest": ("mae", "mape", "bias"),
 }
 
 # The driver's correctness harness checks the FIRST 50 registered queries
