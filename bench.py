@@ -83,6 +83,7 @@ HEADLINE = [
     "tx_zipf_fit",
     "graph_pagerank",
     "sim_mmr_rerank",
+    "ts_decompose",
 ]
 
 
