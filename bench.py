@@ -163,12 +163,13 @@ def main() -> None:
     total = sum(per_query.values())
 
     # Transfer throughput: the reference's headline metric (BASELINE.md).
-    # Drop every leftover cache first: queries that persist shared
-    # subtrees (tx_hashed_features, semantic clusters) accumulate one
-    # InMemoryRelation per invocation across the bench rounds, and the
-    # storage pool they hold squeezes the write's execution memory —
-    # measured 509k → 338k rows/s before this line existed. The transfer
-    # number should measure the transfer.
+    # Drop leftover caches first — queries that persist shared subtrees
+    # (tx_hashed_features, semantic clusters, the Hilbert LUT) leave one
+    # InMemoryRelation per invocation behind. An isolated A/B showed the
+    # storage pool does NOT measurably slow the write at this scale
+    # (458k vs 451k rows/s, PERFORMANCE.md), but the transfer number
+    # should measure the transfer, not whatever the query phase left in
+    # memory.
     spark.catalog.clearCache()
     li = load_table(spark, sf_dir, "lineitem")
     n_rows = li.count()
