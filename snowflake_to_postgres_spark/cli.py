@@ -272,6 +272,28 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print the formatted physical plan of any registered query — the
+    explain-driven tuning loop as a CLI verb (what the reference's
+    --verbose logging never could: the actual join strategies, pushed
+    filters, and exchange points before anything runs)."""
+    from snowflake_to_postgres_spark.registry import queries
+
+    spark = get_spark("explain")
+    qs = queries()
+    fn = qs.get(args.query)
+    if fn is None:
+        import difflib
+
+        close = difflib.get_close_matches(args.query, qs, n=5)
+        print(f"unknown query {args.query!r}; close: {close}", file=sys.stderr)
+        return 2
+    df = fn(spark, args.sf_dir)
+    print(df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), args.mode))
+    return 0
+
+
 def cmd_delete_keys(args) -> int:
     """Targeted delete (GDPR verb): remove every target row whose key
     appears in the --keys parquet; partition-scoped IO, fully-emptied
@@ -641,6 +663,13 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--fail-on-drift", action="store_true",
                     help="exit 3 when drift was found (repaired or not)")
     rp.set_defaults(fn=cmd_repair)
+
+    ex = sub.add_parser("explain")
+    ex.add_argument("--query", required=True, help="registered query name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost", "codegen"])
+    ex.set_defaults(fn=cmd_explain)
 
     dk = sub.add_parser("delete-keys")
     dk.add_argument("--target", required=True, help="hive-partitioned parquet dir")

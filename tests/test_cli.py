@@ -299,3 +299,15 @@ def test_cli_layout_hilbert(tmp_path, capsys, spark, sf_dir):
     n_src = spark.read.parquet(src).count()
     assert doc == {"curve": "hilbert", "rows": n_src, "files": 4}
     assert len(glob.glob(out + "/part-*.parquet")) == 4
+
+
+def test_cli_explain(capsys, spark, sf_dir):
+    """explain verb: formatted plan for a registered query; unknown
+    names fail with suggestions."""
+    rc = main(["explain", "--query", "q1_pricing_summary", "--sf-dir", sf_dir])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out and "HashAggregate" in out
+    rc = main(["explain", "--query", "q1_pricing_summry", "--sf-dir", sf_dir])
+    err = capsys.readouterr().err
+    assert rc == 2 and "q1_pricing_summary" in err
