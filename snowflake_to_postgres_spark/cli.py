@@ -289,8 +289,7 @@ def cmd_explain(args) -> int:
         print(f"unknown query {args.query!r}; close: {close}", file=sys.stderr)
         return 2
     df = fn(spark, args.sf_dir)
-    print(df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), args.mode))
+    df.explain(args.mode)  # public API; prints the formatted plan
     return 0
 
 

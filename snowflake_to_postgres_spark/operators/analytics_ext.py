@@ -1305,7 +1305,11 @@ def a16_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta = union_sorted[-1] if union_sorted else 0.0
     common = len({h for h in set(sa) & set(sb) if h <= theta})
     union_est = kmv_est(union_sorted)
-    jaccard_est = common / KMV_K
+    # denominator = RETAINED union hashes (k_eff), not K: below the
+    # sketch capacity the union keeps every hash, and dividing by K
+    # would understate Jaccard by k_eff/K (two identical 30-user sets
+    # must estimate J=1.0, not 30/64)
+    jaccard_est = common / len(union_sorted) if union_sorted else 0.0
     inter_est = jaccard_est * union_est
 
     ex = events.agg(
@@ -1381,7 +1385,7 @@ est AS (
          THEN (bstats.k_eff - 1) / bstats.u_k ELSE CAST(bstats.k_eff AS DOUBLE) END AS b_est,
     CASE WHEN unstats.k_eff >= {KMV_K} AND unstats.theta > 0
          THEN (unstats.k_eff - 1) / unstats.theta ELSE CAST(unstats.k_eff AS DOUBLE) END AS union_est,
-    CAST(common.c AS DOUBLE) / {KMV_K} AS jaccard_est
+    CAST(common.c AS DOUBLE) / unstats.k_eff AS jaccard_est
   FROM astats, bstats, unstats, common)
 SELECT CAST({KMV_K} AS INT) AS k,
        a_est, b_est, union_est, jaccard_est,

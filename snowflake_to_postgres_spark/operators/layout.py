@@ -260,7 +260,11 @@ def hilbert_key(
     return (
         df.withColumn("_hx", F.expr(bx).cast("bigint"))
         .withColumn("_hy", F.expr(by).cast("bigint"))
-        .join(F.broadcast(lut), ["_hx", "_hy"])
+        # LEFT join: a NULL in either clustering column yields NULL bins,
+        # and an inner join would silently DROP those rows from the
+        # rewrite — a clustering sink must be row-preserving (they keep a
+        # NULL _hkey and sort together, same as the z-order path)
+        .join(F.broadcast(lut), ["_hx", "_hy"], "left")
     )
 
 
@@ -375,7 +379,11 @@ def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> int:
     )
     out = path.rstrip("/") + "/" + MANIFEST_NAME
     man.coalesce(1).write.mode("overwrite").parquet(out)
-    return man.count()
+    # count from the one-file manifest just written — re-counting `man`
+    # would re-run the full input_file_name() aggregation over the whole
+    # dataset (a second complete scan of exactly the table the manifest
+    # exists to avoid touching)
+    return spark.read.parquet(out).count()
 
 
 def scan_with_manifest(

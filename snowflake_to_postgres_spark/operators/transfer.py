@@ -268,6 +268,17 @@ def _staging_path(target_path: str) -> str:
     return f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex}"
 
 
+def _in_parts(partition_col: str, parts: list):
+    """NULL-safe partition membership: ``isin`` evaluates NULL for NULL
+    rows, so a list containing None would silently exclude (and, in the
+    delete path, destroy) the __HIVE_DEFAULT_PARTITION__ rows."""
+    non_null = [p for p in parts if p is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(p is None for p in parts):
+        cond = cond | F.col(partition_col).isNull()
+    return cond
+
+
 def _hadoop_delete(spark: SparkSession, path: str) -> None:
     """Recursive delete through the Hadoop FileSystem API — resolves the
     path's own filesystem, so it works for any scheme the write did."""
@@ -343,7 +354,7 @@ def merge_upsert_partitioned(
         moved = (
             spark.read.parquet(target_path)
             .select(*key_cols, partition_col)
-            .filter(~F.col(partition_col).isin(parts))
+            .filter(~_in_parts(partition_col, parts))
             .join(updates.select(*key_cols).distinct(), key_cols, "left_semi")
         )
         sample = moved.limit(5).collect()
@@ -355,7 +366,7 @@ def merge_upsert_partitioned(
                 f"be functionally determined by key_cols. Sample: "
                 f"{[tuple(r) for r in sample]}"
             )
-    tgt = spark.read.parquet(target_path).filter(F.col(partition_col).isin(parts))
+    tgt = spark.read.parquet(target_path).filter(_in_parts(partition_col, parts))
     if version_col is None:
         merged = tgt.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
@@ -631,7 +642,18 @@ def repair_partitions(
             F.sum(h).alias(f"{side}_h"),
         )
 
-    diff = fp(src, "s").join(fp(tgt, "t"), partition_col, "full_outer")
+    # NULL-SAFE full outer: a plain column-name join never matches NULL
+    # partition keys, so a drifted __HIVE_DEFAULT_PARTITION__ would show
+    # up as TWO stale rows (one per side) and the rewrite-set difference
+    # would cancel it out of the repair entirely.
+    fs = fp(src, "s").withColumnRenamed(partition_col, "_s_pt")
+    ft = fp(tgt, "t").withColumnRenamed(partition_col, "_t_pt")
+    diff = fs.join(
+        ft, fs["_s_pt"].eqNullSafe(ft["_t_pt"]), "full_outer"
+    ).select(
+        F.coalesce(fs["_s_pt"], ft["_t_pt"]).alias(partition_col),
+        "s_n", "s_h", "t_n", "t_h",
+    )
     stale_rows = diff.filter(
         ~(
             F.col("s_n").eqNullSafe(F.col("t_n"))
@@ -653,9 +675,10 @@ def repair_partitions(
             spark, f"{target_path.rstrip('/')}/{partition_col}={dirname}"
         )
     rewritten = 0
-    to_rewrite = [v for v in stale if v not in set(extra)]
+    extra_set = set(extra)
+    to_rewrite = [v for v in stale if v not in extra_set]
     if to_rewrite:
-        slice_ = src.filter(F.col(partition_col).isin(to_rewrite))
+        slice_ = src.filter(_in_parts(partition_col, to_rewrite))
         rewritten = slice_.count()
         prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
@@ -717,7 +740,7 @@ def delete_keys_partitioned(
     if not parts:
         return TransferStats("delete_keys", 0, _time.perf_counter() - t0)
 
-    tgt = spark.read.parquet(target_path).filter(F.col(partition_col).isin(parts))
+    tgt = spark.read.parquet(target_path).filter(_in_parts(partition_col, parts))
     survivors = tgt.join(k, key_cols, "left_anti")
 
     staging = _staging_path(target_path)

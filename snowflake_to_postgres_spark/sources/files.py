@@ -144,7 +144,9 @@ def read_with_quarantine(
 
 
 # Numeric widening lattice for cross-generation schema reconciliation.
-_WIDEN_ORDER = ["byte", "short", "int", "bigint", "float", "double"]
+_INT_ORDER = ["byte", "short", "int", "bigint"]
+_FLOAT_ORDER = ["float", "double"]
+_WIDEN_ORDER = _INT_ORDER + _FLOAT_ORDER
 
 
 def _widest(a: T.DataType, b: T.DataType) -> T.DataType:
@@ -152,6 +154,11 @@ def _widest(a: T.DataType, b: T.DataType) -> T.DataType:
         return a
     names = {a.simpleString(), b.simpleString()}
     if names <= set(_WIDEN_ORDER):
+        # an integer generation meeting a floating one must widen to
+        # DOUBLE: picking float (lattice-highest) would truncate bigints
+        # above 2^24 — the id-overflow case this function exists for
+        if names & set(_INT_ORDER) and names & set(_FLOAT_ORDER):
+            return T.DoubleType()
         return T._parse_datatype_string(
             max(names, key=_WIDEN_ORDER.index)
         )

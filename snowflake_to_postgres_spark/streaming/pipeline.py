@@ -591,8 +591,13 @@ def run_quarantine_split_available_now(
 ) -> None:
     """Drain the events stream through the DLQ split: clean rows to
     ``good_dir``, quarantined payloads to ``dlq_dir``, one checkpointed
-    query via foreachBatch (both sinks commit under the SAME batch id —
-    a row can never land in both or neither after a crash-replay)."""
+    query via foreachBatch. Both sinks are partitioned by the BATCH ID
+    and written with dynamic partition overwrite, which is what makes a
+    crash-replay safe: plain ``append`` inside foreachBatch duplicates
+    the batch when the driver dies between the append and the
+    checkpoint commit; overwriting the batch's own partition makes the
+    replay idempotent (the standard exactly-once recipe for foreachBatch
+    file sinks). Readers see a ``_batch`` partition column."""
     good, bad = quarantine_split(read_events_stream(spark, sf_dir))
     tagged = good.select(F.lit("good").alias("_route"), "*").unionByName(
         bad.select(
@@ -606,12 +611,20 @@ def run_quarantine_split_available_now(
         allowMissingColumns=False,
     )
 
-    def handle(batch: DataFrame, _bid: int) -> None:
+    def handle(batch: DataFrame, bid: int) -> None:
         batch.persist()
+        spark_b = batch.sparkSession
+        prior = spark_b.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
-            batch.filter(F.col("_route") == "good").drop("_route").write.mode(
-                "append"
-            ).parquet(good_dir)
+            spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                batch.filter(F.col("_route") == "good")
+                .drop("_route")
+                .withColumn("_batch", F.lit(bid))
+                .write.mode("overwrite")
+                .partitionBy("_batch")
+                .parquet(good_dir)
+            )
             (
                 batch.filter(F.col("_route") == "dlq")
                 .select(
@@ -619,10 +632,13 @@ def run_quarantine_split_available_now(
                     F.col("props").alias("raw_payload"),
                     F.lit("json_parse_failed").alias("reason"),
                 )
-                .write.mode("append")
+                .withColumn("_batch", F.lit(bid))
+                .write.mode("overwrite")
+                .partitionBy("_batch")
                 .parquet(dlq_dir)
             )
         finally:
+            spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
             batch.unpersist()
 
     (
@@ -656,24 +672,17 @@ def drain_with_progress(
         .trigger(availableNow=True)
         .start()
     )
+    q.awaitTermination()
+    # recentProgress holds the engine's full per-batch history for the
+    # run (a lastProgress polling loop MISSES any batch that completes
+    # between polls — sub-poll-interval batches would silently vanish
+    # from the telemetry, defeating the "every row accounted for" use)
     progress: list[dict] = []
     seen: set[int] = set()
-    while q.isActive:
-        p = q.lastProgress
-        if p and p["batchId"] not in seen:
-            seen.add(p["batchId"])
-            progress.append(
-                {
-                    "batch_id": p["batchId"],
-                    "num_input_rows": p.get("numInputRows", 0),
-                    "rows_per_sec": p.get("processedRowsPerSecond"),
-                    "watermark": (p.get("eventTime") or {}).get("watermark"),
-                    "batch_duration_ms": p.get("batchDuration"),
-                }
-            )
-        q.awaitTermination(0.2)
-    p = q.lastProgress
-    if p and p["batchId"] not in seen:
+    for p in q.recentProgress:
+        if p["batchId"] in seen:
+            continue
+        seen.add(p["batchId"])
         progress.append(
             {
                 "batch_id": p["batchId"],

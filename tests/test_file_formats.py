@@ -131,3 +131,18 @@ def test_read_evolving_decimal_widening(spark, tmp_path):
     assert out.schema["amt"].dataType.simpleString() == "decimal(12,4)"
     vals = sorted(str(r["amt"]) for r in out.collect())
     assert vals == ["123.4567", "12345678.9900"]
+
+
+def test_read_evolving_int_meets_float_widens_to_double(spark, tmp_path):
+    """bigint meeting float must reconcile to DOUBLE: float32 truncates
+    integers above 2^24 — the id-overflow case this exists for."""
+    from snowflake_to_postgres_spark.sources.files import read_evolving
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.createDataFrame([(16_777_217,)], "user_id bigint").write.parquet(a)
+    spark.sql("SELECT CAST(1.5 AS FLOAT) AS user_id").write.parquet(b)
+    out = read_evolving(spark, [a, b])
+    assert out.schema["user_id"].dataType.simpleString() == "double"
+    vals = sorted(r["user_id"] for r in out.collect())
+    assert vals == [1.5, 16_777_217.0]  # bigint survives exactly

@@ -255,3 +255,20 @@ def test_manifest_pruned_scan(spark, sf_dir, tmp_path):
         spark, out, "cy", lo_cy, lo_cy + max(2, (hi_cy - lo_cy) // 20)
     )
     assert 0 < picked_y < N_FILES
+
+
+def test_hilbert_write_preserves_null_rows(spark, tmp_path):
+    """A clustering rewrite must be row-preserving: rows with NULL in a
+    clustering column keep a NULL key instead of being dropped."""
+    from snowflake_to_postgres_spark.operators.layout import hilbert_key, write_hilbert
+
+    df = spark.createDataFrame(
+        [(1, 10, 20), (2, None, 30), (3, 40, None), (4, 50, 60)],
+        "id bigint, cx bigint, cy bigint",
+    )
+    keyed = hilbert_key(df, "cx", "cy")
+    assert keyed.count() == 4
+    assert keyed.filter(F.col("_hkey").isNull()).count() == 2
+    out = str(tmp_path / "h_nulls")
+    write_hilbert(df, "cx", "cy", out, n_files=2)
+    assert spark.read.parquet(out).count() == 4

@@ -584,3 +584,42 @@ def test_delete_keys_partition_scoped(spark, sf_dir, tmp_path):
     again = delete_keys_partitioned(spark, out, doomed, ["o_orderkey"])
     assert again.rows == 0
     assert spark.read.parquet(out).count() == n_before - n_doomed
+
+
+def test_delete_and_repair_handle_null_partition(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__): a delete
+    touching the NULL partition must keep its survivors (isin() would
+    silently exclude — then destroy — them), and repair must converge on
+    a drifted NULL partition."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.operators.transfer import (
+        delete_keys_partitioned,
+        repair_partitions,
+    )
+
+    rows = [(i, "x", None if i < 50 else "2020-01") for i in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, v string, _pt string")
+    tgt = str(tmp_path / "tgt_null")
+    df.write.partitionBy("_pt").parquet(tgt)
+    assert os.path.isdir(os.path.join(tgt, "_pt=__HIVE_DEFAULT_PARTITION__"))
+
+    doomed = spark.createDataFrame([(0,), (1,)], "k bigint")
+    delete_keys_partitioned(spark, tgt, doomed, ["k"])
+    after = spark.read.parquet(tgt)
+    assert after.count() == 98
+    assert after.filter(F.col("_pt").isNull()).count() == 48  # survivors kept
+
+    # repair: source has the full NULL partition, target's is now
+    # different → one repair must restore equality and converge
+    src = str(tmp_path / "src_null")
+    df.write.partitionBy("_pt").parquet(src)
+    stats = repair_partitions(spark, src, tgt, "_pt")
+    assert "None" in stats["stale"]
+    assert stats["rewritten_rows"] >= 50
+    a = sorted(tuple(str(x) for x in r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(str(x) for x in r) for r in spark.read.parquet(tgt).collect())
+    assert a == b
+    assert repair_partitions(spark, src, tgt, "_pt")["stale"] == []
