@@ -1674,3 +1674,75 @@ FROM j GROUP BY event_type
 
 
 SPECS.append(QuerySpec("ts_forecast_backtest", ts_forecast_backtest, TS_FORECAST_ORACLE))
+
+
+RFM_REF_DATE = "1998-08-02"  # TPC-H dataset end date (recency anchor)
+
+
+def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse marketing
+    query: per customer, Recency (days from last order to the dataset
+    end date), Frequency (order count), Monetary (exact-decimal spend),
+    each scored into quartiles (ntile over the customer population,
+    recency ranked best-first) and concatenated into the familiar
+    '444'-style segment code.
+
+    100-TB shape: one aggregation over orders shuffles on o_custkey;
+    the three ntile windows run over the CUSTOMER-sized aggregate (not
+    orders), each a single global ordering of an already-reduced frame
+    — at extreme customer counts swap ntile for percentile-bucket
+    joins, same output contract. Deterministic: ntile ties broken by
+    customer key in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_REF_DATE).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = (
+        base.withColumn("r_score", F.lit(5) - F.ntile(4).over(w_r))
+        .withColumn("f_score", F.lit(5) - F.ntile(4).over(w_f))
+        .withColumn("m_score", F.lit(5) - F.ntile(4).over(w_m))
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("segment"),
+    )
+
+
+X_RFM_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '{RFM_REF_DATE}') AS INT)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT *,
+    5 - ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+    5 - ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+    5 - ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM base)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
+SPECS.append(QuerySpec("x_rfm_segmentation", x_rfm_segmentation, X_RFM_ORACLE))

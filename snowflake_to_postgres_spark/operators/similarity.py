@@ -1788,3 +1788,86 @@ SPECS.append(
         "policy; pure-python parity pinned in tests/test_round6_ops.py",
     )
 )
+
+
+EMB_OUTLIER_Z = 3.0  # |z| threshold on the vector-norm distribution
+
+
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control: flag vectors whose L2 NORM is a
+    population outlier (|z| > {EMB_OUTLIER_Z}) — degenerate embeddings
+    (near-zero norms from empty inputs, blown-up norms from overflow)
+    are the standard upstream-failure signature, and norm z-scoring is
+    the cheap always-on gate before any ANN index ingests a batch.
+
+    Determinism: sqrt is IEEE correctly-rounded (unlike ln/exp), so
+    norms snap to the 1e-8 grid identically in both engines; mean and
+    variance accumulate in exact decimal from the gridded norms; the
+    final z is one double division.
+
+    100-TB shape: norms come from the existing map-side component
+    aggregate; the (mean, var) reduce to one row broadcast back; the
+    z-projection is a map — nothing corpus-sized shuffles twice."""
+    comp = _components(spark, sf_dir)
+    grid = lambda x: (  # noqa: E731
+        F.floor(x * 1e8 + F.lit(0.5)).cast("decimal(28,0)")
+        / F.lit(100000000).cast("decimal(10,0)")
+    ).cast("decimal(18,8)")
+    norms = _norms(comp).select(
+        "vec_id", grid(F.sqrt(F.col("n2").cast("double"))).alias("norm")
+    )
+    stats = norms.agg(
+        F.count("*").alias("n"),
+        F.sum("norm").alias("s"),
+        F.sum(F.col("norm") * F.col("norm")).alias("s2"),
+    ).collect()[0]
+    n = stats["n"]
+    mean = float(stats["s"]) / n
+    var = max(float(stats["s2"]) / n - mean * mean, 0.0)
+    std = var ** 0.5
+    if std == 0:
+        z = F.lit(0.0)
+    else:
+        z = (F.col("norm").cast("double") - F.lit(mean)) / F.lit(std)
+    return norms.select(
+        "vec_id",
+        "norm",
+        grid(z).alias("zscore"),
+        (F.abs(grid(z)) > EMB_OUTLIER_Z).alias("is_outlier"),
+    )
+
+
+EMB_OUTLIERS_ORACLE = _COMP_CTES + f""",
+nv AS (
+  SELECT vec_id,
+         CAST(CAST(floor(sqrt(CAST(n2 AS DOUBLE)) * 100000000.0 + 0.5) AS DECIMAL(28,0))
+              / CAST(100000000 AS DECIMAL(10,0)) AS DECIMAL(18,8)) AS norm
+  FROM norms),
+st AS (
+  SELECT COUNT(*) AS n, SUM(norm) AS s, SUM(norm * norm) AS s2 FROM nv),
+zs AS (
+  -- s/s2 are wide decimals: DuckDB's int128→double conversion is not
+  -- correctly rounded above 2^53, so route through VARCHAR (parsed
+  -- correctly-rounded in both engines — the emb_dim_stats idiom);
+  -- python float(Decimal) on the Spark side is always correctly rounded
+  SELECT vec_id, norm,
+         CASE WHEN (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                    - (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+                      * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)) <= 0
+              THEN 0.0
+              ELSE (CAST(norm AS DOUBLE) - CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+                   / sqrt(CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n
+                          - (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+                            * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n))
+         END AS zraw
+  FROM nv, st)
+SELECT vec_id, norm,
+       CAST(CAST(floor(zraw * 100000000.0 + 0.5) AS DECIMAL(28,0))
+            / CAST(100000000 AS DECIMAL(10,0)) AS DECIMAL(18,8)) AS zscore,
+       abs(CAST(CAST(floor(zraw * 100000000.0 + 0.5) AS DECIMAL(28,0))
+            / CAST(100000000 AS DECIMAL(10,0)) AS DECIMAL(18,8))) > {EMB_OUTLIER_Z} AS is_outlier
+FROM zs
+"""
+
+
+SPECS.append(QuerySpec("emb_outliers", emb_outliers, EMB_OUTLIERS_ORACLE))

@@ -115,6 +115,8 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "x_q3_shipping_priority": ("revenue",),
     "ts_decompose": ("trend", "seasonal", "residual"),
     "ts_forecast_backtest": ("mae", "mape", "bias"),
+    "x_rfm_segmentation": ("monetary",),
+    "emb_outliers": ("norm", "zscore"),
 }
 
 # The driver's correctness harness checks the FIRST 50 registered queries
