@@ -461,7 +461,6 @@ def _lsh_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
-    doc_n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Candidate-restricted intersection: only LSH candidates reach the
     # shingle join — the whole point of LSH. (An all-pairs intersection
     # here, like dedup_ngram_jaccard_pairs does by design, would make the
@@ -473,6 +472,12 @@ def _lsh_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.select(F.col("d2").alias("doc_id"))
     ).distinct()
     sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    # shingle-set sizes from the CANDIDATE-restricted index: a doc_n
+    # built from the full corpus has corpus cardinality, and the
+    # broadcasts below would ship billions of rows at the documented
+    # scale; restricted to candidates it is bounded like everything
+    # else past the banding (values identical for every emitted pair)
+    doc_n = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
     sh1 = sh_cand.select(F.col("doc_id").alias("d1"), "shingle")
     sh2 = sh_cand.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
@@ -610,7 +615,9 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").alias("i"))
     )
-    n_src = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # candidate-restricted sizes (same fix as _lsh_candidate_overlap):
+    # a full-corpus doc_n must never carry a broadcast hint
+    n_src = sh_cand.groupBy("doc_id").agg(F.count("*").alias("n"))
     cont = F.col("i").cast("double") / F.col("n").cast("double")
     return (
         inter.join(F.broadcast(n_src.withColumnRenamed("doc_id", "src")), "src")
@@ -803,9 +810,16 @@ DEDUP_SIMHASH_ORACLE = _simhash_oracle_sql()
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming(a,b) ≤ 6, blocked on the high 16
-    bits (prefix banding): the candidate join shuffles on the 16-bit
-    prefix, never all-pairs — the scale path for simhash dedup."""
+    """SimHash near-dup pairs with PREFIX blocking: candidates share the
+    high 16 bits, verified to hamming(a,b) ≤ 6. This is a RECALL-TRADED
+    scheme and says so: only pairs whose differing bits all fall in the
+    low half are found (a hamming-6 pair clears the prefix with
+    probability C(16,6)/C(32,6) — the cheap screen, not a guarantee).
+    For GUARANTEED recall use :func:`dedup_simhash64_pairs` below — the
+    Manku et al. pigeonhole design, which is also the better scale
+    shape (65k-bucket blocks); 7-block pigeonhole over THIS 32-bit hash
+    would need 4-5-bit blocks whose ~32-value keyspace degenerates
+    toward all-pairs."""
     sigs = dedup_simhash_signatures(spark, sf_dir)
     a = sigs.select(
         F.col("doc_id").alias("d1"),
@@ -861,8 +875,12 @@ def propagate_components(sym: DataFrame, max_rounds: int = 50) -> tuple[DataFram
     for _ in range(max_rounds):
         rounds += 1
         prop = (
-            F.broadcast(sym)
-            .join(labels, sym.d1 == labels.doc_id)
+            # plain shuffle join: this path runs ONLY when the edge list
+            # exceeded DRIVER_CC_MAX_EDGES — i.e. exactly when it is too
+            # big to broadcast; a broadcast hint here would materialize
+            # the multi-GB frame on the driver and every executor, once
+            # per round
+            sym.join(labels, sym.d1 == labels.doc_id)
             .select(F.col("d2").alias("doc_id"), "comp")
         )
         stepped = (
@@ -1073,17 +1091,35 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: derives entirely from the component assignment (pair-
     graph-sized, not corpus-sized); two further map-side-combined
     aggregations on tiny keys."""
-    comp = dedup_cluster_components(spark, sf_dir)
-    return (
-        comp.groupBy("component_id")
-        .agg(F.count("*").alias("cluster_size"))
+    # histogram from the LABEL frame, not the corpus: every clustered
+    # doc already carries its cluster_size, so distinct (component,
+    # size) is pair-graph-sized; singletons contribute ONE scalar
+    # (total - clustered) instead of a corpus-sized shuffle — this is
+    # what the docstring's "pair-graph-sized, not corpus-sized" claim
+    # requires of the plan
+    clustered = _lsh_cluster_labels(spark, sf_dir)
+    n_total = load_table(spark, sf_dir, "documents").count()
+    n_clustered = clustered.count()
+    hist = (
+        clustered.select("component_id", "cluster_size")
+        .distinct()
         .groupBy("cluster_size")
-        .agg(
-            F.count("*").cast("bigint").alias("n_clusters"),
-            (F.count("*") * F.col("cluster_size")).cast("bigint").alias("n_docs"),
-            (F.count("*") * (F.col("cluster_size") - 1)).cast("bigint").alias("removable_docs"),
+        .agg(F.count("*").alias("n_clusters"))
+    )
+    if n_total > n_clustered:
+        singles = spark.createDataFrame(
+            [(1, n_total - n_clustered)], "cluster_size bigint, n_clusters bigint"
         )
-        .withColumn("cluster_size", F.col("cluster_size").cast("bigint"))
+        hist = hist.select(
+            F.col("cluster_size").cast("bigint"), F.col("n_clusters").cast("bigint")
+        ).unionByName(singles)
+    return hist.select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        (F.col("n_clusters") * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+        (F.col("n_clusters") * (F.col("cluster_size") - 1))
+        .cast("bigint")
+        .alias("removable_docs"),
     )
 
 
@@ -1166,3 +1202,124 @@ SPECS = [
     QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_ORACLE),
     QuerySpec("dedup_incremental_lsh", dedup_incremental_lsh, DEDUP_INCR_LSH_ORACLE),
 ]
+
+
+SIMHASH64_MAX_HAMMING = 3  # Manku et al. 2007: f=64, k=3, k+1=4 blocks
+
+
+def _simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (hi from md5 hex chars 9-16,
+    lo from 1-8; a single 16-hex conv would overflow signed bigint).
+    Same one-explode-one-aggregate shape as the 32-bit kernel."""
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    xlo = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+    xhi = F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("bigint")
+    words = docs.select("doc_id", F.explode("toks").alias("w")).select(
+        "doc_id", xlo.alias("xlo"), xhi.alias("xhi")
+    )
+    aggs = []
+    for half, col in (("lo", "xlo"), ("hi", "xhi")):
+        for i in range(32):
+            bit = F.shiftright(F.col(col), i).bitwiseAND(F.lit(1))
+            aggs.append(
+                F.when(F.sum(bit * 2 - 1) > 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .alias(f"{half}{i:02d}")
+            )
+    sums = words.groupBy("doc_id").agg(*aggs)
+    out = {}
+    for half in ("lo", "hi"):
+        acc = None
+        for i in range(32):
+            term = F.col(f"{half}{i:02d}").cast("bigint") * F.lit(2**i).cast("bigint")
+            acc = term if acc is None else acc + term
+        out[half] = acc
+    return sums.select("doc_id", out["lo"].alias("slo"), out["hi"].alias("shi"))
+
+
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GUARANTEED-recall SimHash near-dup pairs: 64-bit fingerprint,
+    hamming ≤ {SIMHASH64_MAX_HAMMING}, blocked on 4 disjoint 16-bit
+    blocks (Manku, Jain & Sarma 2007, the production web-dedup design).
+    Pigeonhole: ≤ 3 differing bits cannot touch all 4 blocks, so every
+    qualifying pair shares at least one intact block and IS a candidate
+    — zero false negatives, verified exactly with bit_count.
+
+    100-TB shape: 4 shuffles keyed on 16-bit block values (65k buckets
+    each — selective, unlike sub-byte blocks); candidates are bounded by
+    block-bucket co-occupancy, never N²."""
+    sigs = _simhash64_signatures(spark, sf_dir)
+    blocks = [("slo", 0), ("slo", 16), ("shi", 0), ("shi", 16)]
+    key = lambda col, lo: (  # noqa: E731 — 16-bit block extract
+        F.shiftright(F.col(col), lo).bitwiseAND(F.lit(65535))
+    )
+    sides = []
+    for bi, (col, lo) in enumerate(blocks):
+        sides.append(
+            sigs.select(
+                "doc_id", "slo", "shi",
+                F.lit(bi).alias("blk"),
+                key(col, lo).alias("bval"),
+            )
+        )
+    banded = sides[0]
+    for x in sides[1:]:
+        banded = banded.unionByName(x)
+    a = banded.select(
+        F.col("doc_id").alias("d1"), F.col("slo").alias("l1"),
+        F.col("shi").alias("h1"), "blk", "bval",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("d2"), F.col("slo").alias("l2"),
+        F.col("shi").alias("h2"), "blk", "bval",
+    )
+    hamming = F.expr("bit_count(l1 ^ l2) + bit_count(h1 ^ h2)")
+    return (
+        a.join(b, ["blk", "bval"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", hamming.cast("bigint").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH64_MAX_HAMMING)
+    )
+
+
+def _simhash64_oracle_sql() -> str:
+    aggs = []
+    for half, off in (("lo", 1), ("hi", 9)):
+        for i in range(32):
+            aggs.append(
+                f"CASE WHEN SUM((({half}x >> {i}) & 1) * 2 - 1) > 0 "
+                f"THEN 1 ELSE 0 END AS {half}{i:02d}"
+            )
+    slo = " + ".join(f"CAST(lo{i:02d} AS BIGINT) * {2**i}" for i in range(32))
+    shi = " + ".join(f"CAST(hi{i:02d} AS BIGINT) * {2**i}" for i in range(32))
+    return f"""
+WITH words64 AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS lox,
+         CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS hix
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+),
+bits64 AS (
+  SELECT doc_id, {', '.join(aggs)} FROM words64 GROUP BY doc_id
+),
+sigs64 AS (SELECT doc_id, {slo} AS slo, {shi} AS shi FROM bits64),
+blocks(blk, col, lo) AS (VALUES (0, 'slo', 0), (1, 'slo', 16), (2, 'shi', 0), (3, 'shi', 16)),
+banded AS (
+  SELECT doc_id, slo, shi, blk,
+         ((CASE WHEN col = 'slo' THEN slo ELSE shi END) // CAST(pow(2, lo) AS BIGINT)) % 65536 AS bval
+  FROM sigs64, blocks
+)
+SELECT d1, d2, hamming FROM (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+) WHERE hamming <= {SIMHASH64_MAX_HAMMING}
+"""
+
+
+DEDUP_SIMHASH64_ORACLE = _simhash64_oracle_sql()
+
+SPECS.append(
+    QuerySpec("dedup_simhash64_pairs", dedup_simhash64_pairs, DEDUP_SIMHASH64_ORACLE)
+)

@@ -750,9 +750,14 @@ def tx_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = pairs.agg(F.sum("cnt")).collect()[0][0]
     uni1 = pairs.groupBy("w1").agg(F.sum("cnt").alias("c1"))
     uni2 = pairs.groupBy("w2").agg(F.sum("cnt").alias("c2"))
+    # each factor casts to double BEFORE multiplying: the int64 products
+    # cnt*total and c1*c2 overflow at corpus scale (total ~2e13 already
+    # puts head pairs past 2^63 — silent wraparound with ANSI off, an
+    # error in DuckDB); double multiplication is the same IEEE op in
+    # both engines, so parity holds at every scale
     pmi = F.log(
-        (F.col("cnt") * F.lit(total)).cast("double")
-        / (F.col("c1") * F.col("c2")).cast("double")
+        (F.col("cnt").cast("double") * F.lit(float(total)))
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
     ).cast("decimal(18,8)")
     return (
         pairs.filter(F.col("cnt") >= PMI_MIN_COUNT)
@@ -778,7 +783,8 @@ uni1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
 uni2 AS (SELECT w2, COUNT(*) AS c2 FROM big GROUP BY w2),
 pairs AS (SELECT w1, w2, COUNT(*) AS cnt FROM big GROUP BY w1, w2)
 SELECT w1, w2, cnt,
-       CAST(ln(CAST(cnt * (SELECT total FROM tot) AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)) AS DECIMAL(18,8)) AS pmi
+       CAST(ln((CAST(cnt AS DOUBLE) * (SELECT CAST(total AS DOUBLE) FROM tot))
+               / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS DECIMAL(18,8)) AS pmi
 FROM pairs JOIN uni1 USING (w1) JOIN uni2 USING (w2)
 WHERE cnt >= {PMI_MIN_COUNT}
 ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}

@@ -198,3 +198,34 @@ def test_lsh_recall_bands(spark, sf_dir):
         assert abs(r["recall"] - r["n_found"] / r["n_pairs"]) < 1e-12
     top = [r for r in rows if r["band"] == 9]
     assert top and top[0]["recall"] == 1.0
+
+
+def test_simhash64_recall_is_complete(spark):
+    """The pigeonhole guarantee, checked against brute force: the
+    blocked operator must find EXACTLY the set of pairs at hamming <= 3
+    — zero false negatives (the 32-bit prefix scheme's documented hole)
+    and zero false positives after verification."""
+    from snowflake_to_postgres_spark.operators.dedup import (
+        SIMHASH64_MAX_HAMMING,
+        _simhash64_signatures,
+        dedup_simhash64_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    sigs = {
+        r["doc_id"]: (r["slo"], r["shi"])
+        for r in _simhash64_signatures(spark, sf).collect()
+    }
+    ids = sorted(sigs)
+    expected = set()
+    for i, d1 in enumerate(ids):
+        l1, h1 = sigs[d1]
+        for d2 in ids[i + 1:]:
+            l2, h2 = sigs[d2]
+            ham = bin(l1 ^ l2).count("1") + bin(h1 ^ h2).count("1")
+            if ham <= SIMHASH64_MAX_HAMMING:
+                expected.add((d1, d2))
+    got = {
+        (r["d1"], r["d2"]) for r in dedup_simhash64_pairs(spark, sf).collect()
+    }
+    assert got == expected
