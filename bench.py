@@ -15,6 +15,13 @@ executions after a warm-up pass — single-shot timing produced a phantom
 re-measured at ~1.1s), so medians are what make round-over-round
 comparison meaningful. ``value`` is the sum of per-query medians.
 
+Since round 7 the timed window covers query CONSTRUCTION + execution
+(round-6 verdict #1): queries with eager driver-side construction work
+(PageRank iterations, sketch collects, centroid fits) now report true
+end-to-end time. Keys affected by the one-time step change vs BENCH_r06:
+graph_pagerank, a16_kmv_set_ops, dedup_semantic_clusters, sim_ivf_pq_topk,
+sim_mmr_rerank (see PERFORMANCE.md round-7 section).
+
 Load guard (round-3 verdict: the r3 artifact shipped three phantom
 regressions from a loaded machine): the output also carries per-query
 ``query_spread`` [min, median, max]; when ≥3 queries show median >
@@ -122,8 +129,16 @@ def main() -> None:
             k = round_no % len(names)
             round_no += 1
             for name in names[k:] + names[:k]:
-                df = qs[name](spark, sf_dir)
+                # Round-6 verdict #1: the clock starts BEFORE query
+                # construction. Several queries do eager driver-side work
+                # while building the plan (PageRank's localCheckpoint
+                # iterations, KMV sketch collects, centroid/codebook fits);
+                # timing only the final .write published graph_pagerank at
+                # 0.273s against a true ~12.9s end-to-end. Construction +
+                # execution is the honest per-key cost. (One-time step
+                # change vs BENCH_r06 noted in PERFORMANCE.md.)
                 t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 samples[name].append(time.perf_counter() - t0)
 

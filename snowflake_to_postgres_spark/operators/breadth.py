@@ -373,9 +373,15 @@ def v4_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic 1-in-8 slice of props (prefix injection keyed on
     event_id), parse with the corrupt-record column, and report
     per-event-type routing counts — the monitoring query a quarantine
-    pipeline alerts on. Oracle uses DuckDB's json_valid on the same
-    corrupted payloads; both engines agree the injected prefix breaks
-    the document and the untouched fixture objects parse."""
+    pipeline alerts on. Cross-engine semantics pinned (round-6 ADVICE):
+    "quarantined" = payload present but not a parseable JSON OBJECT.
+    Spark parses to ``k STRING`` so a type-drifted-but-valid object
+    (k as a string) stays clean, matching the oracle's json_valid +
+    json_type='OBJECT'; NULL payloads are clean on both sides (Spark's
+    PERMISSIVE from_json yields a NULL struct, the oracle handles NULL
+    explicitly instead of letting json_valid(NULL) fall in neither
+    bucket). Adversarial payload shapes (NULL, drifted k, arrays,
+    scalars) are parity-tested in tests/test_round7_ops.py."""
     events = load_table(spark, sf_dir, "events")
     corrupted = F.when(
         F.col("event_id") % 8 == 0,
@@ -385,7 +391,7 @@ def v4_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.from_json(
             corrupted,
-            "k BIGINT, _corrupt STRING",
+            "k STRING, _corrupt STRING",
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("_j"),
     )
@@ -404,8 +410,12 @@ WITH c AS (
   FROM events)
 SELECT event_type,
        COUNT(*) AS n_rows,
-       CAST(SUM(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
-       CAST(SUM(CASE WHEN json_valid(p) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       CAST(SUM(CASE WHEN p IS NOT NULL AND trim(p) != ''
+                      AND COALESCE(json_type(TRY_CAST(p AS JSON)), '') != 'OBJECT'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(SUM(CASE WHEN p IS NULL OR trim(p) = ''
+                       OR COALESCE(json_type(TRY_CAST(p AS JSON)), '') = 'OBJECT'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
 FROM c GROUP BY event_type
 """
 

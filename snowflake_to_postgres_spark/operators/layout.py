@@ -71,6 +71,10 @@ def zorder_key(
     production z-order sinks stage their stats pass. The key projection
     is then a pure map: no join, no shuffle, nothing for the global
     nested-loop guard to flag."""
+    if bits > 31:
+        # The interleaved key occupies 2*bits bits; past 31 it overflows
+        # the signed BIGINT key column.
+        raise ValueError(f"bits={bits} overflows the 64-bit Morton key (max 31)")
     b = df.agg(
         F.min(col_x).alias("xmin"), F.max(col_x).alias("xmax"),
         F.min(col_y).alias("ymin"), F.max(col_y).alias("ymax"),
@@ -215,15 +219,34 @@ def _hilbert_table(bits: int) -> list[tuple[int, int, int]]:
 
 _LUT_CACHE: dict[tuple[str, int], "DataFrame"] = {}
 
+# The broadcast-LUT execution path materializes 4^bits driver-side rows:
+# bits=8 (default) is 65k rows / ~1.5 MB; bits=12 is 16.7M rows and already
+# ~10 s of pure-python loop; bits=16 would be 4.3 BILLION rows — a driver
+# hang (round-6 verdict #3). Above this cap the key falls back to the
+# aggregate-fold expression, which is interpreted (slower per row) but
+# O(1) in driver memory at any order.
+_LUT_MAX_BITS = 12
+
 
 def _hilbert_lut(spark, bits: int) -> DataFrame:
     """The (bin_x, bin_y) → hkey frame, built ONCE per session and kept
     persisted: the table is static, and rebuilding it per call costs
     more in driver→JVM serialization (65k tuples) than the join it
-    feeds. Keyed by applicationId so a new session rebuilds."""
-    key = (spark.sparkContext.applicationId, bits)
+    feeds. Keyed by applicationId so a new session rebuilds; entries for
+    DEAD sessions are evicted on insert (round-6 verdict #8 — a
+    long-lived process cycling SparkSessions otherwise accumulates
+    unreachable persisted frames in this dict)."""
+    if bits > _LUT_MAX_BITS:
+        raise ValueError(
+            f"bits={bits} would build a 4^{bits}-row driver LUT; "
+            f"max supported is {_LUT_MAX_BITS}"
+        )
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, bits)
     lut = _LUT_CACHE.get(key)
     if lut is None:
+        for stale in [k for k in _LUT_CACHE if k[0] != app_id]:
+            del _LUT_CACHE[stale]
         lut = spark.createDataFrame(
             _hilbert_table(bits), "_hx bigint, _hy bigint, _hkey bigint"
         ).persist()
@@ -255,16 +278,25 @@ def hilbert_key(
     ).collect()[0]
     bx = _binned(col_x, str(b["xmin"]), str(b["xmax"]), bits, "div")
     by = _binned(col_y, str(b["ymin"]), str(b["ymax"]), bits, "div")
-    spark = df.sparkSession
-    lut = _hilbert_lut(spark, bits)
-    return (
+    binned = (
         df.withColumn("_hx", F.expr(bx).cast("bigint"))
         .withColumn("_hy", F.expr(by).cast("bigint"))
+    )
+    if bits > _LUT_MAX_BITS:
+        # Guard (round-6 verdict #3): the LUT is 4^bits driver-side rows —
+        # bits=16 is 4.3B python-loop iterations and hangs the driver.
+        # Fall back to the interpreted fold expression, which costs more
+        # per row but nothing on the driver.
+        return binned.withColumn(
+            "_hkey", F.expr(_hilbert_fold_expr("_hx", "_hy", bits)).cast("bigint")
+        )
+    lut = _hilbert_lut(df.sparkSession, bits)
+    return (
         # LEFT join: a NULL in either clustering column yields NULL bins,
         # and an inner join would silently DROP those rows from the
         # rewrite — a clustering sink must be row-preserving (they keep a
         # NULL _hkey and sort together, same as the z-order path)
-        .join(F.broadcast(lut), ["_hx", "_hy"], "left")
+        binned.join(F.broadcast(lut), ["_hx", "_hy"], "left")
     )
 
 

@@ -176,9 +176,14 @@ _PRIORITY: tuple[str, ...] = (
     # registered below the window and FULL-checked, like p3/a5/w2/f2/f9/
     # val_partition_diff/x_q5 and p5/xj_asof_forward/sim_ivf_topk in
     # earlier rounds.
+    # Round-7 rotation (verdict #2): dedup_simhash64_pairs — the
+    # guaranteed-recall Manku et al. 4×16-bit pigeonhole design, proven
+    # vs brute force at hamming<=3 — replaces dedup_simhash_pairs (16-bit
+    # prefix blocking, ~0.9% hamming-6 recall) as the hard-signal SimHash
+    # row. The prefix variant stays registered + FULL-checked below.
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
+    "dedup_simhash64_pairs",
     "dedup_incremental_lsh",
     "dedup_containment_pairs",
     "dedup_semantic_clusters",

@@ -144,7 +144,10 @@ def read_with_quarantine(
 
 
 # Numeric widening lattice for cross-generation schema reconciliation.
-_INT_ORDER = ["byte", "short", "int", "bigint"]
+# NOTE these are simpleString() names: ByteType/ShortType render as
+# 'tinyint'/'smallint' (not 'byte'/'short') — the round-6 ADVICE caught
+# the lattice silently excluding both.
+_INT_ORDER = ["tinyint", "smallint", "int", "bigint"]
 _FLOAT_ORDER = ["float", "double"]
 _WIDEN_ORDER = _INT_ORDER + _FLOAT_ORDER
 
@@ -165,6 +168,21 @@ def _widest(a: T.DataType, b: T.DataType) -> T.DataType:
     if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
         scale = max(a.scale, b.scale)
         intd = max(a.precision - a.scale, b.precision - b.scale)
+        if intd + scale > 38:
+            # Integral capacity wins over fractional digits: silently
+            # clamping precision while keeping max scale (the old
+            # behavior) left e.g. DECIMAL(38,0) ∧ DECIMAL(10,9) →
+            # DECIMAL(38,9) with only 29 integral digits, so in-range
+            # values cast to NULL. Shrink scale to preserve every
+            # integral digit; if even scale=0 can't fit, no 38-digit
+            # decimal can represent both generations — raise.
+            if intd > 38:
+                raise ValueError(
+                    f"cannot reconcile decimals {a.simpleString()} / "
+                    f"{b.simpleString()}: {intd} integral digits exceed "
+                    "DECIMAL(38)"
+                )
+            scale = 38 - intd
         return T.DecimalType(min(38, intd + scale), scale)
     raise ValueError(
         f"cannot reconcile column types {a.simpleString()} / {b.simpleString()}"

@@ -18,6 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from snowflake_to_postgres_spark.sources import (
     load_table,
@@ -543,8 +544,11 @@ def quarantine_split(events: DataFrame, schema: str = QUARANTINE_SCHEMA):
     """Dead-letter routing for a streaming ingest: rows whose ``props``
     JSON fails the declared-schema parse (malformed OR schema-drifted)
     split into a quarantine stream carrying the RAW payload + failure
-    evidence; clean rows continue with typed columns. Returns
-    (good, quarantined) — two lazily-derived streams off one source.
+    evidence; clean rows continue with the parsed fields PROJECTED as
+    typed top-level columns (``schema``'s field names — they must not
+    collide with source columns; a genuinely NULL payload passes through
+    with NULL typed fields). Returns (good, quarantined) — two
+    lazily-derived streams off one source.
 
     Production pipelines die without this: one malformed upstream record
     either poisons the batch (fail-the-job) or silently nulls through an
@@ -579,7 +583,17 @@ def quarantine_split(events: DataFrame, schema: str = QUARANTINE_SCHEMA):
         F.col("props").alias("raw_payload"),
         F.lit("json_parse_failed").alias("reason"),
     )
-    return good.drop("_j"), quarantined
+    # Project the parsed struct's fields as typed top-level columns
+    # (round-6 ADVICE: the docstring promised typed columns but the good
+    # branch dropped the whole struct, handing callers only the raw
+    # payload). _corrupt is evidence, not data — it stays internal.
+    typed = [
+        f.name
+        for f in T._parse_datatype_string(schema).fields
+        if f.name != "_corrupt"
+    ]
+    good = good.select("*", *[F.col(f"_j.{n}").alias(n) for n in typed]).drop("_j")
+    return good, quarantined
 
 
 def run_quarantine_split_available_now(
@@ -599,16 +613,21 @@ def run_quarantine_split_available_now(
     replay idempotent (the standard exactly-once recipe for foreachBatch
     file sinks). Readers see a ``_batch`` partition column."""
     good, bad = quarantine_split(read_events_stream(spark, sf_dir))
+    # The dlq branch null-fills whatever columns the good branch carries
+    # beyond its own (event_type, value, plus the typed fields the split
+    # now projects) so both routes union into ONE stream under ONE
+    # checkpoint — the single-query design that makes the split atomic.
+    dlq = bad.select(
+        F.lit("dlq").alias("_route"),
+        "event_id", "ts", "user_id",
+        F.col("raw_payload").alias("props"),
+    )
+    good_types = dict(good.dtypes)
+    dlq = dlq.withColumns(
+        {c: F.lit(None).cast(good_types[c]) for c in good.columns if c not in dlq.columns}
+    ).select("_route", *good.columns)
     tagged = good.select(F.lit("good").alias("_route"), "*").unionByName(
-        bad.select(
-            F.lit("dlq").alias("_route"),
-            "event_id", "ts", "user_id",
-            F.col("raw_payload").alias("props"),
-        ).withColumns(
-            {c: F.lit(None).cast(t) for c, t in
-             [("event_type", "string"), ("value", "double")]}
-        ).select("_route", "event_id", "ts", "user_id", "event_type", "value", "props"),
-        allowMissingColumns=False,
+        dlq, allowMissingColumns=False,
     )
 
     def handle(batch: DataFrame, bid: int) -> None:
@@ -663,20 +682,37 @@ def drain_with_progress(
     watermark LAG, the signal that late data is about to be dropped).
 
     100-TB shape: reading ``lastProgress`` is driver-side metadata —
-    zero data-path cost at any volume."""
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    zero data-path cost at any volume.
+
+    Retention: the engine keeps only the most recent
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries (default
+    100) in ``recentProgress`` — a drain with more micro-batches would
+    silently lose the oldest from the returned telemetry (round-6
+    ADVICE). The conf is raised for the run (and restored) so the
+    history covers any realistic availableNow drain; a 24/7 deployment
+    should ship each batch's progress out via a
+    ``StreamingQueryListener`` instead of batching them up like this."""
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.streaming.numRecentProgressUpdates"
+    prior = spark.conf.get(conf_key, "100")
+    spark.conf.set(conf_key, str(max(int(prior), 100_000)))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prior)
     # recentProgress holds the engine's full per-batch history for the
-    # run (a lastProgress polling loop MISSES any batch that completes
-    # between polls — sub-poll-interval batches would silently vanish
-    # from the telemetry, defeating the "every row accounted for" use)
+    # run up to the (raised) retention cap — a lastProgress polling loop
+    # MISSES any batch that completes between polls; sub-poll-interval
+    # batches would silently vanish from the telemetry, defeating the
+    # "every row accounted for" use.
     progress: list[dict] = []
     seen: set[int] = set()
     for p in q.recentProgress:

@@ -146,3 +146,44 @@ def test_read_evolving_int_meets_float_widens_to_double(spark, tmp_path):
     assert out.schema["user_id"].dataType.simpleString() == "double"
     vals = sorted(r["user_id"] for r in out.collect())
     assert vals == [1.5, 16_777_217.0]  # bigint survives exactly
+
+
+def test_read_evolving_tinyint_smallint_widen(spark, tmp_path):
+    """ByteType/ShortType simpleString() is 'tinyint'/'smallint' — the
+    round-6 ADVICE found the lattice spelled them 'byte'/'short', so any
+    generation with a byte or short column raised 'cannot reconcile'."""
+    from snowflake_to_postgres_spark.sources.files import read_evolving
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.sql("SELECT CAST(7 AS TINYINT) AS lvl").write.parquet(a)
+    spark.sql("SELECT CAST(300 AS SMALLINT) AS lvl").write.parquet(b)
+    out = read_evolving(spark, [a, b])
+    assert out.schema["lvl"].dataType.simpleString() == "smallint"
+    assert sorted(r["lvl"] for r in out.collect()) == [7, 300]
+
+    c = str(tmp_path / "c")
+    spark.createDataFrame([(70_000,)], "lvl int").write.parquet(c)
+    out3 = read_evolving(spark, [a, b, c])
+    assert out3.schema["lvl"].dataType.simpleString() == "int"
+    assert sorted(r["lvl"] for r in out3.collect()) == [7, 300, 70_000]
+
+
+def test_widest_decimal_preserves_integral_capacity():
+    """DECIMAL(38,0) ∧ DECIMAL(10,9): the old min(38, intd+scale) clamp
+    kept scale 9 and silently shrank integral capacity to 29 digits —
+    in-range values would cast to NULL. Now scale shrinks to fit
+    (38 integral digits demand scale 0)."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from snowflake_to_postgres_spark.sources.files import _widest
+
+    got = _widest(T.DecimalType(38, 0), T.DecimalType(10, 9))
+    assert (got.precision, got.scale) == (38, 0)
+    # partial shrink: 30 integral + 9 scale → keep all 30, scale drops to 8
+    got2 = _widest(T.DecimalType(30, 0), T.DecimalType(10, 9))
+    assert (got2.precision, got2.scale) == (38, 8)
+    # no shrink needed stays exact
+    got3 = _widest(T.DecimalType(10, 2), T.DecimalType(12, 4))
+    assert (got3.precision, got3.scale) == (12, 4)

@@ -272,3 +272,70 @@ def test_hilbert_write_preserves_null_rows(spark, tmp_path):
     out = str(tmp_path / "h_nulls")
     write_hilbert(df, "cx", "cy", out, n_files=2)
     assert spark.read.parquet(out).count() == 4
+
+
+def test_hilbert_bits_guard_and_fold_fallback(spark):
+    """bits above the LUT cap must not build a 4^bits driver loop
+    (round-6 verdict #3): the LUT builder raises, and hilbert_key falls
+    back to the fold expression — whose keys must match the canonical
+    python xy2d at the same order."""
+    import pytest as _pytest
+
+    from snowflake_to_postgres_spark.operators.layout import (
+        _LUT_MAX_BITS,
+        _hilbert_lut,
+        hilbert_key,
+    )
+
+    with _pytest.raises(ValueError, match="driver LUT"):
+        _hilbert_lut(spark, _LUT_MAX_BITS + 1)
+
+    bits = _LUT_MAX_BITS + 1
+    n = 1 << bits
+    # Points at the corners + a diagonal sample of the (huge) grid; the
+    # stats pass sees min=0/max=n-1 so bins are the identity.
+    pts = [(0, 0, 0), (1, n - 1, n - 1), (2, n - 1, 0), (3, 0, n - 1),
+           (4, n // 2, n // 3), (5, 1234, n - 2)]
+    df = spark.createDataFrame(pts, "id bigint, cx bigint, cy bigint")
+    keyed = {r["id"]: (r["_hx"], r["_hy"], r["_hkey"])
+             for r in hilbert_key(df, "cx", "cy", bits=bits).collect()}
+
+    def xy2d(x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    for pid, cx, cy in pts:
+        hx, hy, hk = keyed[pid]
+        assert (hx, hy) == (cx, cy)
+        assert hk == xy2d(cx, cy), f"fold mismatch at ({cx},{cy})"
+
+
+def test_zorder_bits_guard(spark):
+    from snowflake_to_postgres_spark.operators.layout import zorder_key
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2, 3)], "id bigint, cx bigint, cy bigint")
+    with _pytest.raises(ValueError, match="Morton"):
+        zorder_key(df, "cx", "cy", bits=32)
+
+
+def test_hilbert_lut_cache_evicts_dead_sessions(spark):
+    """Entries keyed by a dead applicationId are dropped when a new
+    session inserts (round-6 verdict #8)."""
+    from snowflake_to_postgres_spark.operators import layout
+
+    app_id = spark.sparkContext.applicationId
+    layout._LUT_CACHE[("dead-app-123", 8)] = "stale-sentinel"
+    layout._LUT_CACHE.pop((app_id, 4), None)
+    layout._hilbert_lut(spark, 4)
+    assert ("dead-app-123", 8) not in layout._LUT_CACHE
+    assert (app_id, 4) in layout._LUT_CACHE

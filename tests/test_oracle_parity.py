@@ -75,7 +75,7 @@ def test_priority_window_covers_families():
         "x_sessionization",                            # analytics
         # dedup: exact, LSH near-dup, simhash, incremental LSH banding,
         # containment, semantic (embedding), incremental (batch-vs-corpus)
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64_pairs",
         "dedup_incremental_lsh",
         "dedup_containment", "dedup_semantic", "dedup_incremental",
         # similarity: exact + composed IVF+PQ + RP-LSH + measured recall
