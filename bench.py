@@ -91,6 +91,8 @@ HEADLINE = [
     "graph_pagerank",
     "sim_mmr_rerank",
     "ts_decompose",
+    # round-7 additions (one per new family; prior keys unchanged)
+    "sim_mmr_ann",
 ]
 
 

@@ -1066,6 +1066,21 @@ SPECS = [
 
 PR_ITERS = 8
 PR_DAMP = 0.85
+# Per-iteration rank grid (round-6 verdict #3 — oracle the recurrence):
+# after every iteration ranks snap to the 1e-9 grid via the tie-free
+# floor(x*1e9 + 0.5) idiom (same as similarity._components /
+# layout_hilbert's integer recurrence). Gridding makes the recurrence
+# DETERMINISTIC across engines: each iteration's inputs are bit-identical
+# doubles, so the only cross-engine divergence is that iteration's
+# summation order — error ~1e-18, nine orders of magnitude below the
+# half-grid boundary — and it cannot compound across iterations. That is
+# what lets DuckDB run the identical 8-step recurrence as an unrolled CTE
+# chain and hash-match, promoting graph_pagerank out of the rows-only set.
+PR_GRID = 1e9
+
+
+def _grid(col):
+    return F.floor(col * F.lit(PR_GRID) + F.lit(0.5)) / F.lit(PR_GRID)
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,66 +1103,136 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, iters: int = PR_ITERS, damp: float = PR_DAMP
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damp: float = PR_DAMP,
+    tol: float = 0.0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed PageRank (Brin & Page) by iterated join-aggregate:
     each round joins the node-sized rank frame to the edge list on src,
     ships rank/degree contributions, and re-aggregates per dst — the
     canonical Spark formulation (two shuffles per round, both on node
-    id; co-partitioning makes the join shuffle-free on a cluster that
-    pre-partitions edges by src). Every round ``localCheckpoint``s its
-    rank frame: persist() alone keeps the logical lineage, which grows
-    a quadratic plan TEXT over iterations (measured: the 8-round plan
-    audited at ~11k scan nodes); the checkpoint truncates lineage to
-    the materialized partitions, so round N's plan is one join-agg —
-    the iterative-plan discipline that keeps the optimizer (and any
-    plan audit) working on O(1)-size trees.
+    id; an edge table bucketed by src drops the edge-side exchange —
+    plan-proven in tests/test_round7_ops.py). Every round
+    ``localCheckpoint``s its rank frame: persist() alone keeps the
+    logical lineage, which grows a quadratic plan TEXT over iterations
+    (measured: the 8-round plan audited at ~11k scan nodes); the
+    checkpoint truncates lineage to the materialized partitions, so
+    round N's plan is one join-agg — the iterative-plan discipline that
+    keeps the optimizer (and any plan audit) working on O(1)-size trees.
+
+    Ranks snap to the ``PR_GRID`` grid each iteration (see the constant's
+    comment — this is what makes the recurrence cross-engine
+    deterministic and DuckDB-oracle-able).
+
+    ``tol`` > 0 adds a convergence early-exit (round-6 verdict #7): stop
+    when Σ|Δrank| < tol. The check is ONE extra node-keyed join-agg per
+    round collecting a single scalar — the same bounded convergence
+    signal the components loop reads. The registered query keeps
+    tol=0.0 so its result is the fixed 8-iteration recurrence the
+    oracle replays.
 
     Undirected input ⇒ every node has out-degree ≥ 1 ⇒ no dangling-mass
-    correction needed. Iterative → rows-only by declared policy
-    (emb_pca_direction precedent); numpy parity pinned in
-    tests/test_round6_ops.py."""
+    correction needed. Numpy parity pinned in tests/test_round6_ops.py."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     deg = deg.persist()
     n = deg.count()
     e = edges.join(deg, "src").select("src", "dst", "deg").persist()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    done = 0
     for _ in range(iters):
+        done += 1
         contribs = e.join(ranks, e["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
             (F.col("rank") / F.col("deg")).alias("c"),
         )
-        ranks = (
+        new_ranks = (
             contribs.groupBy("node")
             .agg(F.sum("c").alias("s"))
             .select(
                 "node",
-                (F.lit((1.0 - damp) / n) + F.lit(damp) * F.col("s")).alias("rank"),
+                _grid(
+                    F.lit((1.0 - damp) / n) + F.lit(damp) * F.col("s")
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
+        if tol > 0.0:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), F.col("a.node") == F.col("b.node"))
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     deg.unpersist()
     e.unpersist()
+    if stats is not None:
+        stats["iters"] = done
     return ranks
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered form: (node_kind, key, rank) over the trade graph,
-    rank rounded to 10 dp for display stability."""
+    """Registered form: (node_kind, key, rank) over the trade graph.
+    The rank is already on the 1e-9 grid — no display rounding needed
+    (and none wanted: the oracle replays the identical gridded
+    recurrence, so the doubles must match bit-for-bit)."""
     ranks = pagerank(_trade_edges(spark, sf_dir))
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
         .alias("node_kind"),
         (F.col("node") / 2).cast("bigint").alias("key"),
-        F.round("rank", 10).alias("rank"),
+        F.col("rank"),
     ).orderBy("node_kind", "key")
 
 
-SPECS.append(
-    QuerySpec(
-        "graph_pagerank", graph_pagerank, None,
-        "iterative join-aggregate loop — rows-only by declared policy; "
-        "numpy parity pinned in tests/test_round6_ops.py",
-    )
-)
+def _pr_oracle() -> str:
+    """The identical gridded recurrence, unrolled to PR_ITERS chained
+    CTEs (recursive-term aggregation is not portable SQL; unrolling is
+    — the iteration count is a fixed constant of the operator). Every
+    float op mirrors the Spark expression tree node-for-node:
+    (1.0-0.85)/n, 0.85*sum(rank/deg), floor(x*1e9+0.5)/1e9 — IEEE
+    doubles are deterministic given identical operands and operation
+    order, and the grid absorbs the one order-dependent op (the sum)."""
+    teleport = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n"
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT dst AS node,
+         FLOOR(({teleport} + CAST(0.85 AS DOUBLE) * SUM(rank / deg)) * 1e9 + 0.5) / 1e9 AS rank
+  FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node, nn
+  GROUP BY dst, n
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS rank FROM deg, nn),
+{chain}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_kind,
+       node // 2 AS key,
+       rank
+FROM r{PR_ITERS}
+ORDER BY node_kind, key
+"""
+
+
+SPECS.append(QuerySpec("graph_pagerank", graph_pagerank, _pr_oracle()))

@@ -1719,26 +1719,16 @@ def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diversity-aware rerank of retrieval shortlists: Maximal Marginal
-    Relevance (Carbonell & Goldstein 1998) — greedily pick the candidate
-    maximizing λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s), so
-    near-duplicate neighbors don't crowd the final k. The training-data
-    use: diversified exemplar selection from an over-fetched ANN
-    shortlist.
-
-    100-TB shape: stage 1 is the existing distributed shortlist
-    (brute-force here; IVF+PQ in production — interchangeable). Stage 2
-    is `applyInPandas` grouped BY QUERY: each group is a bounded
-    SHORTLIST×dim matrix, so the greedy quadratic is O(shortlist²) per
-    query regardless of corpus size, parallel across queries. The
-    greedy argmax is order-dependent → not SQL-expressible → rows-only
-    by declared policy (BPE-merge precedent); parity pinned against an
-    independent pure-python MMR in tests/test_round6_ops.py."""
+def _mmr_greedy(cands: DataFrame) -> DataFrame:
+    """The MMR greedy stage shared by both shortlist providers:
+    ``cands`` is (qid, neighbor_id, cosine double, embedding) — bounded
+    per query — and the output is the per-query diversified top-MMR_K.
+    `applyInPandas` grouped BY QUERY: each group is a SHORTLIST×dim
+    matrix, so the quadratic greedy is O(shortlist²) per query
+    regardless of corpus size, parallel across queries."""
     import numpy as np
     import pandas as pd
 
-    cands = _mmr_candidates(spark, sf_dir)
     def mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(
             ["cosine", "neighbor_id"], ascending=[False, True]
@@ -1781,11 +1771,68 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware rerank of retrieval shortlists: Maximal Marginal
+    Relevance (Carbonell & Goldstein 1998) — greedily pick the candidate
+    maximizing λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s), so
+    near-duplicate neighbors don't crowd the final k. The training-data
+    use: diversified exemplar selection from an over-fetched shortlist.
+
+    This form feeds the greedy from the EXACT brute-force shortlist —
+    the quality ceiling the ANN-fed twin (:func:`sim_mmr_ann`, the
+    production path at corpus scale) is judged against. The greedy
+    argmax is order-dependent → not SQL-expressible → rows-only by
+    declared policy (BPE-merge precedent); parity pinned against an
+    independent pure-python MMR in tests/test_round6_ops.py."""
+    return _mmr_greedy(_mmr_candidates(spark, sf_dir))
+
+
+def _mmr_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-fed rerank shortlist (round-6 verdict #5): the IVF+PQ+rescore
+    pipeline of sim_ivf_pq_topk — coarse cells prune the corpus, ADC
+    scores only in-cell codes, exact cosine rescores the ADC survivors —
+    kept to MMR_SHORTLIST and joined back to raw embeddings. Per query
+    the candidate work is (probed cells × cell size) code rows, never a
+    corpus scan; this is the shortlist provider that survives 100 TB."""
+    comp = _components(spark, sf_dir)
+    candidates = _ivf_candidates(comp)
+    adc = _pq_adc_scores(comp, candidates=candidates)
+    w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("neighbor_id"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_SHORTLIST)
+        .select("qid", F.col("neighbor_id").alias("vec_id"))
+    )
+    ranked = _rank_candidates(comp, shortlist, k=MMR_SHORTLIST)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return ranked.join(emb, "neighbor_id").select(
+        "qid", "neighbor_id", F.col("cosine").cast("double").alias("cosine"), "embedding"
+    )
+
+
+def sim_mmr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`sim_mmr_rerank` with the shortlist stage swapped to the
+    IVF+PQ ANN pipeline — the composed production form (round-6 verdict
+    #5: the docstring claimed interchangeability; this registers and
+    verifies it). Same greedy, same output schema; shortlist recall vs
+    the exact provider is measured in tests/test_round7_ops.py."""
+    return _mmr_greedy(_mmr_ann_candidates(spark, sf_dir))
+
+
 SPECS.append(
     QuerySpec(
         "sim_mmr_rerank", sim_mmr_rerank, None,
         "greedy argmax is order-dependent — rows-only by declared "
         "policy; pure-python parity pinned in tests/test_round6_ops.py",
+    )
+)
+SPECS.append(
+    QuerySpec(
+        "sim_mmr_ann", sim_mmr_ann, None,
+        "greedy argmax is order-dependent — rows-only by declared "
+        "policy; ANN-shortlist parity pinned in tests/test_round7_ops.py",
     )
 )
 

@@ -188,9 +188,14 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs",
     "dedup_semantic_clusters",
     "dedup_incremental",
+    # Round-7 rotation (verdict #3): graph_pagerank — now FULL via the
+    # gridded-recurrence DuckDB oracle (unrolled 8-step CTE chain) —
+    # takes the window seat of sim_rp_lsh_topk, whose RP-LSH oracle
+    # remains exercised inside sim_ann_recall's composed recall gate
+    # (and stays registered + FULL-checked below).
     "sim_topk_bruteforce",
     "sim_ivf_pq_topk",
-    "sim_rp_lsh_topk",
+    "graph_pagerank",
     "sim_ann_recall",
     "tx_token_stats",
     "tx_weighted_downsample",

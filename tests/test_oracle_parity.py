@@ -78,8 +78,12 @@ def test_priority_window_covers_families():
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64_pairs",
         "dedup_incremental_lsh",
         "dedup_containment", "dedup_semantic", "dedup_incremental",
-        # similarity: exact + composed IVF+PQ + RP-LSH + measured recall
-        "sim_topk_bruteforce", "sim_ivf_pq", "sim_rp_lsh", "sim_ann_recall",
+        # similarity: exact + composed IVF+PQ + measured recall (the
+        # recall gate's oracle composes the RP-LSH path, whose dedicated
+        # row was demoted for graph_pagerank in round 7)
+        "sim_topk_bruteforce", "sim_ivf_pq", "sim_ann_recall",
+        # graph
+        "graph_pagerank",
         # text / featurization / pipeline / layout / multimodal
         "tx_token", "tx_weighted_downsample", "pipe_strip_dup",
         "tx_lm_heldout", "tx_bpe_pair", "ivm_agg_refresh", "fit_linear",
@@ -109,7 +113,11 @@ def test_priority_window_covers_families():
                     "dedup_fuzzy_corpus", "sim_doc_hashed_topk",
                     "st_windowed_agg",
                     "a15_kmv_distinct", "layout_zorder",
-                    "tx_train_split", "pipe_clean_corpus"):
+                    "tx_train_split", "pipe_clean_corpus",
+                    # round-7 rotations: guaranteed-recall simhash64 and
+                    # oracle-backed pagerank in; prefix-simhash and
+                    # rp-lsh (covered via sim_ann_recall) out
+                    "dedup_simhash_pairs", "sim_rp_lsh_topk"):
         assert demoted in all_names and demoted not in names, demoted
 
 

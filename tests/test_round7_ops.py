@@ -73,3 +73,138 @@ def test_quarantine_split_good_rows_carry_typed_columns(spark):
     rows = {r["event_id"]: (r["k"], r["tag"]) for r in good.collect()}
     assert rows == {1: (7, "x"), 3: (None, None)}
     assert [r["event_id"] for r in bad.collect()] == [2]
+
+
+def test_pagerank_convergence_early_exit(spark):
+    """Round-6 verdict #7: with tol > 0 the loop reads a one-scalar
+    Σ|Δrank| signal per round and stops early. On a star graph the
+    recurrence reaches its fixed point after ~2 rounds, so an 8-iteration
+    budget with a loose tol must produce the SAME ranks as the full
+    fixed-iteration run (the fixed point is stable under further
+    iterations) — proving the early exit fired without changing results."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import pagerank
+
+    hub, leaves = 0, list(range(1, 41))
+    edges = spark.createDataFrame(
+        [(hub, l) for l in leaves] + [(l, hub) for l in leaves],
+        "src bigint, dst bigint",
+    )
+    # damp=0.2 → per-round contraction 0.2: per-node Δ drops below one
+    # PR_GRID step (5e-10) around round 14, after which the gridded
+    # recurrence is EXACTLY at its fixed point (Σ|Δ| = 0.0). tol below
+    # one grid step can therefore only fire at the true fixed point —
+    # which is also why early-exit and full-budget results must be
+    # bit-identical.
+    full = {r["node"]: r["rank"] for r in pagerank(edges, iters=20, damp=0.2).collect()}
+
+    stats: dict = {}
+    early = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iters=20, damp=0.2, tol=1e-12, stats=stats).collect()
+    }
+    assert early == full  # fixed point identical, bit-for-bit (gridded)
+    assert stats["iters"] < 20, stats  # the early exit actually fired
+
+    # a tol below any representable Δ must never trigger
+    stats2: dict = {}
+    pagerank(edges, iters=3, damp=0.2, tol=1e-300, stats=stats2).collect()
+    assert stats2["iters"] == 3, stats2
+
+
+def test_pagerank_bucketed_edges_drop_edge_side_exchange(spark, tmp_path):
+    """Round-6 verdict #6: pre-bucketing the edge table by src must
+    remove the edge-side shuffle from the per-round join — the
+    co-partitioning claim in pagerank's docstring, proven on the plan."""
+    import pyspark.sql.functions as F
+
+    from snowflake_to_postgres_spark.sources.bucketed import write_bucketed_table
+
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50) for i in range(2000) if i % 50 != (i * 7) % 50],
+        "src bigint, dst bigint",
+    )
+    write_bucketed_table(edges, "pr_edges_bucketed", "src", num_buckets=4)
+    try:
+        bucketed = spark.table("pr_edges_bucketed")
+
+        def round_plan(e):
+            deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+            ej = e.join(deg, "src").select("src", "dst", "deg")
+            ranks = deg.select(F.col("src").alias("node"), F.lit(0.01).alias("rank"))
+            contribs = ej.join(ranks, ej["src"] == ranks["node"]).select(
+                F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+            )
+            new_ranks = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+            return new_ranks._jdf.queryExecution().executedPlan().toString()
+
+        plain, buck = round_plan(edges), round_plan(bucketed)
+        n_plain, n_buck = plain.count("Exchange"), buck.count("Exchange")
+        assert n_buck < n_plain, (n_plain, n_buck)
+        # the bucketed scan itself must carry the bucket metadata
+        assert "Bucketed: true" in buck
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed")
+
+
+def test_mmr_ann_composition(spark):
+    """Round-6 verdict #5: the registered MMR must be runnable on the
+    ANN shortlist, not only brute force. Three gates: (1) the greedy on
+    the ANN candidates matches an independent pure-python MMR over the
+    same collected frame; (2) the ANN shortlist itself stays bounded at
+    MMR_SHORTLIST per query; (3) the diversified selections substantially
+    agree with the exact-shortlist twin (the IVF+PQ recall story)."""
+    import numpy as np
+
+    from snowflake_to_postgres_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_SHORTLIST,
+        _mmr_ann_candidates,
+        sim_mmr_ann,
+        sim_mmr_rerank,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    cands = _mmr_ann_candidates(spark, sf).collect()
+    by_q = {}
+    for r in cands:
+        by_q.setdefault(r["qid"], []).append(
+            (r["neighbor_id"], r["cosine"], np.asarray(r["embedding"], dtype=np.float64))
+        )
+    assert by_q and all(len(v) <= MMR_SHORTLIST for v in by_q.values())
+
+    expected = {}
+    for qid, items in by_q.items():
+        vecs = {n: v / np.linalg.norm(v) for n, _, v in items}
+        rel = {n: c for n, c, _ in items}
+        chosen = []
+        pool = sorted(rel)
+        while pool and len(chosen) < MMR_K:
+            scored = []
+            for n in pool:
+                div = max((float(vecs[n] @ vecs[m]) for m in chosen), default=0.0)
+                scored.append((MMR_LAMBDA * rel[n] - (1 - MMR_LAMBDA) * div, -n, n))
+            scored.sort(reverse=True)
+            s, _, n = scored[0]
+            chosen.append(n)
+            pool.remove(n)
+            expected[(qid, len(chosen))] = (n, round(s, 8))
+
+    got = {
+        (r["qid"], r["sel_rank"]): (r["neighbor_id"], r["mmr_score"])
+        for r in sim_mmr_ann(spark, sf).collect()
+    }
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert got[k][0] == expected[k][0], (k, got[k], expected[k])
+
+    exact = {
+        (r["qid"], r["sel_rank"]): r["neighbor_id"]
+        for r in sim_mmr_rerank(spark, sf).collect()
+    }
+    overlap = [
+        len({got[(q, r)][0] for r in range(1, MMR_K + 1)}
+            & {exact[(q, r)] for r in range(1, MMR_K + 1)}) / MMR_K
+        for q in by_q
+    ]
+    assert sum(overlap) / len(overlap) >= 0.5, overlap
