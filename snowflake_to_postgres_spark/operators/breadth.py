@@ -381,7 +381,11 @@ def v4_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERMISSIVE from_json yields a NULL struct, the oracle handles NULL
     explicitly instead of letting json_valid(NULL) fall in neither
     bucket). Adversarial payload shapes (NULL, drifted k, arrays,
-    scalars) are parity-tested in tests/test_round7_ops.py."""
+    scalars, and the literal document ``null`` — quarantined on BOTH
+    sides: this Spark's from_json records a corrupt record for a root
+    VALUE_NULL against a struct schema, and the oracle's
+    json_type='NULL' != 'OBJECT') are parity-tested in
+    tests/test_round7_ops.py."""
     events = load_table(spark, sf_dir, "events")
     corrupted = F.when(
         F.col("event_id") % 8 == 0,

@@ -272,6 +272,13 @@ def hilbert_key(
     always 4-adjacent cells), so range reads touch fewer file boxes for
     the same predicate — the reason Delta/Iceberg offer it next to
     z-order."""
+    if bits > 31:
+        # Mirror the Morton guard (round-7 ADVICE): the fold fallback has
+        # no driver-memory limit, but the Hilbert key reaches 4^bits - 1 —
+        # at bits >= 32 that exceeds 2^63 - 1 and silently WRAPS the
+        # bigint _hkey under default (non-ANSI) Spark, producing wrong
+        # clustering keys instead of an error.
+        raise ValueError(f"bits={bits} overflows the 64-bit Hilbert key (max 31)")
     b = df.agg(
         F.min(col_x).alias("xmin"), F.max(col_x).alias("xmax"),
         F.min(col_y).alias("ymin"), F.max(col_y).alias("ymax"),

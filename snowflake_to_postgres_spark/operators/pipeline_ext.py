@@ -1070,12 +1070,20 @@ PR_DAMP = 0.85
 # after every iteration ranks snap to the 1e-9 grid via the tie-free
 # floor(x*1e9 + 0.5) idiom (same as similarity._components /
 # layout_hilbert's integer recurrence). Gridding makes the recurrence
-# DETERMINISTIC across engines: each iteration's inputs are bit-identical
-# doubles, so the only cross-engine divergence is that iteration's
-# summation order — error ~1e-18, nine orders of magnitude below the
-# half-grid boundary — and it cannot compound across iterations. That is
-# what lets DuckDB run the identical 8-step recurrence as an unrolled CTE
-# chain and hash-match, promoting graph_pagerank out of the rows-only set.
+# cross-engine deterministic IN PRACTICE: each iteration's inputs are
+# bit-identical doubles, so the only divergence source is that
+# iteration's summation order — error ~1e-18, nine orders of magnitude
+# below the half-grid boundary — and the snap stops it compounding
+# across iterations. The argument is probabilistic, not absolute
+# (round-7 ADVICE): a pre-snap value landing within ~1e-18 of a grid
+# boundary still flips, at ~1e-9 probability per snap — over ~1e5 nodes
+# × 8 iterations × 2 SFs per FULL run that is a ~1e-3-per-round latent
+# flake, accepted and documented rather than claimed impossible. If the
+# FULL gate ever hash-mismatches ONLY on graph_pagerank*, suspect a
+# boundary flip first: tests/test_round6_ops.py's parity harness
+# localizes the offending node and first diverging iteration. This is
+# what lets DuckDB run the identical 8-step recurrence as an unrolled
+# CTE chain and hash-match, promoting graph_pagerank out of rows-only.
 PR_GRID = 1e9
 
 
@@ -1199,7 +1207,9 @@ def _pr_oracle() -> str:
     float op mirrors the Spark expression tree node-for-node:
     (1.0-0.85)/n, 0.85*sum(rank/deg), floor(x*1e9+0.5)/1e9 — IEEE
     doubles are deterministic given identical operands and operation
-    order, and the grid absorbs the one order-dependent op (the sum)."""
+    order, and the grid absorbs the one order-dependent op (the sum)
+    up to the residual boundary-flip probability documented at
+    ``PR_GRID``."""
     teleport = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n"
     steps = []
     for i in range(1, PR_ITERS + 1):

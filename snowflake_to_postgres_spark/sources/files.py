@@ -20,6 +20,7 @@ round-trips faithful:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -183,6 +184,17 @@ def _widest(a: T.DataType, b: T.DataType) -> T.DataType:
                     "DECIMAL(38)"
                 )
             scale = 38 - intd
+            # Round-7 ADVICE: shrinking scale is not free — the
+            # higher-scale generation's values are HALF_UP-rounded at
+            # read (the old failure mode was NULLs; this one is silent
+            # value perturbation). Make the loss visible to operators.
+            warnings.warn(
+                f"decimal reconciliation of {a.simpleString()} / "
+                f"{b.simpleString()} needs {intd} integral digits; scale "
+                f"shrunk to {scale} — values of the higher-scale "
+                "generation are rounded (HALF_UP) at read",
+                stacklevel=2,
+            )
         return T.DecimalType(min(38, intd + scale), scale)
     raise ValueError(
         f"cannot reconcile column types {a.simpleString()} / {b.simpleString()}"

@@ -39,8 +39,32 @@ def test_pagerank_numpy_parity(spark, sf_dir):
 
     got = {row["node"]: row["rank"] for row in pagerank(edges).collect()}
     assert set(got) == set(nodes)
-    for node in nodes:
-        assert got[node] == pytest.approx(r[idx[node]], abs=1e-9), node
+    bad = [n for n in nodes if got[n] != pytest.approx(r[idx[n]], abs=1e-9)]
+    if bad:
+        # Diagnostic path (round-7 ADVICE): a mismatch here is most likely
+        # a grid-boundary flip (see PR_GRID's comment — ~1e-9 probability
+        # per snap, not impossible). Localize it: replay the engine at
+        # increasing iteration counts and report the FIRST iteration where
+        # the offending node diverges from the numpy mirror, so the flip
+        # is attributable instead of a bare hash-fail.
+        first_div = {}
+        for it in range(1, PR_ITERS + 1):
+            eng = {row["node"]: row["rank"] for row in pagerank(edges, iters=it).collect()}
+            ref = np.full(n, 1.0 / n)
+            for _ in range(it):
+                ref = (1.0 - PR_DAMP) / n + PR_DAMP * (a @ ref)
+                ref = np.floor(ref * 1e9 + 0.5) / 1e9
+            for node in bad:
+                if node not in first_div and eng[node] != pytest.approx(
+                    ref[idx[node]], abs=1e-9
+                ):
+                    first_div[node] = (it, eng[node], ref[idx[node]])
+            if len(first_div) == len(bad):
+                break
+        raise AssertionError(
+            f"pagerank diverged on {len(bad)} node(s); first diverging "
+            f"iteration per node (node -> (iter, engine, numpy)): {first_div}"
+        )
     # probability mass conserved (undirected graph has no dangling loss)
     # up to the per-node grid snap: n nodes × half-grid 5e-10 each
     assert sum(got.values()) == pytest.approx(1.0, abs=5e-10 * len(nodes) + 1e-9)

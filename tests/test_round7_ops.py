@@ -32,6 +32,13 @@ def test_v4_quarantine_adversarial_payload_parity(spark, tmp_path):
         (5, "b", "[1, 2]"),             # valid JSON, not an object → quarantined
         (6, "b", "42"),                 # valid JSON scalar → quarantined
         (7, "b", "{not json"),          # corrupt → quarantined
+        # The literal JSON document `null` (round-7 ADVICE): QUARANTINED
+        # on BOTH sides — Spark's from_json with a struct schema records
+        # a corrupt record for a root VALUE_NULL (verified on this Spark;
+        # the ADVICE premise that it parses clean is false here), and the
+        # oracle sees json_type='NULL' != 'OBJECT'. Pinned so a Spark
+        # upgrade changing root-null parsing fails loudly.
+        (13, "b", "null"),              # JSON null document → quarantined
         (9, "c", None),                 # NULL payload → clean (null document)
         (10, "c", ""),                  # empty → clean (null document)
         (11, "c", "   "),               # whitespace → clean (null document)
@@ -49,7 +56,7 @@ def test_v4_quarantine_adversarial_payload_parity(spark, tmp_path):
     ok, msg = compare_frames(got, con.execute(V4_QUARANTINE_ORACLE))
     assert ok, msg
     counts = {r["event_type"]: (r["n_quarantined"], r["n_clean"]) for r in got.collect()}
-    assert counts == {"a": (0, 3), "b": (3, 0), "c": (1, 3)}
+    assert counts == {"a": (0, 3), "b": (4, 0), "c": (1, 3)}
 
 
 def test_quarantine_split_good_rows_carry_typed_columns(spark):
