@@ -18,7 +18,9 @@ comparison meaningful. ``value`` is the sum of per-query medians.
 Since round 7 the timed window covers query CONSTRUCTION + execution
 (round-6 verdict #1): queries with eager driver-side construction work
 (PageRank iterations, sketch collects, centroid fits) now report true
-end-to-end time. Keys affected by the one-time step change vs BENCH_r06:
+end-to-end time. Since round 8 BENCH_DETAIL.json also carries the
+per-key ``query_construct`` / ``query_exec_only`` split (round-7
+verdict #4) so a regression is attributable to a phase. Keys affected by the one-time step change vs BENCH_r06:
 graph_pagerank, a16_kmv_set_ops, dedup_semantic_clusters, sim_ivf_pq_topk,
 sim_mmr_rerank (see PERFORMANCE.md round-7 section).
 
@@ -116,6 +118,11 @@ def main() -> None:
     # back-to-back repeats of one query, so a transient stall (GC, page
     # cache) can't poison all samples of the same query.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE if name in qs}
+    # Round-7 verdict #4: per-key construction-vs-execution split. The
+    # HEADLINE median stays the honest combined clock; these let a future
+    # regression be attributed to a phase (driver-side fits/collects vs
+    # shuffle plans) straight from BENCH_DETAIL.json.
+    construct_samples: dict[str, list[float]] = {n: [] for n in samples}
     round_no = 0
 
     def run_pass(n_rounds: int) -> None:
@@ -141,8 +148,10 @@ def main() -> None:
                 # change vs BENCH_r06 noted in PERFORMANCE.md.)
                 t0 = time.perf_counter()
                 df = qs[name](spark, sf_dir)
+                t1 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 samples[name].append(time.perf_counter() - t0)
+                construct_samples[name].append(t1 - t0)
 
     def loaded_queries() -> list[str]:
         # Load guard (round-3 verdict): a query whose median is >1.5× its
@@ -175,6 +184,18 @@ def main() -> None:
     query_spread = {
         name: [round(min(ts), 3), round(statistics.median(ts), 3), round(max(ts), 3)]
         for name, ts in samples.items()
+    }
+    # construct = median driver-side plan-construction time (collects,
+    # fits, checkpointed iterations); exec_only = combined median minus
+    # it. Medians of each phase are taken independently — the phases are
+    # per-sample correlated, so the split is indicative, not additive to
+    # the third decimal.
+    query_construct = {
+        name: round(statistics.median(ts), 3) for name, ts in construct_samples.items()
+    }
+    query_exec_only = {
+        name: round(max(0.0, per_query[name] - query_construct[name]), 3)
+        for name in per_query
     }
     load_flagged = loaded_queries()
     total = sum(per_query.values())
@@ -220,7 +241,12 @@ def main() -> None:
     # shipped "parsed": null. Diagnostics (per-query spread) now go to a
     # SEPARATE earlier line plus BENCH_DETAIL.json; the compact headline
     # object is the FINAL line, so tail truncation can never eat it.
-    detail = {"query_spread": query_spread, **result}
+    detail = {
+        "query_spread": query_spread,
+        "query_construct": query_construct,
+        "query_exec_only": query_exec_only,
+        **result,
+    }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json"), "w") as fh:
