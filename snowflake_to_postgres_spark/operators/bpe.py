@@ -11,7 +11,7 @@ public algorithm). Two operators:
   round one distributed aggregation + a single-row argmax collect.
   Iterative by nature (each round depends on the previous round's merge),
   so no SQL oracle — pinned instead against a pure-Python reference BPE
-  in tests/test_bpe.py (declared rows-only, like sim_topk_dense).
+  in tests/test_bpe.py (declared rows-only, like emb_pca_direction).
 
 100-TB shape: the corpus is scanned ONCE, in the word-frequency
 aggregation (map-side combined, shuffles word→count). Every merge round

@@ -16,9 +16,10 @@ idx — the sparse-matmul formulation. For a 10⁹-vector corpus you'd
 partition the exploded table by idx (co-located join, no broadcast of the
 corpus) and broadcast only the query block; IVF then cuts the candidate
 set by the fanout factor. A dense Pandas-UDF path (numpy matmul per
-partition) is the single-node fast path; it is deliberately NOT the
-oracle-checked one since BLAS reductions are not bit-stable across
-engines.
+partition) is the single-node fast path; since round 8 it is ALSO
+oracle-checked — components snap to the 1e-9 grid and the cosine to the
+1e-8 grid, which absorbs the BLAS-vs-decimal reduction difference (see
+``sim_topk_dense``).
 """
 
 from __future__ import annotations
@@ -1345,18 +1346,28 @@ def sim_topk_dense(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> Data
     the global re-rank — the partial-top-k trick that keeps the shuffle
     O(batches × k) instead of O(corpus).
 
-    Not oracle-checked (BLAS reductions are not bit-stable across
-    engines); tests assert its neighbor sets match the exact decimal
-    path (sim_topk_bruteforce)."""
+    Oracle-checked since round 8 (round-7 verdict #5) via the two-grid
+    idiom: components snap to the 1e-9 grid (the same floor(x·1e9+0.5)
+    used by ``_components``), and the final cosine snaps to the 1e-8
+    grid — coarse enough to absorb the ~1e-15 relative difference
+    between a BLAS float64 reduction and DuckDB's exact-decimal dot
+    (residual boundary-flip probability ~1e-7 per value, same honest
+    probabilistic argument as PageRank's PR_GRID). Ranking ties break on
+    neighbor_id, and the LOCAL prune ranks by the identical
+    (snapped desc, neighbor_id) key so the per-batch top-k provably
+    contains the global top-k under the global order."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    def _grid9(a):
+        return np.floor(a * 1e9 + 0.5) / 1e9
+
     emb = load_table(spark, sf_dir, "embeddings")
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
     qids = np.array([r["vec_id"] for r in q_rows])
-    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = _grid9(np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows]))
+    q_norm = np.sqrt((Q * Q).sum(axis=1))
 
     out_schema = T.StructType([
         T.StructField("qid", T.LongType()),
@@ -1366,22 +1377,29 @@ def sim_topk_dense(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> Data
 
     def batches(it):
         for pdf in it:
-            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            M = _grid9(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            )
             ids = pdf["vec_id"].to_numpy()
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            sims = Mn @ Qn.T  # (n, n_queries)
+            m_norm = np.sqrt((M * M).sum(axis=1))
+            sims = (M @ Q.T) / (m_norm[:, None] * q_norm[None, :])
+            # snap to the 1e-8 grid BEFORE pruning: the local order must
+            # be the global (and oracle) order or a boundary tie could be
+            # pruned here yet win the global tie-break on neighbor_id
+            sims = np.floor(sims * 1e8 + 0.5) / 1e8
             frames = []
             for j, qid in enumerate(qids):
                 col = sims[:, j]
                 mask = ids != qid
                 cand_ids, cand_sims = ids[mask], col[mask]
                 k = min(top_k, len(cand_ids))
-                # local top-k only — bounded emit per batch
-                idx = np.argpartition(-cand_sims, k - 1)[:k]
+                # local top-k only — bounded emit per batch; lexsort's
+                # LAST key is primary: (-cosine, neighbor_id)
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
                 frames.append(pd.DataFrame({
                     "qid": np.full(k, qid, dtype=np.int64),
-                    "neighbor_id": cand_ids[idx].astype(np.int64),
-                    "cosine": cand_sims[idx],
+                    "neighbor_id": cand_ids[order].astype(np.int64),
+                    "cosine": cand_sims[order],
                 }))
             yield pd.concat(frames, ignore_index=True)
 
@@ -1394,10 +1412,35 @@ def sim_topk_dense(spark: SparkSession, sf_dir: str, top_k: int = TOP_K) -> Data
     )
 
 
-SPECS.append(
-    QuerySpec("sim_topk_dense", sim_topk_dense, None,
-              "dense BLAS path — float reductions not oracle-stable by design")
+# The oracle replays the EXACT-decimal dot over the same 1e-9-gridded
+# components (the _COMP_CTES shared with sim_topk_bruteforce), converts
+# once to double, and snaps to the same 1e-8 cosine grid — identical
+# operands → identical IEEE ops, up to the documented boundary-flip
+# residual that the grid absorbs.
+SIM_TOPK_DENSE_ORACLE = _COMP_CTES + f""",
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT qid, vec_id, CAST(SUM(val * qval) AS DECIMAL(38,18)) AS dot
+  FROM comp JOIN q USING (idx)
+  WHERE vec_id <> qid
+  GROUP BY qid, vec_id
+),
+ranked AS (
+  SELECT qid, dots.vec_id AS neighbor_id,
+         FLOOR(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) * 1e8 + 0.5) / 1e8 AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
 )
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= {TOP_K}
+"""
+
+
+SPECS.append(QuerySpec("sim_topk_dense", sim_topk_dense, SIM_TOPK_DENSE_ORACLE))
 
 
 def train_ivf_centroids(
