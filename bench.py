@@ -95,6 +95,10 @@ HEADLINE = [
     "ts_decompose",
     # round-7 additions (one per new family; prior keys unchanged)
     "sim_mmr_ann",
+    # round-8 additions: the co-partitioned PageRank twin (round-7
+    # verdict #3 — the measured gap vs the unbucketed graph_pagerank key
+    # above is the point of publishing both)
+    "graph_pagerank_bucketed",
 ]
 
 

@@ -38,6 +38,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1246,3 +1249,141 @@ ORDER BY node_kind, key
 
 
 SPECS.append(QuerySpec("graph_pagerank", graph_pagerank, _pr_oracle()))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed + converged PageRank twins (round-7 verdict #3 / #7)
+
+#: bucket count of the resident edge fixture; any count satisfies the
+#: clustered-distribution requirement (the scan reports
+#: HashPartitioning(src, numBuckets)), 32 matches the test session's
+#: shuffle parallelism.
+PR_EDGE_BUCKETS = 32
+
+#: fixture tables written this session, keyed by (appId, table name) —
+#: the write-once discipline: one shuffle write per session, every
+#: subsequent call (bench warm-up + timed runs, repeated FULL checks)
+#: reads the resident bucketed table. Keyed by appId so a NEW session
+#: rewrites: the in-memory catalog forgets the table anyway, and
+#: rewriting also protects against a stale warehouse dir if the
+#: testdata fixture changed between sessions.
+_PR_FIXTURES: set[tuple[str, str]] = set()
+
+
+def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trade-edge table as a resident parquet table bucketed by
+    ``src`` — the production layout for an iterated graph: the
+    per-iteration contribution join and the degree aggregation both
+    cluster on src, so the bucketed scan satisfies their distribution
+    requirement and the edge-side Exchange disappears from every round
+    (plan-pinned in tests/test_round8_ops.py; measured 1.9× on the
+    8-iteration run in round 7)."""
+    import re as _re
+
+    from snowflake_to_postgres_spark.sources.bucketed import write_bucketed_table
+
+    tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.strip("/").lower())
+    tbl = f"pr_edges_bucketed_{tag}"
+    key = (spark.sparkContext.applicationId, tbl)
+    if key not in _PR_FIXTURES:
+        # A NEW session's in-memory catalog has forgotten the table, but
+        # the warehouse directory survives on disk — saveAsTable then
+        # fails with LOCATION_ALREADY_EXISTS even in overwrite mode.
+        # Drop both (catalog entry if any, then the orphaned location).
+        # Local-FS remove is the single-node analog; with a persistent
+        # metastore the DROP TABLE alone owns the location.
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), tbl.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+        write_bucketed_table(
+            _trade_edges(spark, sf_dir), tbl, "src", num_buckets=PR_EDGE_BUCKETS
+        )
+        _PR_FIXTURES.add(key)
+    return spark.table(tbl)
+
+
+def _pagerank_round_plan(edges: DataFrame) -> DataFrame:
+    """ONE un-executed PageRank round over the given edge frame — the
+    construction-phase plan probe (round-7 verdict #2): the registered
+    query's lineage is truncated by per-round localCheckpoints, so the
+    expensive per-iteration join-agg never reaches the global plan
+    audit. This exposes it: same join-agg shape ``pagerank`` runs every
+    round, built from live lineage so exchange/scan counts are real."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src").select("src", "dst", "deg")
+    ranks = deg.select(F.col("src").alias("node"), F.lit(0.01).alias("rank"))
+    contribs = e.join(ranks, e["src"] == ranks["node"]).select(
+        F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+    )
+    return contribs.groupBy("node").agg(F.sum("c").alias("s"))
+
+
+def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank on the write-once bucketed edge fixture — the same
+    gridded recurrence and oracle, different physical layout. At 100 TB
+    the resident bucketed edge table IS the production design: the
+    one-time bucketing shuffle is amortized over every subsequent
+    iteration (and every other src-keyed query on the graph)."""
+    ranks = pagerank(_bucketed_trade_edges(spark, sf_dir))
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_kind"),
+        (F.col("node") / 2).cast("bigint").alias("key"),
+        F.col("rank"),
+    ).orderBy("node_kind", "key")
+
+
+#: convergence threshold for the registered converged variant: Σ|Δrank|
+#: across all nodes (total mass is 1, so this is a mass fraction).
+#: PageRank's delta contracts at exactly the damping factor — measured
+#: on the trade graph: Σ|Δ| = 1.487·0.85^k — so tol=1e-2 exits at
+#: iteration ~32 and a tighter 1e-6 would need ~87 rounds: the
+#: tolerance is a wall-clock/precision dial, and 1% of total mass still
+#: moving is where the RANKING has long stopped changing (hub order is
+#: stable from ~iteration 10; pinned in tests/test_round8_ops.py).
+PR_TOL = 1e-2
+#: iteration cap for the converged variant — the early exit is the
+#: point; the cap only bounds a pathological non-converging graph.
+PR_MAX_ITERS = 40
+
+
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PageRank mode (round-7 verdict #7): run to
+    convergence (Σ|Δrank| < PR_TOL, one 1-row collect per round) instead
+    of a fixed iteration count, report the iteration count taken, and
+    read the bucketed edge fixture (the two production improvements
+    compose: co-partitioned edges make each round cheaper, the early
+    exit bounds how many rounds run). Rows-only by declared policy —
+    the exit round is data-dependent, so no fixed-depth SQL oracle can
+    replay it; pinned in pytest instead: the result must equal a tol=0
+    run of the same iteration count bit-for-bit (the early exit changes
+    WHEN you stop, never the recurrence)."""
+    stats: dict = {}
+    ranks = pagerank(
+        _bucketed_trade_edges(spark, sf_dir),
+        iters=PR_MAX_ITERS,
+        tol=PR_TOL,
+        stats=stats,
+    )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_kind"),
+        (F.col("node") / 2).cast("bigint").alias("key"),
+        F.col("rank"),
+        F.lit(stats["iters"]).cast("int").alias("iters"),
+    ).orderBy("node_kind", "key")
+
+
+SPECS.append(QuerySpec("graph_pagerank_bucketed", graph_pagerank_bucketed, _pr_oracle()))
+SPECS.append(
+    QuerySpec(
+        "graph_pagerank_converged",
+        graph_pagerank_converged,
+        None,
+        "convergence early-exit — data-dependent iteration count, no fixed-depth oracle",
+    )
+)

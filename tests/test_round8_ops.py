@@ -45,3 +45,50 @@ def test_widest_decimal_scale_shrink_warns():
         out2 = _widest(T.DecimalType(20, 2), T.DecimalType(10, 4))
     assert out2 == T.DecimalType(22, 4)
     assert not w2
+
+
+def test_pagerank_bucketed_fixture_drops_edge_exchange(spark, sf_dir):
+    """Round-7 verdict #3: the REGISTERED bucketed query (not just a
+    synthetic test table) must read a bucketed scan and plan fewer
+    exchanges per round than the unbucketed twin."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        _bucketed_trade_edges,
+        _trade_edges,
+        _pagerank_round_plan,
+    )
+
+    plain = _pagerank_round_plan(_trade_edges(spark, sf_dir))
+    buck_edges = _bucketed_trade_edges(spark, sf_dir)
+    buck = _pagerank_round_plan(buck_edges)
+    p_plain = plain._jdf.queryExecution().executedPlan().toString()
+    p_buck = buck._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in p_buck
+    assert p_buck.count("Exchange") < p_plain.count("Exchange"), (
+        p_buck.count("Exchange"),
+        p_plain.count("Exchange"),
+    )
+
+
+def test_pagerank_converged_early_exit_and_tol0_parity(spark, sf_dir):
+    """Round-7 verdict #7: the converged variant must genuinely exit
+    before the cap on the real trade graph, and the early exit must
+    change only WHEN it stops — a tol=0 run of the same iteration count
+    reproduces the ranks bit-for-bit."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        PR_MAX_ITERS,
+        _bucketed_trade_edges,
+        graph_pagerank_converged,
+        pagerank,
+    )
+
+    got = graph_pagerank_converged(spark, sf_dir)
+    rows = got.collect()
+    iters = rows[0]["iters"]
+    assert 0 < iters < PR_MAX_ITERS, iters
+    assert all(r["iters"] == iters for r in rows)
+
+    fixed = pagerank(_bucketed_trade_edges(spark, sf_dir), iters=iters, tol=0.0)
+    exact = {r["node"]: r["rank"] for r in fixed.collect()}
+    for r in rows:
+        node = r["key"] * 2 + (0 if r["node_kind"] == "customer" else 1)
+        assert exact[node] == r["rank"], (node, exact[node], r["rank"])
