@@ -271,6 +271,31 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_K = 64  # k-minimum-values sketch size
 
 
+def _kmv_u(col: str):
+    """md5-prefix hash of ``col`` mapped into (0, 1] — the deterministic
+    KMV draw (same idiom both engines share, see memory of the
+    conv/UBIGINT equivalence)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def _a15_sketch_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The two construction-phase aggregations a15 collects — exposed as
+    un-executed frames so the plan audit sees the sketch plan that the
+    collect otherwise hides (round-7 verdict #2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hashes = orders.select(F.col("o_custkey")).distinct().select(_kmv_u("o_custkey").alias("u"))
+    sketch = (
+        hashes.orderBy("u").limit(KMV_K)
+        .agg(F.max("u").alias("u_k"), F.count("*").alias("k_eff"))
+    )
+    exact = orders.agg(F.count_distinct("o_custkey").alias("n"))
+    return {"sketch": sketch, "exact": exact}
+
+
 def a15_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count estimation via a K-minimum-values sketch
     (Bar-Yossef et al. 2002) — unlike HLL (x_approx_sketches,
@@ -285,19 +310,9 @@ def a15_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes — mergeable partials, no full shuffle of the key set (the
     distinct itself reduces map-side); the exact count here is the
     eval-time truth, sampled or omitted at real scale."""
-    orders = load_table(spark, sf_dir, "orders")
-    u = (
-        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
-    hashes = orders.select(F.col("o_custkey")).distinct().select(u.alias("u"))
-    kth = (
-        hashes.orderBy("u").limit(KMV_K)
-        .agg(F.max("u").alias("u_k"), F.count("*").alias("k_eff"))
-        .collect()[0]
-    )
-    exact = orders.agg(F.count_distinct("o_custkey")).collect()[0][0]
+    frames = _a15_sketch_frames(spark, sf_dir)
+    kth = frames["sketch"].collect()[0]
+    exact = frames["exact"].collect()[0][0]
     # u_k == 0 guard: if >= K distinct keys hash to prefix 00000000 the
     # divisor vanishes — astronomically unlikely, but fall back to the
     # exact-so-far count rather than raise. exact_distinct is BIGINT:
@@ -483,7 +498,8 @@ LIMIT {BASKET_TOP_K}
 
 SPECS = [
     QuerySpec("x_sessionization", x_sessionization, X_SESSION_ORACLE),
-    QuerySpec("a15_kmv_distinct", a15_kmv_distinct, A15_KMV_ORACLE),
+    QuerySpec("a15_kmv_distinct", a15_kmv_distinct, A15_KMV_ORACLE,
+              probes=lambda spark, sf: _a15_sketch_frames(spark, sf)),
     QuerySpec("x_attribution", x_attribution, X_ATTRIBUTION_ORACLE),
     QuerySpec("x_basket_lift", x_basket_lift, X_BASKET_ORACLE),
     QuerySpec("x_q5_local_volume", x_q5_local_volume, X_Q5_ORACLE),
@@ -965,17 +981,10 @@ SPECS.append(QuerySpec("diag_heavy_keys", diag_heavy_keys, DIAG_HEAVY_ORACLE))
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel over the event stream: a user converts
-    at step k when their earliest step-k event follows their conversion
-    time at step k-1 (min-ts semantics — the standard product-analytics
-    funnel). Emits one row per step with the converted-user count and
-    the conversion rate from step 1.
-
-    100-TB shape: ONE conditional aggregation per user computes every
-    step's earliest-qualifying timestamp in a single shuffle on
-    user_id (no per-step self-joins, no window over the raw stream);
-    the per-step rollup then reduces |users| rows to |steps|."""
+def _funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_funnel's construction-phase aggregation (the single shuffle on
+    user_id + per-user array expressions), un-executed — shared by the
+    query and its plan probe (round-7 verdict #2)."""
     events = load_table(spark, sf_dir, "events")
     t1 = F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts")))
     per_user = events.groupBy("user_id").agg(
@@ -998,10 +1007,23 @@ def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND t2 IS NOT NULL AND e.ts > t2), e -> e.ts))"
         ),
     )
-    counts = per_user.agg(
+    return per_user.agg(
         F.count("t1").alias("s1"), F.count("t2").alias("s2"), F.count("t3").alias("s3")
     )
-    r = counts.collect()[0]
+
+
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: a user converts
+    at step k when their earliest step-k event follows their conversion
+    time at step k-1 (min-ts semantics — the standard product-analytics
+    funnel). Emits one row per step with the converted-user count and
+    the conversion rate from step 1.
+
+    100-TB shape: ONE conditional aggregation per user computes every
+    step's earliest-qualifying timestamp in a single shuffle on
+    user_id (no per-step self-joins, no window over the raw stream);
+    the per-step rollup then reduces |users| rows to |steps|."""
+    r = _funnel_counts(spark, sf_dir).collect()[0]
     rows = [(i + 1, FUNNEL_STEPS[i], int(r[f"s{i+1}"])) for i in range(3)]
     out = spark.createDataFrame(rows, "step int, event_type string, n_users long")
     return out.withColumn(
@@ -1040,7 +1062,10 @@ SELECT 3, '{FUNNEL_STEPS[2]}', CAST(s3 AS BIGINT),
 """
 
 
-SPECS.append(QuerySpec("x_funnel", x_funnel, X_FUNNEL_ORACLE))
+SPECS.append(
+    QuerySpec("x_funnel", x_funnel, X_FUNNEL_ORACLE,
+              probes=lambda spark, sf: {"counts": _funnel_counts(spark, sf)})
+)
 
 
 def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,6 +1288,45 @@ KMV_SET_A = "click"      # left user set: users who clicked
 KMV_SET_B = "purchase"   # right user set: users who purchased
 
 
+def _a16_set_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """a16's construction-phase frames (sketches, exact counts, exact
+    intersection), un-executed — shared by the query and its plan probe
+    (round-7 verdict #2)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def sketch_frame(event_type: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == event_type)
+            .select("user_id").distinct()
+            .select(_kmv_u("user_id").alias("u"))
+            .orderBy("u").limit(KMV_K)
+        )
+
+    exact = events.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == KMV_SET_A, F.col("user_id"))
+        ).alias("a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == KMV_SET_B, F.col("user_id"))
+        ).alias("b"),
+    )
+    intersection = (
+        events.filter(F.col("event_type") == KMV_SET_A)
+        .select("user_id").distinct()
+        .join(
+            events.filter(F.col("event_type") == KMV_SET_B)
+            .select("user_id").distinct(),
+            "user_id",
+        )
+    )
+    return {
+        f"sketch_{KMV_SET_A}": sketch_frame(KMV_SET_A),
+        f"sketch_{KMV_SET_B}": sketch_frame(KMV_SET_B),
+        "exact": exact,
+        "intersection": intersection,
+    }
+
+
 def a16_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations on mergeable KMV sketches (theta-sketch style,
     Dasgupta et al. / Beyer et al. — public literature): two user sets
@@ -1278,22 +1342,10 @@ def a16_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys — sketches are tiny, mergeable, and the union/intersection
     estimates never touch the raw sets again (the exact counts here are
     eval-time truth, omitted at real scale)."""
-    events = load_table(spark, sf_dir, "events")
-    u = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(4294967296.0)
-    )
+    frames = _a16_set_frames(spark, sf_dir)
 
     def sketch(event_type: str) -> list[float]:
-        rows = (
-            events.filter(F.col("event_type") == event_type)
-            .select("user_id").distinct()
-            .select(u.alias("u"))
-            .orderBy("u").limit(KMV_K)
-            .collect()
-        )
-        return [r["u"] for r in rows]
+        return [r["u"] for r in frames[f"sketch_{event_type}"].collect()]
 
     def kmv_est(us: list[float]) -> float:
         if len(us) >= KMV_K and us[-1] > 0:
@@ -1312,25 +1364,9 @@ def a16_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_est = common / len(union_sorted) if union_sorted else 0.0
     inter_est = jaccard_est * union_est
 
-    ex = events.agg(
-        F.count_distinct(
-            F.when(F.col("event_type") == KMV_SET_A, F.col("user_id"))
-        ).alias("a"),
-        F.count_distinct(
-            F.when(F.col("event_type") == KMV_SET_B, F.col("user_id"))
-        ).alias("b"),
-    ).collect()[0]
+    ex = frames["exact"].collect()[0]
     a_ex, b_ex = ex["a"], ex["b"]
-    i_ex = (
-        events.filter(F.col("event_type") == KMV_SET_A)
-        .select("user_id").distinct()
-        .join(
-            events.filter(F.col("event_type") == KMV_SET_B)
-            .select("user_id").distinct(),
-            "user_id",
-        )
-        .count()
-    )
+    i_ex = frames["intersection"].count()
     union_ex = a_ex + b_ex - i_ex
     return spark.createDataFrame(
         [(
@@ -1399,7 +1435,10 @@ FROM est, exact, iexact
 
 
 SPECS.append(QuerySpec("ivm_agg_refresh", ivm_agg_refresh, IVM_ORACLE))
-SPECS.append(QuerySpec("a16_kmv_set_ops", a16_kmv_set_ops, A16_KMV_SET_ORACLE))
+SPECS.append(
+    QuerySpec("a16_kmv_set_ops", a16_kmv_set_ops, A16_KMV_SET_ORACLE,
+              probes=lambda spark, sf: _a16_set_frames(spark, sf))
+)
 
 
 KMV_GROUP_K = 32  # per-group sketch size

@@ -227,8 +227,22 @@ def tx_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.withColumn("vocab_tokens", F.lit(int(n_vocab)).cast("bigint"))
 
 
+def _bpe_probes(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Construction-phase plan of BPE training (round-7 verdict #2): one
+    merge round's distributed pair-count argmax — the plan that
+    train_bpe's per-round localCheckpoint + 1-row collect hides from
+    the audit. Live lineage from the corpus scan, no execution."""
+    words = word_frequencies(load_table(spark, sf_dir, "documents"))
+    vocab = words.select("w", "freq", _initial_symbols().alias("syms"))
+    return {
+        "merge_round_argmax": _adjacent_pairs(vocab)
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(1)
+    }
+
+
 SPECS = [
     QuerySpec("tx_bpe_pair_counts", tx_bpe_pair_counts, TX_BPE_PAIR_ORACLE),
-    QuerySpec("tx_bpe_merges", tx_bpe_merges, None),
-    QuerySpec("tx_bpe_tokenize", tx_bpe_tokenize, None),
+    QuerySpec("tx_bpe_merges", tx_bpe_merges, None, probes=_bpe_probes),
+    QuerySpec("tx_bpe_tokenize", tx_bpe_tokenize, None, probes=_bpe_probes),
 ]

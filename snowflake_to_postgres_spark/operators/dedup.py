@@ -1185,17 +1185,47 @@ GROUP BY 1
 """
 
 
+def _cc_probes(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Construction-phase plans of the component queries (round-7
+    verdict #2): the symmetric verified pair graph and ONE
+    propagation+pointer-jump round of the distributed fallback — the
+    plans `_lsh_cluster_labels`'s checkpoints/collects hide from the
+    audit. Live lineage, no execution."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    sym = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+    )
+    prop = sym.join(labels, sym.d1 == labels.doc_id).select(
+        F.col("d2").alias("doc_id"), "comp"
+    )
+    stepped = (
+        labels.unionByName(prop).groupBy("doc_id").agg(F.min("comp").alias("comp"))
+    )
+    jump = stepped.select(F.col("doc_id").alias("j_id"), F.col("comp").alias("j_comp"))
+    cc_round = stepped.join(jump, stepped.comp == jump.j_id).select(
+        "doc_id", F.col("j_comp").alias("comp")
+    )
+    return {"sym_edges": sym, "cc_round": cc_round}
+
+
 SPECS = [
     QuerySpec("dedup_exact_groups", dedup_exact_groups, DEDUP_EXACT_ORACLE),
     QuerySpec("dedup_lsh_recall", dedup_lsh_recall, DEDUP_LSH_RECALL_ORACLE),
-    QuerySpec("dedup_cluster_stats", dedup_cluster_stats, DEDUP_CLUSTER_STATS_ORACLE),
+    QuerySpec("dedup_cluster_stats", dedup_cluster_stats, DEDUP_CLUSTER_STATS_ORACLE,
+              probes=_cc_probes),
     QuerySpec("dedup_exact_keep_first", dedup_exact_keep_first, DEDUP_KEEP_FIRST_ORACLE),
     QuerySpec("dedup_ngram_jaccard_pairs", dedup_ngram_jaccard_pairs, DEDUP_JACCARD_ORACLE),
     QuerySpec("dedup_minhash_signatures", dedup_minhash_signatures, DEDUP_MINHASH_SIG_ORACLE),
     QuerySpec("dedup_minhash_lsh_pairs", dedup_minhash_lsh_pairs, DEDUP_MINHASH_PAIRS_ORACLE),
     QuerySpec("dedup_simhash_signatures", dedup_simhash_signatures, DEDUP_SIMHASH_ORACLE),
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_ORACLE),
-    QuerySpec("dedup_cluster_components", dedup_cluster_components, DEDUP_CLUSTER_ORACLE),
+    QuerySpec("dedup_cluster_components", dedup_cluster_components, DEDUP_CLUSTER_ORACLE,
+              probes=_cc_probes),
     QuerySpec("dedup_fuzzy_corpus", dedup_fuzzy_corpus, DEDUP_FUZZY_CORPUS_ORACLE),
     QuerySpec("dedup_containment_pairs", dedup_containment_pairs, DEDUP_CONTAINMENT_ORACLE),
     QuerySpec("dedup_containment_lsh", dedup_containment_lsh, DEDUP_CONTAINMENT_LSH_ORACLE),

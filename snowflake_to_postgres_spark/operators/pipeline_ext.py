@@ -1248,7 +1248,20 @@ ORDER BY node_kind, key
 """
 
 
-SPECS.append(QuerySpec("graph_pagerank", graph_pagerank, _pr_oracle()))
+def _pr_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """Construction-phase plans (round-7 verdict #2): one live-lineage
+    PageRank round — the per-iteration join-agg the localCheckpoints
+    hide from the global plan audit."""
+    return {"round": _pagerank_round_plan(_trade_edges(spark, sf_dir))}
+
+
+def _pr_bucketed_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    return {"round": _pagerank_round_plan(_bucketed_trade_edges(spark, sf_dir))}
+
+
+SPECS.append(
+    QuerySpec("graph_pagerank", graph_pagerank, _pr_oracle(), probes=_pr_probes)
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1378,12 +1391,20 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node_kind", "key")
 
 
-SPECS.append(QuerySpec("graph_pagerank_bucketed", graph_pagerank_bucketed, _pr_oracle()))
+SPECS.append(
+    QuerySpec(
+        "graph_pagerank_bucketed",
+        graph_pagerank_bucketed,
+        _pr_oracle(),
+        probes=_pr_bucketed_probes,
+    )
+)
 SPECS.append(
     QuerySpec(
         "graph_pagerank_converged",
         graph_pagerank_converged,
         None,
         "convergence early-exit — data-dependent iteration count, no fixed-depth oracle",
+        probes=_pr_bucketed_probes,
     )
 )

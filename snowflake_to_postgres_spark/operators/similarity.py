@@ -1711,10 +1711,38 @@ def emb_pca_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """Construction-phase plans of the power iteration (round-7 verdict
+    #2): the per-dimension mean aggregation and one w = Xᵀ(Xv) round.
+    The collected means / normalized vector enter the real plan only as
+    ARRAY LITERALS, so zero/e₀ stand-ins reproduce the identical plan
+    STRUCTURE (scans, exchanges, join shape) without any driver work."""
+    comp = _components(spark, sf_dir).select(
+        "vec_id", "idx", F.col("val").cast("double").alias("v")
+    )
+    means = comp.groupBy("idx").agg(F.avg("v").alias("m"))
+    dim = 64
+    mean_col = F.array(*[F.lit(0.0)] * dim)
+    centered = comp.withColumn(
+        "v", F.col("v") - F.element_at(mean_col, F.col("idx") + 1)
+    )
+    v_col = F.array(*([F.lit(1.0)] + [F.lit(0.0)] * (dim - 1)))
+    s = centered.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.element_at(v_col, F.col("idx") + 1)).alias("s")
+    )
+    power_round = (
+        centered.join(s, "vec_id")
+        .groupBy("idx")
+        .agg(F.sum(F.col("v") * F.col("s")).alias("w"))
+    )
+    return {"means": means, "power_round": power_round}
+
+
 SPECS.append(
     QuerySpec("emb_pca_direction", emb_pca_direction, None,
               "power iteration is iterative — rows-only by design; "
-              "numpy-pinned in tests")
+              "numpy-pinned in tests",
+              probes=_pca_probes)
 )
 
 

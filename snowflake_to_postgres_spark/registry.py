@@ -38,6 +38,16 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None = None
     doc: str = ""
+    #: construction-phase plan probes (round-7 verdict #2). Queries whose
+    #: construction collapses lineage before returning (localCheckpoint
+    #: iterations, sketch collects, driver-side fits) audit as 0-node
+    #: plans — the expensive per-round/sketch-phase plans never reach the
+    #: global cartesian/nested-loop guard. A probe fn returns
+    #: {label: un-executed DataFrame} exposing those plans structurally
+    #: (literal stand-ins where construction would collect — the plan
+    #: SHAPE is what the guard checks). Audited by tools/plan_audit.py as
+    #: `name::label` rows and by the pytest global guard.
+    probes: Callable[[SparkSession, str], dict[str, DataFrame]] | None = None
 
 
 # Decimal-typed output columns of each DuckDB oracle (from DESCRIBE), cast
@@ -336,6 +346,7 @@ def _all_specs() -> list[QuerySpec]:
             fn=_normalize_decimals(s.fn),
             oracle=None if s.oracle is None else _normalize_oracle(s.name, s.oracle),
             doc=s.doc,
+            probes=s.probes,
         )
         for s in specs
     ]
@@ -347,3 +358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {s.name: s.oracle for s in _all_specs() if s.oracle is not None}
+
+
+def plan_probes() -> dict[str, Callable[[SparkSession, str], dict[str, DataFrame]]]:
+    """Per-query construction-phase plan probes (see QuerySpec.probes)."""
+    return {s.name: s.probes for s in _all_specs() if s.probes is not None}

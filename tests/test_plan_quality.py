@@ -134,6 +134,15 @@ def test_no_cartesian_or_nested_loop_in_any_registered_query(spark, sf_dir):
         for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             if node in plan:
                 offenders[name] = node
+    # Construction-phase probes (round-7 verdict #2): the per-round /
+    # sketch-phase plans that lineage truncation hides from the frames
+    # above face the same guard.
+    for name, probe_fn in registry.plan_probes().items():
+        for label, df in probe_fn(spark, sf_dir).items():
+            plan = _plan(df)
+            for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+                if node in plan:
+                    offenders[f"{name}::{label}"] = node
     assert not offenders, f"non-equi join plans: {offenders}"
 
 
