@@ -97,8 +97,11 @@ HEADLINE = [
     "sim_mmr_ann",
     # round-8 additions: the co-partitioned PageRank twin (round-7
     # verdict #3 — the measured gap vs the unbucketed graph_pagerank key
-    # above is the point of publishing both)
+    # above is the point of publishing both) and the materialized-index
+    # ANN search (vs sim_ivf_pq_topk, its in-query twin that rebuilds
+    # per run)
     "graph_pagerank_bucketed",
+    "sim_ann_index_search",
 ]
 
 

@@ -1296,7 +1296,15 @@ def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snowflake_to_postgres_spark.sources.bucketed import write_bucketed_table
 
     tag = _re.sub(r"[^0-9a-z]+", "_", sf_dir.strip("/").lower())
-    tbl = f"pr_edges_bucketed_{tag}"
+    # The application id is part of the table name: each session rewrites
+    # its fixture anyway (the in-memory catalog forgets tables between
+    # sessions), and a SHARED name lets two concurrent sessions on one
+    # machine race on the same warehouse location (one drops/rewrites
+    # while the other reads — observed as a flaky test under parallel
+    # pytest runs). Unique-per-app names make the fixture race-free at
+    # zero reuse cost.
+    app = _re.sub(r"[^0-9a-z]+", "_", spark.sparkContext.applicationId.lower())
+    tbl = f"pr_edges_bucketed_{tag}_{app}"
     key = (spark.sparkContext.applicationId, tbl)
     if key not in _PR_FIXTURES:
         # A NEW session's in-memory catalog has forgotten the table, but

@@ -1048,8 +1048,111 @@ FROM toks t LEFT JOIN cleaned c USING (doc_id)
 """
 
 
+# Gopher-style document gate thresholds (Rae et al. 2021 "Scaling
+# Language Models" repetition/quality rules — public paper). The RULE
+# SHAPES are Gopher's (word-count band, mean-word-length band, minimum
+# distinct stopwords, top-2-gram dominance cap, duplicate-3-gram cap);
+# the numeric cut-offs are tuned to the synthetic fixture's signal
+# distribution (top2 p50 0.033 / p99 0.111, rep3 p99 0.018) so the gate
+# is exercised in BOTH directions at test scale — production would use
+# the paper's values (e.g. top-2-gram ≤ 0.20).
+GOPHER_WORDS = (20, 100_000)
+GOPHER_MWL = (3.0, 10.0)
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_TOP2_MAX = 0.06
+GOPHER_REP3_MAX = 0.01
+
+
+def tx_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Gopher repetition/quality document gate: every
+    signal and the final keep/drop verdict in ONE codegen'd projection —
+    zero shuffles, the cheapest possible 100-TB shape (like
+    tx_repetition_ratio, the n-gram work happens in per-row array
+    expressions; docs are bounded, so the O(|grams|²) dominance count is
+    constant per row). Signals: word count, mean word length, distinct
+    stopwords, top-2-gram dominance (count fraction of the most frequent
+    word 2-gram), duplicate-3-gram fraction."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    n_tok = F.size("toks").cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    mwl = (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct("toks"), sw)).cast("bigint")
+    g2 = F.expr(
+        "transform(sequence(1, greatest(1, size(toks)-1)),"
+        " i -> array_join(slice(toks, i, 2), ' '))"
+    )
+    g3 = F.expr(
+        f"transform(sequence(1, greatest(1, size(toks)-{REP_NGRAM - 1})),"
+        f" i -> array_join(slice(toks, i, {REP_NGRAM}), ' '))"
+    )
+    with_grams = docs.withColumn("g2", g2).withColumn("g3", g3)
+    top2_cnt = F.expr(
+        "array_max(transform(array_distinct(g2), d -> size(filter(g2, x -> x = d))))"
+    ).cast("bigint")
+    top2_frac = top2_cnt.cast("double") / F.size("g2").cast("double")
+    rep3 = (
+        F.lit(1.0)
+        - F.size(F.array_distinct("g3")).cast("double") / F.size("g3").cast("double")
+    )
+    out = with_grams.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mwl.alias("mean_word_len"),
+        n_stop.alias("n_distinct_stopwords"),
+        top2_frac.alias("top_2gram_frac"),
+        rep3.alias("dup_3gram_frac"),
+    )
+    keep = (
+        F.col("n_tokens").between(*GOPHER_WORDS)
+        & F.col("mean_word_len").between(*GOPHER_MWL)
+        & (F.col("n_distinct_stopwords") >= GOPHER_MIN_STOPWORDS)
+        & (F.col("top_2gram_frac") <= GOPHER_TOP2_MAX)
+        & (F.col("dup_3gram_frac") <= GOPHER_REP3_MAX)
+    )
+    return out.withColumn("keep", keep)
+
+
+TX_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           AS mean_word_len,
+         CAST(len(list_intersect(list_distinct(toks), [{_SW_EN}])) AS BIGINT)
+           AS n_distinct_stopwords,
+         list_transform(generate_series(1, greatest(1, len(toks)-1)),
+                        i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+         list_transform(generate_series(1, greatest(1, len(toks)-{REP_NGRAM - 1})),
+                        i -> array_to_string(toks[i:i+{REP_NGRAM - 1}], ' ')) AS g3
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_tokens, mean_word_len, n_distinct_stopwords,
+         CAST(list_max(list_transform(list_distinct(g2),
+              d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)
+           / CAST(len(g2) AS DOUBLE) AS top_2gram_frac,
+         1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+           AS dup_3gram_frac
+  FROM g
+)
+SELECT doc_id, n_tokens, mean_word_len, n_distinct_stopwords,
+       top_2gram_frac, dup_3gram_frac,
+       (n_tokens BETWEEN {GOPHER_WORDS[0]} AND {GOPHER_WORDS[1]}
+        AND mean_word_len BETWEEN {GOPHER_MWL[0]} AND {GOPHER_MWL[1]}
+        AND n_distinct_stopwords >= {GOPHER_MIN_STOPWORDS}
+        AND top_2gram_frac <= {GOPHER_TOP2_MAX}
+        AND dup_3gram_frac <= {GOPHER_REP3_MAX}) AS keep
+FROM s
+"""
+
+
 SPECS = [
     QuerySpec("tx_token_stats", tx_token_stats, TX_TOKEN_ORACLE),
+    QuerySpec("tx_gopher_gate", tx_gopher_gate, TX_GOPHER_ORACLE),
     QuerySpec("tx_posting_lists", tx_posting_lists, TX_POSTING_ORACLE),
     QuerySpec("tx_dup_span_coverage", tx_dup_span_coverage, TX_DUP_SPAN_ORACLE),
     QuerySpec("pipe_strip_dup_spans", pipe_strip_dup_spans, PIPE_STRIP_DUP_ORACLE),

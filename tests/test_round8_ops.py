@@ -47,6 +47,41 @@ def test_widest_decimal_scale_shrink_warns():
     assert not w2
 
 
+def test_sim_ann_index_search_registered_matches_in_query(spark, sf_dir):
+    """The registered materialized-index search must reproduce the
+    in-query sim_ivf_pq_topk row for row, reuse the session fixture on a
+    second call (write-once), and keep the cell partition filter."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        _ANN_INDEX_FIXTURES,
+        sim_ann_index_search,
+        sim_ivf_pq_topk,
+    )
+
+    got = sorted(tuple(r) for r in sim_ann_index_search(spark, sf_dir).collect())
+    exp = sorted(tuple(r) for r in sim_ivf_pq_topk(spark, sf_dir).collect())
+    assert got == exp
+    n_fixtures = len(_ANN_INDEX_FIXTURES)
+    again = sim_ann_index_search(spark, sf_dir)
+    assert len(_ANN_INDEX_FIXTURES) == n_fixtures  # no rebuild
+    plan = again._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+
+def test_gopher_gate_splits_and_signal_sanity(spark, sf_dir):
+    """The composed Gopher gate must produce both verdicts on the
+    fixture (thresholds are tuned for that) and its signals must be
+    internally consistent."""
+    from snowflake_to_postgres_spark.operators.text import tx_gopher_gate
+
+    rows = tx_gopher_gate(spark, sf_dir).collect()
+    verdicts = {r["keep"] for r in rows}
+    assert verdicts == {True, False}
+    for r in rows:
+        assert 0.0 <= r["top_2gram_frac"] <= 1.0
+        assert 0.0 <= r["dup_3gram_frac"] < 1.0
+        assert r["n_tokens"] > 0
+
+
 def test_pagerank_bucketed_fixture_drops_edge_exchange(spark, sf_dir):
     """Round-7 verdict #3: the REGISTERED bucketed query (not just a
     synthetic test table) must read a bucketed scan and plan fewer
