@@ -204,11 +204,17 @@ _PRIORITY: tuple[str, ...] = (
     # takes the window seat of sim_rp_lsh_topk, whose RP-LSH oracle
     # remains exercised inside sim_ann_recall's composed recall gate
     # (and stays registered + FULL-checked below).
+    # Round-8 rotations: sim_ann_index_search (the materialized
+    # build/search split — the production ANN shape; same oracle)
+    # replaces its in-query twin sim_ivf_pq_topk, and tx_gopher_gate
+    # (the composed repetition/quality keep-drop verdict) replaces
+    # tx_token_stats (whose token counts the gate's signals subsume).
+    # Both demoted rows stay registered + FULL-checked below.
     "sim_topk_bruteforce",
-    "sim_ivf_pq_topk",
+    "sim_ann_index_search",
     "graph_pagerank",
     "sim_ann_recall",
-    "tx_token_stats",
+    "tx_gopher_gate",
     "tx_weighted_downsample",
     "pipe_strip_dup_spans",
     "tx_lm_heldout_ppl",

@@ -78,14 +78,17 @@ def test_priority_window_covers_families():
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64_pairs",
         "dedup_incremental_lsh",
         "dedup_containment", "dedup_semantic", "dedup_incremental",
-        # similarity: exact + composed IVF+PQ + measured recall (the
-        # recall gate's oracle composes the RP-LSH path, whose dedicated
-        # row was demoted for graph_pagerank in round 7)
-        "sim_topk_bruteforce", "sim_ivf_pq", "sim_ann_recall",
+        # similarity: exact + the materialized IVF+PQ index search
+        # (round-8: replaces its in-query twin sim_ivf_pq_topk, same
+        # oracle) + measured recall (whose oracle composes the RP-LSH
+        # path, demoted for graph_pagerank in round 7)
+        "sim_topk_bruteforce", "sim_ann_index_search", "sim_ann_recall",
         # graph
         "graph_pagerank",
         # text / featurization / pipeline / layout / multimodal
-        "tx_token", "tx_weighted_downsample", "pipe_strip_dup",
+        # (round-8: tx_gopher_gate replaces tx_token_stats — the gate's
+        # signals subsume the token counts)
+        "tx_gopher_gate", "tx_weighted_downsample", "pipe_strip_dup",
         "tx_lm_heldout", "tx_bpe_pair", "ivm_agg_refresh", "fit_linear",
         "layout_hilbert", "tx_zipf_fit", "pipe_training", "mm_",
         # temporal joins; stream-stream join + session windows + CDC state
@@ -117,7 +120,11 @@ def test_priority_window_covers_families():
                     # round-7 rotations: guaranteed-recall simhash64 and
                     # oracle-backed pagerank in; prefix-simhash and
                     # rp-lsh (covered via sim_ann_recall) out
-                    "dedup_simhash_pairs", "sim_rp_lsh_topk"):
+                    "dedup_simhash_pairs", "sim_rp_lsh_topk",
+                    # round-8 rotations: materialized index search and the
+                    # composed Gopher gate in; their in-query/basic twins
+                    # out (same oracles / subsumed signals)
+                    "sim_ivf_pq_topk", "tx_token_stats"):
         assert demoted in all_names and demoted not in names, demoted
 
 
