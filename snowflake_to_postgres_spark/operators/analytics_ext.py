@@ -499,7 +499,7 @@ LIMIT {BASKET_TOP_K}
 SPECS = [
     QuerySpec("x_sessionization", x_sessionization, X_SESSION_ORACLE),
     QuerySpec("a15_kmv_distinct", a15_kmv_distinct, A15_KMV_ORACLE,
-              probes=lambda spark, sf: _a15_sketch_frames(spark, sf)),
+              probes=_a15_sketch_frames),
     QuerySpec("x_attribution", x_attribution, X_ATTRIBUTION_ORACLE),
     QuerySpec("x_basket_lift", x_basket_lift, X_BASKET_ORACLE),
     QuerySpec("x_q5_local_volume", x_q5_local_volume, X_Q5_ORACLE),
@@ -1437,7 +1437,7 @@ FROM est, exact, iexact
 SPECS.append(QuerySpec("ivm_agg_refresh", ivm_agg_refresh, IVM_ORACLE))
 SPECS.append(
     QuerySpec("a16_kmv_set_ops", a16_kmv_set_ops, A16_KMV_SET_ORACLE,
-              probes=lambda spark, sf: _a16_set_frames(spark, sf))
+              probes=_a16_set_frames)
 )
 
 

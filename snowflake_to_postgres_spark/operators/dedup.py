@@ -1187,14 +1187,18 @@ GROUP BY 1
 
 def _cc_probes(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Construction-phase plans of the component queries (round-7
-    verdict #2): the symmetric verified pair graph and ONE
-    propagation+pointer-jump round of the distributed fallback — the
-    plans `_lsh_cluster_labels`'s checkpoints/collects hide from the
-    audit. Live lineage, no execution."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
-    sym = pairs.unionByName(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).distinct()
+    verdict #2): ONE propagation+pointer-jump round of the distributed
+    fallback — the plan `_lsh_cluster_labels`'s checkpoints/collects
+    hide from the audit. The round is built over a LITERAL stand-in
+    edge frame, not the live LSH lineage: the executed round runs over
+    a localCheckpointed symmetric pair set (one materialized input), so
+    composing the probe from the un-materialized pairs plan would
+    multiply the LSH subtree into a ~10k-node plan TEXT that neither
+    matches what executes nor audits cheaply (round-8 review finding).
+    The upstream pair pipeline is audited by its own registered row
+    (`dedup_minhash_lsh_pairs`); this probe pins the ROUND structure —
+    the joins/aggregates that must stay equi-join."""
+    sym = spark.createDataFrame([(1, 2), (2, 1), (2, 3), (3, 2)], "d1 bigint, d2 bigint")
     labels = (
         sym.select(F.col("d1").alias("doc_id"))
         .distinct()
@@ -1210,7 +1214,7 @@ def _cc_probes(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cc_round = stepped.join(jump, stepped.comp == jump.j_id).select(
         "doc_id", F.col("j_comp").alias("comp")
     )
-    return {"sym_edges": sym, "cc_round": cc_round}
+    return {"cc_round": cc_round}
 
 
 SPECS = [

@@ -38,6 +38,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 
@@ -1307,20 +1308,20 @@ def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = f"pr_edges_bucketed_{tag}_{app}"
     key = (spark.sparkContext.applicationId, tbl)
     if key not in _PR_FIXTURES:
-        # A NEW session's in-memory catalog has forgotten the table, but
-        # the warehouse directory survives on disk — saveAsTable then
-        # fails with LOCATION_ALREADY_EXISTS even in overwrite mode.
-        # Drop both (catalog entry if any, then the orphaned location).
-        # Local-FS remove is the single-node analog; with a persistent
-        # metastore the DROP TABLE alone owns the location.
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(warehouse.removeprefix("file:"), tbl.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
         write_bucketed_table(
             _trade_edges(spark, sf_dir), tbl, "src", num_buckets=PR_EDGE_BUCKETS
         )
+        # The per-app name can never pre-exist, so no pre-write cleanup
+        # is needed; what DOES need handling is the orphaned warehouse
+        # dir this session leaves behind (the in-memory catalog forgets
+        # the table at exit but the directory survives — unbounded disk
+        # growth across bench/pytest/audit sessions, round-8 review
+        # finding). Best-effort removal at process exit; only this
+        # process's own dir, so concurrent sessions are untouched.
+        # Crash leftovers remain — bounded by crash count, not runs.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), tbl.lower())
+        atexit.register(shutil.rmtree, loc, True)
         _PR_FIXTURES.add(key)
     return spark.table(tbl)
 

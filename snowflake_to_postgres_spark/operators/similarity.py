@@ -1625,6 +1625,13 @@ def sim_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, idx)
     if key not in _ANN_INDEX_FIXTURES:
         build_ann_index(spark, sf_dir, idx)
+        # best-effort removal of this process's own index tree at exit —
+        # the components copy is corpus-sized, and per-app paths would
+        # otherwise accumulate across sessions (round-8 review finding)
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, idx, True)
         _ANN_INDEX_FIXTURES.add(key)
     return sim_ivf_pq_search(spark, idx)
 

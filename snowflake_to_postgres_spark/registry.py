@@ -368,5 +368,15 @@ def oracle_sql() -> dict[str, str]:
 
 
 def plan_probes() -> dict[str, Callable[[SparkSession, str], dict[str, DataFrame]]]:
-    """Per-query construction-phase plan probes (see QuerySpec.probes)."""
-    return {s.name: s.probes for s in _all_specs() if s.probes is not None}
+    """Per-query construction-phase plan probes (see QuerySpec.probes).
+    A probe fn shared by twin specs (bpe merges/tokenize, cluster
+    stats/components, pagerank bucketed/converged) is returned ONCE
+    under the first registered name — the consumers (plan audit, pytest
+    guard) would otherwise compile and render identical plans twice."""
+    out: dict[str, Callable[[SparkSession, str], dict[str, DataFrame]]] = {}
+    seen: set[int] = set()
+    for s in _all_specs():
+        if s.probes is not None and id(s.probes) not in seen:
+            seen.add(id(s.probes))
+            out[s.name] = s.probes
+    return out

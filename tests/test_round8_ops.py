@@ -64,7 +64,13 @@ def test_sim_ann_index_search_registered_matches_in_query(spark, sf_dir):
     again = sim_ann_index_search(spark, sf_dir)
     assert len(_ANN_INDEX_FIXTURES) == n_fixtures  # no rebuild
     plan = again._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan
+    # non-empty filter naming the cell column — `PartitionFilters: [` alone
+    # would also match an empty list and could never fail
+    import re
+
+    assert any(
+        "cell" in m for m in re.findall(r"PartitionFilters: \[([^\]]+)\]", plan)
+    ), plan[:800]
 
 
 def test_gopher_gate_splits_and_signal_sanity(spark, sf_dir):
