@@ -1378,11 +1378,20 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a fixed iteration count, report the iteration count taken, and
     read the bucketed edge fixture (the two production improvements
     compose: co-partitioned edges make each round cheaper, the early
-    exit bounds how many rounds run). Rows-only by declared policy —
-    the exit round is data-dependent, so no fixed-depth SQL oracle can
-    replay it; pinned in pytest instead: the result must equal a tol=0
-    run of the same iteration count bit-for-bit (the early exit changes
-    WHEN you stop, never the recurrence)."""
+    exit bounds how many rounds run).
+
+    ORACLE-CHECKED since round 8 despite the data-dependent exit: the
+    DuckDB oracle unrolls the gridded recurrence to the PR_MAX_ITERS
+    cap, computes every step's Σ|Δrank| the same way, and selects the
+    FIRST step under PR_TOL — replaying the exit decision itself in
+    SQL. The per-iteration ranks are bit-identical (the PR_GRID
+    argument); the delta is an un-gridded sum of gridded terms, so the
+    exit comparison carries the same ~1e-16-near-the-threshold residual
+    the grid comment documents — delta contracts geometrically (×0.85
+    per round), so landing within 1e-16 of PR_TOL at the exit round is
+    vanishingly rare. Also pinned in pytest: the result must equal a
+    tol=0 run of the same iteration count bit-for-bit (the early exit
+    changes WHEN you stop, never the recurrence)."""
     stats: dict = {}
     ranks = pagerank(
         _bucketed_trade_edges(spark, sf_dir),
@@ -1408,12 +1417,70 @@ SPECS.append(
         probes=_pr_bucketed_probes,
     )
 )
+def _pr_converged_oracle() -> str:
+    """The converged twin's oracle: the same unrolled gridded recurrence
+    as ``_pr_oracle`` but to the PR_MAX_ITERS cap, a per-step Σ|Δrank|
+    ladder, and the exit decision replayed in SQL — iters* = first step
+    with delta < PR_TOL (capped), ranks taken from that step."""
+    teleport = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n"
+    steps, deltas, all_ranks = [], [], []
+    for i in range(1, PR_MAX_ITERS + 1):
+        # MATERIALIZED is load-bearing: each r{k} is referenced ~4 times
+        # (next step, two delta rows, ranks_all) — DuckDB's default CTE
+        # INLINING turns that into an exponentially branching plan that
+        # exhausts file handles at 40 levels (the 8-step _pr_oracle chain
+        # survives inlining; this one must pin materialization).
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT dst AS node,
+         FLOOR(({teleport} + CAST(0.85 AS DOUBLE) * SUM(rank / deg)) * 1e9 + 0.5) / 1e9 AS rank
+  FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node, nn
+  GROUP BY dst, n
+)"""
+        )
+        deltas.append(
+            f"SELECT {i} AS k, SUM(ABS(a.rank - b.rank)) AS d "
+            f"FROM r{i} a JOIN r{i - 1} b USING (node)"
+        )
+        all_ranks.append(f"SELECT {i} AS k, node, rank FROM r{i}")
+    chain = ",\n".join(steps)
+    delta_union = "\nUNION ALL\n".join(deltas)
+    ranks_union = "\nUNION ALL\n".join(all_ranks)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+e AS MATERIALIZED (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+r0 AS MATERIALIZED (SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS rank FROM deg, nn),
+{chain},
+delta AS ({delta_union}),
+k_star AS (
+  SELECT COALESCE(MIN(k), {PR_MAX_ITERS}) AS ks FROM delta WHERE d < {PR_TOL!r}
+),
+ranks_all AS ({ranks_union})
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_kind,
+       node // 2 AS key,
+       rank,
+       CAST(ks AS INT) AS iters
+FROM ranks_all, k_star
+WHERE k = ks
+ORDER BY node_kind, key
+"""
+
+
 SPECS.append(
     QuerySpec(
         "graph_pagerank_converged",
         graph_pagerank_converged,
-        None,
-        "convergence early-exit — data-dependent iteration count, no fixed-depth oracle",
+        _pr_converged_oracle(),
         probes=_pr_bucketed_probes,
     )
 )
