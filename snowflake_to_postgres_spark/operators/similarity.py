@@ -1742,11 +1742,26 @@ def emb_remove_top_component(
 
 def emb_pca_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of the power-iteration principal direction:
-    (idx, loading, eigenvalue) rows. Iterative → declared rows-only;
-    numpy parity pinned in tests/test_kmeans_ivf.py."""
+    (idx, loading, eigenvalue) rows, loadings and eigenvalue snapped to
+    the 1e-8 grid. ORACLE-CHECKED since round 8: the DuckDB oracle
+    replays all PCA_ITERATIONS power rounds as unrolled MATERIALIZED
+    CTEs over the same double-cast components and grids identically at
+    the end. No per-round grid is needed — power iteration is
+    SELF-CORRECTING (cross-engine summation-order perturbations decay
+    by λ2/λ1 per round except along the dominant direction, where
+    normalization cancels them), so the end-to-end divergence stays
+    ~1e-13 and the single 1e-8 end-grid absorbs it (same residual
+    boundary-flip caveat as PR_GRID). numpy parity additionally pinned
+    in tests/test_kmeans_ivf.py."""
+    import math
+
     vec, eig = emb_top_component(spark, sf_dir)
+
+    def g8(x: float) -> float:
+        return math.floor(x * 1e8 + 0.5) / 1e8
+
     return spark.createDataFrame(
-        [(i, float(x), float(eig)) for i, x in enumerate(vec)],
+        [(i, g8(float(x)), g8(float(eig))) for i, x in enumerate(vec)],
         "idx INT, loading DOUBLE, eigenvalue DOUBLE",
     )
 
@@ -1778,10 +1793,53 @@ def _pca_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
     return {"means": means, "power_round": power_round}
 
 
+def _pca_oracle() -> str:
+    """All PCA_ITERATIONS power rounds unrolled as MATERIALIZED CTEs
+    (default inlining would branch exponentially — the converged-
+    PageRank lesson): s = Xᵀ-projection per vector, w = re-projection
+    per dimension, normalize, iterate; grid loadings + eigenvalue at
+    1e-8 at the end only."""
+    rounds = []
+    for k in range(1, PCA_ITERATIONS + 1):
+        rounds.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT c.vec_id, SUM(c.v * v.x) AS s
+  FROM centered c JOIN v{k - 1} v USING (idx) GROUP BY c.vec_id
+),
+w{k} AS MATERIALIZED (
+  SELECT c.idx, SUM(c.v * s.s) AS w
+  FROM centered c JOIN s{k} s USING (vec_id) GROUP BY c.idx
+),
+n{k} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{k}),
+v{k} AS MATERIALIZED (SELECT idx, w / nrm AS x FROM w{k}, n{k})"""
+        )
+    chain = ",\n".join(rounds)
+    return (
+        _COMP_CTES
+        + f""",
+compd AS MATERIALIZED (SELECT vec_id, idx, CAST(val AS DOUBLE) AS v FROM comp),
+means AS MATERIALIZED (SELECT idx, AVG(v) AS m FROM compd GROUP BY idx),
+centered AS MATERIALIZED (
+  SELECT c.vec_id, c.idx, c.v - m.m AS v FROM compd c JOIN means m USING (idx)
+),
+v0 AS (
+  -- comp's idx is 1-BASED here (generate_series in _COMP_CTES) vs
+  -- Spark's 0-based posexplode: e0 = dimension 0 = DuckDB idx 1, and
+  -- the final projection shifts back with idx - 1
+  SELECT i AS idx, CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS x
+  FROM unnest(generate_series(1, 64)) AS g(i)
+),
+{chain}
+SELECT CAST(v.idx - 1 AS INT) AS idx,
+       FLOOR(v.x * 1e8 + 0.5) / 1e8 AS loading,
+       FLOOR(n.nrm * 1e8 + 0.5) / 1e8 AS eigenvalue
+FROM v{PCA_ITERATIONS} v, n{PCA_ITERATIONS} n
+"""
+    )
+
+
 SPECS.append(
-    QuerySpec("emb_pca_direction", emb_pca_direction, None,
-              "power iteration is iterative — rows-only by design; "
-              "numpy-pinned in tests",
+    QuerySpec("emb_pca_direction", emb_pca_direction, _pca_oracle(),
               probes=_pca_probes)
 )
 
