@@ -1060,7 +1060,9 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_candidates(comp, shortlist, k=ANN_EVAL_K)
 
 
-SIM_IVF_PQ_ORACLE = _COMP_CTES + f""",
+# Shared through `ranked` so the MMR-ANN oracle can reuse the exact
+# IVF+PQ+rescore chain with a different final top-k (round 8).
+_IVF_PQ_RANKED_CTES = _COMP_CTES + f""",
 cent AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {N_CENTROIDS}),
 celld2 AS (
   SELECT vec_id, cid, CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
@@ -1127,7 +1129,9 @@ ranked AS (
   FROM dots
   JOIN norms qn ON qn.vec_id = dots.qid
   JOIN norms nn ON nn.vec_id = dots.vec_id
-)
+)"""
+
+SIM_IVF_PQ_ORACLE = _IVF_PQ_RANKED_CTES + f"""
 SELECT qid, rank, neighbor_id, cosine FROM (
   SELECT qid, neighbor_id, cosine,
          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
@@ -1904,7 +1908,14 @@ def _mmr_greedy(cands: DataFrame) -> DataFrame:
         ).reset_index(drop=True)
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        # candidate-pair similarities snap to the 1e-8 grid (round 8):
+        # rel is already bit-identical cross-engine (the exact-decimal
+        # kernel), so gridding the one float-reduction input makes every
+        # greedy SCORE bit-identical too — that is what lets the DuckDB
+        # oracle replay the argmax sequence itself (the sim_topk_dense /
+        # PR_GRID argument, same boundary-flip residual)
         pair = vecs @ vecs.T
+        pair = np.floor(pair * 1e8 + 0.5) / 1e8
         rel = pdf["cosine"].to_numpy()
         nid = pdf["neighbor_id"].to_numpy()
         selected: list[int] = []
@@ -1926,8 +1937,16 @@ def _mmr_greedy(cands: DataFrame) -> DataFrame:
             )
             selected.append(best)
             remaining.remove(best)
+            # tie-free 1e-8 grid, not round() (Python round is half-even
+            # vs SQL's varying conventions — the floor idiom is identical
+            # IEEE arithmetic in both engines)
             out.append(
-                (int(pdf["qid"][best]), len(selected), int(nid[best]), round(float(score), 8))
+                (
+                    int(pdf["qid"][best]),
+                    len(selected),
+                    int(nid[best]),
+                    float(np.floor(float(score) * 1e8 + 0.5) / 1e8),
+                )
             )
         return pd.DataFrame(
             out, columns=["qid", "sel_rank", "neighbor_id", "mmr_score"]
@@ -1949,10 +1968,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This form feeds the greedy from the EXACT brute-force shortlist —
     the quality ceiling the ANN-fed twin (:func:`sim_mmr_ann`, the
-    production path at corpus scale) is judged against. The greedy
-    argmax is order-dependent → not SQL-expressible → rows-only by
-    declared policy (BPE-merge precedent); parity pinned against an
-    independent pure-python MMR in tests/test_round6_ops.py."""
+    production path at corpus scale) is judged against. ORACLE-CHECKED
+    since round 8: the greedy argmax is order-dependent but
+    SQL-REPLAYABLE — the DuckDB oracle unrolls the MMR_K selection
+    rounds (the PageRank-unroll idiom) over bit-identical inputs (rel
+    from the shared exact-decimal kernel; pair similarities snapped to
+    the 1e-8 grid in both engines). Parity additionally pinned against
+    an independent pure-python MMR in tests/test_round6_ops.py."""
     return _mmr_greedy(_mmr_candidates(spark, sf_dir))
 
 
@@ -1985,25 +2007,133 @@ def sim_mmr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`sim_mmr_rerank` with the shortlist stage swapped to the
     IVF+PQ ANN pipeline — the composed production form (round-6 verdict
     #5: the docstring claimed interchangeability; this registers and
-    verifies it). Same greedy, same output schema; shortlist recall vs
-    the exact provider is measured in tests/test_round7_ops.py."""
+    verifies it). Same greedy, same output schema; ORACLE-CHECKED since
+    round 8 (the IVF+PQ shortlist chain composed with the unrolled
+    greedy, see sim_mmr_rerank); shortlist recall vs the exact provider
+    is measured in tests/test_round7_ops.py."""
     return _mmr_greedy(_mmr_ann_candidates(spark, sf_dir))
 
 
-SPECS.append(
-    QuerySpec(
-        "sim_mmr_rerank", sim_mmr_rerank, None,
-        "greedy argmax is order-dependent — rows-only by declared "
-        "policy; pure-python parity pinned in tests/test_round6_ops.py",
+# MMR oracle machinery (round 8): the greedy argmax IS SQL-replayable —
+# unroll the MMR_K selection rounds like PageRank's iterations. The two
+# float inputs are made bit-identical first: `rel` already is (the
+# exact-decimal kernel both engines share), and the candidate-pair
+# similarities snap to the 1e-8 grid in both engines, so every score is
+# an identical chain of IEEE ops and the per-round argmax (score DESC,
+# nid) picks the same candidate. Residual: the usual grid boundary-flip
+# probability on pairsim (~1e-7/value over ~2k values per run).
+
+_MMR_EXACT_CAND_CTES = _COMP_CTES + f""",
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT qid, vec_id, CAST(SUM(val * qval) AS DECIMAL(38,18)) AS dot
+  FROM comp JOIN q USING (idx)
+  WHERE vec_id <> qid
+  GROUP BY qid, vec_id
+),
+rankedc AS (
+  SELECT qid, dots.vec_id AS nid,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT qid, nid, CAST(cosine AS DOUBLE) AS rel FROM (
+    SELECT qid, nid, cosine,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+    FROM rankedc
+  ) WHERE rn <= {MMR_SHORTLIST}
+)"""
+
+_MMR_ANN_CAND_CTES = _IVF_PQ_RANKED_CTES + f""",
+cand AS MATERIALIZED (
+  SELECT qid, neighbor_id AS nid, CAST(cosine AS DOUBLE) AS rel FROM (
+    SELECT qid, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM ranked
+  ) WHERE rn <= {MMR_SHORTLIST}
+)"""
+
+
+def _mmr_greedy_sql(cand_ctes: str) -> str:
+    """Append the unrolled greedy to a provider chain ending in
+    ``cand(qid, nid, rel)``: pairwise gridded cosines over the raw
+    embeddings (the same vectors numpy normalizes — NOT the 1e-9
+    component grid), then MMR_K argmax rounds, each MATERIALIZED."""
+    lam = repr(MMR_LAMBDA)
+    oml = repr(1.0 - MMR_LAMBDA)  # embeds the exact double 1.0-λ
+    rounds = [
+        f"""s1 AS MATERIALIZED (
+  SELECT qid, nid, {lam} * rel AS score FROM (
+    SELECT qid, nid, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {lam} * rel DESC, nid) AS rn
+    FROM cand) WHERE rn = 1
+),
+sel1 AS (SELECT qid, nid FROM s1)"""
+    ]
+    for k in range(2, MMR_K + 1):
+        rounds.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT qid, nid, score FROM (
+    SELECT d.qid, d.nid, {lam} * d.rel - {oml} * d.mx AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.qid
+             ORDER BY ({lam} * d.rel - {oml} * d.mx) DESC, d.nid) AS rn
+    FROM (
+      SELECT c.qid, c.nid, c.rel, MAX(p.ps) AS mx
+      FROM cand c
+      JOIN sel{k - 1} s ON s.qid = c.qid
+      JOIN pairsim p ON p.qid = c.qid AND p.a = c.nid AND p.b = s.nid
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sel{k - 1} x WHERE x.qid = c.qid AND x.nid = c.nid)
+      GROUP BY c.qid, c.nid, c.rel
+    ) d
+  ) WHERE rn = 1
+),
+sel{k} AS (SELECT qid, nid FROM sel{k - 1} UNION ALL SELECT qid, nid FROM s{k})"""
+        )
+    final_union = "\nUNION ALL\n".join(
+        f"SELECT qid, {k} AS k, nid, score FROM s{k}" for k in range(1, MMR_K + 1)
     )
-)
-SPECS.append(
-    QuerySpec(
-        "sim_mmr_ann", sim_mmr_ann, None,
-        "greedy argmax is order-dependent — rows-only by declared "
-        "policy; ANN-shortlist parity pinned in tests/test_round7_ops.py",
+    chain = ",\n".join(rounds)
+    return (
+        cand_ctes
+        + f""",
+rawcomp AS MATERIALIZED (
+  SELECT vec_id, i AS idx, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+),
+rawnorm AS MATERIALIZED (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM rawcomp GROUP BY vec_id),
+cpair AS (
+  SELECT c1.qid, c1.nid AS a, c2.nid AS b
+  FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.nid <> c2.nid
+),
+pairsim AS MATERIALIZED (
+  SELECT cp.qid, cp.a, cp.b,
+         FLOOR(SUM((ra.v / na.nrm) * (rb.v / nb.nrm)) * 1e8 + 0.5) / 1e8 AS ps
+  FROM cpair cp
+  JOIN rawcomp ra ON ra.vec_id = cp.a
+  JOIN rawcomp rb ON rb.vec_id = cp.b AND rb.idx = ra.idx
+  JOIN rawnorm na ON na.vec_id = cp.a
+  JOIN rawnorm nb ON nb.vec_id = cp.b
+  GROUP BY cp.qid, cp.a, cp.b
+),
+{chain}
+SELECT qid, CAST(k AS INT) AS sel_rank, nid AS neighbor_id,
+       FLOOR(score * 1e8 + 0.5) / 1e8 AS mmr_score
+FROM ({final_union})
+ORDER BY qid, sel_rank
+"""
     )
-)
+
+
+SIM_MMR_ORACLE = _mmr_greedy_sql(_MMR_EXACT_CAND_CTES)
+SIM_MMR_ANN_ORACLE = _mmr_greedy_sql(_MMR_ANN_CAND_CTES)
+
+
+SPECS.append(QuerySpec("sim_mmr_rerank", sim_mmr_rerank, SIM_MMR_ORACLE))
+SPECS.append(QuerySpec("sim_mmr_ann", sim_mmr_ann, SIM_MMR_ANN_ORACLE))
 
 
 EMB_OUTLIER_Z = 3.0  # |z| threshold on the vector-norm distribution

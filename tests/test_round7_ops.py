@@ -189,13 +189,20 @@ def test_mmr_ann_composition(spark):
         while pool and len(chosen) < MMR_K:
             scored = []
             for n in pool:
-                div = max((float(vecs[n] @ vecs[m]) for m in chosen), default=0.0)
+                # mirror the engine's 1e-8 pair-similarity grid (round 8)
+                div = max(
+                    (
+                        float(np.floor(float(vecs[n] @ vecs[m]) * 1e8 + 0.5) / 1e8)
+                        for m in chosen
+                    ),
+                    default=0.0,
+                )
                 scored.append((MMR_LAMBDA * rel[n] - (1 - MMR_LAMBDA) * div, -n, n))
             scored.sort(reverse=True)
             s, _, n = scored[0]
             chosen.append(n)
             pool.remove(n)
-            expected[(qid, len(chosen))] = (n, round(s, 8))
+            expected[(qid, len(chosen))] = (n, float(np.floor(s * 1e8 + 0.5) / 1e8))
 
     got = {
         (r["qid"], r["sel_rank"]): (r["neighbor_id"], r["mmr_score"])
