@@ -9,9 +9,12 @@ public algorithm). Two operators:
   word count. SQL-expressible, oracle-checked.
 * ``tx_bpe_merges`` — the full iterative trainer: N merge rounds, each
   round one distributed aggregation + a single-row argmax collect.
-  Iterative by nature (each round depends on the previous round's merge),
-  so no SQL oracle — pinned instead against a pure-Python reference BPE
-  in tests/test_bpe.py (declared rows-only, like emb_pca_direction).
+  Iterative, yet ORACLE-CHECKED since round 8: the DuckDB oracle unrolls
+  every round over an exploded symbol table (``_bpe_round_ctes``) —
+  the recurrence is pure integer/string arithmetic, and the fold's
+  left-to-right non-overlapping merge is replayed positionally with the
+  run-parity rule. Also pinned against a pure-Python reference BPE in
+  tests/test_bpe.py.
 
 100-TB shape: the corpus is scanned ONCE, in the word-frequency
 aggregation (map-side combined, shuffles word→count). Every merge round
@@ -169,9 +172,12 @@ FROM pairs ORDER BY cnt DESC, a, b LIMIT {PAIR_TOP_K}
 
 
 def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned BPE merge table after N_MERGES rounds. Iterative →
-    no SQL oracle (declared rows-only); merge-sequence parity vs a
-    pure-Python reference BPE is pinned in tests/test_bpe.py."""
+    """The learned BPE merge table after N_MERGES rounds. ORACLE-CHECKED
+    since round 8 despite being iterative: the DuckDB oracle unrolls all
+    training rounds (see ``_bpe_round_ctes`` — the recurrence is pure
+    integer/string arithmetic, so unlike PageRank/MMR no float grid is
+    even needed). Merge-sequence parity vs a pure-Python reference BPE
+    additionally pinned in tests/test_bpe.py."""
     words = word_frequencies(load_table(spark, sf_dir, "documents"))
     merges = train_bpe(words, N_MERGES)
     rows = [
@@ -198,9 +204,10 @@ def tx_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The payoff metric of BPE training: tokenize the corpus vocabulary
     with the learned merges and report corpus-weighted compression —
     symbols per word before/after, token-count ratio, and the subword
-    vocabulary size. One summary row. Iterative upstream (train_bpe) →
-    declared rows-only; pinned vs the pure-Python tokenizer in
-    tests/test_bpe.py."""
+    vocabulary size. One summary row. ORACLE-CHECKED since round 8: the
+    unrolled-trainer oracle's final symbol table IS the tokenized vocab,
+    so the stats derive from it directly; also pinned vs the pure-Python
+    tokenizer in tests/test_bpe.py."""
     words = word_frequencies(load_table(spark, sf_dir, "documents"))
     merges = train_bpe(words, N_MERGES)
     toked = apply_merges(
@@ -227,6 +234,110 @@ def tx_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.withColumn("vocab_tokens", F.lit(int(n_vocab)).cast("bigint"))
 
 
+def _bpe_round_ctes() -> str:
+    """The shared unrolled-trainer SQL (round 8 — promotes the BPE
+    trainer out of rows-only): N_MERGES rounds, each one argmax + one
+    merge application, replayed over an EXPLODED symbol table
+    sym_r(w, freq, posn, sym). The recurrence is pure integer/string
+    arithmetic — no float grids needed, unlike PageRank/MMR.
+
+    The left-to-right non-overlapping fold (`_merge_pair`) is replayed
+    positionally: candidate positions (sym=a AND next=b) that are
+    CONSECUTIVE form a run (possible only when a=b — a≠b consecutive
+    candidates would need s[i+1]=b AND s[i+1]=a), and the fold merges
+    exactly the odd-ranked positions of each run; the row AFTER a
+    merged position is consumed (LAG), survivors renumber. An invalid
+    round (best cnt < MIN_PAIR_COUNT, where Spark's trainer BREAKS)
+    materializes an EMPTY rule table, so the frame passes through
+    unchanged and every later round recomputes the same invalid rule —
+    the frozen frame makes validity monotone, so filtering output rules
+    by cnt reproduces the break exactly."""
+    words_cte = f"""words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE regexp_matches(w, '{WORD_RE}') GROUP BY w
+),
+sym0 AS MATERIALIZED (
+  SELECT w, freq, i AS posn,
+         CASE WHEN i <= length(w) THEN substring(w, i, 1) ELSE '{EOW}' END AS sym
+  FROM words, unnest(generate_series(1, length(w) + 1)) AS g(i)
+)"""
+    rounds = []
+    for r in range(1, N_MERGES + 1):
+        rounds.append(
+            f"""p{r} AS (
+  SELECT w, freq, posn, sym,
+         LEAD(sym) OVER (PARTITION BY w ORDER BY posn) AS nxt
+  FROM sym{r - 1}
+),
+rule{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM (
+    SELECT sym AS a, nxt AS b, SUM(freq) AS cnt
+    FROM p{r} WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY cnt DESC, a, b
+    LIMIT 1
+  ) WHERE cnt >= {MIN_PAIR_COUNT}
+),
+k{r} AS (
+  SELECT *, CASE WHEN cand THEN
+              (ROW_NUMBER() OVER (PARTITION BY w, grp, cand ORDER BY posn) % 2) = 1
+            ELSE FALSE END AS keep
+  FROM (
+    SELECT p.*, (r.a IS NOT NULL) AS cand,
+           p.posn - ROW_NUMBER() OVER (
+             PARTITION BY p.w, (r.a IS NOT NULL) ORDER BY p.posn) AS grp
+    FROM p{r} p LEFT JOIN rule{r} r ON p.sym = r.a AND p.nxt = r.b
+  )
+),
+sym{r} AS MATERIALIZED (
+  SELECT w, freq,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY posn) AS posn,
+         CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY w ORDER BY posn), FALSE) AS consumed
+    FROM k{r}
+  )
+  WHERE NOT consumed
+)"""
+        )
+    return "WITH " + words_cte + ",\n" + ",\n".join(rounds)
+
+
+def _bpe_merges_oracle() -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, a, b, cnt FROM rule{r}" for r in range(1, N_MERGES + 1)
+    )
+    return (
+        _bpe_round_ctes()
+        + f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY r) AS BIGINT) AS round,
+       a AS "left", b AS "right", a || b AS merged, CAST(cnt AS BIGINT) AS cnt
+FROM ({union})
+ORDER BY round
+"""
+    )
+
+
+def _bpe_tokenize_oracle() -> str:
+    n = N_MERGES
+    return (
+        _bpe_round_ctes()
+        + f""",
+before AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+                  CAST(SUM(freq * (length(w) + 1)) AS BIGINT) AS symbols_before
+           FROM words),
+after AS (SELECT CAST(SUM(freq) AS BIGINT) AS symbols_after,
+                 CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_tokens
+          FROM sym{n})
+SELECT n_words, symbols_before, symbols_after,
+       CAST(symbols_after AS DOUBLE) / CAST(symbols_before AS DOUBLE) AS compression,
+       vocab_tokens
+FROM before, after
+"""
+    )
+
+
 def _bpe_probes(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Construction-phase plan of BPE training (round-7 verdict #2): one
     merge round's distributed pair-count argmax — the plan that
@@ -243,6 +354,7 @@ def _bpe_probes(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 SPECS = [
     QuerySpec("tx_bpe_pair_counts", tx_bpe_pair_counts, TX_BPE_PAIR_ORACLE),
-    QuerySpec("tx_bpe_merges", tx_bpe_merges, None, probes=_bpe_probes),
-    QuerySpec("tx_bpe_tokenize", tx_bpe_tokenize, None, probes=_bpe_probes),
+    QuerySpec("tx_bpe_merges", tx_bpe_merges, _bpe_merges_oracle(), probes=_bpe_probes),
+    QuerySpec("tx_bpe_tokenize", tx_bpe_tokenize, _bpe_tokenize_oracle(),
+              probes=_bpe_probes),
 ]
