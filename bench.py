@@ -102,6 +102,11 @@ HEADLINE = [
     # per run)
     "graph_pagerank_bucketed",
     "sim_ann_index_search",
+    # round-8 session-2 additions: triangle counting (new graph family
+    # member) and the exact-k A-ES weighted sampler (new sampling
+    # member); prior keys unchanged
+    "graph_triangles",
+    "tx_weighted_sample_topk",
 ]
 
 

@@ -1785,3 +1785,117 @@ FROM scored
 
 
 SPECS.append(QuerySpec("x_rfm_segmentation", x_rfm_segmentation, X_RFM_ORACLE))
+
+
+#: Rolling active-user window in days (x_rolling_dau).
+ROLLING_WINDOW_DAYS = 7
+
+
+def x_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per observed day, DAU (distinct users that
+    day), WAU (distinct users in the trailing ROLLING_WINDOW_DAYS-day
+    window, inclusive) and the DAU/WAU stickiness ratio — the classic
+    rolling-COUNT-DISTINCT operator no window frame can express (count
+    distinct over a RANGE frame is unsupported in every engine; the
+    textbook rewrite is a grid x activity range join).
+
+    Plan shape: the range join is BANDED into an equi-join — each
+    distinct (user, day) carries its week bucket day//7; each grid day
+    explodes to the (at most 2) buckets its trailing window overlaps;
+    the join is equi on bucket with the exact day-range as a residual
+    filter. A naive `ON e.d BETWEEN g.d - 6 AND g.d` would plan as a
+    BroadcastNestedLoopJoin (the global plan guard forbids it); the
+    banded form is a hash join whose per-row fan-out is bounded by the
+    window length, independent of corpus size.
+
+    100-TB shape: events reduce to DISTINCT (user, day) first
+    (map-side combine); everything after is |users x days| sized, and
+    the banded join fan-out is <= 2 buckets per grid day."""
+    events = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    du = (
+        events.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+        )
+        .distinct()
+        .withColumn("dn", F.datediff(F.col("d"), epoch))
+        .withColumn("bucket", F.floor(F.col("dn") / ROLLING_WINDOW_DAYS))
+    )
+    grid = (
+        du.select("d", "dn")
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(
+                            (F.col("dn") - (ROLLING_WINDOW_DAYS - 1))
+                            / ROLLING_WINDOW_DAYS
+                        ),
+                        F.floor(F.col("dn") / ROLLING_WINDOW_DAYS),
+                    )
+                )
+            ),
+        )
+    )
+    g = grid.alias("g")
+    e = du.alias("e")
+    joined = g.join(e, "bucket").filter(
+        (F.col("e.dn") <= F.col("g.dn"))
+        & (F.col("e.dn") > F.col("g.dn") - ROLLING_WINDOW_DAYS)
+    )
+    agg = joined.groupBy(F.col("g.d").alias("d")).agg(
+        F.countDistinct(
+            F.when(F.col("e.dn") == F.col("g.dn"), F.col("e.user_id"))
+        )
+        .cast("bigint")
+        .alias("dau"),
+        F.countDistinct("e.user_id").cast("bigint").alias("wau"),
+    )
+    return agg.select(
+        "d",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    ).orderBy("d")
+
+
+X_ROLLING_DAU_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+dn AS (
+  SELECT user_id, d, (d - DATE '1970-01-01') AS dn,
+         CAST(floor((d - DATE '1970-01-01') / {ROLLING_WINDOW_DAYS}.0) AS BIGINT)
+           AS bucket
+  FROM du
+),
+grid AS (
+  SELECT d, dn, bucket FROM (
+    SELECT DISTINCT d, dn FROM dn
+  ), UNNEST(list_distinct([
+      CAST(floor((dn - {ROLLING_WINDOW_DAYS - 1}) / {ROLLING_WINDOW_DAYS}.0) AS BIGINT),
+      CAST(floor(dn / {ROLLING_WINDOW_DAYS}.0) AS BIGINT)
+    ])) AS t(bucket)
+),
+joined AS (
+  SELECT g.d, g.dn AS gdn, e.dn AS edn, e.user_id
+  FROM grid g JOIN dn e USING (bucket)
+  WHERE e.dn <= g.dn AND e.dn > g.dn - {ROLLING_WINDOW_DAYS}
+)
+SELECT d,
+       CAST(COUNT(DISTINCT CASE WHEN edn = gdn THEN user_id END) AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+       CAST(COUNT(DISTINCT CASE WHEN edn = gdn THEN user_id END) AS DOUBLE)
+         / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS stickiness
+FROM joined
+GROUP BY d
+ORDER BY d
+"""
+
+
+SPECS.append(QuerySpec("x_rolling_dau", x_rolling_dau, X_ROLLING_DAU_ORACLE))

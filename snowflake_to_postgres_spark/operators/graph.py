@@ -1,0 +1,377 @@
+"""Distributed graph analytics beyond PageRank: triangle counting on a
+thresholded supplier-partnership graph.
+
+The reference has no graph surface; this extends the engine with the
+canonical "second graph workload" every large-scale pipeline runs after
+PageRank — triangle / clustering-coefficient analysis, the standard
+measure of community structure (Watts-Strogatz) and the classic
+shuffle-join stress test of a distributed engine.
+
+Graph construction (shared with nothing — deliberately DIFFERENT from
+the PageRank trade graph, which is bipartite and therefore triangle-free
+by construction): nodes are suppliers; an undirected edge joins two
+suppliers whose co-occurrence weight — the number of distinct orders
+both supplied — clears an analytic threshold t = mean + 2·sqrt(mean)
+over all co-occurring pairs ("strong partnerships"). The threshold is
+what makes the operator meaningful on TPC-H-shaped data: uniform random
+supplier assignment makes the RAW co-occurrence graph essentially
+complete (measured: sf0.1 has 453,588 of 499,500 possible edges — 91%
+dense, 135M wedges), while the mean+2σ upper tail keeps the genuinely
+heavy pairs (sf0.1: 17,813 edges, 175k wedges, 8,475 triangles).
+
+Algorithm — degree-ordered edge orientation (the MapReduce-era standard,
+Suri & Vassilvitskii "Counting Triangles and the Curse of the Last
+Reducer", WWW'11):
+
+1. Orient every undirected edge from its lower-(degree, id) endpoint to
+   the higher one. Every triangle {a,b,c} is then counted exactly once,
+   as the unique wedge a→b, a→c (b before c in the total order) closed
+   by b→c.
+2. Wedges: the oriented edge list self-joined on src. Orientation is
+   the scale lever: max out-degree is O(sqrt(m)) regardless of hub
+   degree, so the wedge fan-out per node is bounded — the "last
+   reducer" hub problem cannot occur.
+3. Closure: one equi-join of wedges against oriented edges on (b, c).
+
+Everything is two self-equi-joins plus hash aggregates — no cartesian,
+no Python on the data path, AQE free to pick broadcast sides. The total
+order (deg, node) is encoded as the single bigint deg·2³² + node (node
+ids and degrees both < 2³¹ here; at larger id domains widen to a
+struct compare — documented, not needed for any test SF).
+
+Cross-engine determinism: the threshold is computed from two exact
+integer aggregates (Σw, count) with one float division, one sqrt, one
+multiply-add — identical IEEE ops in both engines, so the kept edge set
+is identical (no boundary-flip risk: the comparison operands are
+bit-identical, not merely close). Σw stays far below 2⁵³ at every test
+SF, so DuckDB's int128→double cast is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+#: Per-supplier triangle leaderboard size (graph_triangles output).
+TRI_TOP = 50
+
+#: Encodes the (degree, node) total order as one bigint — valid while
+#: max degree and max node id both stay below 2³¹.
+_ORD_BASE = 4294967296  # 2**32
+
+
+def _partnership_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, w): distinct-order co-occurrence counts for every supplier
+    pair u < v that ever co-supplied an order. One self-equi-join of
+    lineitem on orderkey (per-order fan-out is the order's line count —
+    single digits — so the join output is ~C(lines,2)·|orders|, linear
+    in the fact table) followed by one hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("w"))
+    )
+
+
+def _partnership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected strong-partnership edges: pairs whose weight clears
+    t = mean + 2·sqrt(mean). The two threshold scalars are exact longs
+    collected in one row (the q11/q15 threshold-literal pattern); t is
+    reproduced by the oracle with the identical float expression."""
+    co = _partnership_weights(spark, sf_dir)
+    stats = co.agg(F.sum("w").alias("s"), F.count("*").alias("n")).collect()[0]
+    mean = float(stats["s"]) / stats["n"]
+    t = mean + 2.0 * mean**0.5
+    return co.filter(F.col("w") >= F.lit(t)).select("u", "v")
+
+
+def _oriented_edges(edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation: (src, dst, dst_ord) with
+    ord(src) < ord(dst) under ord = deg·2³² + node. deg is the
+    node-count-sized frame, broadcast to both endpoint joins."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ord_of = F.col("deg") * F.lit(_ORD_BASE) + F.col("node")
+    du = deg.select(F.col("node").alias("u"), ord_of.alias("u_ord"))
+    dv = deg.select(F.col("node").alias("v"), ord_of.alias("v_ord"))
+    e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    fwd = F.col("u_ord") < F.col("v_ord")
+    return e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.greatest(F.col("u_ord"), F.col("v_ord")).alias("dst_ord"),
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """All triangles (a, b, c) of an undirected edge frame (u, v) with
+    u < v, each emitted exactly once with ord(a) < ord(b) < ord(c) under
+    the degree orientation. The reusable kernel behind the registered
+    queries — unit-testable on constructed graphs (K5, brute-force
+    random parity) independent of the fixture threshold."""
+    oe = _oriented_edges(edges)
+    e1 = oe.alias("e1")
+    e2 = oe.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst_ord") < F.col("e2.dst_ord")),
+    ).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    e3 = oe.alias("e3")
+    return wedge.join(
+        e3,
+        (F.col("b") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst")),
+    ).select("a", "b", "c")
+
+
+def triangles_per_node(edges: DataFrame) -> DataFrame:
+    """(node, triangles): each triangle credits all three corners."""
+    tri = triangles(edges)
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("triangles")
+    )
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle participation leaderboard over the
+    strong-partnership graph: (s_suppkey, triangles), top TRI_TOP by
+    (triangles DESC, s_suppkey ASC)."""
+    per_node = triangles_per_node(_partnership_edges(spark, sf_dir))
+    return (
+        per_node.select(F.col("node").alias("s_suppkey"), "triangles")
+        .orderBy(F.col("triangles").desc(), F.col("s_suppkey"))
+        .limit(TRI_TOP)
+    )
+
+
+# The oracle replays the identical construction: same threshold floats,
+# same orientation encoding, same wedge/closure joins. The only textual
+# difference is SQL spelling.
+GRAPH_TRIANGLES_ORACLE = f"""
+WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+         COUNT(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
+         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
+  FROM co
+),
+pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN du.deg * {_ORD_BASE} + u < dv.deg * {_ORD_BASE} + v
+              THEN u ELSE v END AS src,
+         CASE WHEN du.deg * {_ORD_BASE} + u < dv.deg * {_ORD_BASE} + v
+              THEN v ELSE u END AS dst,
+         GREATEST(du.deg * {_ORD_BASE} + u, dv.deg * {_ORD_BASE} + v) AS dst_ord
+  FROM pairs
+  JOIN deg du ON du.node = pairs.u
+  JOIN deg dv ON dv.node = pairs.v
+),
+wedge AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oe e1 JOIN oe e2 ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedge w JOIN oe e3 ON e3.src = w.b AND e3.dst = w.c
+)
+SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM (
+  SELECT a AS s_suppkey FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY s_suppkey
+ORDER BY triangles DESC, s_suppkey
+LIMIT {TRI_TOP}
+"""
+
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global graph-structure summary of the strong-partnership graph:
+    one row (nodes, edges, wedges, triangles, global_clustering) where
+    global_clustering = 3·triangles / wedges — the transitivity ratio
+    (closed wedges / all wedges). The wedge count uses the per-node
+    degree identity Σ C(deg, 2) instead of materializing the oriented
+    wedge join a second time — an O(nodes) aggregate."""
+    edges = _partnership_edges(spark, sf_dir).persist()
+    m = edges.count()  # materializes the cache for the two passes below
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # nodes/wedges are one bounded scalar row (the threshold-literal
+    # pattern); embedding them as literals keeps the EXPENSIVE part —
+    # the triangle join — as the returned lineage the plan audit sees.
+    # (Joining two 1-row aggregates instead gets its constant equi-key
+    # folded away by Catalyst and plans as a nested-loop cross join.)
+    nw = deg.agg(
+        F.count("*").cast("bigint").alias("nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("wedges"),
+    ).collect()[0]
+    wedges = nw["wedges"] if nw["wedges"] is not None else 0
+    return triangles(edges).agg(
+        F.count("*").cast("bigint").alias("triangles")
+    ).select(
+        F.lit(nw["nodes"]).cast("bigint").alias("nodes"),
+        F.lit(m).cast("bigint").alias("edges"),
+        F.lit(wedges).cast("bigint").alias("wedges"),
+        "triangles",
+        F.when(
+            F.lit(wedges) > 0,
+            F.lit(3.0) * F.col("triangles").cast("double") / F.lit(float(wedges)),
+        ).alias("global_clustering"),
+    )
+
+
+GRAPH_CLUSTERING_ORACLE = f"""
+WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+         COUNT(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
+         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
+  FROM co
+),
+pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN du.deg * {_ORD_BASE} + u < dv.deg * {_ORD_BASE} + v
+              THEN u ELSE v END AS src,
+         CASE WHEN du.deg * {_ORD_BASE} + u < dv.deg * {_ORD_BASE} + v
+              THEN v ELSE u END AS dst,
+         GREATEST(du.deg * {_ORD_BASE} + u, dv.deg * {_ORD_BASE} + v) AS dst_ord
+  FROM pairs
+  JOIN deg du ON du.node = pairs.u
+  JOIN deg dv ON dv.node = pairs.v
+),
+tri AS (
+  SELECT COUNT(*) AS triangles
+  FROM oe e1
+  JOIN oe e2 ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord
+  JOIN oe e3 ON e1.dst = e3.src AND e2.dst = e3.dst
+),
+cnts AS (
+  -- COALESCE: an empty graph has ZERO wedges, not NULL (SUM over empty)
+  SELECT CAST(COUNT(*) AS BIGINT) AS nodes,
+         CAST(COALESCE(SUM(deg * (deg - 1) / 2), 0) AS BIGINT) AS wedges
+  FROM deg
+)
+SELECT nodes,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS edges,
+       wedges,
+       CAST(triangles AS BIGINT) AS triangles,
+       CASE WHEN wedges > 0
+            THEN 3.0 * CAST(triangles AS DOUBLE) / CAST(wedges AS DOUBLE)
+       END AS global_clustering
+FROM cnts, tri
+"""
+
+
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the strong-partnership
+    graph — the first diagnostic run on any production graph (is it
+    power-law? where do the hubs start?) and the input to the
+    orientation/salting provisioning decisions the other graph
+    operators document.
+
+    The bucket is floor(log2(deg)) computed as binary-digit count - 1 —
+    an exact integer path. floor(log2()) itself is a libm landmine: at
+    exact powers of two a 1-ulp-low log2 floors to the WRONG bucket,
+    and the two engines' libms differ exactly there."""
+    edges = _partnership_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    bucket = (F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1).cast("int")
+    return (
+        deg.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("deg").cast("bigint").alias("min_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+GRAPH_DEGREE_HIST_ORACLE = f"""
+WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+         COUNT(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
+         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
+  FROM co
+),
+pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node
+)
+SELECT CAST(length(bin(deg)) - 1 AS INT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg
+FROM deg
+GROUP BY 1
+ORDER BY log2_bucket
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_ORACLE),
+    QuerySpec(
+        "graph_clustering_coeff", graph_clustering_coeff, GRAPH_CLUSTERING_ORACLE
+    ),
+    QuerySpec("graph_degree_hist", graph_degree_hist, GRAPH_DEGREE_HIST_ORACLE),
+]

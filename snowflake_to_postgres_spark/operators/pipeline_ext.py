@@ -895,6 +895,79 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DECI
 """
 
 
+#: A-ES sample size per source (tx_weighted_sample_topk).
+WSAMPLE_K = 5
+
+#: Grid for the A-ES key ln(u)/w: keys live in (-23, 0] (u ≥ 2⁻³²), so
+#: 1e-12 absolute resolution keeps ~4 decimal-digit headroom above the
+#: ~4e-15 worst-case 1-ulp disagreement between the two engines' ln —
+#: the PageRank-grid honesty argument applies verbatim (residual
+#: boundary-straddle flip ~1e-9 per key, accepted and documented).
+WSAMPLE_GRID = 1e12
+
+
+def tx_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per source — the
+    Efraimidis-Spirtakis A-ES scheme (Inf. Proc. Letters 97(5), 2006):
+    draw u_i uniform per item, keep the k largest u_i^(1/w_i). This is
+    the exact-k per-stratum draw a mixture pipeline uses where the
+    Bernoulli samplers (tx_weighted_downsample / tx_mixture_draw) only
+    hit their quota in expectation.
+
+    Ranking by u^(1/w) is order-equivalent to ranking by ln(u)/w — one
+    transcendental instead of pow, and the value is snapped to the
+    WSAMPLE_GRID integer grid with a (gkey DESC, doc_id) tie-break so
+    both engines rank identical bigints. u derives from the first 8 md5
+    hex chars of doc_id (the engine-wide hash-uniform), shifted to
+    (0, 1] so ln is finite; w = max(n_chars, 1) guards zero-length docs.
+
+    100-TB shape: one codegen'd projection computes the key; the
+    per-source top-k is the w1 windowed-rank pattern (shuffle by
+    source, per-group sort); a pathologically hot source pre-splits on
+    a doc_id range exactly like the packing operator documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_HASH_SPAN))
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    gkey = F.floor(F.log(u) / w * F.lit(WSAMPLE_GRID) + F.lit(0.5)).cast("bigint")
+    keyed = docs.select("source", "doc_id", "n_chars", gkey.alias("gkey"))
+    win = Window.partitionBy("source").orderBy(
+        F.col("gkey").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= WSAMPLE_K)
+        .select("source", "sample_rank", "doc_id", "n_chars")
+        .orderBy("source", "sample_rank")
+    )
+
+
+TX_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor(
+           ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                AS DOUBLE) + 1.0) / {float(_HASH_SPAN)})
+           / CAST(GREATEST(n_chars, 1) AS DOUBLE) * {WSAMPLE_GRID} + 0.5
+         ) AS BIGINT) AS gkey
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY gkey DESC, doc_id)
+           AS sample_rank
+  FROM keyed
+)
+SELECT source, sample_rank, doc_id, n_chars
+FROM r WHERE sample_rank <= {WSAMPLE_K}
+ORDER BY source, sample_rank
+"""
+
+
 def tx_mixture_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Realize the mixture plan: actually DRAW the per-source sample the
     tx_mixture_plan rates describe, with the same deterministic
@@ -1053,6 +1126,7 @@ GROUP BY doc_id
 SPECS = [
     QuerySpec("tx_pii_scrub", tx_pii_scrub, TX_PII_ORACLE),
     QuerySpec("tx_weighted_downsample", tx_weighted_downsample, TX_WEIGHTED_DOWNSAMPLE_ORACLE),
+    QuerySpec("tx_weighted_sample_topk", tx_weighted_sample_topk, TX_WEIGHTED_SAMPLE_ORACLE),
     QuerySpec("tx_mixture_draw", tx_mixture_draw, TX_MIXTURE_DRAW_ORACLE),
     QuerySpec("tx_lm_heldout_ppl", tx_lm_heldout_ppl, TX_LM_HELDOUT_ORACLE),
     QuerySpec("tx_tfidf_top_terms", tx_tfidf_top_terms, TX_TFIDF_ORACLE),
@@ -1120,19 +1194,30 @@ def pagerank(
     damp: float = PR_DAMP,
     tol: float = 0.0,
     stats: dict | None = None,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Distributed PageRank (Brin & Page) by iterated join-aggregate:
     each round joins the node-sized rank frame to the edge list on src,
     ships rank/degree contributions, and re-aggregates per dst — the
     canonical Spark formulation (two shuffles per round, both on node
     id; an edge table bucketed by src drops the edge-side exchange —
-    plan-proven in tests/test_round7_ops.py). Every round
-    ``localCheckpoint``s its rank frame: persist() alone keeps the
-    logical lineage, which grows a quadratic plan TEXT over iterations
-    (measured: the 8-round plan audited at ~11k scan nodes); the
-    checkpoint truncates lineage to the materialized partitions, so
-    round N's plan is one join-agg — the iterative-plan discipline that
-    keeps the optimizer (and any plan audit) working on O(1)-size trees.
+    plan-proven in tests/test_round7_ops.py). Every
+    ``checkpoint_every`` rounds the rank frame is ``localCheckpoint``ed:
+    persist() alone keeps the logical lineage, which grows a quadratic
+    plan TEXT over iterations (measured: the 8-round plan audited at
+    ~11k scan nodes); the checkpoint truncates lineage to the
+    materialized partitions, bounding every round's plan at
+    ``checkpoint_every`` chained join-aggs — the iterative-plan
+    discipline that keeps the optimizer (and any plan audit) working on
+    O(1)-size trees. The cadence is a pure scheduling knob, never a
+    value knob: the per-iteration grid snap fixes each round's doubles
+    bit-for-bit regardless of where barriers fall. Measured at sf0.1
+    (8 iters, medians of 3): cadence 1 = 6.90 s, 2 = 5.02 s, 4 =
+    4.63 s, 8 = 4.35 s — each eager barrier costs ~0.3-0.6 s of
+    stage-scheduling floor, so the default checkpoints every 4 rounds
+    (within 7% of no-intermediate-barrier while keeping plans bounded
+    for arbitrary ``iters``). Lazy checkpoints LOSE (10-13 s): the
+    un-materialized tail recomputes under the next round's join.
 
     Ranks snap to the ``PR_GRID`` grid each iteration (see the constant's
     comment — this is what makes the recurrence cross-engine
@@ -1153,23 +1238,23 @@ def pagerank(
     e = edges.join(deg, "src").select("src", "dst", "deg").persist()
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     done = 0
-    for _ in range(iters):
+    # tol > 0 materializes a scalar delta every round anyway (the
+    # convergence join would otherwise recompute the un-checkpointed
+    # tail twice), so the cadence only applies to the fixed-iteration
+    # path.
+    cadence = 1 if tol > 0.0 else max(1, checkpoint_every)
+    for i in range(iters):
         done += 1
         contribs = e.join(ranks, e["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
             (F.col("rank") / F.col("deg")).alias("c"),
         )
-        new_ranks = (
-            contribs.groupBy("node")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                "node",
-                _grid(
-                    F.lit((1.0 - damp) / n) + F.lit(damp) * F.col("s")
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        new_ranks = contribs.groupBy("node").agg(F.sum("c").alias("s")).select(
+            "node",
+            _grid(F.lit((1.0 - damp) / n) + F.lit(damp) * F.col("s")).alias("rank"),
         )
+        if (i + 1) % cadence == 0 or i == iters - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol > 0.0:
             delta = (
                 new_ranks.alias("a")

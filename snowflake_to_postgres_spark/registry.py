@@ -307,6 +307,7 @@ def _all_specs() -> list[QuerySpec]:
         bpe,
         breadth,
         dedup,
+        graph,
         layout,
         temporal_joins,
         multimodal,
@@ -328,6 +329,7 @@ def _all_specs() -> list[QuerySpec]:
         analytics_ext,
         tpch_flavors,
         dedup,
+        graph,
         similarity,
         text,
         multimodal,

@@ -211,6 +211,47 @@ def test_weighted_downsample_is_weight_proportional(spark, sf_dir):
         assert 0.0 < r["p_keep"] <= 1.0
 
 
+def test_weighted_sample_topk_is_aes(spark, sf_dir):
+    """The kept set must be the exact A-ES draw: recompute ln(u)/w keys
+    in Python (same md5-uniform, same grid snap, same tie-break) and
+    compare the per-source top-k doc_id lists. Also pins the invariants:
+    exactly min(k, |source|) rows per source, ranks dense from 1."""
+    import math
+    from collections import defaultdict
+    from hashlib import md5 as _md5
+
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        _HASH_SPAN,
+        WSAMPLE_GRID,
+        WSAMPLE_K,
+        tx_weighted_sample_topk,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in docs:
+        u = (int(_md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) + 1.0) / float(
+            _HASH_SPAN
+        )
+        gkey = math.floor(math.log(u) / max(r["n_chars"], 1) * WSAMPLE_GRID + 0.5)
+        by_src[r["source"]].append((-gkey, r["doc_id"]))
+    expected = {
+        src: [d for _, d in sorted(rows)[:WSAMPLE_K]] for src, rows in by_src.items()
+    }
+
+    got = defaultdict(list)
+    for r in tx_weighted_sample_topk(spark, sf_dir).collect():
+        got[r["source"]].append((r["sample_rank"], r["doc_id"]))
+    for src, rows in got.items():
+        assert [rk for rk, _ in sorted(rows)] == list(range(1, len(rows) + 1))
+    assert {s: [d for _, d in sorted(rows)] for s, rows in got.items()} == expected
+    for src, rows in expected.items():
+        assert len(got[src]) == min(WSAMPLE_K, len(by_src[src]))
+
+
 def test_mixture_draw_realizes_plan(spark, sf_dir):
     """Every planned source appears (rates are well above zero at
     fixture sizes), and realized char volume tracks the plan within
