@@ -121,8 +121,13 @@ def triangles(edges: DataFrame) -> DataFrame:
     u < v, each emitted exactly once with ord(a) < ord(b) < ord(c) under
     the degree orientation. The reusable kernel behind the registered
     queries — unit-testable on constructed graphs (K5, brute-force
-    random parity) independent of the fixture threshold."""
-    oe = _oriented_edges(edges)
+    random parity) independent of the fixture threshold.
+
+    The oriented edge frame is persisted: it is joined three times
+    (both wedge sides + closure), and for the registered queries its
+    lineage is the full co-occurrence self-join — edge-count sized,
+    ContextCleaner-reclaimed once the result frame is unreferenced."""
+    oe = _oriented_edges(edges).persist()
     e1 = oe.alias("e1")
     e2 = oe.alias("e2")
     wedge = e1.join(
@@ -368,10 +373,127 @@ ORDER BY log2_bucket
 """
 
 
+#: Link-prediction leaderboard size (graph_jaccard_links).
+LINK_TOP = 20
+
+
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the strong-partnership graph: for every
+    NON-adjacent supplier pair sharing at least one common neighbor,
+    the Jaccard coefficient |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the
+    classic friends-of-friends recommender (Liben-Nowell & Kleinberg's
+    strongest simple baseline). Top LINK_TOP by (jaccard DESC, a, b).
+
+    Everything is exact integer counting plus ONE double division per
+    candidate (cn / (deg_a + deg_b - cn)) — deterministic cross-engine
+    with no grid needed. Chosen over Adamic-Adar precisely because AA's
+    Σ 1/ln(deg) would re-import the libm-parity problem for no test
+    value.
+
+    Plan: candidate generation is the center-expanded wedge self-join
+    (Θ(Σ deg²) pairs — the transitivity workload's cost model);
+    adjacency is removed with one anti-join on the canonical edge list;
+    degrees broadcast. At 100 TB the standard production bound applies:
+    degree-cap the hub centers before the wedge expansion (the same
+    cap the SemDeDup cells use), trading tail recall for a hard
+    per-center cost bound — not needed at any test SF (sf0.1: Σ deg²
+    ≈ 350k candidate rows)."""
+    return jaccard_links(_partnership_edges(spark, sf_dir)).select(
+        F.col("u").alias("s_suppkey_a"),
+        F.col("v").alias("s_suppkey_b"),
+        "common_neighbors",
+        "jaccard",
+    )
+
+
+def jaccard_links(edges: DataFrame, top: int = LINK_TOP) -> DataFrame:
+    """Kernel: (u, v, common_neighbors, jaccard) for the top ``top``
+    non-adjacent pairs of an undirected (u, v) edge frame, ordered by
+    (jaccard DESC, u, v). See graph_jaccard_links for the cost model.
+
+    The edge frame is persisted — it feeds the adjacency expansion
+    (twice), the anti-join and the degree count, and for the registered
+    query its lineage is the full co-occurrence self-join. Node-count
+    sized, ContextCleaner-reclaimed once the result frame is gone."""
+    edges = edges.persist()
+    adj = edges.select(F.col("u").alias("z"), F.col("v").alias("n")).unionByName(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    a = adj.alias("a")
+    b = adj.alias("b")
+    cn = (
+        a.join(
+            b,
+            (F.col("a.z") == F.col("b.z")) & (F.col("a.n") < F.col("b.n")),
+        )
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("common_neighbors"))
+    )
+    non_adj = cn.join(edges, ["u", "v"], "left_anti")
+    deg = adj.groupBy(F.col("z").alias("node")).agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    db = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        non_adj.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "u", "v").limit(top)
+
+
+GRAPH_JACCARD_LINKS_ORACLE = f"""
+WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+         COUNT(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
+         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
+  FROM co
+),
+pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+adj AS (
+  SELECT u AS z, v AS n FROM pairs
+  UNION ALL SELECT v AS z, u AS n FROM pairs
+),
+cn AS (
+  SELECT a.n AS u, b.n AS v, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+  GROUP BY 1, 2
+),
+non_adj AS (
+  SELECT cn.* FROM cn ANTI JOIN pairs ON cn.u = pairs.u AND cn.v = pairs.v
+),
+deg AS (SELECT z AS node, COUNT(*) AS deg FROM adj GROUP BY z)
+SELECT non_adj.u AS s_suppkey_a, non_adj.v AS s_suppkey_b, common_neighbors,
+       CAST(common_neighbors AS DOUBLE)
+         / CAST(du.deg + dv.deg - common_neighbors AS DOUBLE) AS jaccard
+FROM non_adj
+JOIN deg du ON du.node = non_adj.u
+JOIN deg dv ON dv.node = non_adj.v
+ORDER BY jaccard DESC, s_suppkey_a, s_suppkey_b
+LIMIT {LINK_TOP}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("graph_triangles", graph_triangles, GRAPH_TRIANGLES_ORACLE),
     QuerySpec(
         "graph_clustering_coeff", graph_clustering_coeff, GRAPH_CLUSTERING_ORACLE
     ),
     QuerySpec("graph_degree_hist", graph_degree_hist, GRAPH_DEGREE_HIST_ORACLE),
+    QuerySpec("graph_jaccard_links", graph_jaccard_links, GRAPH_JACCARD_LINKS_ORACLE),
 ]

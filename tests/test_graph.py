@@ -153,3 +153,54 @@ def test_rolling_dau_python_parity(spark, sf_dir):
         dau, wau = expected[r["d"]]
         assert (r["dau"], r["wau"]) == (dau, wau), r["d"]
         assert r["stickiness"] == dau / wau
+
+
+def test_jaccard_links_known_graph(spark):
+    """K4 plus pendant edge (0, 9): the only non-adjacent pairs with a
+    common neighbor are (1,9), (2,9), (3,9) — each shares exactly node
+    0 — with jaccard 1 / (3 + 1 - 1) = 1/3. K4-internal pairs are
+    adjacent and must be anti-joined away."""
+    from snowflake_to_postgres_spark.operators.graph import jaccard_links
+
+    k4 = list(itertools.combinations(range(4), 2))
+    got = jaccard_links(_edges_df(spark, k4 + [(0, 9)])).collect()
+    assert [(r["u"], r["v"], r["common_neighbors"]) for r in got] == [
+        (1, 9, 1),
+        (2, 9, 1),
+        (3, 9, 1),
+    ]
+    for r in got:
+        assert r["jaccard"] == 1 / 3
+
+
+def test_jaccard_links_brute_force_parity(spark):
+    """Same md5-random 30-node graph as the triangle parity test,
+    scored by a set-algebra brute force."""
+    from snowflake_to_postgres_spark.operators.graph import jaccard_links
+
+    nodes = range(30)
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if int(hashlib.md5(f"{a}-{b}".encode()).hexdigest(), 16) % 4 == 0
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    edge_set = {(min(a, b), max(a, b)) for a, b in pairs}
+    expected = []
+    for a, b in itertools.combinations(sorted(adj), 2):
+        if (a, b) in edge_set:
+            continue
+        cn = len(adj[a] & adj[b])
+        if cn:
+            expected.append((-cn / len(adj[a] | adj[b]), a, b, cn))
+    expected.sort()
+    top = [(a, b, cn, -j) for j, a, b, cn in expected[:20]]
+
+    got = [
+        (r["u"], r["v"], r["common_neighbors"], r["jaccard"])
+        for r in jaccard_links(_edges_df(spark, pairs)).collect()
+    ]
+    assert got == top
