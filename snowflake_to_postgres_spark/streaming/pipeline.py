@@ -263,6 +263,65 @@ def interval_join_events(
     )
 
 
+def interval_join_events_outer(
+    events: DataFrame, watermark: str = "1 hour", interval: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every error event, with
+    the same user's preceding-hour purchases where they exist and NULL
+    purchase columns where none do — the alerting shape ("errors with
+    no recent purchase context") the inner join cannot express.
+
+    Streaming semantics worth pinning (and pinned in
+    tests/test_streaming.py::test_interval_join_outer_stream_equals_batch):
+    Spark emits the null-extended row for an unmatched error only when
+    the watermark passes the point where a matching purchase could
+    still arrive — so at end-of-stream the errors inside the final
+    state-watermark horizon are withheld as open state, exactly like
+    un-closed windows in append-mode aggregation (the horizon Spark
+    computes for outer-join state is coarser than watermark+interval —
+    observed ~10h behind max(ts) on the fixture). The batch twin (this
+    function on a batch frame) has no horizon and emits everything;
+    the test asserts matched rows stream exactly and null rows emit as
+    a watermark-ordered PREFIX of the batch nulls.
+
+    100-TB shape: identical to the inner join — dual watermarks bound
+    the join state to the interval, per-user keying shuffles both
+    sides once."""
+    errors = events.filter(F.col("event_type") == "error")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    if events.isStreaming:
+        errors = errors.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_event_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("p_value"),
+    )
+    return (
+        e.join(
+            p,
+            F.expr(
+                f"e_user = p_user AND p_ts >= e_ts - INTERVAL {interval} AND p_ts <= e_ts"
+            ),
+            "left_outer",
+        )
+        .select(
+            "error_event_id",
+            F.col("e_user").alias("user_id"),
+            F.date_format("e_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+            "purchase_event_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "p_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: streaming sessionization
 # ---------------------------------------------------------------------------

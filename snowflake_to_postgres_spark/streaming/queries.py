@@ -127,6 +127,33 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def st_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join (every
+    error, purchase context where present, NULLs where absent). The
+    streaming execution — null-row emission gated on watermark passage,
+    withheld tail at end-of-stream — is pinned in
+    tests/test_streaming.py::test_interval_join_outer_stream_equals_batch."""
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        interval_join_events_outer,
+    )
+
+    return interval_join_events_outer(load_table(spark, sf_dir, "events"))
+
+
+ST_INTERVAL_JOIN_OUTER_ORACLE = """
+SELECT e.event_id AS error_event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+       p.event_id AS purchase_event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST(p.value AS DECIMAL(18,2)) AS p_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts >= e.ts - INTERVAL 1 HOUR
+ AND p.ts <= e.ts
+"""
+
+
 def st_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming incremental ingestion with dedup: the
     md5(event_id) < '8' half of events plays the already-ingested
@@ -193,5 +220,10 @@ SPECS = [
     QuerySpec("st_enrich_rollup", st_enrich_rollup, ST_ENRICH_ORACLE),
     QuerySpec("st_session_window", st_session_window, ST_SESSION_WINDOW_ORACLE),
     QuerySpec("st_interval_join", st_interval_join, ST_INTERVAL_JOIN_ORACLE),
+    QuerySpec(
+        "st_interval_join_outer",
+        st_interval_join_outer,
+        ST_INTERVAL_JOIN_OUTER_ORACLE,
+    ),
     QuerySpec("st_ingest_dedup", st_ingest_dedup, ST_INGEST_DEDUP_ORACLE),
 ]
