@@ -1569,3 +1569,147 @@ SPECS.append(
         probes=_pr_bucketed_probes,
     )
 )
+
+
+#: Coarse order-aligned bucket width for the dense-id assignment.
+DENSE_ID_BUCKET = 64
+
+#: Negatives per document (tx_negative_pairs).
+NEG_K = 3
+
+
+def dense_ids(df: DataFrame, key: str) -> DataFrame:
+    """Stable dense ids 0..N-1 ordered by ``key`` — the DataFrame-native
+    zipWithIndex every downstream consumer of integer row ids needs
+    (embedding tables, negative sampling, PQ codebooks), built WITHOUT
+    the classic scale-killers: no global sort, no single-partition
+    window over the data.
+
+    Two-pass bucket prefix-sum: (1) bucket rows by the ORDER-ALIGNED
+    coarse key ``key div DENSE_ID_BUCKET`` and count per bucket; (2) a
+    running-sum window over the bucket-COUNT frame (cardinality N /
+    DENSE_ID_BUCKET, not N) yields each bucket's exclusive offset,
+    broadcast back; (3) id = offset + (row_number within bucket) - 1.
+    The only unpartitioned window runs over bucket counts — at 10¹¹
+    rows and width 1024 that is 10⁸ bucket rows, at which point the
+    same construction recurses one level (bucket the buckets); one
+    level suffices for every realistic corpus and the recursion is
+    mechanical. Per-bucket windows are bounded by the bucket width.
+
+    Requires a bigint key (order-aligned integer division); string keys
+    dense-rank their md5-int64 first — same discipline as the engine's
+    other hash-keyed operators."""
+    b = F.floor(F.col(key) / F.lit(DENSE_ID_BUCKET)).alias("_bucket")
+    bucketed = df.withColumn("_bucket", b)
+    counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_bn"))
+    offsets = counts.select(
+        "_bucket",
+        (
+            F.sum("_bn").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("_offset"),
+    ).fillna({"_offset": 0})
+    within = Window.partitionBy("_bucket").orderBy(key)
+    return (
+        bucketed.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "dense_id",
+            (F.col("_offset") + F.row_number().over(within) - 1).cast("bigint"),
+        )
+        .drop("_bucket", "_offset")
+    )
+
+
+def tx_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: (doc_id, source, dense_id) over documents,
+    dense_id = rank of doc_id in 0..N-1."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return dense_ids(docs, "doc_id").select("doc_id", "source", "dense_id")
+
+
+TX_DENSE_IDS_ORACLE = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+FROM documents
+"""
+
+
+def tx_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document paired with NEG_K pseudo-random OTHER documents, partner
+    p_i = md5int(doc_id ':' i) mod N re-probed to (own + 1) mod N on
+    self-collision. The uniform draw is the engine-wide md5 idiom, so
+    the pairing is reproducible run-over-run and engine-over-engine —
+    the property a training pipeline needs to regenerate the same
+    epoch shards.
+
+    Plan: dense ids via the bucket prefix-sum (no global sort), one
+    explode to NEG_K probe rows, one equi-join back on dense_id to
+    resolve partners. No sampling-by-collect, no cartesian.
+
+    100-TB: the probe join shuffles on dense_id like any fact-fact
+    equi-join; N arrives as one scalar (the threshold-literal
+    pattern)."""
+    ids = dense_ids(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    ).persist()
+    n = ids.count()
+    probes = ids.select(
+        "doc_id",
+        F.col("dense_id").alias("own_id"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, NEG_K + 1)])).alias("i"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("i"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    raw = h % F.lit(n)
+    partner = F.when(raw == F.col("own_id"), (raw + 1) % F.lit(n)).otherwise(raw)
+    probed = probes.select("doc_id", "i", partner.alias("_p"))
+    neg = ids.select(
+        F.col("dense_id").alias("_p"), F.col("doc_id").alias("neg_doc_id")
+    )
+    return (
+        probed.join(neg, "_p")
+        .select("doc_id", "i", "neg_doc_id")
+        .orderBy("doc_id", "i")
+    )
+
+
+TX_NEGATIVE_PAIRS_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+probes AS (
+  SELECT doc_id, dense_id AS own_id, i
+  FROM ids, UNNEST(range(1, {NEG_K + 1})) AS t(i)
+),
+resolved AS (
+  SELECT doc_id, i,
+         CASE WHEN raw = own_id THEN (raw + 1) % n ELSE raw END AS _p
+  FROM (
+    SELECT doc_id, own_id, i, n,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                CAST(i AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % n AS raw
+    FROM probes, n
+  )
+)
+SELECT r.doc_id, CAST(r.i AS INT) AS i, ids.doc_id AS neg_doc_id
+FROM resolved r JOIN ids ON ids.dense_id = r._p
+ORDER BY r.doc_id, r.i
+"""
+
+
+SPECS.append(QuerySpec("tx_dense_ids", tx_dense_ids, TX_DENSE_IDS_ORACLE))
+SPECS.append(QuerySpec("tx_negative_pairs", tx_negative_pairs, TX_NEGATIVE_PAIRS_ORACLE))

@@ -303,3 +303,52 @@ def test_lm_heldout_scores_only_val_docs(spark, sf_dir):
     for r in got:
         assert 0 <= r["n_unseen"] <= r["n_bigrams"]
         assert r["avg_logprob"] < 0
+
+
+def test_dense_ids_kernel(spark):
+    """dense_ids assigns exactly 0..N-1 in key order across bucket
+    boundaries, with gapped and clustered keys (empty buckets, buckets
+    holding one row, buckets holding many)."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        DENSE_ID_BUCKET,
+        dense_ids,
+    )
+
+    keys = (
+        list(range(5))                        # one dense run in bucket 0
+        + [DENSE_ID_BUCKET * 3 + 7]           # lone row after empty buckets
+        + [DENSE_ID_BUCKET * 9 + i for i in range(DENSE_ID_BUCKET)]  # full bucket
+        + [10**9, 10**9 + 1]                  # far tail
+    )
+    import random
+
+    shuffled = keys[:]
+    random.Random(7).shuffle(shuffled)  # input order must not matter
+    df = spark.createDataFrame([(k,) for k in shuffled], "k bigint")
+    got = {r["k"]: r["dense_id"] for r in dense_ids(df, "k").collect()}
+    expected = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == expected
+
+
+def test_negative_pairs_invariants(spark, sf_dir):
+    """Every document draws exactly NEG_K negatives, never itself, all
+    partners exist in the corpus, and the draw replays identically."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        NEG_K,
+        tx_negative_pairs,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+
+    docs = {r["doc_id"] for r in
+            load_table(spark, sf_dir, "documents").select("doc_id").collect()}
+    rows = tx_negative_pairs(spark, sf_dir).collect()
+    assert len(rows) == NEG_K * len(docs)
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in rows)
+    assert set(per_doc) == docs and set(per_doc.values()) == {NEG_K}
+    for r in rows:
+        assert r["neg_doc_id"] in docs
+        assert r["neg_doc_id"] != r["doc_id"]
+    replay = tx_negative_pairs(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, replay))
