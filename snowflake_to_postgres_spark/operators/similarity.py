@@ -2217,3 +2217,90 @@ FROM zs
 
 
 SPECS.append(QuerySpec("emb_outliers", emb_outliers, EMB_OUTLIERS_ORACLE))
+
+
+#: Hard negatives returned per query (sim_hard_negatives).
+HARD_NEG_K = 3
+
+#: Relative false-negative margin: candidates scoring within this
+#: fraction of the per-query top-1 cosine are treated as likely
+#: positives (near-duplicates / same-entity hits) and EXCLUDED from the
+#: negative pool. A relative margin stays meaningful at any score
+#: scale — an absolute near-dup threshold (0.9+) is vacuous on a
+#: corpus whose true neighbors score 0.4.
+HARD_NEG_REL = 0.95
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    HARD_NEG_K highest-cosine candidates from the IVF+PQ+rescore
+    shortlist AFTER dropping everything within HARD_NEG_REL of the
+    top-1 score (the likely-positive band — serving those as negatives
+    poisons the loss with false negatives; filtering them is the
+    standard dense-retrieval protocol, e.g. RocketQA's denoised hard
+    negatives).
+
+    Composition-only: the candidate generation and exact rescore are
+    the already-oracle-checked IVF+PQ building blocks; this adds one
+    per-query top-1 broadcast join and a re-rank of the bounded
+    shortlist. Per-query cost remains (probed cells x cell size) codes
+    + ADC_SHORTLIST exact scores, corpus-size-independent.
+
+    Determinism: cosines are the shared DECIMAL(10,8) grid; the margin
+    test compares doubles derived from identical decimals in both
+    engines, so the excluded band is identical — no boundary-flip
+    surface."""
+    comp = _components(spark, sf_dir)
+    candidates = _ivf_candidates(comp)
+    adc = _pq_adc_scores(comp, candidates=candidates)
+    w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("neighbor_id"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_SHORTLIST)
+        .select("qid", F.col("neighbor_id").alias("vec_id"))
+    )
+    deep = _rank_candidates(comp, shortlist, k=ADC_SHORTLIST)
+    top1 = deep.filter(F.col("rank") == 1).select(
+        "qid", F.col("cosine").cast("double").alias("_top1")
+    )
+    hard = (
+        deep.join(F.broadcast(top1), "qid")
+        .filter(
+            F.col("cosine").cast("double")
+            < F.lit(HARD_NEG_REL) * F.col("_top1")
+        )
+        .select("qid", "neighbor_id", "cosine")
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        hard.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("qid", "rank", "neighbor_id", "cosine")
+    )
+
+
+SIM_HARD_NEGATIVES_ORACLE = _IVF_PQ_RANKED_CTES + f""",
+deep AS (
+  SELECT qid, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM ranked
+),
+top1 AS (SELECT qid, CAST(cosine AS DOUBLE) AS top1 FROM deep WHERE rn = 1),
+hard AS (
+  SELECT d.qid, d.neighbor_id, d.cosine
+  FROM deep d JOIN top1 USING (qid)
+  WHERE CAST(d.cosine AS DOUBLE) < {HARD_NEG_REL} * top1
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM hard
+) WHERE rank <= {HARD_NEG_K}
+"""
+
+
+SPECS.append(
+    QuerySpec("sim_hard_negatives", sim_hard_negatives, SIM_HARD_NEGATIVES_ORACLE)
+)

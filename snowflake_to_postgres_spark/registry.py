@@ -95,6 +95,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "diag_heavy_keys": ("share",),
     "sim_pq_adc_rescore_topk": ("cosine",),
     "sim_ivf_pq_topk": ("cosine",),
+    "sim_hard_negatives": ("cosine",),
     "sim_ann_index_search": ("cosine",),
     "sim_truncated_topk": ("cosine",),
     "x_funnel": ("conversion",),

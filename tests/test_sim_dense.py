@@ -113,3 +113,51 @@ def test_materialized_ann_index_search(spark, sf_dir, tmp_path):
         if "cell" in m
     ]
     assert pf, f"no cell partition filter in plan: {plan[:800]}"
+
+
+def test_hard_negatives_exclude_positive_band(spark, sf_dir):
+    """Hard negatives: ranks dense from 1, never the per-query top-1
+    candidate, every score strictly below HARD_NEG_REL x top-1 — the
+    denoised-negatives contract."""
+    from collections import defaultdict
+
+    from snowflake_to_postgres_spark.operators.similarity import (
+        ADC_SHORTLIST,
+        HARD_NEG_K,
+        HARD_NEG_REL,
+        _components,
+        _ivf_candidates,
+        _pq_adc_scores,
+        _rank_candidates,
+        sim_hard_negatives,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    comp = _components(spark, sf_dir)
+    adc = _pq_adc_scores(comp, candidates=_ivf_candidates(comp))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adot").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ADC_SHORTLIST)
+        .select("qid", F.col("neighbor_id").alias("vec_id"))
+    )
+    deep = _rank_candidates(comp, shortlist, k=ADC_SHORTLIST).collect()
+    top1 = {r["qid"]: (r["neighbor_id"], float(r["cosine"]))
+            for r in deep if r["rank"] == 1}
+
+    got = sim_hard_negatives(spark, sf_dir).collect()
+    assert got, "fixture produced no hard negatives — margin vacuous"
+    by_q = defaultdict(list)
+    for r in got:
+        by_q[r["qid"]].append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= HARD_NEG_K
+        t1_id, t1_cos = top1[qid]
+        for r in rows:
+            assert r["neighbor_id"] != t1_id
+            assert float(r["cosine"]) < HARD_NEG_REL * t1_cos
