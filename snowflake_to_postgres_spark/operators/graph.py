@@ -497,3 +497,170 @@ SPECS: list[QuerySpec] = [
     QuerySpec("graph_degree_hist", graph_degree_hist, GRAPH_DEGREE_HIST_ORACLE),
     QuerySpec("graph_jaccard_links", graph_jaccard_links, GRAPH_JACCARD_LINKS_ORACLE),
 ]
+
+
+#: Fixed peel rounds for the registered k-core query (the PageRank
+#: fixed-iteration discipline: a constant recurrence depth is what an
+#: unrolled SQL oracle can replay; both fixture SFs converge in <= 5).
+KCORE_ROUNDS = 8
+
+#: Peel-threshold rule: k = max(2, floor(mean_degree * 2 / 3)) —
+#: data-derived so the cascade is non-trivial at every SF (a fixed k
+#: either never peels the dense sf0.1 graph or empties the sparse
+#: sf0.01 one), deterministic because mean_degree = 2|E|/|V| is exact
+#: integer arithmetic feeding one float expression replayed
+#: identically by the oracle.
+KCORE_MIN_K = 2
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Fixed-round k-core peeling: ``rounds`` iterations of remove-
+    nodes-with-degree-below-k over an undirected (u, v) edge frame;
+    returns (node, core_deg) for nodes with >= 1 surviving edge. Each
+    round is one degree aggregate + two broadcast semi-joins (the keep
+    set is node-count sized) and the edge frame is checkpointed EVERY
+    round — unlike PageRank, whose recurrence rewrites a rank frame
+    joined against a STATIC edge table (cadence there is a free
+    scheduling knob), k-core's recurrence rewrites the edge set itself
+    and each round references it three times (degree + both semi
+    joins), so un-truncated lineage grows 3^r and the 8-round plan
+    OOMs the driver before it ever runs. The checkpointed frame is
+    edge-count sized and shrinks every round. Production runs the same
+    loop to convergence with the pagerank-style scalar delta check; the
+    registered query pins ``rounds`` so the oracle can unroll it."""
+    e = edges.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(
+                F.broadcast(keep.select(F.col("node").alias("u"))), "u", "left_semi"
+            )
+            .join(
+                F.broadcast(keep.select(F.col("node").alias("v"))), "v", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("core_deg"))
+    )
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: (s_suppkey, core_deg, k_used) — the k-core of
+    the strong-partnership graph after KCORE_ROUNDS peel rounds, with
+    k = max(2, floor(mean_degree * 2 / 3)) from the UN-peeled graph."""
+    edges = _partnership_edges(spark, sf_dir).persist()
+    m = edges.count()
+    n = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .select("node")
+        .distinct()
+        .count()
+    )
+    if n == 0:
+        k = KCORE_MIN_K
+    else:
+        import math
+
+        k = max(KCORE_MIN_K, math.floor(2.0 * m / n * 2.0 / 3.0))
+    return (
+        kcore(edges, k)
+        .select(
+            F.col("node").alias("s_suppkey"),
+            "core_deg",
+            F.lit(k).cast("int").alias("k_used"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _kcore_oracle() -> str:
+    """The identical fixed-round peel, unrolled to KCORE_ROUNDS chained
+    CTE triples (degree -> keep -> surviving edges) — pure integer
+    recurrence, no float grid needed anywhere except the one k
+    expression, replayed with identical operation order."""
+    head = f"""
+WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+         COUNT(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
+         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
+  FROM co
+),
+e0 AS MATERIALIZED (SELECT u, v FROM co, thr WHERE w >= t),
+kv AS (
+  SELECT CASE WHEN nv = 0 THEN {KCORE_MIN_K}
+              ELSE GREATEST({KCORE_MIN_K},
+                   CAST(floor(2.0 * ne / nv * 2.0 / 3.0) AS BIGINT))
+         END AS k
+  FROM (
+    SELECT (SELECT COUNT(*) FROM e0) AS ne,
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT node FROM (
+                SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+              )
+           )) AS nv
+  )
+)"""
+    rounds = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f""",
+d{r} AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+  ) GROUP BY node
+),
+s{r} AS (SELECT node FROM d{r}, kv WHERE deg >= kv.k),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN s{r} ka ON ka.node = e.u
+  JOIN s{r} kb ON kb.node = e.v
+)""")
+    last = KCORE_ROUNDS
+    tail = f"""
+SELECT node AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS core_deg,
+       CAST((SELECT k FROM kv) AS INT) AS k_used
+FROM (SELECT u AS node FROM e{last} UNION ALL SELECT v FROM e{last})
+GROUP BY node
+ORDER BY s_suppkey
+"""
+    return head + "".join(rounds) + tail
+
+
+def _kcore_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """Construction-phase plan probe (the round-7 verdict #2 discipline):
+    the registered query's lineage is truncated by per-round
+    localCheckpoints, so expose ONE live-lineage peel round — the degree
+    aggregate + double semi-join every round executes."""
+    edges = _partnership_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    keep = deg.filter(F.col("deg") >= KCORE_MIN_K).select("node")
+    peel = edges.join(
+        F.broadcast(keep.select(F.col("node").alias("u"))), "u", "left_semi"
+    ).join(F.broadcast(keep.select(F.col("node").alias("v"))), "v", "left_semi")
+    return {"round": peel}
+
+
+SPECS.append(
+    QuerySpec("graph_kcore", graph_kcore, _kcore_oracle(), probes=_kcore_probes)
+)

@@ -2304,3 +2304,108 @@ SELECT qid, rank, neighbor_id, cosine FROM (
 SPECS.append(
     QuerySpec("sim_hard_negatives", sim_hard_negatives, SIM_HARD_NEGATIVES_ORACLE)
 )
+
+
+#: Drift-flag threshold: |share_a - share_b| above this marks a cell
+#: (emb_centroid_drift). At fixture sizes sampling noise alone sits
+#: around sqrt(p(1-p)/(n/2)) ~ 0.02-0.03, so some cells flag — the
+#: monitor is exercised, not vacuous.
+DRIFT_EPS = 0.02
+
+
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the corpus into two
+    deterministic halves (md5 parity of vec_id — stand-in for the real
+    deployment's train-snapshot vs serving-window split), assign BOTH
+    halves to the SHARED IVF centroids, and compare per-cell occupancy
+    shares. A cell whose share moves more than DRIFT_EPS between halves
+    is flagged — the alarm that retrains the coarse quantizer before
+    recall silently decays (cells drifting empty stop pruning; cells
+    drifting hot stop bounding the scan).
+
+    Everything reuses the oracle-checked IVF assignment blocks; the
+    split adds one md5 test, the comparison is one count-pivot over
+    |cells| rows. Shares are exact-integer-derived doubles — no grid
+    needed.
+
+    100-TB shape: one corpus pass for assignment (already resident in a
+    real deployment), one |cells|-sized aggregate. Nothing new
+    shuffles."""
+    comp = _components(spark, sf_dir)
+    d2 = _ivf_cell_d2(comp, _ivf_centroids(comp))
+    assign = _ivf_assign(d2)
+    half = F.when(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    counts = (
+        assign.withColumn("half", half)
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("half") == "a", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("half") == "b", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    ).collect()[0]
+    ta, tb = int(tot["ta"]), int(tot["tb"])
+    share_a = F.col("n_a").cast("double") / F.lit(float(ta))
+    share_b = F.col("n_b").cast("double") / F.lit(float(tb))
+    return (
+        counts.select(
+            "cell",
+            "n_a",
+            "n_b",
+            share_a.alias("share_a"),
+            share_b.alias("share_b"),
+            F.abs(share_a - share_b).alias("drift"),
+            (F.abs(share_a - share_b) > DRIFT_EPS).alias("flagged"),
+        )
+        .orderBy("cell")
+    )
+
+
+EMB_CENTROID_DRIFT_ORACLE = _COMP_CTES + f""",
+cent AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {N_CENTROIDS}),
+celld2 AS (
+  SELECT vec_id, cid, CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp JOIN cent USING (idx) GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM celld2
+  ) WHERE rn = 1
+),
+halves AS (
+  SELECT cell,
+         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'a' ELSE 'b' END AS half
+  FROM assign
+),
+counts AS (
+  SELECT cell,
+         CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM halves GROUP BY cell
+),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
+SELECT cell, n_a, n_b,
+       CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS share_a,
+       CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS share_b,
+       abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+           - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) AS drift,
+       abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+           - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) > {DRIFT_EPS} AS flagged
+FROM counts, tot
+ORDER BY cell
+"""
+
+
+SPECS.append(
+    QuerySpec("emb_centroid_drift", emb_centroid_drift, EMB_CENTROID_DRIFT_ORACLE)
+)

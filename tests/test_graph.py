@@ -204,3 +204,64 @@ def test_jaccard_links_brute_force_parity(spark):
         for r in jaccard_links(_edges_df(spark, pairs)).collect()
     ]
     assert got == top
+
+
+def test_kcore_kernel_known_and_random(spark):
+    """K4 plus a pendant chain peels down to exactly K4 at k=2 (the
+    chain strips one node per round — exercises multi-round cascade);
+    md5-random-graph parity against a set-algebra brute force at k=3."""
+    from snowflake_to_postgres_spark.operators.graph import kcore
+
+    k4 = list(itertools.combinations(range(4), 2))
+    chain = [(0, 9), (9, 10), (10, 11)]
+    got = {
+        r["node"]: r["core_deg"]
+        for r in kcore(_edges_df(spark, k4 + chain), k=2).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    nodes = range(30)
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if int(hashlib.md5(f"{a}-{b}".encode()).hexdigest(), 16) % 10 == 0
+    ]
+    def brute(rounds_cap):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        rounds = 0
+        while rounds < rounds_cap:
+            peel = [n for n, s in adj.items() if len(s) < 3]
+            if not peel:
+                break
+            rounds += 1
+            for n in peel:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+        return {n: len(s) for n, s in adj.items() if s}, rounds
+
+    # the registered contract: exactly KCORE_ROUNDS peel rounds — this
+    # sparse graph (mean deg ~3) deliberately does NOT converge in 8,
+    # so the fixed-round semantics are what the parity must mirror
+    from snowflake_to_postgres_spark.operators.graph import KCORE_ROUNDS
+
+    expected_fixed, _ = brute(KCORE_ROUNDS)
+    got_fixed = {
+        r["node"]: r["core_deg"]
+        for r in kcore(_edges_df(spark, pairs), k=3).collect()
+    }
+    assert got_fixed == expected_fixed
+
+    # and with enough rounds the kernel reaches the true converged core
+    expected_conv, conv_rounds = brute(10**6)
+    assert conv_rounds > KCORE_ROUNDS  # the case above was genuinely truncated
+    got_conv = {
+        r["node"]: r["core_deg"]
+        for r in kcore(
+            _edges_df(spark, pairs), k=3, rounds=conv_rounds
+        ).collect()
+    }
+    assert got_conv == expected_conv
