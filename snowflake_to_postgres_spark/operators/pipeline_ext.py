@@ -1713,3 +1713,152 @@ ORDER BY r.doc_id, r.i
 
 SPECS.append(QuerySpec("tx_dense_ids", tx_dense_ids, TX_DENSE_IDS_ORACLE))
 SPECS.append(QuerySpec("tx_negative_pairs", tx_negative_pairs, TX_NEGATIVE_PAIRS_ORACLE))
+
+
+#: Personalization seed-set size for graph_ppr (top customers by exact
+#: decimal spend, custkey tie-break — the deterministic "VIP" set).
+PPR_SEEDS = 5
+
+
+def _ppr_seed_nodes(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Top PPR_SEEDS customers by total order spend as trade-graph node
+    ids (custkey*2). Exact DECIMAL sums make the ordering engine-exact;
+    the oracle recomputes the identical set."""
+    o = load_table(spark, sf_dir, "orders")
+    top = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("spend")
+        )
+        .orderBy(F.col("spend").desc(), "o_custkey")
+        .limit(PPR_SEEDS)
+        .collect()
+    )
+    return [int(r["o_custkey"]) * 2 for r in top]
+
+
+def ppr(
+    edges: DataFrame,
+    seed_nodes: list[int],
+    iters: int = PR_ITERS,
+    damp: float = PR_DAMP,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Personalized PageRank (topic-sensitive PageRank, Haveliwala
+    2002): the pagerank recurrence with the uniform teleport replaced
+    by a distribution over ``seed_nodes`` — r₀ = p,
+    r_{t+1} = p + d·Aᵀ(r_t/deg), p(v) = (1-d)/|S| for seeds else 0.
+    The recommendation/expansion primitive ("similar to these
+    customers"). Same per-iteration grid snap, same checkpoint-cadence
+    discipline as :func:`pagerank` (the recurrence rewrites only the
+    rank frame against a static edge table, so cadence is a pure
+    scheduling knob).
+
+    Every node appears every round (the undirected trade graph gives
+    every node in-edges), so unreached nodes carry exact 0.0 mass —
+    the oracle's join-aggregate replays the identical support."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    e = edges.join(deg, "src").select("src", "dst", "deg").persist()
+    tp_val = (1.0 - damp) / len(seed_nodes)
+    tp_of = lambda col: F.when(  # noqa: E731
+        col.isin(seed_nodes), F.lit(tp_val)
+    ).otherwise(F.lit(0.0))
+    ranks = deg.select(
+        F.col("src").alias("node"), tp_of(F.col("src")).alias("rank")
+    )
+    cadence = max(1, checkpoint_every)
+    for i in range(iters):
+        contribs = e.join(ranks, e["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        new_ranks = contribs.groupBy("node").agg(F.sum("c").alias("s")).select(
+            "node",
+            _grid(
+                tp_of(F.col("node")) + F.lit(damp) * F.col("s")
+            ).alias("rank"),
+        )
+        if (i + 1) % cadence == 0 or i == iters - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+    deg.unpersist()
+    e.unpersist()
+    return ranks
+
+
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: (node_kind, key, rank) — personalized PageRank
+    on the trade graph seeded at the top-PPR_SEEDS customers by spend.
+    Ranks sit on the PR_GRID grid; the oracle replays the identical
+    seeded recurrence unrolled."""
+    seeds = _ppr_seed_nodes(spark, sf_dir)
+    ranks = ppr(_trade_edges(spark, sf_dir), seeds)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_kind"),
+        (F.col("node") / 2).cast("bigint").alias("key"),
+        F.col("rank"),
+    ).orderBy("node_kind", "key")
+
+
+def _ppr_oracle() -> str:
+    """The seeded gridded recurrence unrolled (see _pr_oracle for the
+    grid-honesty argument — it applies verbatim). The teleport term is
+    a CASE over the MATERIALIZED seed set; (1.0-0.85)/|S| mirrors the
+    Spark float expression exactly."""
+    tpv = f"(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / {PPR_SEEDS}"
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT dst AS node,
+         FLOOR((CASE WHEN dst IN (SELECT node FROM seeds) THEN {tpv}
+                     ELSE CAST(0.0 AS DOUBLE) END
+                + CAST(0.85 AS DOUBLE) * SUM(rank / deg)) * 1e9 + 0.5) / 1e9 AS rank
+  FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node
+  GROUP BY dst
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+seeds AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT o_custkey * 2 AS node,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS spend
+    FROM orders GROUP BY o_custkey
+  ) ORDER BY spend DESC, node LIMIT {PPR_SEEDS}
+),
+r0 AS (
+  SELECT src AS node,
+         CASE WHEN src IN (SELECT node FROM seeds) THEN {tpv}
+              ELSE CAST(0.0 AS DOUBLE) END AS rank
+  FROM deg
+),
+{chain}
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_kind,
+       node // 2 AS key,
+       rank
+FROM r{PR_ITERS}
+ORDER BY node_kind, key
+"""
+
+
+def _ppr_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    return {"round": _pagerank_round_plan(_trade_edges(spark, sf_dir))}
+
+
+SPECS.append(QuerySpec("graph_ppr", graph_ppr, _ppr_oracle(), probes=_ppr_probes))

@@ -265,3 +265,52 @@ def test_kcore_kernel_known_and_random(spark):
         ).collect()
     }
     assert got_conv == expected_conv
+
+
+def test_ppr_numpy_parity(spark, sf_dir):
+    """Personalized PageRank must match a dense numpy mirror of the
+    seeded gridded recurrence, and its mass must concentrate on/near
+    the seeds (the property that makes it a recommender primitive)."""
+    import numpy as np
+    import pytest
+
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        PR_DAMP,
+        PR_ITERS,
+        _ppr_seed_nodes,
+        _trade_edges,
+        ppr,
+    )
+
+    edges = _trade_edges(spark, sf_dir)
+    seeds = _ppr_seed_nodes(spark, sf_dir)
+    assert len(seeds) == 5 and all(s % 2 == 0 for s in seeds)
+
+    e = [(r["src"], r["dst"]) for r in edges.collect()]
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))
+    deg = np.zeros(n)
+    for s, _ in e:
+        deg[idx[s]] += 1
+    for s, d in e:
+        a[idx[d], idx[s]] = 1.0 / deg[idx[s]]
+    tp = np.zeros(n)
+    tpv = (1.0 - PR_DAMP) / len(seeds)
+    for s in seeds:
+        tp[idx[s]] = tpv
+    r = tp.copy()
+    for _ in range(PR_ITERS):
+        r = tp + PR_DAMP * (a @ r)
+        r = np.floor(r * 1e9 + 0.5) / 1e9
+
+    got = {row["node"]: row["rank"] for row in ppr(edges, seeds).collect()}
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert got[node] == pytest.approx(r[idx[node]], abs=1e-9), node
+    # personalization: every seed outranks the global median node
+    ranks_sorted = sorted(got.values())
+    median = ranks_sorted[len(ranks_sorted) // 2]
+    for s in seeds:
+        assert got[s] > median
