@@ -1899,3 +1899,88 @@ ORDER BY d
 
 
 SPECS.append(QuerySpec("x_rolling_dau", x_rolling_dau, X_ROLLING_DAU_ORACLE))
+
+
+#: LTV horizon in weeks since first order (x_cohort_ltv).
+LTV_MAX_WEEKS = 12
+
+
+def x_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by weeks-since-first-order — the
+    growth-analytics companion to the retention triangle (x_retention
+    answers "do they come back", this answers "what are they worth by
+    week k"). Output: (cohort_month, week_offset, n_customers, revenue,
+    cum_revenue) with cum_revenue the running sum across offsets within
+    the cohort.
+
+    100-TB shape: one groupBy on o_custkey for first-order dates, one
+    broadcast-friendly join back (customer-dim sized), one
+    (cohort x offset) aggregate — the cumulative window runs over the
+    |cohorts| x |offsets| result frame, not the fact table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_d"))
+    j = o.join(first, "o_custkey").withColumn(
+        "week_offset",
+        F.floor(F.datediff("o_orderdate", "first_d") / LTV_WEEK_DAYS).cast(
+            "bigint"
+        ),
+    )
+    per_cell = (
+        j.filter(F.col("week_offset") <= LTV_MAX_WEEKS)
+        .groupBy(
+            F.date_trunc("month", "first_d").cast("date").alias("cohort_month"),
+            "week_offset",
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_cell.withColumn(
+        "cum_revenue", F.sum("revenue").over(w).cast("decimal(38,2)")
+    ).orderBy("cohort_month", "week_offset")
+
+
+LTV_WEEK_DAYS = 7
+
+
+X_COHORT_LTV_ORACLE = f"""
+WITH first AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_d FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT o.o_custkey, o.o_totalprice, f.first_d,
+         CAST(floor(date_diff('day', f.first_d, o.o_orderdate)
+                    / {LTV_WEEK_DAYS}.0) AS BIGINT) AS week_offset
+  FROM orders o JOIN first f USING (o_custkey)
+),
+per_cell AS (
+  SELECT CAST(date_trunc('month', first_d) AS DATE) AS cohort_month,
+         week_offset,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS revenue
+  FROM j WHERE week_offset <= {LTV_MAX_WEEKS}
+  GROUP BY 1, 2
+)
+SELECT cohort_month, week_offset, n_customers, revenue,
+       CAST(SUM(revenue) OVER (
+         PARTITION BY cohort_month ORDER BY week_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DECIMAL(38,2)) AS cum_revenue
+FROM per_cell
+ORDER BY cohort_month, week_offset
+"""
+
+
+SPECS.append(QuerySpec("x_cohort_ltv", x_cohort_ltv, X_COHORT_LTV_ORACLE))

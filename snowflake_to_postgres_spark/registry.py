@@ -113,6 +113,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "st_latest_state": ("last_value",),
     "st_interval_join": ("p_value",),
     "st_interval_join_outer": ("p_value",),
+    "x_cohort_ltv": ("revenue", "cum_revenue"),
     "x_q6_banded_revenue": ("revenue",),
     "w6_range_frame": ("spend_30d",),
     "a14_percentile_cont": ("p50_cont", "p90_cont"),
