@@ -664,3 +664,214 @@ def _kcore_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
 SPECS.append(
     QuerySpec("graph_kcore", graph_kcore, _kcore_oracle(), probes=_kcore_probes)
 )
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition on the strong-
+    partnership graph: per community c, contribution
+    Q_c = e_c/m − (d_c/2m)² (e_c intra-community edges, d_c total
+    degree in c, m total edges) — "do same-nation suppliers trade
+    together more than chance?". The community-quality measure every
+    clustering pipeline reports; here the partition under test is the
+    natural supplier dimension rather than a fitted one, so the whole
+    query is exact integer counting + two double ops per community.
+
+    Output: (c_nationkey, n_nodes, intra_edges, total_deg,
+    contribution), ORDER BY c_nationkey. Global Q = SUM(contribution).
+
+    100-TB shape: one broadcast of the supplier→nation dim to both
+    edge endpoints, two hash aggregates."""
+    edges = _partnership_edges(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"), F.col("s_nationkey").alias("c")
+    )
+    return modularity(edges, sup).withColumnRenamed("community", "c_nationkey")
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Kernel: per-community modularity contributions of an undirected
+    (u, v) edge frame under a (node, c) community assignment. See
+    graph_modularity for the formula and cost model."""
+    edges = edges.persist()
+    m = edges.count()
+    sup = communities
+    e = edges.join(
+        F.broadcast(sup.select(F.col("node").alias("u"), F.col("c").alias("cu"))),
+        "u",
+    ).join(
+        F.broadcast(sup.select(F.col("node").alias("v"), F.col("c").alias("cv"))),
+        "v",
+    )
+    intra = (
+        e.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c_nationkey"))
+        .agg(F.count("*").cast("bigint").alias("intra_edges"))
+    )
+    deg_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .join(F.broadcast(sup), "node")
+        .groupBy(F.col("c").alias("c_nationkey"))
+        .agg(
+            F.countDistinct("node").cast("bigint").alias("n_nodes"),
+            F.count("*").cast("bigint").alias("total_deg"),
+        )
+    )
+    dm = float(m)
+    out = deg_nodes.join(intra, "c_nationkey", "left").fillna(
+        {"intra_edges": 0}
+    )
+    contribution = (
+        F.col("intra_edges").cast("double") / F.lit(dm)
+        - (F.col("total_deg").cast("double") / F.lit(2.0 * dm))
+        * (F.col("total_deg").cast("double") / F.lit(2.0 * dm))
+    )
+    return out.select(
+        F.col("c_nationkey").alias("community"),
+        "n_nodes",
+        "intra_edges",
+        "total_deg",
+        contribution.alias("contribution"),
+    ).orderBy("community")
+
+
+GRAPH_MODULARITY_ORACLE = """
+WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+         COUNT(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
+         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
+  FROM co
+),
+pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM pairs),
+e AS (
+  SELECT su.s_nationkey AS cu, sv.s_nationkey AS cv
+  FROM pairs
+  JOIN supplier su ON su.s_suppkey = pairs.u
+  JOIN supplier sv ON sv.s_suppkey = pairs.v
+),
+intra AS (
+  SELECT cu AS c_nationkey, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM e WHERE cu = cv GROUP BY cu
+),
+deg AS (
+  SELECT s.s_nationkey AS c_nationkey,
+         CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+         CAST(COUNT(*) AS BIGINT) AS total_deg
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs) n
+  JOIN supplier s ON s.s_suppkey = n.node
+  GROUP BY 1
+)
+SELECT deg.c_nationkey, n_nodes,
+       COALESCE(intra_edges, 0) AS intra_edges,
+       total_deg,
+       CAST(COALESCE(intra_edges, 0) AS DOUBLE) / (SELECT m FROM m)
+         - (CAST(total_deg AS DOUBLE) / (2.0 * (SELECT m FROM m)))
+           * (CAST(total_deg AS DOUBLE) / (2.0 * (SELECT m FROM m)))
+         AS contribution
+FROM deg LEFT JOIN intra USING (c_nationkey)
+ORDER BY c_nationkey
+"""
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    endpoint degrees across edges — positive = hubs link to hubs
+    (social-style), negative = hub-spoke (infrastructure-style). One
+    row: (edges, sum_jk, sum_j_plus_k, sum_j2_plus_k2, assortativity).
+    The three sums are EXACT bigints (degrees are ints), so the final
+    r is five identical double ops in both engines — no grid needed.
+
+    r = [S_jk/M − (S_j+k/2M)²] / [S_j²+k²/2M − (S_j+k/2M)²]
+    (each edge counted once with unordered endpoints)."""
+    return assortativity(_partnership_edges(spark, sf_dir))
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Kernel: one-row degree-assortativity summary of an undirected
+    (u, v) edge frame. See graph_assortativity."""
+    edges = edges.persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("ju"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("jv"))
+    e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    sums = e.agg(
+        F.count("*").cast("bigint").alias("edges"),
+        F.sum(F.col("ju") * F.col("jv")).cast("bigint").alias("sum_jk"),
+        F.sum(F.col("ju") + F.col("jv")).cast("bigint").alias("sum_j_plus_k"),
+        F.sum(F.col("ju") * F.col("ju") + F.col("jv") * F.col("jv"))
+        .cast("bigint")
+        .alias("sum_j2_plus_k2"),
+    )
+    mm = F.col("edges").cast("double")
+    mean = F.col("sum_j_plus_k").cast("double") / (F.lit(2.0) * mm)
+    num = F.col("sum_jk").cast("double") / mm - mean * mean
+    den = F.col("sum_j2_plus_k2").cast("double") / (F.lit(2.0) * mm) - mean * mean
+    return sums.select(
+        "edges",
+        "sum_jk",
+        "sum_j_plus_k",
+        "sum_j2_plus_k2",
+        F.when(den > 0, num / den).alias("assortativity"),
+    )
+
+
+GRAPH_ASSORTATIVITY_ORACLE = """
+WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+         COUNT(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
+         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
+  FROM co
+),
+pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY node
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS edges,
+         CAST(SUM(du.deg * dv.deg) AS BIGINT) AS sum_jk,
+         CAST(SUM(du.deg + dv.deg) AS BIGINT) AS sum_j_plus_k,
+         CAST(SUM(du.deg * du.deg + dv.deg * dv.deg) AS BIGINT)
+           AS sum_j2_plus_k2
+  FROM pairs
+  JOIN deg du ON du.node = pairs.u
+  JOIN deg dv ON dv.node = pairs.v
+)
+SELECT edges, sum_jk, sum_j_plus_k, sum_j2_plus_k2,
+       CASE WHEN (CAST(sum_j2_plus_k2 AS DOUBLE) / (2.0 * CAST(edges AS DOUBLE))
+                  - (CAST(sum_j_plus_k AS DOUBLE) / (2.0 * CAST(edges AS DOUBLE)))
+                    * (CAST(sum_j_plus_k AS DOUBLE) / (2.0 * CAST(edges AS DOUBLE)))) > 0
+            THEN (CAST(sum_jk AS DOUBLE) / CAST(edges AS DOUBLE)
+                  - (CAST(sum_j_plus_k AS DOUBLE) / (2.0 * CAST(edges AS DOUBLE)))
+                    * (CAST(sum_j_plus_k AS DOUBLE) / (2.0 * CAST(edges AS DOUBLE))))
+                 / (CAST(sum_j2_plus_k2 AS DOUBLE) / (2.0 * CAST(edges AS DOUBLE))
+                  - (CAST(sum_j_plus_k AS DOUBLE) / (2.0 * CAST(edges AS DOUBLE)))
+                    * (CAST(sum_j_plus_k AS DOUBLE) / (2.0 * CAST(edges AS DOUBLE))))
+       END AS assortativity
+FROM sums
+"""
+
+
+SPECS.append(QuerySpec("graph_modularity", graph_modularity, GRAPH_MODULARITY_ORACLE))
+SPECS.append(
+    QuerySpec("graph_assortativity", graph_assortativity, GRAPH_ASSORTATIVITY_ORACLE)
+)

@@ -1862,3 +1862,84 @@ def _ppr_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
 
 
 SPECS.append(QuerySpec("graph_ppr", graph_ppr, _ppr_oracle(), probes=_ppr_probes))
+
+
+#: Temperature-mixture weight grid: w = floor(sqrt(chars)*1e6 + 0.5).
+#: sqrt is IEEE correctly-rounded (the reason tau is fixed at 0.5 —
+#: pow(x, 0.7) is a libm parity trap), and gridding the irrational
+#: weights to integers makes the denominator an EXACT bigint sum,
+#: order-free in both engines.
+TEMP_WEIGHT_GRID = 1_000_000
+
+
+def tx_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture plan (tau = 0.5): per-source sampling
+    rates proportional to actual_chars^tau — the multilingual-corpus
+    balancing rule (T5/mT5 style: temperature < 1 upsamples small
+    sources relative to their raw share without letting any source
+    dominate). Rates cap at 1; budget is MIXTURE_BUDGET_FRACTION of
+    corpus chars, the same dial the weighted plan uses.
+
+    tau is fixed at 0.5 deliberately: sqrt is the one fractional power
+    IEEE-754 requires correctly rounded, so the per-source weights are
+    bit-identical cross-engine; arbitrary tau would need pow(), whose
+    last-ulp behavior differs between libms (the PageRank-grid honesty
+    note would apply with a much worse constant).
+
+    100-TB shape: identical to tx_mixture_plan — one per-source rollup,
+    two scalar literals, a |sources|-row result."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("actual_chars"),
+    )
+    w = F.floor(
+        F.sqrt(F.col("actual_chars").cast("double")) * F.lit(float(TEMP_WEIGHT_GRID))
+        + F.lit(0.5)
+    ).cast("bigint")
+    per_src = per_src.withColumn("w_sqrt", w)
+    total_chars = docs.agg(F.sum("n_chars").cast("bigint")).first()[0]
+    sum_w = per_src.agg(F.sum("w_sqrt")).first()[0]
+    share = F.col("w_sqrt").cast("double") / F.lit(float(sum_w))
+    target = share * (F.lit(float(total_chars)) * F.lit(MIXTURE_BUDGET_FRACTION))
+    rate = F.least(F.lit(1.0), target / F.col("actual_chars").cast("double"))
+    return per_src.select(
+        "source",
+        "n_docs",
+        "actual_chars",
+        "w_sqrt",
+        share.alias("share"),
+        target.alias("target_chars"),
+        rate.alias("rate"),
+        (rate * F.col("actual_chars").cast("double")).alias("planned_chars"),
+    )
+
+
+TX_MIXTURE_TEMP_ORACLE = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS actual_chars,
+         CAST(floor(sqrt(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE))
+              * {float(TEMP_WEIGHT_GRID)} + 0.5) AS BIGINT) AS w_sqrt
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS t FROM documents),
+sw AS (SELECT CAST(SUM(w_sqrt) AS BIGINT) AS s FROM per)
+SELECT source, n_docs, actual_chars, w_sqrt,
+  CAST(w_sqrt AS DOUBLE) / CAST((SELECT s FROM sw) AS DOUBLE) AS share,
+  (CAST(w_sqrt AS DOUBLE) / CAST((SELECT s FROM sw) AS DOUBLE))
+    * (CAST((SELECT t FROM tot) AS DOUBLE) * CAST({MIXTURE_BUDGET_FRACTION} AS DOUBLE)) AS target_chars,
+  least(CAST(1.0 AS DOUBLE),
+    ((CAST(w_sqrt AS DOUBLE) / CAST((SELECT s FROM sw) AS DOUBLE))
+      * (CAST((SELECT t FROM tot) AS DOUBLE) * CAST({MIXTURE_BUDGET_FRACTION} AS DOUBLE)))
+    / CAST(actual_chars AS DOUBLE)) AS rate,
+  least(CAST(1.0 AS DOUBLE),
+    ((CAST(w_sqrt AS DOUBLE) / CAST((SELECT s FROM sw) AS DOUBLE))
+      * (CAST((SELECT t FROM tot) AS DOUBLE) * CAST({MIXTURE_BUDGET_FRACTION} AS DOUBLE)))
+    / CAST(actual_chars AS DOUBLE)) * CAST(actual_chars AS DOUBLE) AS planned_chars
+FROM per
+"""
+
+
+SPECS.append(
+    QuerySpec("tx_mixture_temperature", tx_mixture_temperature, TX_MIXTURE_TEMP_ORACLE)
+)

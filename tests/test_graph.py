@@ -314,3 +314,56 @@ def test_ppr_numpy_parity(spark, sf_dir):
     median = ranks_sorted[len(ranks_sorted) // 2]
     for s in seeds:
         assert got[s] > median
+
+
+def test_modularity_kernel_known_communities(spark):
+    """Two K3s bridged by one edge, communities = the triangles:
+    m=7, intra each 3, degrees (2,2,3)x2 -> d_c = 7 per side,
+    Q_c = 3/7 - (7/14)^2 = 3/7 - 1/4; global Q = 2*Q_c ~ 0.357."""
+    from snowflake_to_postgres_spark.operators.graph import modularity
+
+    k3a = [(0, 1), (1, 2), (0, 2)]
+    k3b = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(2, 10)]
+    edges = _edges_df(spark, k3a + k3b + bridge)
+    comm = spark.createDataFrame(
+        [(n, 0) for n in (0, 1, 2)] + [(n, 1) for n in (10, 11, 12)],
+        "node bigint, c int",
+    )
+    rows = {r["community"]: r for r in modularity(edges, comm).collect()}
+    for c in (0, 1):
+        assert rows[c]["n_nodes"] == 3
+        assert rows[c]["intra_edges"] == 3
+        assert rows[c]["total_deg"] == 7
+        assert rows[c]["contribution"] == 3 / 7 - (7 / 14) ** 2
+    q = sum(r["contribution"] for r in rows.values())
+    assert 0.3 < q < 0.4  # clearly community-structured
+
+
+def test_assortativity_kernel_parity(spark):
+    """Star graph is maximally disassortative (r = -1); the md5-random
+    graph matches a numpy Pearson over edge-endpoint degree pairs."""
+    import numpy as np
+
+    from snowflake_to_postgres_spark.operators.graph import assortativity
+
+    star = [(0, i) for i in range(1, 6)]
+    r_star = assortativity(_edges_df(spark, star)).collect()[0]
+    assert r_star["assortativity"] == -1.0
+
+    nodes = range(30)
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if int(hashlib.md5(f"{a}-{b}".encode()).hexdigest(), 16) % 4 == 0
+    ]
+    degc: dict[int, int] = {}
+    for a, b in pairs:
+        degc[a] = degc.get(a, 0) + 1
+        degc[b] = degc.get(b, 0) + 1
+    # numpy Pearson over the symmetrized endpoint pairs == Newman's r
+    xs = [degc[a] for a, b in pairs] + [degc[b] for a, b in pairs]
+    ys = [degc[b] for a, b in pairs] + [degc[a] for a, b in pairs]
+    expected = float(np.corrcoef(np.array(xs), np.array(ys))[0, 1])
+    got = assortativity(_edges_df(spark, pairs)).collect()[0]["assortativity"]
+    assert abs(got - expected) < 1e-9
