@@ -465,6 +465,53 @@ def cmd_scd2(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Graph-analytics report over the fixture tables: one JSON object
+    per requested metric family on the supplier partnership graph
+    (triangles / clustering / k-core / link prediction / modularity /
+    assortativity) or the customer-supplier trade graph (pagerank /
+    ppr). Composes the registered, oracle-checked operators."""
+    from snowflake_to_postgres_spark.operators import graph as G
+    from snowflake_to_postgres_spark.operators import pipeline_ext as PE
+
+    spark = get_spark("graph")
+    kind = args.kind
+    if kind == "triangles":
+        rows = G.graph_triangles(spark, args.source).collect()
+        out = {"top": [[r["s_suppkey"], r["triangles"]] for r in rows[:10]]}
+    elif kind == "clustering":
+        r = G.graph_clustering_coeff(spark, args.source).collect()[0]
+        out = {k: r[k] for k in
+               ("nodes", "edges", "wedges", "triangles", "global_clustering")}
+    elif kind == "kcore":
+        rows = G.graph_kcore(spark, args.source).collect()
+        out = {"k_used": rows[0]["k_used"] if rows else None,
+               "core_nodes": len(rows)}
+    elif kind == "links":
+        rows = G.graph_jaccard_links(spark, args.source).collect()
+        out = {"top": [[r["s_suppkey_a"], r["s_suppkey_b"],
+                        round(r["jaccard"], 6)] for r in rows[:10]]}
+    elif kind == "modularity":
+        rows = G.graph_modularity(spark, args.source).collect()
+        out = {"global_q": round(sum(r["contribution"] for r in rows), 6),
+               "communities": len(rows)}
+    elif kind == "assortativity":
+        r = G.graph_assortativity(spark, args.source).collect()[0]
+        out = {"edges": r["edges"], "assortativity": r["assortativity"]}
+    elif kind == "pagerank":
+        rows = PE.graph_pagerank(spark, args.source).collect()
+        top = sorted(rows, key=lambda r: (-r["rank"], r["node_kind"], r["key"]))
+        out = {"nodes": len(rows),
+               "top": [[r["node_kind"], r["key"], r["rank"]] for r in top[:10]]}
+    else:  # ppr
+        rows = PE.graph_ppr(spark, args.source).collect()
+        top = sorted(rows, key=lambda r: (-r["rank"], r["node_kind"], r["key"]))
+        out = {"nodes": len(rows),
+               "top": [[r["node_kind"], r["key"], r["rank"]] for r in top[:10]]}
+    print(json.dumps({"kind": kind, **out}))
+    return 0
+
+
 def cmd_corpus_stats(args) -> int:
     """One-shot corpus health report: size, language/source mix, exact-
     duplicate rate, and the quality-score distribution — the numbers an
@@ -695,6 +742,13 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--source", required=True, help="fixture dir with documents.parquet")
     bp.add_argument("--out", required=True, help="merge-table JSONL output path")
     bp.set_defaults(fn=cmd_bpe_train)
+
+    gr = sub.add_parser("graph")
+    gr.add_argument("--source", required=True, help="fixture dir")
+    gr.add_argument("--kind", required=True,
+                    choices=["triangles", "clustering", "kcore", "links",
+                             "modularity", "assortativity", "pagerank", "ppr"])
+    gr.set_defaults(fn=cmd_graph)
 
     cs = sub.add_parser("corpus-stats")
     cs.add_argument("--source", required=True, help="dir holding documents.parquet")

@@ -311,3 +311,25 @@ def test_cli_explain(capsys, spark, sf_dir):
     rc = main(["explain", "--query", "q1_pricing_summry", "--sf-dir", sf_dir])
     err = capsys.readouterr().err
     assert rc == 2 and "q1_pricing_summary" in err
+
+
+def test_cli_graph(capsys, sf_dir):
+    """graph verb: every kind prints one JSON object; the degenerate
+    sf0.001 partnership graph (threshold keeps nothing) reports empty
+    metrics rather than failing; the trade-graph kinds return ranks."""
+    rc = main(["graph", "--source", sf_dir, "--kind", "clustering"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kind"] == "clustering"
+    assert out["nodes"] == 0 and out["triangles"] == 0
+
+    rc = main(["graph", "--source", sf_dir, "--kind", "kcore"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["core_nodes"] == 0 and out["k_used"] is None
+
+    rc = main(["graph", "--source", sf_dir, "--kind", "pagerank"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["nodes"] > 0 and len(out["top"]) == 10
+    assert out["top"][0][2] >= out["top"][-1][2]  # rank-ordered
