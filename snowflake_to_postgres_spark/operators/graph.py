@@ -63,6 +63,27 @@ TRI_TOP = 50
 _ORD_BASE = 4294967296  # 2**32
 
 
+#: Shared DuckDB CTE prefix deriving the strong-partnership edge set
+#: (co-occurrence weights -> analytic threshold -> pairs) — ONE copy so
+#: a threshold change cannot silently diverge across the family's seven
+#: oracles (round-8 review finding; the similarity module's _COMP_CTES
+#: is the same discipline).
+_PARTNERSHIP_CTES = """
+WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+         COUNT(DISTINCT a.l_orderkey) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
+         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
+  FROM co
+),
+pairs AS (SELECT u, v FROM co, thr WHERE w >= t)"""
+
+
 def _partnership_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(u, v, w): distinct-order co-occurrence counts for every supplier
     pair u < v that ever co-supplied an order. One self-equi-join of
@@ -86,24 +107,46 @@ def _partnership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected strong-partnership edges: pairs whose weight clears
     t = mean + 2·sqrt(mean). The two threshold scalars are exact longs
     collected in one row (the q11/q15 threshold-literal pattern); t is
-    reproduced by the oracle with the identical float expression."""
-    co = _partnership_weights(spark, sf_dir)
+    reproduced by the oracle with the identical float expression —
+    math.sqrt, NOT ``mean**0.5``: Python ``**`` routes through libm
+    pow, whose halfway behavior IEEE does not pin, while sqrt is
+    correctly rounded everywhere and is what every oracle uses
+    (round-8 review finding).
+
+    The weight frame persists across its two uses (the stats collect
+    materializes the cache; the returned filter reads it) — the
+    lineitem self-join is the dominant cost of the whole graph family
+    and was otherwise paid twice per query."""
+    import math
+
+    co = _partnership_weights(spark, sf_dir).persist()
     stats = co.agg(F.sum("w").alias("s"), F.count("*").alias("n")).collect()[0]
+    if not stats["n"]:
+        # no co-occurring pair anywhere (e.g. single-supplier orders):
+        # a well-formed EMPTY edge frame, not a ZeroDivisionError — the
+        # graph CLI verb promises empty metrics on degenerate inputs
+        return co.filter(F.lit(False)).select("u", "v")
     mean = float(stats["s"]) / stats["n"]
-    t = mean + 2.0 * mean**0.5
+    t = mean + 2.0 * math.sqrt(mean)
     return co.filter(F.col("w") >= F.lit(t)).select("u", "v")
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) of an undirected (u, v) edge frame — the shared
+    degree aggregate every operator in this module starts from."""
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
 
 
 def _oriented_edges(edges: DataFrame) -> DataFrame:
     """Degree-ordered orientation: (src, dst, dst_ord) with
     ord(src) < ord(dst) under ord = deg·2³² + node. deg is the
     node-count-sized frame, broadcast to both endpoint joins."""
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+    deg = _degrees(edges)
     ord_of = F.col("deg") * F.lit(_ORD_BASE) + F.col("node")
     du = deg.select(F.col("node").alias("u"), ord_of.alias("u_ord"))
     dv = deg.select(F.col("node").alias("v"), ord_of.alias("v_ord"))
@@ -174,20 +217,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle replays the identical construction: same threshold floats,
 # same orientation encoding, same wedge/closure joins. The only textual
 # difference is SQL spelling.
-GRAPH_TRIANGLES_ORACLE = f"""
-WITH co AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-         COUNT(DISTINCT a.l_orderkey) AS w
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_suppkey < b.l_suppkey
-  GROUP BY 1, 2
-),
-thr AS (
-  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
-         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
-  FROM co
-),
-pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+GRAPH_TRIANGLES_ORACLE = _PARTNERSHIP_CTES + f""",
+
 deg AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
@@ -232,12 +263,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join a second time — an O(nodes) aggregate."""
     edges = _partnership_edges(spark, sf_dir).persist()
     m = edges.count()  # materializes the cache for the two passes below
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+    deg = _degrees(edges)
     # nodes/wedges are one bounded scalar row (the threshold-literal
     # pattern); embedding them as literals keeps the EXPENSIVE part —
     # the triangle join — as the returned lineage the plan audit sees.
@@ -262,20 +288,8 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GRAPH_CLUSTERING_ORACLE = f"""
-WITH co AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-         COUNT(DISTINCT a.l_orderkey) AS w
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_suppkey < b.l_suppkey
-  GROUP BY 1, 2
-),
-thr AS (
-  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
-         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
-  FROM co
-),
-pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+GRAPH_CLUSTERING_ORACLE = _PARTNERSHIP_CTES + f""",
+
 deg AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
@@ -326,12 +340,7 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact powers of two a 1-ulp-low log2 floors to the WRONG bucket,
     and the two engines' libms differ exactly there."""
     edges = _partnership_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+    deg = _degrees(edges)
     bucket = (F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1).cast("int")
     return (
         deg.groupBy(bucket.alias("log2_bucket"))
@@ -344,20 +353,8 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GRAPH_DEGREE_HIST_ORACLE = f"""
-WITH co AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-         COUNT(DISTINCT a.l_orderkey) AS w
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_suppkey < b.l_suppkey
-  GROUP BY 1, 2
-),
-thr AS (
-  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
-         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
-  FROM co
-),
-pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+GRAPH_DEGREE_HIST_ORACLE = _PARTNERSHIP_CTES + f""",
+
 deg AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
@@ -411,11 +408,20 @@ def jaccard_links(edges: DataFrame, top: int = LINK_TOP) -> DataFrame:
     non-adjacent pairs of an undirected (u, v) edge frame, ordered by
     (jaccard DESC, u, v). See graph_jaccard_links for the cost model.
 
+    Edges are canonicalized to u < v on entry: the common-neighbor
+    candidates come out canonical from the `a.n < b.n` wedge order, so
+    an adjacency row spelled (3, 1) would silently MISS the anti-join
+    and leak the adjacent pair (1, 3) into the recommendations
+    (round-8 review finding — triangles() is orientation-insensitive
+    by construction, this kernel was not).
+
     The edge frame is persisted — it feeds the adjacency expansion
     (twice), the anti-join and the degree count, and for the registered
     query its lineage is the full co-occurrence self-join. Node-count
     sized, ContextCleaner-reclaimed once the result frame is gone."""
-    edges = edges.persist()
+    edges = edges.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).persist()
     adj = edges.select(F.col("u").alias("z"), F.col("v").alias("n")).unionByName(
         edges.select(F.col("v").alias("z"), F.col("u").alias("n"))
     )
@@ -451,20 +457,8 @@ def jaccard_links(edges: DataFrame, top: int = LINK_TOP) -> DataFrame:
     return scored.orderBy(F.col("jaccard").desc(), "u", "v").limit(top)
 
 
-GRAPH_JACCARD_LINKS_ORACLE = f"""
-WITH co AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-         COUNT(DISTINCT a.l_orderkey) AS w
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_suppkey < b.l_suppkey
-  GROUP BY 1, 2
-),
-thr AS (
-  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
-         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
-  FROM co
-),
-pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+GRAPH_JACCARD_LINKS_ORACLE = _PARTNERSHIP_CTES + f""",
+
 adj AS (
   SELECT u AS z, v AS n FROM pairs
   UNION ALL SELECT v AS z, u AS n FROM pairs
@@ -589,20 +583,8 @@ def _kcore_oracle() -> str:
     CTE triples (degree -> keep -> surviving edges) — pure integer
     recurrence, no float grid needed anywhere except the one k
     expression, replayed with identical operation order."""
-    head = f"""
-WITH co AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-         COUNT(DISTINCT a.l_orderkey) AS w
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_suppkey < b.l_suppkey
-  GROUP BY 1, 2
-),
-thr AS (
-  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
-         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
-  FROM co
-),
-e0 AS MATERIALIZED (SELECT u, v FROM co, thr WHERE w >= t),
+    head = _PARTNERSHIP_CTES + f""",
+e0 AS MATERIALIZED (SELECT u, v FROM pairs),
 kv AS (
   SELECT CASE WHEN nv = 0 THEN {KCORE_MIN_K}
               ELSE GREATEST({KCORE_MIN_K},
@@ -648,12 +630,7 @@ def _kcore_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
     localCheckpoints, so expose ONE live-lineage peel round — the degree
     aggregate + double semi-join every round executes."""
     edges = _partnership_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+    deg = _degrees(edges)
     keep = deg.filter(F.col("deg") >= KCORE_MIN_K).select("node")
     peel = edges.join(
         F.broadcast(keep.select(F.col("node").alias("u"))), "u", "left_semi"
@@ -735,20 +712,8 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     ).orderBy("community")
 
 
-GRAPH_MODULARITY_ORACLE = """
-WITH co AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-         COUNT(DISTINCT a.l_orderkey) AS w
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_suppkey < b.l_suppkey
-  GROUP BY 1, 2
-),
-thr AS (
-  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
-         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
-  FROM co
-),
-pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+GRAPH_MODULARITY_ORACLE = _PARTNERSHIP_CTES + """,
+
 m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM pairs),
 e AS (
   SELECT su.s_nationkey AS cu, sv.s_nationkey AS cv
@@ -797,12 +762,7 @@ def assortativity(edges: DataFrame) -> DataFrame:
     """Kernel: one-row degree-assortativity summary of an undirected
     (u, v) edge frame. See graph_assortativity."""
     edges = edges.persist()
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+    deg = _degrees(edges)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("ju"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("jv"))
     e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
@@ -827,20 +787,8 @@ def assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
-GRAPH_ASSORTATIVITY_ORACLE = """
-WITH co AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v,
-         COUNT(DISTINCT a.l_orderkey) AS w
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_suppkey < b.l_suppkey
-  GROUP BY 1, 2
-),
-thr AS (
-  SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*)
-         + 2.0 * sqrt(CAST(SUM(w) AS DOUBLE) / COUNT(*)) AS t
-  FROM co
-),
-pairs AS (SELECT u, v FROM co, thr WHERE w >= t),
+GRAPH_ASSORTATIVITY_ORACLE = _PARTNERSHIP_CTES + """,
+
 deg AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs

@@ -1596,9 +1596,14 @@ def dense_ids(df: DataFrame, key: str) -> DataFrame:
     level suffices for every realistic corpus and the recursion is
     mechanical. Per-bucket windows are bounded by the bucket width.
 
-    Requires a bigint key (order-aligned integer division); string keys
-    dense-rank their md5-int64 first — same discipline as the engine's
-    other hash-keyed operators."""
+    Requires a bigint key (order-aligned integer division) whose values
+    are UNIQUE: with duplicate keys the within-bucket row_number breaks
+    ties by partition-internal order, which varies with task
+    scheduling — the reproducible-epoch-shard contract silently fails
+    (round-8 review finding). String keys dense-rank their md5-int64
+    first — same discipline as the engine's other hash-keyed
+    operators — and must resolve collisions (append a disambiguator)
+    before calling this."""
     b = F.floor(F.col(key) / F.lit(DENSE_ID_BUCKET)).alias("_bucket")
     bucketed = df.withColumn("_bucket", b)
     counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_bn"))

@@ -2263,11 +2263,23 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     top1 = deep.filter(F.col("rank") == 1).select(
         "qid", F.col("cosine").cast("double").alias("_top1")
     )
+    # The relative band is only well-formed for POSITIVE top-1 scores:
+    # with top1 < 0, `cosine < REL*top1` INVERTS (REL*top1 sits above
+    # top1, so the filter keeps the top-1 itself and every candidate —
+    # round-8 review finding). With a non-positive top-1 there is no
+    # likely-positive band to denoise; only the rank-1 row (the
+    # positive) is excluded.
     hard = (
         deep.join(F.broadcast(top1), "qid")
         .filter(
-            F.col("cosine").cast("double")
-            < F.lit(HARD_NEG_REL) * F.col("_top1")
+            (F.col("rank") > 1)
+            & (
+                (F.col("_top1") <= 0)
+                | (
+                    F.col("cosine").cast("double")
+                    < F.lit(HARD_NEG_REL) * F.col("_top1")
+                )
+            )
         )
         .select("qid", "neighbor_id", "cosine")
     )
@@ -2291,7 +2303,8 @@ top1 AS (SELECT qid, CAST(cosine AS DOUBLE) AS top1 FROM deep WHERE rn = 1),
 hard AS (
   SELECT d.qid, d.neighbor_id, d.cosine
   FROM deep d JOIN top1 USING (qid)
-  WHERE CAST(d.cosine AS DOUBLE) < {HARD_NEG_REL} * top1
+  WHERE d.rn > 1
+    AND (top1 <= 0 OR CAST(d.cosine AS DOUBLE) < {HARD_NEG_REL} * top1)
 )
 SELECT qid, rank, neighbor_id, cosine FROM (
   SELECT qid, neighbor_id, cosine,

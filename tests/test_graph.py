@@ -367,3 +367,18 @@ def test_assortativity_kernel_parity(spark):
     expected = float(np.corrcoef(np.array(xs), np.array(ys))[0, 1])
     got = assortativity(_edges_df(spark, pairs)).collect()[0]["assortativity"]
     assert abs(got - expected) < 1e-9
+
+
+def test_jaccard_links_noncanonical_edge_spelling(spark):
+    """Round-8 review regression: an adjacency row spelled (v, u) must
+    still be anti-joined away. Triangle {1,2,3} plus pendant (1,0):
+    the only valid prediction is (0,2)/(0,3)-style via node 1 — pairs
+    inside the triangle are adjacent regardless of tuple spelling."""
+    from snowflake_to_postgres_spark.operators.graph import jaccard_links
+
+    # deliberately NON-canonical spellings
+    pairs = [(3, 1), (2, 1), (3, 2), (1, 0)]
+    df = spark.createDataFrame(pairs, "u bigint, v bigint")  # raw, no min/max
+    got = {(r["u"], r["v"]) for r in jaccard_links(df).collect()}
+    assert (1, 2) not in got and (1, 3) not in got and (2, 3) not in got
+    assert got == {(0, 2), (0, 3)}
