@@ -1578,6 +1578,20 @@ DENSE_ID_BUCKET = 64
 NEG_K = 3
 
 
+def _dense_bucket(key: str):
+    """Exact order-aligned bucket for :func:`dense_ids`.
+
+    Integer ``div``, not ``floor(key / width)``: double division rounds
+    keys above 2^53 (granularity 512 at 2^62), collapsing up to
+    width x granularity neighboring keys into one bucket — the
+    per-bucket window's memory bound silently grows ~1000x at exactly
+    the >10^9-row scale dense_ids targets (round-8 review finding).
+    ``div`` truncates toward zero, which is monotone non-decreasing
+    over the full bigint domain, so buckets stay order-aligned, exact,
+    and at most DENSE_ID_BUCKET keys wide everywhere."""
+    return F.expr(f"`{key}` div {DENSE_ID_BUCKET}")
+
+
 def dense_ids(df: DataFrame, key: str) -> DataFrame:
     """Stable dense ids 0..N-1 ordered by ``key`` — the DataFrame-native
     zipWithIndex every downstream consumer of integer row ids needs
@@ -1604,7 +1618,7 @@ def dense_ids(df: DataFrame, key: str) -> DataFrame:
     first — same discipline as the engine's other hash-keyed
     operators — and must resolve collisions (append a disambiguator)
     before calling this."""
-    b = F.floor(F.col(key) / F.lit(DENSE_ID_BUCKET)).alias("_bucket")
+    b = _dense_bucket(key).alias("_bucket")
     bucketed = df.withColumn("_bucket", b)
     counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_bn"))
     offsets = counts.select(
@@ -1764,6 +1778,11 @@ def ppr(
     Every node appears every round (the undirected trade graph gives
     every node in-edges), so unreached nodes carry exact 0.0 mass —
     the oracle's join-aggregate replays the identical support."""
+    if not seed_nodes:
+        raise ValueError(
+            "ppr: seed_nodes must be non-empty — the teleport "
+            "distribution is uniform over the seed set"
+        )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     e = edges.join(deg, "src").select("src", "dst", "deg").persist()
     tp_val = (1.0 - damp) / len(seed_nodes)
@@ -1799,6 +1818,13 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks sit on the PR_GRID grid; the oracle replays the identical
     seeded recurrence unrolled."""
     seeds = _ppr_seed_nodes(spark, sf_dir)
+    if not seeds:
+        # Empty orders table → no seed customers: a well-formed empty
+        # result, not a ZeroDivisionError (degenerate-fixture contract
+        # the graph CLI verb promises).
+        return spark.createDataFrame(
+            [], "node_kind string, key bigint, rank double"
+        )
     ranks = ppr(_trade_edges(spark, sf_dir), seeds)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -1905,6 +1931,13 @@ def tx_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = per_src.withColumn("w_sqrt", w)
     total_chars = docs.agg(F.sum("n_chars").cast("bigint")).first()[0]
     sum_w = per_src.agg(F.sum("w_sqrt")).first()[0]
+    if not total_chars or not sum_w:
+        # Degenerate corpus (empty table → SUM is NULL; or every source
+        # has zero chars → weights all zero): emit a well-formed empty
+        # plan instead of float(None)/division-by-zero — the same
+        # degenerate-input discipline the graph kernels follow.
+        per_src = per_src.limit(0)
+        total_chars, sum_w = 1, 1
     share = F.col("w_sqrt").cast("double") / F.lit(float(sum_w))
     target = share * (F.lit(float(total_chars)) * F.lit(MIXTURE_BUDGET_FRACTION))
     rate = F.least(F.lit(1.0), target / F.col("actual_chars").cast("double"))

@@ -2365,7 +2365,14 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
     ).collect()[0]
-    ta, tb = int(tot["ta"]), int(tot["tb"])
+    ta = int(tot["ta"] or 0)
+    tb = int(tot["tb"] or 0)
+    if ta == 0 or tb == 0:
+        # Empty corpus (SUM over zero rows is NULL) or a fully
+        # one-sided split: short-circuit to a well-formed empty monitor
+        # result instead of crashing / dividing by zero.
+        counts = counts.limit(0)
+        ta = tb = 1
     share_a = F.col("n_a").cast("double") / F.lit(float(ta))
     share_b = F.col("n_b").cast("double") / F.lit(float(tb))
     return (
