@@ -1984,3 +1984,270 @@ ORDER BY cohort_month, week_offset
 
 
 SPECS.append(QuerySpec("x_cohort_ltv", x_cohort_ltv, X_COHORT_LTV_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (a18) — the oracle-checkable twin of the
+# engine-native HLL++ surface in x_approx_sketches.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                     # register-index bits -> m = 256 registers
+HLL_M = 1 << HLL_P            # register count
+_HLL_WBITS = 60 - HLL_P       # remaining hash bits fed to rho (md5 15-hex = 60)
+_HLL_WMOD = 1 << _HLL_WBITS   # 2^52
+_HLL_SCALE = 1 << (_HLL_WBITS + 1)  # 2^53: integer scale for sum(2^-M[j])
+HLL_EST_GRID = 1e6            # estimate snap grid (ln is libm — see note)
+
+
+def _hll_alpha() -> float:
+    """alpha_m for m = 256 (Flajolet et al. 2007, fig. 3) — written as
+    the same float expression the oracle uses so both engines round
+    identically (division and addition are IEEE-exact given equal
+    operands)."""
+    return 0.7213 / (1.0 + 1.079 / 256.0)
+
+
+def _a18_hll_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Construction-phase aggregations (plan-audit probes, the a15
+    pattern): the register fold and the exact-count baseline."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("v")
+    )
+    h = F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = li.select(h.alias("h"))
+    w = F.col("h") % _HLL_WMOD
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select(F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
+        .groupBy("j")
+        .agg(F.max("r").alias("mj"))
+    )
+    folded = regs.agg(
+        F.count("*").alias("k_used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - mj AS INT))")
+        ).alias("s_hit"),
+    )
+    exact = li.agg(F.count_distinct("v").alias("n"))
+    return {"registers": folded, "exact": exact}
+
+
+def a18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct count (Flajolet et al. 2007)
+    over lineitem part keys: md5-derived 60-bit hashes, m = 256
+    registers (index = top 8 bits, rho = leading-zero rank of the low
+    52), harmonic-mean estimator with the small-range linear-counting
+    correction. Unlike Spark's native HLL++ (x_approx_sketches, whose
+    register layout is engine-private and therefore rows-only), every
+    register here is a pure md5 function of the data, so the SKETCH
+    ITSELF — not just its input — replays exactly in DuckDB and the
+    approximate answer sits under the full value-hash gate, the same
+    promotion the KMV family got in round 6.
+
+    Determinism: registers and the scaled harmonic sum
+    S' = sum(2^(53 - M[j])) are exact bigints (max 256·2^52 + padding
+    < 2^61); the estimator is one float expression over those exact
+    integers evaluated in the same operand order by both engines. The
+    linear-counting branch uses ln — libm, not IEEE-pinned — so the
+    estimate snaps to the 1e6 grid (floor(x·1e6 + 0.5), the PageRank
+    honesty idiom; a 1-ulp ln drift is ~1e-13 relative against a 1e-6
+    grid step).
+
+    100-TB shape: one map-side-combinable groupBy over 256 register
+    keys — the canonical mergeable sketch; the exact COUNT(DISTINCT)
+    baseline is eval-time truth, sampled or omitted at real scale."""
+    import math
+
+    frames = _a18_hll_frames(spark, sf_dir)
+    row = frames["registers"].collect()[0]
+    k_used = int(row["k_used"] or 0)
+    s_hit = int(row["s_hit"] or 0)
+    exact = int(frames["exact"].collect()[0][0] or 0)
+    v_zero = HLL_M - k_used
+    s_scaled = s_hit + v_zero * _HLL_SCALE
+    est_raw = _hll_alpha() * 256.0 * 256.0 * float(_HLL_SCALE) / float(s_scaled)
+    if est_raw <= 2.5 * HLL_M and v_zero > 0:
+        est = HLL_M * math.log(HLL_M / float(v_zero))
+    else:
+        est = est_raw
+    est = math.floor(est * HLL_EST_GRID + 0.5) / HLL_EST_GRID
+    rel = abs(est - exact) / exact if exact else 0.0
+    return spark.createDataFrame(
+        [(HLL_M, int(v_zero), int(s_scaled), float(est), int(exact), float(rel))],
+        "m INT, v_zero BIGINT, s_scaled BIGINT, hll_estimate DOUBLE, "
+        "exact_distinct BIGINT, rel_error DOUBLE",
+    )
+
+
+_A18_EST_SQL = f"""CASE
+  WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+        * CAST({_HLL_SCALE} AS DOUBLE) / CAST(s_scaled AS DOUBLE))
+         <= {2.5 * HLL_M}
+       AND v_zero > 0
+  THEN floor({HLL_M} * ln({HLL_M} / CAST(v_zero AS DOUBLE))
+             * {HLL_EST_GRID} + 0.5) / {HLL_EST_GRID}
+  ELSE floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+              * CAST({_HLL_SCALE} AS DOUBLE) / CAST(s_scaled AS DOUBLE))
+             * {HLL_EST_GRID} + 0.5) / {HLL_EST_GRID}
+END"""
+
+A18_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM lineitem
+),
+rho AS (
+  SELECT h // {_HLL_WMOD} AS j,
+         CASE WHEN h % {_HLL_WMOD} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(h % {_HLL_WMOD})) END AS r
+  FROM h
+),
+regs AS (SELECT j, MAX(r) AS mj FROM rho GROUP BY j),
+folded AS (
+  SELECT COUNT(*) AS k_used,
+         COALESCE(SUM(CAST(1 AS BIGINT) << CAST({_HLL_WBITS + 1} - mj AS INT)), 0) AS s_hit
+  FROM regs
+),
+scalars AS (
+  SELECT CAST({HLL_M} - k_used AS BIGINT) AS v_zero,
+         CAST(s_hit + ({HLL_M} - k_used) * {_HLL_SCALE} AS BIGINT) AS s_scaled
+  FROM folded
+),
+ex AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+SELECT CAST({HLL_M} AS INT) AS m,
+       v_zero,
+       s_scaled,
+       {_A18_EST_SQL} AS hll_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CASE WHEN exact_distinct = 0 THEN 0.0
+            ELSE abs(({_A18_EST_SQL}) - exact_distinct) / exact_distinct
+       END AS rel_error
+FROM scalars, ex
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "a18_hll_distinct", a18_hll_distinct, A18_HLL_ORACLE, probes=_a18_hll_frames
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (a19) — the frequency twin of the
+# cardinality sketches above.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4        # hash rows
+CMS_W = 256      # buckets per row
+CMS_TOP = 10     # heavy hitters reported
+
+
+def _cms_bucket(seed, val):
+    """Row-``seed`` bucket of ``val``: md5 of 'seed|value', 8 hex chars,
+    mod CMS_W — the shared deterministic hash family (same idiom both
+    engines replay byte-for-byte)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", seed.cast("string"), val.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+def a19_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    a d x w = 4 x 256 counter table over lineitem part keys, then the
+    top-CMS_TOP keys by exact frequency carry their sketch estimate
+    next to the truth. Every counter is an exact bigint over md5
+    buckets, so the whole sketch — build AND probe — replays in DuckDB
+    under the value-hash gate; the CMS overestimate guarantee
+    (estimate >= exact, always) is emitted as a checked column.
+
+    100-TB shape: the build is one map-side-combinable groupBy over
+    d·w = 1024 counter cells (posexplode fans each row to d=4 — a
+    constant — before partial aggregation); the probe broadcasts the
+    1024-cell table against the candidate set. No shuffle grows with
+    the key domain — that is the point of the sketch."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("v")
+    )
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    cells = (
+        li.select("v", seeds)
+        .select("i", _cms_bucket(F.col("i"), F.col("v")).alias("b"))
+        .groupBy("i", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        li.groupBy("v")
+        .agg(F.count("*").alias("exact_cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_cnt").desc(), F.col("v"))
+            ),
+        )
+        .filter(F.col("rn") <= CMS_TOP)
+        .drop("rn")
+    )
+    probes = top.select("v", "exact_cnt", seeds).select(
+        "v", "exact_cnt", "i", _cms_bucket(F.col("i"), F.col("v")).alias("b")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("v", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("v").alias("l_partkey"),
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("exact_cnt")).alias("never_undercounts"),
+    ).orderBy(F.col("exact_cnt").desc(), "l_partkey")
+
+
+A19_CMS_ORACLE = f"""
+WITH base AS (SELECT l_partkey AS v FROM lineitem),
+expanded AS (
+  SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+                AS BIGINT) % {CMS_W} AS b
+  FROM base, unnest([0, 1, 2, 3]) AS s(i)
+),
+cells AS (SELECT i, b, COUNT(*) AS c FROM expanded GROUP BY i, b),
+top AS (
+  SELECT v, exact_cnt FROM (
+    SELECT v, COUNT(*) AS exact_cnt,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, v) AS rn
+    FROM base GROUP BY v
+  ) WHERE rn <= {CMS_TOP}
+),
+probes AS (
+  SELECT v, exact_cnt, i,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+              AS BIGINT) % {CMS_W} AS b
+  FROM top, unnest([0, 1, 2, 3]) AS s(i)
+)
+SELECT v AS l_partkey,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(c) AS BIGINT) AS cms_estimate,
+       MIN(c) >= exact_cnt AS never_undercounts
+FROM probes JOIN cells USING (i, b)
+GROUP BY v, exact_cnt
+ORDER BY exact_cnt DESC, l_partkey
+"""
+
+
+SPECS.append(
+    QuerySpec("a19_cms_heavy_hitters", a19_cms_heavy_hitters, A19_CMS_ORACLE)
+)

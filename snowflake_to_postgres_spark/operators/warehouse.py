@@ -1,0 +1,198 @@
+"""Warehouse-maintenance operators: slowly-changing-dimension (SCD
+Type-2) history builds and MERGE INTO / upsert semantics.
+
+The reference is a warehouse migration tool — the queries its users run
+against the migrated schema are exactly these maintenance shapes (the
+reference's own transfer loop is an overwrite-only special case of the
+merge here, data_transfer.py's full-table copy). Spark has no MERGE on
+plain parquet frames, so both operators are expressed as window/join
+algebra — which is also how MERGE executes on a 1000-executor cluster:
+one shuffle on the dimension key, no row-at-a-time driver loop.
+
+The change feed is the orders table read as "customer c set attribute
+o_orderpriority on date o_orderdate" — multiple same-day events resolve
+to the highest order key (last write wins within the batch, the
+standard CDC tie-break)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from snowflake_to_postgres_spark.registry import QuerySpec
+from snowflake_to_postgres_spark.sources import load_table
+
+#: MERGE batch split: orders strictly before this date build the target
+#: dimension; orders on/after it are the incoming change batch.
+MERGE_SPLIT_DATE = "1998-06-01"
+
+
+def _change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, change_date, priority): one attribute event per
+    customer-day — same-day collisions resolved by max order key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("change_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse the per-day change feed into
+    validity intervals [valid_from, valid_to), opening a new version
+    only when the attribute VALUE changes (consecutive identical values
+    merge into one row — the part naive interval builders get wrong)
+    and leaving valid_to NULL on each key's current version.
+
+    Three window passes over one shuffle on custkey: same-day tie-break
+    (in :func:`_change_feed`), lag to find change points, lead for the
+    closing date. 100-TB shape: everything partitions by the dimension
+    key; per-key history is bounded (one row per change day), so no
+    window sees unbounded data and nothing is collected."""
+    feed = _change_feed(spark, sf_dir)
+    w = Window.partitionBy("custkey").orderBy("change_date")
+    changed = feed.withColumn("prev", F.lag("priority").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("priority"))
+    )
+    return (
+        changed.select(
+            "custkey",
+            "priority",
+            F.col("change_date").alias("valid_from"),
+            F.lead("change_date")
+            .over(Window.partitionBy("custkey").orderBy("change_date"))
+            .alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("custkey", "valid_from")
+    )
+
+
+X_SCD2_HISTORY_ORACLE = """
+WITH feed AS (
+  SELECT custkey, change_date, priority FROM (
+    SELECT o_custkey AS custkey, o_orderdate AS change_date,
+           o_orderpriority AS priority,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+),
+changed AS (
+  SELECT custkey, change_date, priority FROM (
+    SELECT custkey, change_date, priority,
+           LAG(priority) OVER (PARTITION BY custkey ORDER BY change_date) AS prev
+    FROM feed
+  ) WHERE prev IS NULL OR prev <> priority
+)
+SELECT custkey, priority,
+       change_date AS valid_from,
+       LEAD(change_date) OVER (PARTITION BY custkey ORDER BY change_date)
+         AS valid_to,
+       LEAD(change_date) OVER (PARTITION BY custkey ORDER BY change_date)
+         IS NULL AS is_current
+FROM changed
+ORDER BY custkey, valid_from
+"""
+
+
+def _latest_per_key(feed: DataFrame) -> DataFrame:
+    """(custkey, priority): each key's last-write-wins current value."""
+    w = Window.partitionBy("custkey").orderBy(F.col("change_date").desc())
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("custkey", "priority")
+    )
+
+
+def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain frames: the target dimension is the
+    current snapshot from orders before MERGE_SPLIT_DATE; the source
+    batch is the change feed on/after it, reduced last-write-wins. One
+    full-outer join on the key classifies every row the way MERGE's
+    WHEN clauses do — ``insert`` (source only), ``update`` (both,
+    value changed), ``unchanged`` (both, same value), ``retain``
+    (target only) — and emits the post-merge dimension with its
+    audit trail.
+
+    100-TB shape: a single shuffle join on the dimension key (AQE
+    broadcasts the batch side when the batch is small — the common
+    case); the MERGE never round-trips rows through the driver. This
+    is the batch-mode twin of the streaming upsert (st_latest_state)."""
+    feed = _change_feed(spark, sf_dir)
+    split = F.lit(MERGE_SPLIT_DATE).cast("date")
+    target = _latest_per_key(feed.filter(F.col("change_date") < split))
+    batch = _latest_per_key(feed.filter(F.col("change_date") >= split))
+    t = target.select(
+        F.col("custkey"), F.col("priority").alias("old_priority")
+    )
+    s = batch.select(F.col("custkey"), F.col("priority").alias("new_priority"))
+    merged = t.join(s, "custkey", "full_outer")
+    action = (
+        F.when(F.col("old_priority").isNull(), F.lit("insert"))
+        .when(F.col("new_priority").isNull(), F.lit("retain"))
+        .when(F.col("old_priority") != F.col("new_priority"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return merged.select(
+        "custkey",
+        action.alias("action"),
+        "old_priority",
+        "new_priority",
+        F.coalesce(F.col("new_priority"), F.col("old_priority")).alias(
+            "merged_priority"
+        ),
+    ).orderBy("custkey")
+
+
+X_MERGE_UPSERT_ORACLE = f"""
+WITH feed AS (
+  SELECT custkey, change_date, priority FROM (
+    SELECT o_custkey AS custkey, o_orderdate AS change_date,
+           o_orderpriority AS priority,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+),
+target AS (
+  SELECT custkey, priority AS old_priority FROM (
+    SELECT custkey, priority,
+           ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY change_date DESC) AS rn
+    FROM feed WHERE change_date < DATE '{MERGE_SPLIT_DATE}'
+  ) WHERE rn = 1
+),
+batch AS (
+  SELECT custkey, priority AS new_priority FROM (
+    SELECT custkey, priority,
+           ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY change_date DESC) AS rn
+    FROM feed WHERE change_date >= DATE '{MERGE_SPLIT_DATE}'
+  ) WHERE rn = 1
+)
+SELECT custkey,
+       CASE WHEN old_priority IS NULL THEN 'insert'
+            WHEN new_priority IS NULL THEN 'retain'
+            WHEN old_priority <> new_priority THEN 'update'
+            ELSE 'unchanged' END AS action,
+       old_priority,
+       new_priority,
+       COALESCE(new_priority, old_priority) AS merged_priority
+FROM target FULL OUTER JOIN batch USING (custkey)
+ORDER BY custkey
+"""
+
+
+SPECS = [
+    QuerySpec("x_scd2_history", x_scd2_history, X_SCD2_HISTORY_ORACLE),
+    QuerySpec("x_merge_upsert", x_merge_upsert, X_MERGE_UPSERT_ORACLE),
+]

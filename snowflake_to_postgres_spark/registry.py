@@ -321,6 +321,7 @@ def _all_specs() -> list[QuerySpec]:
         text,
         tpch_flavors,
         validation,
+        warehouse,
     )
     from snowflake_to_postgres_spark.streaming import queries as streaming_queries
 
@@ -331,6 +332,7 @@ def _all_specs() -> list[QuerySpec]:
         validation,
         analytics_ext,
         tpch_flavors,
+        warehouse,
         dedup,
         graph,
         similarity,
