@@ -107,6 +107,16 @@ HEADLINE = [
     # member); prior keys unchanged
     "graph_triangles",
     "tx_weighted_sample_topk",
+    # round-9 additions (one per new family; prior keys unchanged):
+    # warehouse maintenance (SCD2/MERGE), deterministic-sketch
+    # promotion (HLL joins KMV under the value-hash gate), range
+    # retrieval (the non-top-k similarity API), winnowing (local
+    # fingerprint selection), label-prop communities
+    "x_scd2_history",
+    "a18_hll_distinct",
+    "sim_range_search",
+    "tx_winnowing",
+    "graph_label_prop",
 ]
 
 

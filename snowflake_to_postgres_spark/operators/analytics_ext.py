@@ -2189,17 +2189,15 @@ def a19_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "b")
         .agg(F.count("*").alias("c"))
     )
+    # TakeOrderedAndProject, not a global row_number window: the
+    # candidate set is the full distinct key domain — billions of rows
+    # at the 100-TB target — and an unpartitioned window funnels it
+    # through one task, while top-k keeps per-partition heaps.
     top = (
         li.groupBy("v")
         .agg(F.count("*").alias("exact_cnt"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("exact_cnt").desc(), F.col("v"))
-            ),
-        )
-        .filter(F.col("rn") <= CMS_TOP)
-        .drop("rn")
+        .orderBy(F.col("exact_cnt").desc(), "v")
+        .limit(CMS_TOP)
     )
     probes = top.select("v", "exact_cnt", seeds).select(
         "v", "exact_cnt", "i", _cms_bucket(F.col("i"), F.col("v")).alias("b")

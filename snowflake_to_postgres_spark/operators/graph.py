@@ -51,6 +51,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from snowflake_to_postgres_spark.registry import QuerySpec
 from snowflake_to_postgres_spark.sources import load_table
@@ -103,7 +104,9 @@ def _partnership_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _partnership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _partnership_edges(
+    spark: SparkSession, sf_dir: str, keep_weight: bool = False
+) -> DataFrame:
     """Undirected strong-partnership edges: pairs whose weight clears
     t = mean + 2·sqrt(mean). The two threshold scalars are exact longs
     collected in one row (the q11/q15 threshold-literal pattern); t is
@@ -125,10 +128,12 @@ def _partnership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no co-occurring pair anywhere (e.g. single-supplier orders):
         # a well-formed EMPTY edge frame, not a ZeroDivisionError — the
         # graph CLI verb promises empty metrics on degenerate inputs
-        return co.filter(F.lit(False)).select("u", "v")
+        cols = ["u", "v", "w"] if keep_weight else ["u", "v"]
+        return co.filter(F.lit(False)).select(*cols)
     mean = float(stats["s"]) / stats["n"]
     t = mean + 2.0 * math.sqrt(mean)
-    return co.filter(F.col("w") >= F.lit(t)).select("u", "v")
+    cols = ["u", "v", "w"] if keep_weight else ["u", "v"]
+    return co.filter(F.col("w") >= F.lit(t)).select(*cols)
 
 
 def _degrees(edges: DataFrame) -> DataFrame:
@@ -822,4 +827,112 @@ FROM sums
 SPECS.append(QuerySpec("graph_modularity", graph_modularity, GRAPH_MODULARITY_ORACLE))
 SPECS.append(
     QuerySpec("graph_assortativity", graph_assortativity, GRAPH_ASSORTATIVITY_ORACLE)
+)
+
+
+# ---------------------------------------------------------------------------
+# Weighted label propagation (Raghavan et al. 2007) — community
+# detection, the soft-assignment sibling of the hard connectivity in
+# dedup_cluster_components.
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 2
+
+
+def label_propagation(edges_w: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
+    """Synchronous weighted label propagation: label_0(v) = v; each
+    round every node adopts the label carrying the maximal summed
+    incident weight among its neighbors, ties to the smallest label.
+
+    Deterministic by construction — weights are exact bigint
+    co-occurrence counts and the per-node argmax is a total order
+    (weight sum desc, label asc) — so the fixed-round recurrence
+    replays exactly as unrolled SQL; no float grid is needed anywhere.
+    Asynchronous LPA (the original formulation) depends on visit order
+    and cannot be pinned cross-engine; the synchronous variant is the
+    one every distributed implementation uses for the same reason.
+
+    100-TB shape: per round, one shuffle join of the (static,
+    persisted) directed edge frame against the label frame on the
+    neighbor key and one (node, label) aggregate — the PageRank
+    topology with an argmax instead of a sum. Rounds are few and fixed
+    (LP_ROUNDS=2 reaches the fixture's stable communities; production
+    runs add rounds, linearly)."""
+    both = edges_w.select("u", "v", "w").unionByName(
+        edges_w.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+        )
+    )
+    e = both.persist()
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(rounds):
+        nbr = labels.select(
+            F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+        )
+        cand = (
+            e.join(nbr, e["v"] == nbr["nbr"])
+            .groupBy(e["u"].alias("node"), F.col("nbr_label").alias("label"))
+            .agg(F.sum("w").alias("sw"))
+        )
+        wnd = Window.partitionBy("node").orderBy(
+            F.col("sw").desc(), F.col("label")
+        )
+        labels = (
+            cand.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: (s_suppkey, community) — LP_ROUNDS synchronous
+    weighted label-propagation rounds over the strong-partnership
+    graph, communities named by their smallest dominant label."""
+    edges = _partnership_edges(spark, sf_dir, keep_weight=True)
+    return (
+        label_propagation(edges)
+        .select(
+            F.col("node").alias("s_suppkey"),
+            F.col("label").cast("bigint").alias("community"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _label_prop_oracle() -> str:
+    """The identical synchronous recurrence unrolled to LP_ROUNDS
+    label frames. MATERIALIZED on the multiply-referenced CTEs —
+    inlining an unrolled recurrence re-expands the whole chain per
+    reference (the k-core lesson)."""
+    head = _PARTNERSHIP_CTES + """,
+pw AS MATERIALIZED (SELECT p.u, p.v, co.w FROM pairs p JOIN co USING (u, v)),
+e AS MATERIALIZED (SELECT u, v, w FROM pw UNION ALL SELECT v, u, w FROM pw),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)"""
+    rounds = []
+    for r in range(1, LP_ROUNDS + 1):
+        rounds.append(f""",
+l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.u AS node, l.label AS label,
+           ROW_NUMBER() OVER (PARTITION BY e.u
+                              ORDER BY SUM(e.w) DESC, l.label) AS rn
+    FROM e JOIN l{r - 1} l ON e.v = l.node
+    GROUP BY e.u, l.label
+  ) WHERE rn = 1
+)""")
+    tail = f"""
+SELECT node AS s_suppkey, CAST(label AS BIGINT) AS community
+FROM l{LP_ROUNDS}
+ORDER BY s_suppkey
+"""
+    return head + "".join(rounds) + tail
+
+
+SPECS.append(
+    QuerySpec("graph_label_prop", graph_label_prop, _label_prop_oracle())
 )

@@ -94,9 +94,10 @@ norms AS (
 """
 
 
-def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: every query vector against the full
-    corpus. Join on component idx, exact-decimal dot, rank per query."""
+def _bf_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, neighbor_id, cosine): every query vector scored against the
+    full corpus — the exact-cosine block shared by the brute-force
+    top-k and the radius (range) search."""
     comp = _components(spark, sf_dir)
     norms = _norms(comp)
     q = comp.filter(F.col("vec_id") < N_QUERIES).select(
@@ -116,11 +117,17 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dot").cast("double")
         / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
     ).cast("decimal(10,8)")
-    ranked = (
+    return (
         dots.join(F.broadcast(qn), "qid")
         .join(norms, "vec_id")
         .select("qid", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
     )
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: every query vector against the full
+    corpus. Join on component idx, exact-decimal dot, rank per query."""
+    ranked = _bf_cosines(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -2429,3 +2436,59 @@ ORDER BY cell
 SPECS.append(
     QuerySpec("emb_centroid_drift", emb_centroid_drift, EMB_CENTROID_DRIFT_ORACLE)
 )
+
+
+# ---------------------------------------------------------------------------
+# Radius (range) similarity search — the other standard retrieval API
+# next to top-k: ALL neighbors above a similarity floor.
+# ---------------------------------------------------------------------------
+
+RANGE_TAU = 0.25  # cosine floor (fixture: ~6-14 corpus neighbors/query)
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search: every corpus vector with cosine >=
+    RANGE_TAU of each query — the retrieval API deduplication and
+    contamination sweeps want ("everything this similar"), where top-k
+    would silently truncate dense neighborhoods and pad sparse ones.
+
+    This is the EXACT baseline (shared cosine block with
+    sim_topk_bruteforce, so the scored set is identical algebra); the
+    banded scale path for radius work is the LSH family
+    (dedup_embedding_cosine_pairs / sim_rp_lsh_topk), whose recall
+    against thresholds like this is measured in sim_ann_recall.
+
+    100-TB shape: one broadcast of the query components, one
+    map-side-combinable dot aggregation, a scan-stage filter — the
+    selective-filter twin of the brute-force scorer with no per-query
+    k-heap needed."""
+    scored = _bf_cosines(spark, sf_dir)
+    return scored.filter(F.col("cosine") >= RANGE_TAU).orderBy(
+        "qid", F.col("cosine").desc(), "neighbor_id"
+    )
+
+
+SIM_RANGE_ORACLE = _COMP_CTES + f""",
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT qid, vec_id, CAST(SUM(val * qval) AS DECIMAL(38,18)) AS dot
+  FROM comp JOIN q USING (idx)
+  WHERE vec_id <> qid
+  GROUP BY qid, vec_id
+),
+scored AS (
+  SELECT qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE)
+              / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE)))
+              AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms n ON dots.vec_id = n.vec_id
+  JOIN norms qn ON dots.qid = qn.vec_id
+)
+SELECT qid, neighbor_id, cosine FROM scored
+WHERE cosine >= {RANGE_TAU}
+ORDER BY qid, cosine DESC, neighbor_id
+"""
+
+
+SPECS.append(QuerySpec("sim_range_search", sim_range_search, SIM_RANGE_ORACLE))

@@ -1254,3 +1254,100 @@ FROM s
 
 
 SPECS.append(QuerySpec("tx_zipf_fit", tx_zipf_fit, TX_ZIPF_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Full winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003) — the
+# window-min selection tx_fingerprint collapses to a single global min.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5        # k-gram size (shared with tx_fingerprint's shingles)
+WINNOW_W = 4        # selection window: density guarantee 2 / (w + 1)
+_WINNOW_POS_BASE = 1048576  # 2^20: (hash, pos) packed into one bigint
+
+
+def tx_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    k-gram, slide a w-wide window over the hash sequence, keep the
+    minimal hash of each window, dedupe. Guarantees: every match of
+    length >= w + k - 1 shares a fingerprint, and expected density is
+    2/(w+1) — the local-selection properties tx_fingerprint's single
+    global min does not have.
+
+    Engine-exactness: the window argmin packs (hash, pos) into one
+    bigint (hash·2^20 + pos) so MIN resolves hash ties to the LEFTMOST
+    position — Schleimer et al. pick the rightmost; the density bound
+    is insensitive to the choice, and packed-integer MIN is identical
+    algebra in both engines. Positions are bounded by the pack base:
+    documents beyond 2^20 tokens go through tx_chunk_documents first
+    (the fixture max is ~10^2).
+
+    100-TB shape: one token explode (linear in corpus tokens), one
+    window partitioned BY DOCUMENT (bounded frames — never a global
+    sort), one distinct on (doc, fingerprint). The fingerprint set is
+    the dedup/contamination index feed; its size is the 2/(w+1)
+    density times the token count."""
+    docs = _docs_parallel(spark, sf_dir)
+    grams = docs.withColumn("toks", _toks()).select(
+        "doc_id",
+        F.greatest(F.lit(1), F.size("toks") - (WINNOW_K - 1)).alias("n_h"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, size(toks) - {WINNOW_K - 1})),"
+                f" i -> array_join(slice(toks, i, {WINNOW_K}), ' '))"
+            )
+        ).alias("pos0", "gram"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "n_h",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    packed = F.col("h") * _WINNOW_POS_BASE + F.col("pos")
+    wmin = F.min(packed).over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    )
+    # full windows only (pos <= n_h - w + 1); a doc with fewer than w
+    # hashes keeps its single truncated window = the global min.
+    fps = hashed.withColumn("c", wmin).filter(
+        F.col("pos") <= F.greatest(F.lit(1), F.col("n_h") - (WINNOW_W - 1))
+    )
+    return (
+        fps.select(
+            "doc_id",
+            (F.col("c") % _WINNOW_POS_BASE).alias("fp_pos"),
+            F.expr(f"c div {_WINNOW_POS_BASE}").alias("fp_hash"),
+        )
+        .distinct()
+        .orderBy("doc_id", "fp_pos")
+    )
+
+
+TX_WINNOWING_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         greatest(1, len(toks) - {WINNOW_K - 1}) AS n_h,
+         CAST(i AS BIGINT) AS pos,
+         CAST('0x' || substr(md5(array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')), 1, 8)
+              AS BIGINT) AS h
+  FROM t, unnest(generate_series(1, greatest(1, len(toks) - {WINNOW_K - 1}))) AS g(i)
+),
+win AS (
+  SELECT doc_id, pos, n_h,
+         MIN(h * {_WINNOW_POS_BASE} + pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS c
+  FROM grams
+)
+SELECT DISTINCT doc_id,
+       c % {_WINNOW_POS_BASE} AS fp_pos,
+       c // {_WINNOW_POS_BASE} AS fp_hash
+FROM win
+WHERE pos <= greatest(1, n_h - {WINNOW_W - 1})
+ORDER BY doc_id, fp_pos
+"""
+
+
+SPECS.append(QuerySpec("tx_winnowing", tx_winnowing, TX_WINNOWING_ORACLE))

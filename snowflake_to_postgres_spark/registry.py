@@ -98,6 +98,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "sim_hard_negatives": ("cosine",),
     "sim_ann_index_search": ("cosine",),
     "sim_truncated_topk": ("cosine",),
+    "sim_range_search": ("cosine",),
     "x_funnel": ("conversion",),
     "ts_resample_ohlc": ("open", "close", "high", "low"),
     "ts_anomaly_zscore": ("zscore",),

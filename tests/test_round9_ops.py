@@ -119,3 +119,225 @@ def test_ppr_empty_seed_set(spark, empty_sf_dir):
         "bigint",
         "double",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round-9 operator pins: independent pure-python parity for the new
+# sketches / winnowing, constructed-kernel tests for SCD2, MERGE and
+# label propagation.
+# ---------------------------------------------------------------------------
+
+
+def _md5_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_hll_pure_python_parity(spark, duck, sf_dir):
+    """The registered HLL's registers, scaled harmonic sum, and snapped
+    estimate must equal an independent pure-python HyperLogLog over the
+    same values."""
+    import math
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        HLL_EST_GRID,
+        HLL_M,
+        _hll_alpha,
+        a18_hll_distinct,
+    )
+
+    vals = [r[0] for r in duck.execute("SELECT l_partkey FROM lineitem").fetchall()]
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = int(_md5_hex(str(v))[:15], 16)
+        j, w = divmod(h, 1 << 52)
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[j] = max(regs.get(j, 0), rho)
+    v_zero = HLL_M - len(regs)
+    s_scaled = sum(1 << (53 - mj) for mj in regs.values()) + v_zero * (1 << 53)
+    est = _hll_alpha() * 256.0 * 256.0 * float(1 << 53) / float(s_scaled)
+    if est <= 2.5 * HLL_M and v_zero > 0:
+        est = HLL_M * math.log(HLL_M / float(v_zero))
+    est = math.floor(est * HLL_EST_GRID + 0.5) / HLL_EST_GRID
+    exact = len(set(vals))
+
+    row = a18_hll_distinct(spark, sf_dir).collect()[0]
+    assert row["v_zero"] == v_zero
+    assert row["s_scaled"] == s_scaled
+    assert row["hll_estimate"] == est
+    assert row["exact_distinct"] == exact
+    # the sketch is only useful if it is also accurate
+    assert row["rel_error"] < 0.05
+
+
+def test_cms_pure_python_parity(spark, duck, sf_dir):
+    """Count-min estimates must equal an independent pure-python sketch,
+    and the overestimate guarantee must hold on every reported key."""
+    from collections import Counter
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        CMS_D,
+        CMS_TOP,
+        CMS_W,
+        a19_cms_heavy_hitters,
+    )
+
+    vals = [r[0] for r in duck.execute("SELECT l_partkey FROM lineitem").fetchall()]
+    cells: Counter = Counter()
+    for v in vals:
+        for i in range(CMS_D):
+            cells[(i, int(_md5_hex(f"{i}|{v}")[:8], 16) % CMS_W)] += 1
+    exact = Counter(vals)
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOP]
+
+    rows = a19_cms_heavy_hitters(spark, sf_dir).collect()
+    assert [(r["l_partkey"], r["exact_cnt"]) for r in rows] == top
+    for r in rows:
+        py_est = min(
+            cells[(i, int(_md5_hex(f"{i}|{r['l_partkey']}")[:8], 16) % CMS_W)]
+            for i in range(CMS_D)
+        )
+        assert r["cms_estimate"] == py_est
+        assert r["never_undercounts"] and r["cms_estimate"] >= r["exact_cnt"]
+
+
+def test_scd2_constructed_kernel(spark):
+    """SCD2 must collapse consecutive identical values, chain valid_to,
+    and mark exactly one current row per key."""
+    import datetime as dt
+
+    from snowflake_to_postgres_spark.operators import warehouse
+
+    rows = [
+        # custkey 1: A -> A (collapse) -> B; same-day conflict on d3
+        # resolved to the higher orderkey (B wins over C)
+        (10, 1, dt.date(2020, 1, 1), "A"),
+        (11, 1, dt.date(2020, 2, 1), "A"),
+        (12, 1, dt.date(2020, 3, 1), "C"),
+        (13, 1, dt.date(2020, 3, 1), "B"),
+        # custkey 2: single version, stays current
+        (20, 2, dt.date(2020, 6, 1), "Z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate date, o_orderpriority string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        out = warehouse.x_scd2_history(spark, d).collect()
+    got = [
+        (r["custkey"], r["priority"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in out
+    ]
+    assert got == [
+        (1, "A", "2020-01-01", "2020-03-01", False),
+        (1, "B", "2020-03-01", "None", True),
+        (2, "Z", "2020-06-01", "None", True),
+    ]
+
+
+def test_merge_upsert_classification(spark, duck, sf_dir):
+    """Every MERGE action class must be present and verifiably correct
+    against an independent SQL recomputation of the two snapshots."""
+    from snowflake_to_postgres_spark.operators import warehouse
+
+    rows = warehouse.x_merge_upsert(spark, sf_dir).collect()
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r["action"], 0)
+        by_action[r["action"]] += 1
+        if r["action"] == "insert":
+            assert r["old_priority"] is None and r["merged_priority"] == r["new_priority"]
+        elif r["action"] == "retain":
+            assert r["new_priority"] is None and r["merged_priority"] == r["old_priority"]
+        elif r["action"] == "update":
+            assert r["old_priority"] != r["new_priority"]
+            assert r["merged_priority"] == r["new_priority"]
+        else:
+            assert r["old_priority"] == r["new_priority"]
+    # the fixture feed straddles the split date, so the interesting
+    # classes are non-empty
+    assert by_action.get("retain", 0) > 0 and by_action.get("update", 0) > 0
+    # post-merge dimension covers every key exactly once
+    n_keys = duck.execute("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    assert len(rows) == n_keys == len({r["custkey"] for r in rows})
+
+
+def test_winnowing_pure_python_parity(spark, duck, sf_dir):
+    """Winnowing fingerprints must equal an independent pure-python
+    implementation (leftmost-min tie-break), and every full window must
+    contain at least one selected position (the coverage guarantee)."""
+    from snowflake_to_postgres_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        tx_winnowing,
+    )
+
+    docs = duck.execute("SELECT doc_id, lower(text) FROM documents").fetchall()
+    expected = set()
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        n_h = max(1, len(toks) - (WINNOW_K - 1))
+        hashes = [
+            int(_md5_hex(" ".join(toks[i : i + WINNOW_K]))[:8], 16)
+            for i in range(n_h)
+        ]
+        packed = [h * 1048576 + (i + 1) for i, h in enumerate(hashes)]
+        for s in range(max(1, n_h - (WINNOW_W - 1))):
+            c = min(packed[s : s + WINNOW_W])
+            expected.add((doc_id, c % 1048576, c // 1048576))
+    got = {
+        (r["doc_id"], r["fp_pos"], r["fp_hash"])
+        for r in tx_winnowing(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # coverage: within each doc, selected positions are never more than
+    # w apart (Schleimer et al. property 2)
+    by_doc = {}
+    for d, p, _ in got:
+        by_doc.setdefault(d, []).append(p)
+    for d, ps in by_doc.items():
+        ps = sorted(ps)
+        assert all(b - a <= WINNOW_W for a, b in zip(ps, ps[1:])), d
+
+
+def test_range_search_vs_topk_consistency(spark, sf_dir):
+    """Every top-k neighbor whose cosine clears RANGE_TAU must appear in
+    the range result with the identical score, and every range hit must
+    clear the floor."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        RANGE_TAU,
+        sim_range_search,
+        sim_topk_bruteforce,
+    )
+
+    rng = {
+        (r["qid"], r["neighbor_id"]): float(r["cosine"])
+        for r in sim_range_search(spark, sf_dir).collect()
+    }
+    assert rng, "fixture should produce range hits"
+    assert all(c >= RANGE_TAU for c in rng.values())
+    for r in sim_topk_bruteforce(spark, sf_dir).collect():
+        if float(r["cosine"]) >= RANGE_TAU:
+            key = (r["qid"], r["neighbor_id"])
+            assert key in rng and rng[key] == float(r["cosine"])
+
+
+def test_label_prop_two_cliques(spark):
+    """Constructed kernel: two weight-10 triangles joined by a weight-1
+    bridge must resolve to two communities labelled by each side's
+    smallest dominant label."""
+    from snowflake_to_postgres_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10), (1, 3, 10), (2, 3, 10),
+            (4, 5, 10), (4, 6, 10), (5, 6, 10),
+            (3, 4, 1),
+        ],
+        "u bigint, v bigint, w bigint",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
