@@ -2249,3 +2249,244 @@ ORDER BY exact_cnt DESC, l_partkey
 SPECS.append(
     QuerySpec("a19_cms_heavy_hitters", a19_cms_heavy_hitters, A19_CMS_ORACLE)
 )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (a20) — with HLL (cardinality) and CMS
+# (frequency) this completes the deterministic-sketch trifecta.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 3              # hash functions
+BLOOM_BITS_PER_KEY = 8   # m = 8n bits -> ~3% fp at k=3 (demonstrable, not vacuous)
+_BLOOM_WORD = 32         # bits per packed word (shifts stay < 2^31, safe in both engines)
+BLOOM_SPEND = 400000     # filter set: custkeys with an order above this
+
+
+def _bloom_m_bits(n_keys: int) -> int:
+    """Filter size: BLOOM_BITS_PER_KEY per key, rounded up to whole
+    32-bit words, never zero — pure integer math the oracle replays."""
+    return max(1, (BLOOM_BITS_PER_KEY * n_keys + _BLOOM_WORD - 1) // _BLOOM_WORD) * _BLOOM_WORD
+
+
+def _bloom_pos(seed, val, m_bits: int):
+    """Hash-``seed`` bit position of ``val`` — the CMS md5 family
+    reduced mod the filter size."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", seed.cast("string"), val.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % m_bits
+    )
+
+
+def _a20_bloom_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Construction/probe-phase plans for the audit: the key-count
+    scalar collapses lineage, so expose the packed-word build and the
+    probe join with a literal stand-in size (plan SHAPE is what the
+    guard checks)."""
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > BLOOM_SPEND)
+        .select(F.col("o_custkey").alias("v"))
+        .distinct()
+    )
+    m_bits = 1024  # literal stand-in
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    pos = keys.select(seeds, _bloom_pos(F.col("i"), F.col("v"), m_bits).alias("p"))
+    words = (
+        pos.select(
+            F.expr(f"p div {_BLOOM_WORD}").alias("word"),
+            (F.col("p") % _BLOOM_WORD).cast("int").alias("bit"),
+        )
+        .distinct()
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("wv"))
+    )
+    probe = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("v"), seeds)
+        .select("v", "i", _bloom_pos(F.col("i"), F.col("v"), m_bits).alias("p"))
+        .select(
+            "v",
+            F.expr(f"p div {_BLOOM_WORD}").alias("word"),
+            (F.col("p") % _BLOOM_WORD).cast("int").alias("bit"),
+        )
+        .join(F.broadcast(words), "word", "left")
+        .groupBy("v")
+        .agg(
+            F.expr(
+                "bool_and(wv IS NOT NULL AND (wv & shiftleft(CAST(1 AS BIGINT), bit)) <> 0)"
+            ).alias("candidate")
+        )
+    )
+    return {"build": words, "probe": probe}
+
+
+def a20_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (Bloom 1970) as join pruning: the filter
+    set is every customer with an order above BLOOM_SPEND; the filter
+    is k=3 md5 bit positions packed into 32-bit words (m = 8n bits —
+    sized from one bounded COUNT, the threshold-literal pattern); every
+    customer then probes it. The summary row carries the exact
+    semi-join truth next to the sketch verdicts: candidates,
+    true matches, false positives, and the no-false-negatives
+    guarantee as a checked column — at m = 8n, k = 3 the ~3% fp rate
+    is visible in the artifact rather than rounding to zero.
+
+    Determinism: bits, packed words, and every count are exact integers
+    over md5; the only float is the final fp_rate division. The whole
+    filter — build AND probe — replays in DuckDB under the value-hash
+    gate; engine-native bloom pruning (Spark's runtime row-group
+    filters) stays on the scan path where it belongs.
+
+    100-TB shape: the build is one distinct + one groupBy over m/32
+    packed words (mergeable, map-side combinable — the filter IS the
+    shuffle payload, ~n bytes); the probe broadcasts those words. This
+    is how a join against a huge build side prunes its probe scan
+    without shuffling the probe table."""
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > BLOOM_SPEND)
+        .select(F.col("o_custkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    n_keys = keys.count()  # bounded scalar (distinct dimension keys)
+    m_bits = _bloom_m_bits(n_keys)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    words = (
+        keys.select(seeds, _bloom_pos(F.col("i"), F.col("v"), m_bits).alias("p"))
+        .select(
+            F.expr(f"p div {_BLOOM_WORD}").alias("word"),
+            (F.col("p") % _BLOOM_WORD).cast("int").alias("bit"),
+        )
+        .distinct()
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("wv"))
+    )
+    probes = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("v"), seeds)
+        .select("v", "i", _bloom_pos(F.col("i"), F.col("v"), m_bits).alias("p"))
+        .select(
+            "v",
+            F.expr(f"p div {_BLOOM_WORD}").alias("word"),
+            (F.col("p") % _BLOOM_WORD).cast("int").alias("bit"),
+        )
+        .join(F.broadcast(words), "word", "left")
+        .groupBy("v")
+        .agg(
+            F.expr(
+                "bool_and(wv IS NOT NULL AND (wv & shiftleft(CAST(1 AS BIGINT), bit)) <> 0)"
+            ).alias("candidate")
+        )
+    )
+    verdicts = probes.join(
+        keys.withColumn("is_member", F.lit(True)), "v", "left"
+    ).select(
+        "v", "candidate", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    fp = F.col("candidates") - F.col("true_matches")
+    non_members = F.col("n_probe") - F.col("true_matches")
+    out = verdicts.agg(
+        F.lit(n_keys).cast("bigint").alias("n_keys"),
+        F.lit(m_bits).cast("bigint").alias("m_bits"),
+        F.lit(BLOOM_K).cast("int").alias("k_hashes"),
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(F.col("candidate"), 1).otherwise(0)).cast("bigint").alias("candidates"),
+        F.sum(F.when(F.col("candidate") & F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("true_matches"),
+        F.bool_and(F.when(F.col("is_member"), F.col("candidate")).otherwise(F.lit(True)))
+        .alias("no_false_negatives"),
+    )
+    keys.unpersist()
+    return out.select(
+        "n_keys",
+        "m_bits",
+        "k_hashes",
+        "n_probe",
+        "candidates",
+        "true_matches",
+        fp.alias("false_positives"),
+        F.when(non_members > 0, fp.cast("double") / non_members.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("fp_rate"),
+        "no_false_negatives",
+    )
+
+
+A20_BLOOM_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT o_custkey AS v FROM orders WHERE o_totalprice > {BLOOM_SPEND}
+),
+sz AS (
+  SELECT COUNT(*) AS n_keys,
+         GREATEST(1, ({BLOOM_BITS_PER_KEY} * COUNT(*) + {_BLOOM_WORD - 1}) // {_BLOOM_WORD})
+           * {_BLOOM_WORD} AS m_bits
+  FROM keys
+),
+kpos AS (
+  SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+              AS BIGINT) % (SELECT m_bits FROM sz) AS p
+  FROM keys, unnest([0, 1, 2]) AS s(i)
+),
+words AS (
+  SELECT word, bit_or(CAST(1 AS BIGINT) << bit) AS wv FROM (
+    SELECT DISTINCT p // {_BLOOM_WORD} AS word, CAST(p % {_BLOOM_WORD} AS INT) AS bit
+    FROM kpos
+  ) GROUP BY word
+),
+ppos AS (
+  SELECT c_custkey AS v,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % (SELECT m_bits FROM sz) AS p
+  FROM customer, unnest([0, 1, 2]) AS s(i)
+),
+probe AS (
+  SELECT v, bool_and(wv IS NOT NULL AND (wv & (CAST(1 AS BIGINT) << bit)) <> 0) AS candidate
+  FROM (
+    SELECT v, p // {_BLOOM_WORD} AS word, CAST(p % {_BLOOM_WORD} AS INT) AS bit
+    FROM ppos
+  ) LEFT JOIN words USING (word)
+  GROUP BY v
+),
+verdicts AS (
+  SELECT probe.v, candidate, keys.v IS NOT NULL AS is_member
+  FROM probe LEFT JOIN keys ON probe.v = keys.v
+),
+agg AS (
+  SELECT (SELECT CAST(n_keys AS BIGINT) FROM sz) AS n_keys,
+         (SELECT CAST(m_bits AS BIGINT) FROM sz) AS m_bits,
+         CAST({BLOOM_K} AS INT) AS k_hashes,
+         COUNT(*) AS n_probe,
+         CAST(SUM(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT) AS candidates,
+         CAST(SUM(CASE WHEN candidate AND is_member THEN 1 ELSE 0 END) AS BIGINT) AS true_matches,
+         bool_and(CASE WHEN is_member THEN candidate ELSE TRUE END) AS no_false_negatives
+  FROM verdicts
+)
+SELECT n_keys, m_bits, k_hashes, n_probe, candidates, true_matches,
+       candidates - true_matches AS false_positives,
+       CASE WHEN n_probe - true_matches > 0
+            THEN CAST(candidates - true_matches AS DOUBLE)
+                 / CAST(n_probe - true_matches AS DOUBLE)
+            ELSE 0.0 END AS fp_rate,
+       no_false_negatives
+FROM agg
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "a20_bloom_membership",
+        a20_bloom_membership,
+        A20_BLOOM_ORACLE,
+        probes=_a20_bloom_frames,
+    )
+)

@@ -196,3 +196,60 @@ SPECS = [
     QuerySpec("x_scd2_history", x_scd2_history, X_SCD2_HISTORY_ORACLE),
     QuerySpec("x_merge_upsert", x_merge_upsert, X_MERGE_UPSERT_ORACLE),
 ]
+
+
+def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application with DELETE tombstones: the events stream
+    read as a change log keyed by user_id, ordered by (ts, event_id) —
+    'error' rows are tombstones, every other type upserts ``value``.
+    Each key's final state classifies it live or deleted: the WHEN
+    MATCHED THEN DELETE arm of MERGE, which x_merge_upsert
+    (insert/update-only) does not exercise, and the tombstone handling
+    st_latest_state (streaming latest-state, no deletes) leaves out.
+
+    100-TB shape: one keyed window (last op per key) + one keyed count,
+    joined on the key — a single shuffle column, no driver round-trips;
+    the CDC log never sorts globally."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_ops"))
+    deleted = F.col("event_type") == "error"
+    return (
+        last.join(counts, "user_id")
+        .select(
+            "user_id",
+            deleted.alias("is_deleted"),
+            F.col("event_type").alias("last_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.when(~deleted, F.col("value")).alias("last_value"),
+            "n_ops",
+        )
+        .orderBy("user_id")
+    )
+
+
+X_CDC_APPLY_ORACLE = """
+WITH last AS (
+  SELECT user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+counts AS (SELECT user_id, COUNT(*) AS n_ops FROM events GROUP BY user_id)
+SELECT l.user_id,
+       l.event_type = 'error' AS is_deleted,
+       l.event_type AS last_type,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       CASE WHEN l.event_type = 'error' THEN NULL
+            ELSE CAST(l.value AS DECIMAL(18,2)) END AS last_value,
+       n_ops
+FROM last l JOIN counts USING (user_id)
+WHERE rn = 1
+ORDER BY l.user_id
+"""
+
+
+SPECS.append(QuerySpec("x_cdc_apply", x_cdc_apply, X_CDC_APPLY_ORACLE))

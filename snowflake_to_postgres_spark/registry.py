@@ -99,6 +99,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "sim_ann_index_search": ("cosine",),
     "sim_truncated_topk": ("cosine",),
     "sim_range_search": ("cosine",),
+    "x_cdc_apply": ("last_value",),
     "x_funnel": ("conversion",),
     "ts_resample_ohlc": ("open", "close", "high", "low"),
     "ts_anomaly_zscore": ("zscore",),
@@ -196,13 +197,25 @@ _PRIORITY: tuple[str, ...] = (
     # vs brute force at hamming<=3 — replaces dedup_simhash_pairs (16-bit
     # prefix blocking, ~0.9% hamming-6 recall) as the hard-signal SimHash
     # row. The prefix variant stays registered + FULL-checked below.
+    # Round-9 rotations: x_scd2_history (the new warehouse-maintenance
+    # family — SCD Type-2 / MERGE semantics, the queries a migration
+    # tool's users actually run — deserves a hard-signal seat) and
+    # a18_hll_distinct (the md5-register HLL whose sketch itself
+    # replays in the oracle — the KMV promotion story completed for
+    # the industry-standard sketch). They displace two near-duplicates
+    # of surviving dedup rows: dedup_incremental (probe-vs-corpus
+    # exact; dedup_incremental_lsh keeps the incremental seat) and
+    # dedup_containment_pairs (the exact twin of the banded
+    # dedup_containment_lsh scale path — the dedup family keeps five
+    # window rows). Both demoted rows remain registered + FULL-checked
+    # below.
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash64_pairs",
     "dedup_incremental_lsh",
-    "dedup_containment_pairs",
+    "x_scd2_history",
     "dedup_semantic_clusters",
-    "dedup_incremental",
+    "a18_hll_distinct",
     # Round-7 rotation (verdict #3): graph_pagerank — now FULL via the
     # gridded-recurrence DuckDB oracle (unrolled 8-step CTE chain) —
     # takes the window seat of sim_rp_lsh_topk, whose RP-LSH oracle
