@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from snowflake_to_postgres_spark.registry import QuerySpec
 from snowflake_to_postgres_spark.sources import load_table
@@ -447,3 +448,91 @@ def scan_with_manifest(
         return empty, 0, total
     df = spark.read.parquet(*picked).filter(F.col(col).between(lo, hi))
     return df, len(picked), total
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner — the OPTIMIZE/bin-packing half of table
+# maintenance (the clustering sinks above are the other half).
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 1000  # registered-query bin target (fixture-scaled)
+
+
+def compaction_plan(
+    manifest: DataFrame, rows_col: str, order_col: str, target_rows: int
+) -> DataFrame:
+    """Order-preserving bin packing of a file manifest: walk the files
+    in ``order_col`` order, cut a new output bin whenever the running
+    row count crosses ``target_rows`` (bin = exclusive-prefix-sum //
+    target — the sequential greedy rule, expressed as one window).
+    Order-preserving matters: compacting in layout order keeps the
+    clustering the z-order/Hilbert sinks paid for, where
+    first-fit-decreasing would interleave key ranges.
+
+    The window is a global cumulative sum — over the MANIFEST, which is
+    bounded metadata (one row per file, the same frame build_manifest
+    coalesces to a single small parquet), never the data. At 10^8 files
+    partition the prefix sum by table region first (the dense_ids
+    two-level construction applies verbatim)."""
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = manifest.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum(rows_col).over(w), F.lit(0))
+            / F.lit(target_rows)
+        ).cast("bigint"),
+    )
+    per_bin = Window.partitionBy("bin")
+    return binned.withColumn(
+        "bin_rows", F.sum(rows_col).over(per_bin).cast("bigint")
+    ).withColumn("bin_files", F.count("*").over(per_bin).cast("bigint"))
+
+
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: the orders table read as a monthly-partitioned
+    file manifest (one "file" per order month — the classic small-files
+    shape a date-partitioned ingest produces), bin-packed toward
+    COMPACT_TARGET_ROWS rows per output file. Emits the full plan so
+    the bin edges themselves sit under the value-hash gate."""
+    from snowflake_to_postgres_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    manifest = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("file_month")
+    ).agg(F.count("*").alias("rows"))
+    return (
+        compaction_plan(manifest, "rows", "file_month", COMPACT_TARGET_ROWS)
+        .select("file_month", "rows", "bin", "bin_rows", "bin_files")
+        .orderBy("file_month")
+    )
+
+
+LAYOUT_COMPACTION_ORACLE = f"""
+WITH manifest AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS file_month,
+         COUNT(*) AS rows
+  FROM orders GROUP BY 1
+),
+binned AS (
+  SELECT file_month, rows,
+         CAST(floor(COALESCE(SUM(rows) OVER (ORDER BY file_month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {COMPACT_TARGET_ROWS}) AS BIGINT) AS bin
+  FROM manifest
+)
+SELECT file_month, rows, bin,
+       CAST(SUM(rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows,
+       CAST(COUNT(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files
+FROM binned
+ORDER BY file_month
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "layout_compaction_plan", layout_compaction_plan, LAYOUT_COMPACTION_ORACLE
+    )
+)

@@ -478,3 +478,109 @@ SPECS = [
     QuerySpec("val_fingerprint_diff", val_fingerprint_diff, VAL_FINGERPRINT_ORACLE),
     QuerySpec("val_row_sample_diff", val_row_sample_diff, VAL_ROWSAMPLE_ORACLE),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Expectation suite (val_expectations) — the dbt-test / Great
+# Expectations shape: declarative per-column checks, one violations
+# row each, evaluated in a single pass wherever possible.
+# ---------------------------------------------------------------------------
+
+
+def run_expectations(df: DataFrame, checks: "list[tuple[str, Column]]") -> DataFrame:
+    """Evaluate violation predicates in ONE aggregation pass: each check
+    is (name, boolean violation column); the result is one row per
+    check with its violation count and pass verdict. Conditional sums
+    over a shared scan — adding a check adds a column, never a pass
+    (the reference's validator runs ⌈checks/50⌉ separate queries;
+    SURVEY §2.7 note)."""
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
+        for name, pred in checks
+    ]
+    wide = df.agg(*aggs)
+    names = [name for name, _ in checks]
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return (
+        wide.selectExpr(
+            f"stack({len(names)}, {stack}) AS (check_name, violations)"
+        )
+        .select(
+            "check_name",
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
+
+
+def val_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered suite over orders: not-null, accepted-values, range,
+    uniqueness, and referential integrity. The first three are
+    violation predicates in one shared aggregation pass
+    (:func:`run_expectations`); uniqueness and the FK check need their
+    own aggregate/anti-join shapes and union in as two more bounded
+    rows. 100-TB shape: one fact scan for the row-local checks, one
+    distinct-count aggregate, one broadcast anti-join against the
+    dimension — no per-check scans, nothing collected."""
+    o = load_table(spark, sf_dir, "orders")
+    row_checks = run_expectations(
+        o,
+        [
+            ("accepted_values_orderstatus", ~F.col("o_orderstatus").isin("O", "F", "P")),
+            ("not_null_custkey", F.col("o_custkey").isNull()),
+            ("range_totalprice_positive", F.col("o_totalprice") <= 0),
+        ],
+    )
+    uniq = o.agg(
+        (F.count("*") - F.count_distinct(F.col("o_orderkey")))
+        .cast("bigint")
+        .alias("violations")
+    ).select(
+        F.lit("unique_orderkey").alias("check_name"),
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    # NULL keys are excluded: a missing key is the not-null check's
+    # failure, not a dangling reference — and the oracle's NOT IN
+    # never counts NULLs, so counting them here would diverge exactly
+    # on dirty data (round-9 kernel-test finding).
+    fk = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(cust), "o_custkey", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("violations"))
+        .select(
+            F.lit("fk_custkey_in_customer").alias("check_name"),
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )
+    return row_checks.unionByName(uniq).unionByName(fk).orderBy("check_name")
+
+
+VAL_EXPECTATIONS_ORACLE = """
+WITH rowchecks AS (
+  SELECT * FROM (VALUES
+    ('accepted_values_orderstatus',
+     (SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders)),
+    ('not_null_custkey',
+     (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders)),
+    ('range_totalprice_positive',
+     (SELECT CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders)),
+    ('unique_orderkey',
+     (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)),
+    ('fk_custkey_in_customer',
+     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+  ) AS t(check_name, violations)
+)
+SELECT check_name, violations, violations = 0 AS passed
+FROM rowchecks
+ORDER BY check_name
+"""
+
+
+SPECS.append(QuerySpec("val_expectations", val_expectations, VAL_EXPECTATIONS_ORACLE))

@@ -420,3 +420,145 @@ def test_cdc_apply_tombstone_semantics(spark):
     assert out[1]["is_deleted"] and out[1]["last_value"] is None
     assert not out[2]["is_deleted"] and float(out[2]["last_value"]) == 7.5
     assert out[3]["is_deleted"] and out[3]["n_ops"] == 2
+
+
+def test_stream_cdc_tombstones_match_batch(spark, sf_dir, tmp_path):
+    """The streaming CDC pipeline (bootstrap + foreachBatch version-wins
+    MERGE) must implement x_cdc_apply's tombstone semantics end-to-end:
+    reading the final state table with the delete interpretation
+    ('error' = tombstone) equals the batch operator over ALL events —
+    deletes retained as flagged rows until compaction, the standard
+    log-structured contract."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.operators.warehouse import x_cdc_apply
+    from snowflake_to_postgres_spark.sources import load_table
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        bootstrap_latest_state,
+        upsert_latest_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.selectExpr(
+        "timestamp_micros(cast(percentile_cont(0.5) WITHIN GROUP "
+        "(ORDER BY unix_micros(ts)) AS bigint)) AS m"
+    ).collect()[0]["m"]
+    target = str(tmp_path / "state")
+    bootstrap_latest_state(events.filter(events.ts < cutoff), target)
+    upsert_latest_stream(spark, sf_dir, target, str(tmp_path / "ckpt"), since=cutoff)
+
+    state = spark.read.parquet(target)
+    got = {
+        r["user_id"]: (r["is_deleted"], r["last_type"])
+        for r in state.select(
+            "user_id",
+            (F.col("event_type") == "error").alias("is_deleted"),
+            F.col("event_type").alias("last_type"),
+        ).collect()
+    }
+    exp = {
+        r["user_id"]: (r["is_deleted"], r["last_type"])
+        for r in x_cdc_apply(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert any(d for d, _ in exp.values()), "fixture should contain tombstones"
+
+
+def test_compaction_plan_properties(spark, duck, sf_dir):
+    """Sequential bin packing: bins are contiguous in layout order,
+    numbered by the exclusive prefix sum, and every bin except possibly
+    the last crosses the target (greedy closes a bin only after
+    reaching it)."""
+    from snowflake_to_postgres_spark.operators.layout import (
+        COMPACT_TARGET_ROWS,
+        layout_compaction_plan,
+    )
+
+    rows = layout_compaction_plan(spark, sf_dir).collect()
+    total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert sum(r["rows"] for r in rows) == total
+    # order-preserving: bin ids are non-decreasing along file_month
+    bins = [r["bin"] for r in rows]
+    assert bins == sorted(bins)
+    # prefix-sum rule replayed in python
+    cum = 0
+    for r in rows:
+        assert r["bin"] == cum // COMPACT_TARGET_ROWS
+        cum += r["rows"]
+    # every closed bin reached the target (greedy never cuts early)
+    by_bin = {}
+    for r in rows:
+        by_bin[r["bin"]] = by_bin.get(r["bin"], 0) + r["rows"]
+    last = max(by_bin)
+    for b, n in by_bin.items():
+        if b != last:
+            # a bin closes when the NEXT file would start past the
+            # boundary, so bin_rows + that file's first row > target
+            assert n + 1 > COMPACT_TARGET_ROWS - max(r["rows"] for r in rows)
+
+
+def test_compaction_plan_on_real_manifest(spark, sf_dir, tmp_path):
+    """The generic planner must run over a REAL build_manifest output:
+    write a deliberately fragmented table, build its stats manifest,
+    plan compaction, and verify bins cover all files exactly once."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.operators.layout import (
+        MANIFEST_NAME,
+        build_manifest,
+        compaction_plan,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+
+    path = str(tmp_path / "frag")
+    (
+        load_table(spark, sf_dir, "orders")
+        .repartition(16)  # deliberate small-files shape
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    n_files = build_manifest(spark, path, ["o_orderkey"])
+    man = spark.read.parquet(path + "/" + MANIFEST_NAME)
+    plan = compaction_plan(man, "rows", "_file", 1000).collect()
+    assert len(plan) == n_files
+    assert len({r["_file"] for r in plan}) == n_files
+    for r in plan:
+        assert r["bin_rows"] >= r["rows"]
+
+
+def test_expectations_detect_violations(spark, tmp_path):
+    """Constructed dirty data: each check must count its own violations
+    and only the clean checks pass."""
+    import datetime as dt
+
+    from snowflake_to_postgres_spark.operators.validation import val_expectations
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, dt.date(2020, 1, 1), "1-URGENT"),
+            (1, 10, "X", -1.0, dt.date(2020, 1, 2), "1-URGENT"),  # dup key, bad status, bad price
+            (2, None, "F", 3.0, dt.date(2020, 1, 3), "2-HIGH"),   # null custkey
+            (3, 99, "P", 4.0, dt.date(2020, 1, 4), "3-MEDIUM"),   # fk violation
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(10, "a", 1, 0.0, "BUILDING")],
+        "c_custkey bigint, c_name string, c_nationkey bigint, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    customer.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    got = {
+        r["check_name"]: (r["violations"], r["passed"])
+        for r in val_expectations(spark, str(tmp_path)).collect()
+    }
+    assert got["accepted_values_orderstatus"] == (1, False)
+    assert got["not_null_custkey"] == (1, False)
+    assert got["range_totalprice_positive"] == (1, False)
+    assert got["unique_orderkey"] == (1, False)
+    # NULL custkey is the not-null check's failure, not a dangling
+    # reference: only custkey 99 is an orphan (Spark excludes NULLs to
+    # match the oracle's NOT IN semantics)
+    assert got["fk_custkey_in_customer"] == (1, False)
