@@ -74,10 +74,13 @@ def test_priority_window_covers_families():
         "v1_", "val_fingerprint",                      # variant / validation
         "x_sessionization",                            # analytics
         # dedup: exact, LSH near-dup, simhash, incremental LSH banding,
-        # containment, semantic (embedding), incremental (batch-vs-corpus)
+        # semantic (embedding). Round-9 rotation: the exact containment
+        # and exact incremental twins demoted (their LSH scale paths
+        # keep the seats) for the new warehouse-maintenance family and
+        # the oracle-checked HLL.
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64_pairs",
-        "dedup_incremental_lsh",
-        "dedup_containment", "dedup_semantic", "dedup_incremental",
+        "dedup_incremental_lsh", "dedup_semantic",
+        "x_scd2_history", "a18_hll_distinct",
         # similarity: exact + the materialized IVF+PQ index search
         # (round-8: replaces its in-query twin sim_ivf_pq_topk, same
         # oracle) + measured recall (whose oracle composes the RP-LSH
@@ -124,7 +127,11 @@ def test_priority_window_covers_families():
                     # round-8 rotations: materialized index search and the
                     # composed Gopher gate in; their in-query/basic twins
                     # out (same oracles / subsumed signals)
-                    "sim_ivf_pq_topk", "tx_token_stats"):
+                    "sim_ivf_pq_topk", "tx_token_stats",
+                    # round-9 rotations: warehouse family + oracle HLL in;
+                    # the exact containment/incremental twins out (their
+                    # banded LSH forms keep the seats)
+                    "dedup_containment_pairs", "dedup_incremental"):
         assert demoted in all_names and demoted not in names, demoted
 
 

@@ -562,3 +562,35 @@ def test_expectations_detect_violations(spark, tmp_path):
     # reference: only custkey 99 is an orphan (Spark excludes NULLs to
     # match the oracle's NOT IN semantics)
     assert got["fk_custkey_in_customer"] == (1, False)
+
+
+def test_binned_quantiles_accuracy_and_degenerate(spark, duck, sf_dir):
+    """Each estimate must sit within one bin width of the true quantile
+    (the operator's own err_bound column), and degenerate inputs
+    (empty, constant) must return well-formed frames."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        a21_binned_quantiles,
+    )
+
+    truth = {
+        q: duck.execute(
+            f"SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), {q}) FROM lineitem"
+        ).fetchone()[0]
+        for q in (0.5, 0.9, 0.99)
+    }
+    rows = a21_binned_quantiles(spark, sf_dir).collect()
+    assert [r["q"] for r in rows] == [0.5, 0.9, 0.99]
+    for r in rows:
+        assert abs(r["estimate"] - truth[r["q"]]) <= r["err_bound"] + 1e-9, r
+
+    # constant column -> all estimates collapse to the single value
+    const = spark.createDataFrame([(5.0,)] * 10, "l_extendedprice double")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        const.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        got = a21_binned_quantiles(spark, d).collect()
+        assert [g["estimate"] for g in got] == [5.0, 5.0, 5.0]
+        empty = const.limit(0)
+        empty.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        assert a21_binned_quantiles(spark, d).count() == 0
