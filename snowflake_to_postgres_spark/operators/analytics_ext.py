@@ -2632,3 +2632,261 @@ SPECS.append(
         probes=_a21_hist_frames,
     )
 )
+
+
+def a22_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability proof (the property the sketch exists for):
+    build one register set per o_orderstatus partition, merge by
+    register-wise MAX, and the merged estimate must equal — exactly,
+    register for register — the single-pass sketch over the union.
+    Emitted per partition AND for the merge, with the union row's
+    s_scaled doubling as the cross-check: a22's merged row equals
+    a18's sketch construction applied to this key column.
+
+    This is the distributed-aggregation contract: partial sketches per
+    partition/executor/day, one cheap max-merge at the top — no rescan
+    of history when a new partition arrives. KMV set ops (a16) show
+    union/intersection algebra; HLL's max-merge is the form engines
+    actually ship for COUNT(DISTINCT) rollups.
+
+    100-TB shape: identical to a18 plus one 256-row-per-group merge;
+    the per-group register build is one map-side-combinable groupBy on
+    (group, register)."""
+    import math
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"), F.col("o_custkey").alias("v")
+    )
+    h = F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = o.select("g", h.alias("h"))
+    w = F.col("h") % _HLL_WMOD
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select("g", F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
+        .groupBy("g", "j")
+        .agg(F.max("r").alias("mj"))
+        .persist()
+    )
+    per_group = regs.groupBy("g").agg(
+        F.count("*").alias("k_used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - mj AS INT))")
+        ).alias("s_hit"),
+    )
+    merged = (
+        regs.groupBy("j")
+        .agg(F.max("mj").alias("mj"))
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - mj AS INT))"
+                )
+            ).alias("s_hit"),
+        )
+        .select(F.lit("__merged__").alias("g"), "k_used", "s_hit")
+    )
+    rows = per_group.select("g", "k_used", "s_hit").unionByName(merged).collect()
+    regs.unpersist()
+
+    def estimate(k_used: int, s_hit: int) -> tuple[int, int, float]:
+        v_zero = HLL_M - int(k_used or 0)
+        s_scaled = int(s_hit or 0) + v_zero * _HLL_SCALE
+        est = _hll_alpha() * 256.0 * 256.0 * float(_HLL_SCALE) / float(s_scaled)
+        if est <= 2.5 * HLL_M and v_zero > 0:
+            est = HLL_M * math.log(HLL_M / float(v_zero))
+        return v_zero, s_scaled, math.floor(est * HLL_EST_GRID + 0.5) / HLL_EST_GRID
+
+    out = []
+    for r in sorted(rows, key=lambda r: r["g"]):
+        v_zero, s_scaled, est = estimate(r["k_used"], r["s_hit"])
+        out.append((r["g"], int(v_zero), int(s_scaled), float(est)))
+    return spark.createDataFrame(
+        out, "g STRING, v_zero BIGINT, s_scaled BIGINT, hll_estimate DOUBLE"
+    )
+
+
+_A22_EST_SQL = f"""CASE
+  WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+        * CAST({_HLL_SCALE} AS DOUBLE) / CAST(s_scaled AS DOUBLE))
+         <= {2.5 * HLL_M}
+       AND v_zero > 0
+  THEN floor({HLL_M} * ln({HLL_M} / CAST(v_zero AS DOUBLE))
+             * {HLL_EST_GRID} + 0.5) / {HLL_EST_GRID}
+  ELSE floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+              * CAST({_HLL_SCALE} AS DOUBLE) / CAST(s_scaled AS DOUBLE))
+             * {HLL_EST_GRID} + 0.5) / {HLL_EST_GRID}
+END"""
+
+A22_HLL_UNION_ORACLE = f"""
+WITH h AS (
+  SELECT o_orderstatus AS g,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM orders
+),
+rho AS (
+  SELECT g, h // {_HLL_WMOD} AS j,
+         CASE WHEN h % {_HLL_WMOD} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(h % {_HLL_WMOD})) END AS r
+  FROM h
+),
+regs AS (SELECT g, j, MAX(r) AS mj FROM rho GROUP BY g, j),
+per_group AS (
+  SELECT g, COUNT(*) AS k_used,
+         SUM(CAST(1 AS BIGINT) << CAST({_HLL_WBITS + 1} - mj AS INT)) AS s_hit
+  FROM regs GROUP BY g
+),
+merged AS (
+  SELECT '__merged__' AS g, COUNT(*) AS k_used,
+         SUM(CAST(1 AS BIGINT) << CAST({_HLL_WBITS + 1} - mj AS INT)) AS s_hit
+  FROM (SELECT j, MAX(mj) AS mj FROM regs GROUP BY j)
+),
+allrows AS (SELECT * FROM per_group UNION ALL SELECT * FROM merged),
+scalars AS (
+  SELECT g,
+         CAST({HLL_M} - k_used AS BIGINT) AS v_zero,
+         CAST(s_hit + ({HLL_M} - k_used) * {_HLL_SCALE} AS BIGINT) AS s_scaled
+  FROM allrows
+)
+SELECT g, v_zero, s_scaled, {_A22_EST_SQL} AS hll_estimate
+FROM scalars
+ORDER BY g
+"""
+
+
+def _a22_hll_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Plan probes: the grouped register build (the merge is a 256-row
+    fold over it)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"), F.col("o_custkey").alias("v")
+    )
+    h = F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    regs = (
+        o.select("g", F.expr(f"conv(substring(md5(cast(v as string)),1,15),16,10) div {_HLL_WMOD}").alias("j"))
+        .groupBy("g", "j")
+        .agg(F.count("*").alias("n"))
+    )
+    _ = h
+    return {"grouped_registers": regs}
+
+
+SPECS.append(
+    QuerySpec(
+        "a22_hll_union", a22_hll_union, A22_HLL_UNION_ORACLE, probes=_a22_hll_frames
+    )
+)
+
+
+def x_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour by sweep line: every session
+    (gap-based, the x_sessionization kernel) emits +1 at its start and
+    -1 at its end; the running sum of deltas IS the concurrency, and
+    its per-hour max is the capacity-planning curve. Boundary ties are
+    inclusive (at equal ts, starts order before ends — a session ending
+    at T counts as concurrent with one starting at T) under the total
+    order (ts, d desc, user_id, session_id).
+
+    100-TB shape: the naive sweep is ONE global ordered running sum —
+    unbounded data through one task. This is the two-level prefix-sum
+    construction instead (the dense_ids pattern): a running sum WITHIN
+    each hour partition plus each hour's carry-in offset, where the
+    offsets come from a window over per-hour totals — bounded metadata
+    (one row per hour), never the event stream."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize_events(events)
+    sessions = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    deltas = sessions.select(
+        F.col("start_ts").alias("ts"), F.lit(1).alias("d"), "user_id", "session_id"
+    ).unionByName(
+        sessions.select(
+            F.col("end_ts").alias("ts"), F.lit(-1).alias("d"), "user_id", "session_id"
+        )
+    )
+    deltas = deltas.withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    within = Window.partitionBy("hour").orderBy(
+        F.col("ts"), F.col("d").desc(), F.col("user_id"), F.col("session_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = deltas.withColumn("run", F.sum("d").over(within))
+    hour_totals = deltas.groupBy("hour").agg(
+        F.sum("d").alias("hd"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("bigint").alias("starts"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("bigint").alias("ends"),
+    )
+    offsets = hour_totals.select(
+        "hour",
+        "starts",
+        "ends",
+        F.coalesce(
+            F.sum("hd").over(
+                Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("carry"),
+    )
+    return (
+        running.join(F.broadcast(offsets), "hour")
+        .groupBy("hour", "starts", "ends", "carry")
+        .agg(F.max(F.col("carry") + F.col("run")).cast("bigint").alias("peak"))
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("peak").alias("max_concurrency"),
+            "starts",
+            "ends",
+        )
+        .orderBy("hour")
+    )
+
+
+X_CONCURRENCY_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_ts IS NULL
+                  OR date_diff('second', prev_ts, ts) > {SESSION_GAP_SEC}
+                THEN 1 ELSE 0 END AS newsess
+    FROM (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+  )
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+  FROM s GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT start_ts AS ts, 1 AS d, user_id, session_id FROM sessions
+  UNION ALL
+  SELECT end_ts AS ts, -1 AS d, user_id, session_id FROM sessions
+),
+runs AS (
+  SELECT date_trunc('hour', ts) AS hour, d,
+         SUM(d) OVER (ORDER BY ts, d DESC, user_id, session_id) AS conc
+  FROM deltas
+)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+       CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS starts,
+       CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS ends
+FROM runs
+GROUP BY hour
+ORDER BY hour
+"""
+
+
+SPECS.append(
+    QuerySpec("x_concurrency_curve", x_concurrency_curve, X_CONCURRENCY_ORACLE)
+)

@@ -594,3 +594,120 @@ def test_binned_quantiles_accuracy_and_degenerate(spark, duck, sf_dir):
         empty = const.limit(0)
         empty.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
         assert a21_binned_quantiles(spark, d).count() == 0
+
+
+def test_hll_union_merge_equals_single_pass(spark, sf_dir):
+    """Register-wise MAX merge must reproduce the single-pass sketch
+    over the union exactly — the mergeability contract."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        HLL_EST_GRID,
+        HLL_M,
+        _hll_alpha,
+        a22_hll_union,
+    )
+
+    rows = {r["g"]: r for r in a22_hll_union(spark, sf_dir).collect()}
+    merged = rows.pop("__merged__")
+    # recompute the union sketch independently over o_custkey
+    import math
+
+    vals = {
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .collect()
+    }
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = int(_md5_hex(str(v))[:15], 16)
+        j, w = divmod(h, 1 << 52)
+        regs[j] = max(regs.get(j, 0), 53 if w == 0 else 53 - w.bit_length())
+    v_zero = HLL_M - len(regs)
+    s_scaled = sum(1 << (53 - mj) for mj in regs.values()) + v_zero * (1 << 53)
+    est = _hll_alpha() * 256.0 * 256.0 * float(1 << 53) / float(s_scaled)
+    if est <= 2.5 * HLL_M and v_zero > 0:
+        est = HLL_M * math.log(HLL_M / float(v_zero))
+    est = math.floor(est * HLL_EST_GRID + 0.5) / HLL_EST_GRID
+    assert merged["s_scaled"] == s_scaled
+    assert merged["hll_estimate"] == est
+    # a partition's registers can never exceed the union's
+    for g, r in rows.items():
+        assert r["s_scaled"] >= merged["s_scaled"], g
+
+
+def test_concurrency_curve_constructed_kernel(spark):
+    """Known overlap pattern: three sessions, two overlapping plus a
+    boundary touch (end == start) that must count as concurrent
+    (inclusive ties)."""
+    import datetime as dt
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        x_concurrency_curve,
+    )
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, uid, offset_min):
+        return (eid, t + dt.timedelta(minutes=offset_min), uid, "click", 1.0, "{}")
+
+    rows = [
+        # user 1: session 10:00-10:10
+        ev(0, 1, 0), ev(1, 1, 10),
+        # user 2: session 10:05-10:20 (overlaps user 1)
+        ev(2, 2, 5), ev(3, 2, 20),
+        # user 3: session starting exactly at user 2's end (10:20-10:25)
+        ev(4, 3, 20), ev(5, 3, 25),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = x_concurrency_curve(spark, d).collect()
+    assert len(out) == 1 and out[0]["hour"] == "2024-01-01 10:00:00"
+    # 10:05-10:10 two concurrent; at 10:20 the boundary touch makes two
+    assert out[0]["max_concurrency"] == 2
+    assert out[0]["starts"] == 3 and out[0]["ends"] == 3
+
+
+def test_concurrency_two_level_equals_global_sweep(spark, duck, sf_dir):
+    """The two-level (per-hour + carry) construction must equal a naive
+    single-window global sweep computed in python."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        SESSION_GAP_SEC,
+        x_concurrency_curve,
+    )
+
+    evs = duck.execute(
+        "SELECT user_id, event_id, ts FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    sessions = []
+    cur = {}
+    for uid, eid, ts in evs:
+        if uid in cur and (ts - cur[uid][1]).total_seconds() > SESSION_GAP_SEC:
+            sessions.append((uid, cur[uid][0], cur[uid][1]))
+            del cur[uid]
+        if uid not in cur:
+            cur[uid] = [ts, ts]
+        else:
+            cur[uid][1] = ts
+    sessions += [(uid, s, e) for uid, (s, e) in cur.items()]
+    deltas = [(s, 1, uid) for uid, s, e in sessions] + [
+        (e, -1, uid) for uid, s, e in sessions
+    ]
+    deltas.sort(key=lambda x: (x[0], -x[1], x[2]))
+    conc, peak = 0, {}
+    for ts, d, _ in deltas:
+        conc += d
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        peak[hour] = max(peak.get(hour, -10**9), conc)
+    got = {
+        r["hour"]: r["max_concurrency"]
+        for r in x_concurrency_curve(spark, sf_dir).collect()
+    }
+    exp = {h.strftime("%Y-%m-%d %H:%M:%S"): p for h, p in peak.items()}
+    assert got == exp
