@@ -12,7 +12,14 @@ one shuffle on the dimension key, no row-at-a-time driver loop.
 The change feed is the orders table read as "customer c set attribute
 o_orderpriority on date o_orderdate" — multiple same-day events resolve
 to the highest order key (last write wins within the batch, the
-standard CDC tie-break)."""
+standard CDC tie-break).
+
+These are the READ-side analytics of the maintenance story; the
+WRITE-side kernels live in operators/transfer.py (scd2_apply,
+merge_upsert_partitioned, compact_partitions) behind the scd2 / merge /
+compact CLI verbs, and the streaming twin in streaming/pipeline.py
+(upsert_latest_stream) — tombstone parity between that pipeline and
+x_cdc_apply is pinned in tests/test_round9_ops.py."""
 
 from __future__ import annotations
 

@@ -310,3 +310,126 @@ def test_bpe_merge_fold_matches_python(spark, words, r1, r2):
     # duplicate words collapse in the dict; compare per distinct word
     exp = {w: e for w, e in zip(words, expected)}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Round-9 kernels: pure-python replicas of the new operators' math,
+# hypothesis-swept for the invariants the fixtures can't explore.
+# ---------------------------------------------------------------------------
+
+
+def _md5i(s: str, n: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:n], 16)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_dense_bucket_monotone_and_bounded(keys):
+    """Integer-div bucketing must be monotone non-decreasing in the key
+    and each bucket at most DENSE_ID_BUCKET keys wide — for ANY bigint
+    keys, including above 2^53 where the old double path merged
+    buckets."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import DENSE_ID_BUCKET
+
+    ks = sorted(set(keys))
+    buckets = [k // DENSE_ID_BUCKET for k in ks]
+    assert buckets == sorted(buckets)
+    from collections import Counter
+
+    for _, width in Counter(buckets).items():
+        assert width <= DENSE_ID_BUCKET
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=200),
+    st.integers(min_value=0, max_value=50),
+)
+@settings(max_examples=60, deadline=None)
+def test_cms_never_undercounts(vals, probe):
+    """Count-min estimate >= exact count for every key, on arbitrary
+    multisets — the guarantee a19 emits as a column."""
+    from collections import Counter
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import CMS_D, CMS_W
+
+    cells: Counter = Counter()
+    for v in vals:
+        for i in range(CMS_D):
+            cells[(i, _md5i(f"{i}|{v}", 8) % CMS_W)] += 1
+    exact = Counter(vals)
+    est = min(cells[(i, _md5i(f"{i}|{probe}", 8) % CMS_W)] for i in range(CMS_D))
+    assert est >= exact.get(probe, 0)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_compaction_prefix_rule_partitions_files(sizes):
+    """The exclusive-prefix-sum bin rule must assign every file exactly
+    one bin, keep bins contiguous, and never let a CLOSED bin end
+    before the target is reached."""
+    target = 1000
+    cum, bins = 0, []
+    for s in sizes:
+        bins.append(cum // target)
+        cum += s
+    assert bins == sorted(bins)
+    # a bin only closes when the running total crosses the target:
+    # the first file of bin b+1 starts at cum >= (b+1)*target
+    seen = {}
+    run = 0
+    for s, b in zip(sizes, bins):
+        seen.setdefault(b, run)
+        run += s
+    for b, start in seen.items():
+        assert start >= b * target
+
+
+@given(st.text(alphabet="ab ", min_size=1, max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_winnowing_density_and_coverage(text):
+    """On arbitrary token streams: selected positions are valid, no two
+    consecutive fingerprints sit more than w apart, and every full
+    window contributes (the MOSS guarantees a9's fixture test checks
+    only on fixture docs)."""
+    from snowflake_to_postgres_spark.operators.text import WINNOW_K, WINNOW_W
+
+    toks = text.lower().split(" ")
+    n_h = max(1, len(toks) - (WINNOW_K - 1))
+    packed = [
+        _md5i(" ".join(toks[i : i + WINNOW_K]), 8) * 1048576 + (i + 1)
+        for i in range(n_h)
+    ]
+    sel = set()
+    for s in range(max(1, n_h - (WINNOW_W - 1))):
+        sel.add(min(packed[s : s + WINNOW_W]))
+    poss = sorted(c % 1048576 for c in sel)
+    assert all(1 <= p <= n_h for p in poss)
+    assert all(b - a <= WINNOW_W for a, b in zip(poss, poss[1:]))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=400))
+@settings(max_examples=40, deadline=None)
+def test_hll_merge_is_union(vals):
+    """Register-wise max of two partition sketches equals the sketch of
+    the union — for arbitrary integer sets and any split."""
+    half = len(vals) // 2
+    parts = [vals[:half], vals[half:]]
+    merged: dict[int, int] = {}
+    union: dict[int, int] = {}
+    for part, target in ((parts[0], None), (parts[1], None)):
+        regs: dict[int, int] = {}
+        for v in part:
+            h = _md5i(str(v), 15)
+            j, w = divmod(h, 1 << 52)
+            rho = 53 if w == 0 else 53 - w.bit_length()
+            regs[j] = max(regs.get(j, 0), rho)
+        for j, r in regs.items():
+            merged[j] = max(merged.get(j, 0), r)
+    for v in vals:
+        h = _md5i(str(v), 15)
+        j, w = divmod(h, 1 << 52)
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        union[j] = max(union.get(j, 0), rho)
+    assert merged == union
