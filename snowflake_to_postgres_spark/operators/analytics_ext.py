@@ -2890,3 +2890,121 @@ ORDER BY hour
 SPECS.append(
     QuerySpec("x_concurrency_curve", x_concurrency_curve, X_CONCURRENCY_ORACLE)
 )
+
+
+def a23_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group binned quantiles — the shape the scale path actually
+    ships as (p50/p99 latency per service, spend percentiles per
+    segment): GLOBAL bounds from one pass (shared bins keep the
+    histograms mergeable ACROSS groups — per-group bounds would make
+    group sketches incomparable and un-unionable), one (group, bin)
+    fold, per-group interpolation over the collected histogram
+    (bounded: |groups| x occupied bins, the threshold-literal
+    pattern).
+
+    Same determinism argument as a21 (exact integers + one mirrored
+    float interpolation); same err_bound contract — one bin width
+    around the TYPE-1 (rank-ceil(q*N)) quantile, see a21's note.
+
+    100-TB shape: two scans total for EVERY group at once — bounds +
+    a single map-side-combinable (group, bin) aggregate; adding a
+    group adds histogram rows, never a pass."""
+    li = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("double").alias("x"),
+    )
+    brow = li.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+    mn, mx = brow["mn"], brow["mx"]
+    schema = (
+        "g STRING, q DOUBLE, estimate DOUBLE, bin INT, bin_n BIGINT, "
+        "err_bound DOUBLE"
+    )
+    if mn is None:
+        return spark.createDataFrame([], schema)
+    if mx == mn:
+        groups = [r["g"] for r in li.select("g").distinct().collect()]
+        return spark.createDataFrame(
+            [(g, float(q), float(mn), 0, 0, 0.0)
+             for g in sorted(groups) for q in QB_QUANTILES],
+            schema,
+        )
+    b = F.least(
+        F.lit(QB_BINS - 1),
+        F.floor((F.col("x") - F.lit(mn)) / (F.lit(mx) - F.lit(mn)) * QB_BINS),
+    ).cast("int")
+    hist_rows = (
+        li.select("g", b.alias("bin"))
+        .groupBy("g", "bin")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    by_g: dict = {}
+    for r in hist_rows:
+        by_g.setdefault(r["g"], []).append((r["bin"], r["n"]))
+    width = (mx - mn) / QB_BINS
+    out = []
+    for g in sorted(by_g):
+        hist = sorted(by_g[g])
+        total = sum(n for _, n in hist)
+        for q in QB_QUANTILES:
+            t = q * total
+            cum = 0
+            for bin_idx, bin_n in hist:
+                if cum + bin_n >= t:
+                    est = mn + (bin_idx + (t - cum) / bin_n) * width
+                    out.append(
+                        (g, float(q), float(est), int(bin_idx), int(bin_n),
+                         float(width))
+                    )
+                    break
+                cum += bin_n
+    return spark.createDataFrame(out, schema)
+
+
+A23_GQ_ORACLE = f"""
+WITH src AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS x FROM orders
+),
+bounds AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM src),
+hist AS (
+  SELECT g,
+         CAST(LEAST({QB_BINS - 1},
+              floor((x - (SELECT mn FROM bounds))
+                    / ((SELECT mx FROM bounds) - (SELECT mn FROM bounds))
+                    * {QB_BINS})) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM src GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bin, n,
+         COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM hist
+),
+tot AS (SELECT g, SUM(n) AS total FROM hist GROUP BY g),
+qs AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                             (CAST(0.99 AS DOUBLE))) AS v(q)),
+pick AS (
+  SELECT g, q, bin, n, cb FROM (
+    SELECT cum.g, qs.q, cum.bin, cum.n, cum.cb,
+           ROW_NUMBER() OVER (PARTITION BY cum.g, qs.q ORDER BY cum.bin) AS rn
+    FROM qs JOIN cum ON TRUE
+    JOIN tot ON tot.g = cum.g AND cum.cb + cum.n >= qs.q * tot.total
+  ) WHERE rn = 1
+)
+SELECT g, q,
+       (SELECT mn FROM bounds)
+         + (bin + (q * (SELECT total FROM tot t WHERE t.g = pick.g) - cb) / n)
+           * (((SELECT mx FROM bounds) - (SELECT mn FROM bounds)) / {QB_BINS})
+         AS estimate,
+       bin,
+       CAST(n AS BIGINT) AS bin_n,
+       ((SELECT mx FROM bounds) - (SELECT mn FROM bounds)) / {QB_BINS} AS err_bound
+FROM pick
+ORDER BY g, q
+"""
+
+
+SPECS.append(
+    QuerySpec("a23_grouped_quantiles", a23_grouped_quantiles, A23_GQ_ORACLE)
+)

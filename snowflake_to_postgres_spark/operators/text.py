@@ -1351,3 +1351,115 @@ ORDER BY doc_id, fp_pos
 
 
 SPECS.append(QuerySpec("tx_winnowing", tx_winnowing, TX_WINNOWING_ORACLE))
+
+
+WINNOW_SHARED_MIN = 5   # pair threshold (fixture near-dups share 15-37)
+WINNOW_DF_CAP = 100     # boilerplate suppression: ignore over-common fps
+
+
+def dedup_winnow_pairs(
+    spark: SparkSession, sf_dir: str, min_shared: int = WINNOW_SHARED_MIN
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints — MOSS's own
+    pair stage: the inverted index over tx_winnowing's fingerprint
+    HASHES (positions matter within a doc, not across docs) yields
+    candidate pairs; a pair survives at >= WINNOW_SHARED_MIN shared
+    fingerprints, scored by containment (shared / smaller fingerprint
+    set). Winnowing guarantees any CONTIGUOUS match of length
+    >= w + k - 1 shares at least ONE fingerprint, so candidate
+    generation at min_shared=1 has guaranteed recall on long
+    overlaps — the structural property the MinHash path only has
+    probabilistically (pinned vs the exact Jaccard pairs in pytest).
+    The registered default (min_shared=WINNOW_SHARED_MIN) trades that
+    floor for precision: fixture near-dups share 15-37 fingerprints,
+    random collisions 1-2.
+
+    Fingerprints with document frequency above WINNOW_DF_CAP are
+    dropped before the pair join (boilerplate suppression — exactly
+    MOSS's ignore-over-common rule, and the same hot-key fanout cap
+    the shingle index uses). Fixture max df is 3; the cap is the
+    100-TB guard, not a fixture tweak.
+
+    100-TB shape: shuffle key = fingerprint hash (capped fanout),
+    pair volume = sum df·(df-1)/2 over kept fingerprints — the
+    sparsity winnowing's 2/(w+1) density bought."""
+    fps = (
+        tx_winnowing(spark, sf_dir)
+        .select("doc_id", F.col("fp_hash").alias("fp"))
+        .distinct()
+    )
+    df_counts = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    kept = fps.join(
+        F.broadcast(df_counts.filter(F.col("df") <= WINNOW_DF_CAP)), "fp"
+    ).select("doc_id", "fp")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(F.col("doc_id").alias("d1"), F.col("n_fp").alias("n1"))
+    nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_fp").alias("n2"))
+    return (
+        shared.join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / F.least("n1", "n2").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+DEDUP_WINNOW_PAIRS_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         greatest(1, len(toks) - {WINNOW_K - 1}) AS n_h,
+         CAST(i AS BIGINT) AS pos,
+         CAST('0x' || substr(md5(array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')), 1, 8)
+              AS BIGINT) AS h
+  FROM t, unnest(generate_series(1, greatest(1, len(toks) - {WINNOW_K - 1}))) AS g(i)
+),
+win AS (
+  SELECT doc_id, pos, n_h,
+         MIN(h * {_WINNOW_POS_BASE} + pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS c
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, c // {_WINNOW_POS_BASE} AS fp
+  FROM win WHERE pos <= greatest(1, n_h - {WINNOW_W - 1})
+),
+kept AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_DF_CAP})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {WINNOW_SHARED_MIN}
+)
+SELECT d1, d2, CAST(shared AS BIGINT) AS shared,
+       CAST(shared AS DOUBLE) / CAST(LEAST(na.n_fp, nb.n_fp) AS DOUBLE) AS containment
+FROM shared
+JOIN sizes na ON na.doc_id = d1
+JOIN sizes nb ON nb.doc_id = d2
+ORDER BY d1, d2
+"""
+
+
+SPECS.append(
+    QuerySpec("dedup_winnow_pairs", dedup_winnow_pairs, DEDUP_WINNOW_PAIRS_ORACLE)
+)

@@ -711,3 +711,60 @@ def test_concurrency_two_level_equals_global_sweep(spark, duck, sf_dir):
     }
     exp = {h.strftime("%Y-%m-%d %H:%M:%S"): p for h, p in peak.items()}
     assert got == exp
+
+
+def test_grouped_quantiles_accuracy(spark, duck, sf_dir):
+    """Each per-group estimate must sit within one (global) bin width of
+    the group's TYPE-1 quantile (the rank-ceil(q*N) order statistic —
+    the estimator's stated target; interpolating quantile_cont can sit
+    further away in sparse tails)."""
+    import math
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        a23_grouped_quantiles,
+    )
+
+    rows = a23_grouped_quantiles(spark, sf_dir).collect()
+    groups = {r["g"] for r in rows}
+    assert len(groups) == 5 and len(rows) == 15
+    for r in rows:
+        vals = [
+            v[0]
+            for v in duck.execute(
+                "SELECT CAST(o_totalprice AS DOUBLE) FROM orders "
+                "WHERE o_orderpriority = ? ORDER BY 1",
+                [r["g"]],
+            ).fetchall()
+        ]
+        truth = vals[max(0, math.ceil(r["q"] * len(vals)) - 1)]
+        assert abs(r["estimate"] - truth) <= r["err_bound"] + 1e-9, r
+
+
+def test_winnow_pairs_guaranteed_recall_vs_jaccard(spark, duck, sf_dir):
+    """Winnowing's structural guarantee — a contiguous match of length
+    >= w + k - 1 shares AT LEAST ONE fingerprint — means candidate
+    generation at min_shared=1 must recall every heavy-overlap pair
+    (word-3-gram Jaccard >= 0.5); the registered threshold is a
+    precision dial whose output must be a subset of the floor."""
+    from snowflake_to_postgres_spark.operators.dedup import (
+        dedup_ngram_jaccard_pairs,
+    )
+    from snowflake_to_postgres_spark.operators.text import dedup_winnow_pairs
+
+    floor = {
+        (r["d1"], r["d2"])
+        for r in dedup_winnow_pairs(spark, sf_dir, min_shared=1).collect()
+    }
+    default = {
+        (r["d1"], r["d2"]): r["containment"]
+        for r in dedup_winnow_pairs(spark, sf_dir).collect()
+    }
+    assert default, "fixture has near-dups"
+    assert all(0.0 < c <= 1.0 for c in default.values())
+    assert set(default) <= floor
+    truth = {
+        (r["d1"], r["d2"])
+        for r in dedup_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    missed = truth - floor
+    assert not missed, f"winnowing floor missed heavy-overlap pairs: {missed}"
