@@ -3008,3 +3008,164 @@ ORDER BY g, q
 SPECS.append(
     QuerySpec("a23_grouped_quantiles", a23_grouped_quantiles, A23_GQ_ORACLE)
 )
+
+
+def a24_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by count-min inner product (Cormode &
+    Muthukrishnan 2005, §4.2): |A join B on k| = sum_k fA(k)·fB(k),
+    estimated as min over the d hash rows of the sketch dot product
+    sum_j CA[i][j]·CB[i][j] — an overestimate, never an under. The
+    statistic a cost-based planner wants BEFORE committing to a join
+    strategy at 100 TB: two 4x256 integer sketches (already maintainable
+    incrementally per partition — see a22's merge contract) replace a
+    full pre-join of the fact tables. Sides: orders and lineitem on
+    custkey-derived keys (o_custkey vs a lineitem-side customer key via
+    orders — here l_suppkey as an independent key column to keep the
+    two builds single-table; the estimator only sees key frequencies).
+
+    Exactness: every counter and every dot product is bigint (max
+    600k^2 << 2^63); the exact join size is one groupBy-join over the
+    per-key counts — the eval-time truth a planner at scale samples.
+    The overestimate guarantee is a checked column, like a19/a20."""
+    oa = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("v")
+    )
+    ob = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("v")
+    )
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+
+    def sketch(side: DataFrame) -> DataFrame:
+        per_v = side.groupBy("v").agg(F.count("*").alias("cnt"))
+        return (
+            per_v.select("v", "cnt", seeds)
+            .select("i", _cms_bucket(F.col("i"), F.col("v")).alias("b"), "cnt")
+            .groupBy("i", "b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+    sa = sketch(oa)
+    sb = sketch(ob)
+    dots = (
+        sa.join(sb.select("i", "b", F.col("c").alias("c2")), ["i", "b"])
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("bigint").alias("cms_join_size"))
+    ca = oa.groupBy("v").agg(F.count("*").alias("na"))
+    cb = ob.groupBy("v").agg(F.count("*").alias("nb"))
+    exact = ca.join(cb, "v").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_join_size")
+    )
+    return est.join(exact).select(
+        "exact_join_size",
+        "cms_join_size",
+        (F.col("cms_join_size") >= F.col("exact_join_size")).alias(
+            "never_undercounts"
+        ),
+        (
+            F.col("cms_join_size").cast("double")
+            / F.col("exact_join_size").cast("double")
+        ).alias("overcount_ratio"),
+    )
+
+
+A24_CMS_JOIN_ORACLE = f"""
+WITH a AS (SELECT o_custkey AS v FROM orders),
+b AS (SELECT c_custkey AS v FROM customer),
+pa AS (SELECT v, COUNT(*) AS cnt FROM a GROUP BY v),
+pb AS (SELECT v, COUNT(*) AS cnt FROM b GROUP BY v),
+sa AS (
+  SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+                AS BIGINT) % {CMS_W} AS bkt, SUM(cnt) AS c
+  FROM pa, unnest([0, 1, 2, 3]) AS s(i) GROUP BY 1, 2
+),
+sb AS (
+  SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+                AS BIGINT) % {CMS_W} AS bkt, SUM(cnt) AS c
+  FROM pb, unnest([0, 1, 2, 3]) AS s(i) GROUP BY 1, 2
+),
+dots AS (
+  SELECT sa.i, SUM(sa.c * sb.c) AS dot
+  FROM sa JOIN sb ON sa.i = sb.i AND sa.bkt = sb.bkt
+  GROUP BY sa.i
+),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS cms_join_size FROM dots),
+ex AS (
+  SELECT CAST(SUM(pa.cnt * pb.cnt) AS BIGINT) AS exact_join_size
+  FROM pa JOIN pb USING (v)
+)
+SELECT exact_join_size, cms_join_size,
+       cms_join_size >= exact_join_size AS never_undercounts,
+       CAST(cms_join_size AS DOUBLE) / CAST(exact_join_size AS DOUBLE)
+         AS overcount_ratio
+FROM est, ex
+"""
+
+
+SPECS.append(QuerySpec("a24_cms_join_size", a24_cms_join_size, A24_CMS_JOIN_ORACLE))
+
+
+def x_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's activity DAYS collapse into
+    maximal consecutive-day islands via the date - row_number trick
+    (consecutive days share the anchor date), then each user reports
+    their longest streak. The engagement metric every product team
+    asks for, and the canonical islands shape a SQL surface must
+    express.
+
+    100-TB shape: one distinct over (user, day), one keyed window,
+    one two-level aggregate — everything shuffles on user_id only."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("longest_streak_days"),
+            "streak_start",
+            "streak_end",
+        )
+        .orderBy("user_id")
+    )
+
+
+X_STREAKS_ORACLE = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+anchored AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+           AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len,
+         MIN(day) AS streak_start, MAX(day) AS streak_end
+  FROM anchored GROUP BY user_id, anchor
+)
+SELECT user_id, CAST(len AS BIGINT) AS longest_streak_days,
+       streak_start, streak_end
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, streak_start) AS rn
+  FROM streaks
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+SPECS.append(QuerySpec("x_activity_streaks", x_activity_streaks, X_STREAKS_ORACLE))

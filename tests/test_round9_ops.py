@@ -768,3 +768,71 @@ def test_winnow_pairs_guaranteed_recall_vs_jaccard(spark, duck, sf_dir):
     }
     missed = truth - floor
     assert not missed, f"winnowing floor missed heavy-overlap pairs: {missed}"
+
+
+def test_cms_join_size_overestimates_and_python_parity(spark, duck, sf_dir):
+    """Inner-product estimate must equal an independent pure-python
+    sketch and never undercount the exact join size."""
+    from collections import Counter
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        CMS_D,
+        CMS_W,
+        a24_cms_join_size,
+    )
+
+    ca = Counter(r[0] for r in duck.execute("SELECT o_custkey FROM orders").fetchall())
+    cb = Counter(r[0] for r in duck.execute("SELECT c_custkey FROM customer").fetchall())
+
+    def sketch(cnt):
+        s = Counter()
+        for v, n in cnt.items():
+            for i in range(CMS_D):
+                s[(i, int(_md5_hex(f"{i}|{v}")[:8], 16) % CMS_W)] += n
+        return s
+
+    sa, sb = sketch(ca), sketch(cb)
+    est = min(
+        sum(sa[(i, j)] * sb[(i, j)] for j in range(CMS_W)) for i in range(CMS_D)
+    )
+    exact = sum(n * cb.get(v, 0) for v, n in ca.items())
+    row = a24_cms_join_size(spark, sf_dir).collect()[0]
+    assert row["exact_join_size"] == exact
+    assert row["cms_join_size"] == est
+    assert row["never_undercounts"] and est >= exact
+
+
+def test_activity_streaks_constructed_kernel(spark):
+    """Known gaps-and-islands pattern: 3-day streak, gap, 2-day streak;
+    multiple events per day collapse; tie between equal streaks goes to
+    the earlier one."""
+    import datetime as dt
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        x_activity_streaks,
+    )
+
+    def ev(eid, uid, day, hour=1):
+        return (eid, dt.datetime(2024, 1, day, hour), uid, "view", 1.0, "{}")
+
+    rows = [
+        # user 1: days 1,2,3 then 5,6 -> longest 3 (1..3)
+        ev(0, 1, 1), ev(1, 1, 1, 9), ev(2, 1, 2), ev(3, 1, 3),
+        ev(4, 1, 5), ev(5, 1, 6),
+        # user 2: two 2-day streaks (1-2, 9-10) -> earlier wins the tie
+        ev(6, 2, 1), ev(7, 2, 2), ev(8, 2, 9), ev(9, 2, 10),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r["user_id"]: r for r in x_activity_streaks(spark, d).collect()}
+    assert out[1]["longest_streak_days"] == 3
+    assert str(out[1]["streak_start"]) == "2024-01-01"
+    assert out[2]["longest_streak_days"] == 2
+    assert str(out[2]["streak_start"]) == "2024-01-01"
