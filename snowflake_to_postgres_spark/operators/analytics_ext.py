@@ -3169,3 +3169,138 @@ ORDER BY user_id
 
 
 SPECS.append(QuerySpec("x_activity_streaks", x_activity_streaks, X_STREAKS_ORACLE))
+
+
+def _a23_hist_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Plan probes for a23: the global-bounds pass and the (group, bin)
+    fold (literal stand-in bounds), mirroring _a21_hist_frames."""
+    li = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("double").alias("x"),
+    )
+    bounds = li.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    mn, mx = 0.0, 600000.0
+    b = F.least(
+        F.lit(QB_BINS - 1),
+        F.floor((F.col("x") - mn) / (mx - mn) * QB_BINS),
+    ).cast("int")
+    hist = li.select("g", b.alias("bin")).groupBy("g", "bin").agg(
+        F.count("*").alias("n")
+    )
+    return {"bounds": bounds, "grouped_hist": hist}
+
+
+# attach probes to the already-registered a23 spec (same QuerySpec slot)
+for _i, _s in enumerate(SPECS):
+    if _s.name == "a23_grouped_quantiles":
+        SPECS[_i] = QuerySpec(_s.name, _s.fn, _s.oracle, probes=_a23_hist_frames)
+        break
+
+
+#: Correlation-matrix columns (a25): the lineitem measures.
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _a25_suffstats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE aggregation carrying every sufficient statistic the full
+    pairwise matrix needs: per-column exact-decimal sums and squares,
+    per-pair exact-decimal cross sums — order-independent by
+    exactness, so the shuffle layout can never move a correlation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {c: F.col(c).cast("decimal(18,4)") for c in CORR_COLS}
+    aggs = [F.count("*").alias("n")]
+    for c, e in cols.items():
+        aggs.append(F.sum(e).cast("decimal(38,8)").alias(f"s_{c}"))
+        aggs.append(F.sum(e * e).cast("decimal(38,8)").alias(f"ss_{c}"))
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            aggs.append(
+                F.sum(cols[a] * cols[b]).cast("decimal(38,8)").alias(f"x_{a}_{b}")
+            )
+    return li.agg(*aggs)
+
+
+def _a25_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {"suffstats": _a25_suffstats_frame(spark, sf_dir)}
+
+
+def a25_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    from ONE pass of exact-decimal sufficient statistics (sums, squares,
+    cross products) — 6 pairs, 15 aggregates, a single scan; adding a
+    column adds aggregates, never a pass (the a4/a5 one-pass
+    discipline; the reference profiles column-by-column).
+
+    Determinism: the sufficient statistics are exact decimals (sums of
+    decimal(18,4) products — order-free); each correlation is then one
+    float expression over those scalars, mirrored
+    operation-for-operation in the oracle (math.sqrt, never **0.5).
+    The one unpinnable step is the wide-decimal -> double CONVERSION
+    itself (python rounds the Decimal correctly; DuckDB's int128 path
+    can differ by 1 ulp at sf0.1 magnitudes — observed as a hash
+    mismatch), so the emitted correlation snaps to the 1e9 grid, the
+    PageRank honesty idiom: a 1-ulp operand drift moves a [-1, 1]
+    correlation by ~1e-16 against a 1e-9 step.
+
+    100-TB shape: one map-side-combinable aggregate; the matrix math
+    happens on 1 row."""
+    import math
+
+    row = _a25_suffstats_frame(spark, sf_dir).collect()[0]
+    n = int(row["n"])
+    out = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            sx, sy = float(row[f"s_{a}"]), float(row[f"s_{b}"])
+            sxx, syy = float(row[f"ss_{a}"]), float(row[f"ss_{b}"])
+            sxy = float(row[f"x_{a}_{b}"])
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            if n == 0 or vx <= 0 or vy <= 0:
+                corr = None
+            else:
+                corr = (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+                corr = math.floor(corr * 1e9 + 0.5) / 1e9
+            out.append((a, b, corr, n))
+    return spark.createDataFrame(
+        out, "col_a STRING, col_b STRING, corr DOUBLE, n BIGINT"
+    )
+
+
+def _a25_oracle() -> str:
+    pair_rows = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            pair_rows.append(f"""
+  SELECT '{a}' AS col_a, '{b}' AS col_b,
+         CASE WHEN n = 0 OR n * ss_{a} - s_{a} * s_{a} <= 0
+                   OR n * ss_{b} - s_{b} * s_{b} <= 0 THEN NULL
+              ELSE floor((n * x_{a}_{b} - s_{a} * s_{b})
+                   / (sqrt(n * ss_{a} - s_{a} * s_{a})
+                      * sqrt(n * ss_{b} - s_{b} * s_{b})) * 1e9 + 0.5) / 1e9
+              END AS corr,
+         n
+  FROM stats""")
+    sums = ["COUNT(*) AS n"]
+    for c in CORR_COLS:
+        sums.append(
+            f"CAST(CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS DOUBLE) AS s_{c}"
+        )
+        sums.append(
+            f"CAST(CAST(SUM(CAST({c} AS DECIMAL(19,4)) * CAST({c} AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS DOUBLE) AS ss_{c}"
+        )
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            sums.append(
+                f"CAST(CAST(SUM(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS DOUBLE) AS x_{a}_{b}"
+            )
+    body = " UNION ALL".join(pair_rows)
+    return (
+        "WITH stats AS (\n  SELECT " + ",\n         ".join(sums)
+        + "\n  FROM lineitem\n)" + body + "\nORDER BY col_a, col_b"
+    )
+
+
+SPECS.append(
+    QuerySpec("a25_corr_matrix", a25_corr_matrix, _a25_oracle(), probes=_a25_frames)
+)

@@ -836,3 +836,26 @@ def test_activity_streaks_constructed_kernel(spark):
     assert str(out[1]["streak_start"]) == "2024-01-01"
     assert out[2]["longest_streak_days"] == 2
     assert str(out[2]["streak_start"]) == "2024-01-01"
+
+
+def test_corr_matrix_numpy_parity(spark, duck, sf_dir):
+    """Each correlation must match numpy's corrcoef within the grid
+    step, and the matrix covers all 6 pairs once."""
+    import numpy as np
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        CORR_COLS,
+        a25_corr_matrix,
+    )
+
+    data = {
+        c: np.array(
+            [float(r[0]) for r in duck.execute(f"SELECT {c} FROM lineitem").fetchall()]
+        )
+        for c in CORR_COLS
+    }
+    rows = a25_corr_matrix(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        expected = np.corrcoef(data[r["col_a"]], data[r["col_b"]])[0, 1]
+        assert abs(r["corr"] - expected) < 1e-6, r
