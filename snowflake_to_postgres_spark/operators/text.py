@@ -1463,3 +1463,68 @@ ORDER BY d1, d2
 SPECS.append(
     QuerySpec("dedup_winnow_pairs", dedup_winnow_pairs, DEDUP_WINNOW_PAIRS_ORACLE)
 )
+
+
+def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document (in doc_id ingest order), the
+    fraction of its 5-gram shingles appearing for the FIRST time —
+    min(doc_id) over the shingle's postings attributes each shingle to
+    its earliest document, no ordered scan needed. The curation signal
+    that says when a source stops adding information (novelty decays →
+    crawl is re-reading itself → dedup/stop); the complement of the
+    duplication profiles in the dedup family.
+
+    100-TB shape: one shingle explode + one (shingle -> min doc)
+    aggregate + one join back — all shuffle on the shingle hash, the
+    same layout the posting-list and Jaccard kernels use."""
+    docs = _docs_parallel(spark, sf_dir).withColumn("toks", _toks())
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(1, size(toks) - 4)),"
+                " i -> array_join(slice(toks, i, 5), ' '))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "novelty"
+        ),
+    ).orderBy("doc_id")
+
+
+TX_NOVELTY_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i+4], ' ') AS shingle
+  FROM t, unnest(generate_series(1, greatest(1, len(toks) - 4))) AS g(i)
+),
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh JOIN first USING (shingle)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+SPECS.append(QuerySpec("tx_ngram_novelty", tx_ngram_novelty, TX_NOVELTY_ORACLE))

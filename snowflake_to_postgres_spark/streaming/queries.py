@@ -227,3 +227,93 @@ SPECS = [
     ),
     QuerySpec("st_ingest_dedup", st_ingest_dedup, ST_INGEST_DEDUP_ORACLE),
 ]
+
+
+#: Watermark candidate audited by st_lateness_audit (seconds).
+LATENESS_WATERMARK_SEC = 7200
+_LATENESS_BUCKET = 4096  # arrival-order bucket width for the two-level prefix max
+
+
+def st_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing from data: for every event, lateness = how far
+    its event time sits behind the maximum event time already seen in
+    ARRIVAL order (event_id) — the exact quantity a Structured
+    Streaming watermark drops on. Per event type: events, how many a
+    2-hour watermark would drop, and the worst lateness observed. Run
+    BEFORE picking `withWatermark` instead of guessing; the streaming
+    queries above consume the chosen bound.
+
+    100-TB shape: the naive form is one GLOBAL ordered prefix-max —
+    unbounded data through one task. This is the two-level
+    decomposition instead (the x_concurrency_curve / dense_ids
+    pattern, prefix-MAX this time): a running max within each
+    arrival-order bucket plus each bucket's carry-in (a window over
+    per-bucket maxima — bounded metadata). The oracle replays the
+    naive global window, so the value-hash gate itself proves the
+    decomposition. All comparisons in exact microsecond bigints."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    ev = ev.withColumn("bkt", F.expr(f"event_id div {_LATENESS_BUCKET}"))
+    within = Window.partitionBy("bkt").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_max = ev.groupBy("bkt").agg(F.max("us").alias("bmax"))
+    carry = bucket_max.select(
+        "bkt",
+        F.max("bmax")
+        .over(Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1))
+        .alias("carry_us"),
+    )
+    lateness = (
+        ev.withColumn("run_us", F.max("us").over(within))
+        .join(F.broadcast(carry), "bkt")
+        .withColumn("prior_us", F.greatest(F.coalesce("run_us", F.lit(None)), F.col("carry_us")))
+        .withColumn(
+            "late_us",
+            F.greatest(F.lit(0), F.coalesce(F.col("prior_us") - F.col("us"), F.lit(0))),
+        )
+    )
+    thr = LATENESS_WATERMARK_SEC * 1_000_000
+    return (
+        lateness.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("late_us") > thr, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_at_watermark"),
+            F.expr(f"CAST(max(late_us) div 1000000 AS BIGINT)").alias(
+                "max_lateness_sec"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ST_LATENESS_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+),
+l AS (
+  SELECT event_type,
+         GREATEST(0, COALESCE(MAX(us) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0)) AS late_us
+  FROM ev
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late_us > {LATENESS_WATERMARK_SEC * 1_000_000} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_at_watermark,
+       CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_lateness_sec
+FROM l
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+SPECS.append(QuerySpec("st_lateness_audit", st_lateness_audit, ST_LATENESS_ORACLE))

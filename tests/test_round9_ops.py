@@ -859,3 +859,71 @@ def test_corr_matrix_numpy_parity(spark, duck, sf_dir):
     for r in rows:
         expected = np.corrcoef(data[r["col_a"]], data[r["col_b"]])[0, 1]
         assert abs(r["corr"] - expected) < 1e-6, r
+
+
+def test_novelty_first_doc_attribution(spark):
+    """Constructed corpus: doc 1 all-novel; doc 2 a verbatim copy
+    (novelty 0); doc 3 half-overlapping."""
+    from snowflake_to_postgres_spark.operators.text import tx_ngram_novelty
+
+    base = "a b c d e f g h"            # 4 shingles, all first seen in doc 1
+    half = "e f g h i j k l"            # shares shingle 'e f g h i'?  recompute below
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),
+        (3, half, "en", "s", len(half)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in tx_ngram_novelty(spark, d).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0 and out[2]["n_novel"] == 0
+    # doc 3 shares only shingles fully inside the e..h suffix overlap:
+    # its 4 shingles all contain at least one of i..l except none — so
+    # compute expectation directly in python
+    toks1, toks3 = base.split(), half.split()
+    sh1 = {" ".join(toks1[i : i + 5]) for i in range(len(toks1) - 4)}
+    sh3 = [" ".join(toks3[i : i + 5]) for i in range(len(toks3) - 4)]
+    novel = [s for s in sh3 if s not in sh1]
+    assert out[3]["n_novel"] == len(set(novel))
+    assert out[3]["n_shingles"] == len(set(sh3))
+
+
+def test_lateness_two_level_equals_global(spark, duck, sf_dir):
+    """The bucketed prefix-max must equal a naive python global sweep in
+    arrival order, and the audit's totals must cover every event."""
+    from snowflake_to_postgres_spark.streaming.queries import (
+        LATENESS_WATERMARK_SEC,
+        st_lateness_audit,
+    )
+
+    evs = duck.execute(
+        "SELECT event_id, event_type, epoch_us(ts) FROM events ORDER BY event_id"
+    ).fetchall()
+    seen = None
+    agg = {}
+    for _, et, us in evs:
+        late = max(0, (seen - us) if seen is not None else 0)
+        n, d, m = agg.get(et, (0, 0, 0))
+        agg[et] = (
+            n + 1,
+            d + (1 if late > LATENESS_WATERMARK_SEC * 1_000_000 else 0),
+            max(m, late),
+        )
+        seen = us if seen is None else max(seen, us)
+    got = {
+        r["event_type"]: (
+            r["n_events"],
+            r["n_dropped_at_watermark"],
+            r["max_lateness_sec"],
+        )
+        for r in st_lateness_audit(spark, sf_dir).collect()
+    }
+    exp = {et: (n, d, m // 1_000_000) for et, (n, d, m) in agg.items()}
+    assert got == exp
+    assert sum(v[0] for v in got.values()) == len(evs)
