@@ -3050,22 +3050,23 @@ def a24_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.sum(F.col("c") * F.col("c2")).alias("dot"))
     )
-    est = dots.agg(F.min("dot").cast("bigint").alias("cms_join_size"))
     ca = oa.groupBy("v").agg(F.count("*").alias("na"))
     cb = ob.groupBy("v").agg(F.count("*").alias("nb"))
-    exact = ca.join(cb, "v").agg(
-        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_join_size")
+    # Both summary scalars are bounded 1-row aggregates collected as
+    # literals (the threshold-literal pattern): joining two 1-row
+    # frames compiles to a BroadcastNestedLoopJoin and trips the plan
+    # guard — this is exactly the pattern it exists to catch.
+    est = int(dots.agg(F.min("dot")).collect()[0][0] or 0)
+    exact = int(
+        ca.join(cb, "v")
+        .agg(F.sum(F.col("na") * F.col("nb")))
+        .collect()[0][0]
+        or 0
     )
-    return est.join(exact).select(
-        "exact_join_size",
-        "cms_join_size",
-        (F.col("cms_join_size") >= F.col("exact_join_size")).alias(
-            "never_undercounts"
-        ),
-        (
-            F.col("cms_join_size").cast("double")
-            / F.col("exact_join_size").cast("double")
-        ).alias("overcount_ratio"),
+    return spark.createDataFrame(
+        [(exact, est, est >= exact, est / exact if exact else 0.0)],
+        "exact_join_size BIGINT, cms_join_size BIGINT, "
+        "never_undercounts BOOLEAN, overcount_ratio DOUBLE",
     )
 
 
@@ -3102,7 +3103,42 @@ FROM est, ex
 """
 
 
-SPECS.append(QuerySpec("a24_cms_join_size", a24_cms_join_size, A24_CMS_JOIN_ORACLE))
+def _a24_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Plan probes: the sketch dot-product join and the exact-truth
+    aggregate whose 1-row collects truncate the registered lineage."""
+    oa = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("v"))
+    ob = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("v"))
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+
+    def sketch(side: DataFrame) -> DataFrame:
+        per_v = side.groupBy("v").agg(F.count("*").alias("cnt"))
+        return (
+            per_v.select("v", "cnt", seeds)
+            .select("i", _cms_bucket(F.col("i"), F.col("v")).alias("b"), "cnt")
+            .groupBy("i", "b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+
+    dots = (
+        sketch(oa)
+        .join(sketch(ob).select("i", "b", F.col("c").alias("c2")), ["i", "b"])
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("dot"))
+    )
+    exact = (
+        oa.groupBy("v").agg(F.count("*").alias("na"))
+        .join(ob.groupBy("v").agg(F.count("*").alias("nb")), "v")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact"))
+    )
+    return {"sketch_dots": dots, "exact_truth": exact}
+
+
+SPECS.append(
+    QuerySpec(
+        "a24_cms_join_size", a24_cms_join_size, A24_CMS_JOIN_ORACLE,
+        probes=_a24_frames,
+    )
+)
 
 
 def x_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
