@@ -3340,3 +3340,184 @@ def _a25_oracle() -> str:
 SPECS.append(
     QuerySpec("a25_corr_matrix", a25_corr_matrix, _a25_oracle(), probes=_a25_frames)
 )
+
+
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: per
+    user, consecutive event pairs (ts, event_id order) count into
+    n(cur -> next); each row of the matrix normalizes by the source
+    state's outgoing total. The journey-analysis primitive (where do
+    users go after a signup? what precedes an error?) and the input to
+    next-step prediction and absorbing-state analysis.
+
+    Determinism: counts are exact; each probability is one int/int
+    division mirrored in the oracle. 100-TB shape: one keyed lag
+    window + one (cur, next) aggregate — shuffles on user_id then on
+    the 5x5 state-pair domain (map-side combinable to almost
+    nothing)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("cur_type"),
+            F.col("next_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("cur_type").agg(F.sum("n").alias("out_total"))
+    return (
+        pairs.join(F.broadcast(totals), "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("out_total").cast("double")).alias(
+                "p"
+            ),
+        )
+        .orderBy("cur_type", "next_type")
+    )
+
+
+X_TRANSITIONS_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS cur_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+counts AS (
+  SELECT cur_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+),
+totals AS (SELECT cur_type, SUM(n) AS out_total FROM counts GROUP BY cur_type)
+SELECT cur_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / CAST(out_total AS DOUBLE) AS p
+FROM counts JOIN totals USING (cur_type)
+ORDER BY cur_type, next_type
+"""
+
+
+SPECS.append(QuerySpec("x_event_transitions", x_event_transitions, X_TRANSITIONS_ORACLE))
+
+
+def ivm_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the delta-join algebra
+    ivm_agg_refresh's monoid merge doesn't cover): the maintained view
+    is orders ⋈ customer; with the dimension static the exact delta is
+    ΔV = ΔA ⋈ B over only the orders on/after :data:`IVM_SPLIT` — the
+    refresh never rescans the base fact range. Correctness is proven
+    IN the result: both sides carry an order-free fingerprint (sum of
+    md5-derived row ints — a commutative monoid, so
+    fp(base) + fp(delta) must equal fp(full recompute) exactly), and
+    the oracle recomputes everything from scratch. A fingerprint
+    mismatch would flip `fingerprint_match` and fail the value-hash
+    gate.
+
+    100-TB shape: the delta branch is a date-filtered scan (predicate
+    pushed to parquet — asserted in the plan tests) joined against the
+    broadcastable dimension; refresh cost tracks |Δ|, not |V|. The
+    general bilinear form (both sides changing) adds the symmetric
+    A ⋈ ΔB and ΔA ⋈ ΔB terms — same algebra, same fingerprint
+    proof."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    split = F.lit(IVM_SPLIT).cast("date")
+
+    def fp(joined: DataFrame):
+        row_fp = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("c_custkey").cast("string"),
+                        F.col("c_mktsegment"),
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        # 56-bit row fingerprints sum past int64 within ~100 rows; the
+        # accumulator is exact DECIMAL(38,0) (DuckDB's BIGINT SUM is
+        # already HUGEINT) — good to ~10^21 rows.
+        return joined.agg(
+            F.count("*").alias("n"),
+            F.sum(row_fp.cast("decimal(38,0)")).alias("fp"),
+        )
+
+    base = fp(
+        o.filter(F.col("o_orderdate") < split).join(c, o.o_custkey == c.c_custkey)
+    ).collect()[0]
+    delta = fp(
+        o.filter(F.col("o_orderdate") >= split).join(c, o.o_custkey == c.c_custkey)
+    ).collect()[0]
+    full = fp(o.join(c, o.o_custkey == c.c_custkey)).collect()[0]
+    b_n, b_fp = int(base["n"] or 0), int(base["fp"] or 0)
+    d_n, d_fp = int(delta["n"] or 0), int(delta["fp"] or 0)
+    f_n, f_fp = int(full["n"] or 0), int(full["fp"] or 0)
+    return spark.createDataFrame(
+        [
+            (
+                b_n,
+                d_n,
+                b_n + d_n,
+                f_n,
+                b_fp + d_fp == f_fp,
+            )
+        ],
+        "base_rows BIGINT, delta_rows BIGINT, refreshed_rows BIGINT, "
+        "full_rows BIGINT, fingerprint_match BOOLEAN",
+    )
+
+
+IVM_JOIN_ORACLE = f"""
+WITH j AS (
+  SELECT o_orderkey, c_custkey, c_mktsegment, o_orderdate
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+fps AS (
+  SELECT o_orderdate >= DATE '{IVM_SPLIT}' AS is_delta,
+         COUNT(*) AS n,
+         SUM(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                 || CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment), 1, 14)
+             AS BIGINT)) AS fp
+  FROM j GROUP BY 1
+),
+base AS (SELECT COALESCE(SUM(CASE WHEN NOT is_delta THEN n END), 0) AS n,
+                COALESCE(SUM(CASE WHEN NOT is_delta THEN fp END), 0) AS fp FROM fps),
+delta AS (SELECT COALESCE(SUM(CASE WHEN is_delta THEN n END), 0) AS n,
+                 COALESCE(SUM(CASE WHEN is_delta THEN fp END), 0) AS fp FROM fps),
+full_v AS (SELECT COALESCE(SUM(n), 0) AS n, COALESCE(SUM(fp), 0) AS fp FROM fps)
+SELECT CAST(base.n AS BIGINT) AS base_rows,
+       CAST(delta.n AS BIGINT) AS delta_rows,
+       CAST(base.n + delta.n AS BIGINT) AS refreshed_rows,
+       CAST(full_v.n AS BIGINT) AS full_rows,
+       base.fp + delta.fp = full_v.fp AS fingerprint_match
+FROM base, delta, full_v
+"""
+
+
+def _ivm_join_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Plan probes: the delta branch (date filter must reach the scan)
+    and the full-recompute verifier."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    split = F.lit(IVM_SPLIT).cast("date")
+    delta = o.filter(F.col("o_orderdate") >= split).join(
+        c, o.o_custkey == c.c_custkey
+    )
+    return {"delta_join": delta, "full_join": o.join(c, o.o_custkey == c.c_custkey)}
+
+
+SPECS.append(
+    QuerySpec(
+        "ivm_join_refresh", ivm_join_refresh, IVM_JOIN_ORACLE, probes=_ivm_join_frames
+    )
+)

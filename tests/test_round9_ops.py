@@ -927,3 +927,55 @@ def test_lateness_two_level_equals_global(spark, duck, sf_dir):
     exp = {et: (n, d, m // 1_000_000) for et, (n, d, m) in agg.items()}
     assert got == exp
     assert sum(v[0] for v in got.values()) == len(evs)
+
+
+def test_event_transitions_rows_sum_to_one(spark, duck, sf_dir):
+    """Each source state's outgoing probabilities must sum to 1 exactly
+    (up to float addition), and pair counts must equal an independent
+    python recount."""
+    from collections import Counter
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        x_event_transitions,
+    )
+
+    rows = x_event_transitions(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["cur_type"], 0.0)
+        by_src[r["cur_type"]] += r["p"]
+    for src, s in by_src.items():
+        assert abs(s - 1.0) < 1e-9, (src, s)
+    evs = duck.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    pairs = Counter()
+    prev = {}
+    for uid, et in evs:
+        if uid in prev:
+            pairs[(prev[uid], et)] += 1
+        prev[uid] = et
+    got = {(r["cur_type"], r["next_type"]): r["n"] for r in rows}
+    assert got == dict(pairs)
+
+
+def test_ivm_join_refresh_delta_pushdown(spark, sf_dir):
+    """The refresh must verify (fingerprint_match true, refreshed ==
+    full) AND the delta branch must push its date predicate into the
+    parquet scan — refresh cost tracking |delta| is the point."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        _ivm_join_frames,
+        ivm_join_refresh,
+    )
+
+    row = ivm_join_refresh(spark, sf_dir).collect()[0]
+    assert row["fingerprint_match"]
+    assert row["refreshed_rows"] == row["full_rows"]
+    assert row["delta_rows"] > 0 and row["base_rows"] > 0
+    plan = (
+        _ivm_join_frames(spark, sf_dir)["delta_join"]
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
