@@ -2492,3 +2492,82 @@ ORDER BY qid, cosine DESC, neighbor_id
 
 
 SPECS.append(QuerySpec("sim_range_search", sim_range_search, SIM_RANGE_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN — metadata predicate pushed INSIDE the probe (the
+# tenant/shard/freshness filter every production vector store needs).
+# ---------------------------------------------------------------------------
+
+FILTER_MOD = 2  # stand-in metadata predicate: vec_id % 2 = 0 ("shard 0")
+
+
+def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-k among ONLY the corpus vectors
+    passing a metadata predicate (here the deterministic shard stand-in
+    vec_id % FILTER_MOD = 0 — in production a tenant / language /
+    freshness column), with the filter applied INSIDE the IVF probe,
+    between cell pruning and scoring. Post-filtering the final top-k
+    instead is the classic production bug — a full-k result where every
+    hit fails the predicate returns an empty page; pre-filtering the
+    candidate set keeps k results whenever the probed cells hold k
+    eligible vectors.
+
+    100-TB shape: identical to sim_ivf_topk plus one scan-stage
+    predicate on the candidate frame — the filter narrows work, never
+    widens it; no extra shuffle."""
+    comp = _components(spark, sf_dir)
+    candidates = _ivf_candidates(comp).filter(
+        F.col("vec_id") % FILTER_MOD == 0
+    )
+    return _rank_candidates(comp, candidates, k=3)
+
+
+SIM_FILTERED_ANN_ORACLE = _COMP_CTES + f""",
+cent AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {N_CENTROIDS}),
+d2 AS (
+  SELECT vec_id, cid,
+         CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp JOIN cent USING (idx) GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d2 WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+candidates AS (
+  SELECT qid, vec_id FROM assign JOIN probes USING (cell)
+  WHERE vec_id <> qid AND vec_id % {FILTER_MOD} = 0
+),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT c.qid, c.vec_id, CAST(SUM(comp.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM candidates c
+  JOIN comp ON comp.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid AND q.idx = comp.idx
+  GROUP BY c.qid, c.vec_id
+),
+ranked AS (
+  SELECT qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= 3
+"""
+
+
+SPECS.append(
+    QuerySpec("sim_filtered_ann", sim_filtered_ann, SIM_FILTERED_ANN_ORACLE)
+)

@@ -979,3 +979,31 @@ def test_ivm_join_refresh_delta_pushdown(spark, sf_dir):
         .toString()
     )
     assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_filtered_ann_predicate_and_prefilter_semantics(spark, sf_dir):
+    """Every hit must satisfy the predicate, and pre-filtering must keep
+    per-query result depth wherever the probed cells hold eligible
+    vectors (the post-filter bug this operator exists to avoid would
+    return fewer)."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        FILTER_MOD,
+        sim_filtered_ann,
+        sim_ivf_topk,
+    )
+
+    rows = sim_filtered_ann(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["neighbor_id"] % FILTER_MOD == 0, r
+    # post-filtering the unfiltered IVF top-k must never yield MORE
+    # eligible hits than the pre-filtered search
+    post = {}
+    for r in sim_ivf_topk(spark, sf_dir).collect():
+        if r["neighbor_id"] % FILTER_MOD == 0:
+            post[r["qid"]] = post.get(r["qid"], 0) + 1
+    pre = {}
+    for r in rows:
+        pre[r["qid"]] = pre.get(r["qid"], 0) + 1
+    for qid, n_post in post.items():
+        assert pre.get(qid, 0) >= n_post, (qid, pre.get(qid), n_post)
