@@ -3521,3 +3521,111 @@ SPECS.append(
         "ivm_join_refresh", ivm_join_refresh, IVM_JOIN_ORACLE, probes=_ivm_join_frames
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Generic sketch kernels (df, col) — the reusable forms behind a18/a19/
+# a21, consumed by the `sketch` CLI verb. Same expressions, any input.
+# ---------------------------------------------------------------------------
+
+
+def hll_fold(df: DataFrame, col: str) -> DataFrame:
+    """(k_used, s_hit): the HLL register fold of ``df[col]`` — identical
+    algebra to a18 (md5 60-bit hash, 256 registers, scaled harmonic
+    sum), parameterized over any frame/column."""
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = df.select(h.alias("h"))
+    w = F.col("h") % _HLL_WMOD
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        hashed.select(F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
+        .groupBy("j")
+        .agg(F.max("r").alias("mj"))
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - mj AS INT))"
+                )
+            ).alias("s_hit"),
+        )
+    )
+
+
+def hll_estimate(df: DataFrame, col: str) -> float:
+    """Grid-snapped HLL cardinality estimate of ``df[col]`` (the a18
+    estimator over :func:`hll_fold`'s exact integers)."""
+    import math
+
+    row = hll_fold(df, col).collect()[0]
+    v_zero = HLL_M - int(row["k_used"] or 0)
+    s_scaled = int(row["s_hit"] or 0) + v_zero * _HLL_SCALE
+    est = _hll_alpha() * 256.0 * 256.0 * float(_HLL_SCALE) / float(s_scaled)
+    if est <= 2.5 * HLL_M and v_zero > 0:
+        est = HLL_M * math.log(HLL_M / float(v_zero))
+    return math.floor(est * HLL_EST_GRID + 0.5) / HLL_EST_GRID
+
+
+def cms_heavy_hitters(df: DataFrame, col: str, top: int = CMS_TOP) -> DataFrame:
+    """(value, exact_cnt, cms_estimate): a19's pre-aggregated build and
+    probe over any frame/column."""
+    vals = df.select(F.col(col).alias("v"))
+    per_v = vals.groupBy("v").agg(F.count("*").alias("exact_cnt")).persist()
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    cells = (
+        per_v.select("v", "exact_cnt", seeds)
+        .select("i", _cms_bucket(F.col("i"), F.col("v")).alias("b"), "exact_cnt")
+        .groupBy("i", "b")
+        .agg(F.sum("exact_cnt").alias("c"))
+    )
+    cand = per_v.orderBy(F.col("exact_cnt").desc(), "v").limit(top)
+    probes = cand.select("v", "exact_cnt", seeds).select(
+        "v", "exact_cnt", "i", _cms_bucket(F.col("i"), F.col("v")).alias("b")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("v", "exact_cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+        .orderBy(F.col("exact_cnt").desc(), "v")
+    )
+
+
+def binned_quantiles(df: DataFrame, col: str, qs=QB_QUANTILES) -> list:
+    """[(q, estimate, err_bound)]: a21's equi-width histogram estimator
+    (type-1 quantile target) over any frame/numeric column."""
+    src = df.select(F.col(col).cast("double").alias("x"))
+    brow = src.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+    mn, mx = brow["mn"], brow["mx"]
+    if mn is None:
+        return []
+    if mx == mn:
+        return [(float(q), float(mn), 0.0) for q in qs]
+    b = F.least(
+        F.lit(QB_BINS - 1),
+        F.floor((F.col("x") - F.lit(mn)) / (F.lit(mx) - F.lit(mn)) * QB_BINS),
+    ).cast("int")
+    hist = sorted(
+        (r["bin"], r["n"])
+        for r in src.select(b.alias("bin")).groupBy("bin").agg(
+            F.count("*").alias("n")
+        ).collect()
+    )
+    total = sum(n for _, n in hist)
+    width = (mx - mn) / QB_BINS
+    out = []
+    for q in qs:
+        t = q * total
+        cum = 0
+        for bin_idx, bin_n in hist:
+            if cum + bin_n >= t:
+                out.append(
+                    (float(q), float(mn + (bin_idx + (t - cum) / bin_n) * width),
+                     float(width))
+                )
+                break
+            cum += bin_n
+    return out

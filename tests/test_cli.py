@@ -333,3 +333,27 @@ def test_cli_graph(capsys, sf_dir):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["nodes"] > 0 and len(out["top"]) == 10
     assert out["top"][0][2] >= out["top"][-1][2]  # rank-ordered
+
+
+def test_cli_sketch_profile(capsys, sf_dir, duck):
+    """The sketch verb must profile an arbitrary parquet column: HLL
+    estimate near truth, heavy hitters exact-count-verified, quantiles
+    present for numerics; unknown columns fail cleanly."""
+    rc = main([
+        "sketch", "--path", f"{sf_dir}/orders.parquet",
+        "--column", "o_custkey", "--top", "3",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    exact = duck.execute("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    assert abs(out["approx_distinct"] - exact) / exact < 0.1
+    top = duck.execute(
+        "SELECT o_custkey, COUNT(*) FROM orders GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3"
+    ).fetchall()
+    assert [[v, n] for v, n, _ in out["heavy_hitters"]] == [list(t) for t in top]
+    assert all(est >= n for _, n, est in out["heavy_hitters"])
+    assert set(out["quantiles"]) == {"0.5", "0.9", "0.99"}
+
+    rc2 = main(["sketch", "--path", f"{sf_dir}/orders.parquet", "--column", "nope"])
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 2 and "error" in err
