@@ -2007,33 +2007,30 @@ def _hll_alpha() -> float:
     return 0.7213 / (1.0 + 1.079 / 256.0)
 
 
+def _hll_est_parts(k_used: int, s_hit: int) -> tuple:
+    """(v_zero, s_scaled, grid-snapped estimate) from a register fold —
+    the ONE copy of the estimator math shared by a18, a22's merge, and
+    the generic hll_estimate kernel (round-9 review finding: it existed
+    in three)."""
+    import math
+
+    v_zero = HLL_M - int(k_used or 0)
+    s_scaled = int(s_hit or 0) + v_zero * _HLL_SCALE
+    est = _hll_alpha() * 256.0 * 256.0 * float(_HLL_SCALE) / float(s_scaled)
+    if est <= 2.5 * HLL_M and v_zero > 0:
+        est = HLL_M * math.log(HLL_M / float(v_zero))
+    return v_zero, s_scaled, math.floor(est * HLL_EST_GRID + 0.5) / HLL_EST_GRID
+
+
 def _a18_hll_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Construction-phase aggregations (plan-audit probes, the a15
-    pattern): the register fold and the exact-count baseline."""
+    pattern): the register fold (the shared hll_fold kernel) and the
+    exact-count baseline."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("v")
     )
-    h = F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
-    hashed = li.select(h.alias("h"))
-    w = F.col("h") % _HLL_WMOD
-    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
-    )
-    regs = (
-        hashed.select(F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
-        .groupBy("j")
-        .agg(F.max("r").alias("mj"))
-    )
-    folded = regs.agg(
-        F.count("*").alias("k_used"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - mj AS INT))")
-        ).alias("s_hit"),
-    )
     exact = li.agg(F.count_distinct("v").alias("n"))
-    return {"registers": folded, "exact": exact}
+    return {"registers": hll_fold(li, "v"), "exact": exact}
 
 
 def a18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2060,21 +2057,10 @@ def a18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: one map-side-combinable groupBy over 256 register
     keys — the canonical mergeable sketch; the exact COUNT(DISTINCT)
     baseline is eval-time truth, sampled or omitted at real scale."""
-    import math
-
     frames = _a18_hll_frames(spark, sf_dir)
     row = frames["registers"].collect()[0]
-    k_used = int(row["k_used"] or 0)
-    s_hit = int(row["s_hit"] or 0)
     exact = int(frames["exact"].collect()[0][0] or 0)
-    v_zero = HLL_M - k_used
-    s_scaled = s_hit + v_zero * _HLL_SCALE
-    est_raw = _hll_alpha() * 256.0 * 256.0 * float(_HLL_SCALE) / float(s_scaled)
-    if est_raw <= 2.5 * HLL_M and v_zero > 0:
-        est = HLL_M * math.log(HLL_M / float(v_zero))
-    else:
-        est = est_raw
-    est = math.floor(est * HLL_EST_GRID + 0.5) / HLL_EST_GRID
+    v_zero, s_scaled, est = _hll_est_parts(row["k_used"], row["s_hit"])
     rel = abs(est - exact) / exact if exact else 0.0
     return spark.createDataFrame(
         [(HLL_M, int(v_zero), int(s_scaled), float(est), int(exact), float(rel))],
@@ -2146,6 +2132,10 @@ CMS_D = 4        # hash rows
 CMS_W = 256      # buckets per row
 CMS_TOP = 10     # heavy hitters reported
 
+#: Oracle-side seed list — derived from CMS_D so the constant cannot
+#: silently diverge from the Spark side's range(CMS_D) (review finding).
+_CMS_SEEDS_SQL = ", ".join(str(i) for i in range(CMS_D))
+
 
 def _cms_bucket(seed, val):
     """Row-``seed`` bucket of ``val``: md5 of 'seed|value', 8 hex chars,
@@ -2179,38 +2169,15 @@ def a19_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant — before partial aggregation); the probe broadcasts the
     1024-cell table against the candidate set. No shuffle grows with
     the key domain — that is the point of the sketch."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("v")
-    )
-    # Pre-aggregate per value BEFORE the d-way hash fan-out: md5 runs
-    # once per distinct key per row of the COUNTED frame, not 4x per
-    # fact row (measured 5.3x -> linear at the sf0.01->0.1 rehearsal),
-    # and the same frame feeds the exact top-k — one fact scan total.
-    per_v = li.groupBy("v").agg(F.count("*").alias("exact_cnt")).persist()
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
-    cells = (
-        per_v.select("v", "exact_cnt", seeds)
-        .select("i", _cms_bucket(F.col("i"), F.col("v")).alias("b"), "exact_cnt")
-        .groupBy("i", "b")
-        .agg(F.sum("exact_cnt").alias("c"))
-    )
-    # TakeOrderedAndProject, not a global row_number window: the
-    # candidate set is the full distinct key domain — billions of rows
-    # at the 100-TB target — and an unpartitioned window funnels it
-    # through one task, while top-k keeps per-partition heaps.
-    top = per_v.orderBy(F.col("exact_cnt").desc(), "v").limit(CMS_TOP)
-    probes = top.select("v", "exact_cnt", seeds).select(
-        "v", "exact_cnt", "i", _cms_bucket(F.col("i"), F.col("v")).alias("b")
-    )
-    est = (
-        probes.join(F.broadcast(cells), ["i", "b"])
-        .groupBy("v", "exact_cnt")
-        .agg(F.min("c").alias("cms_estimate"))
-    )
-    return est.select(
+    # One shared kernel (cms_heavy_hitters) carries the build/probe
+    # pipeline — the registered query adds only the fixture column
+    # names and the guarantee column (round-9 review finding: the
+    # pipeline existed twice, and only this copy was oracle-checked).
+    li = load_table(spark, sf_dir, "lineitem")
+    return cms_heavy_hitters(li, "l_partkey", top=CMS_TOP).select(
         F.col("v").alias("l_partkey"),
         F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
-        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        F.col("cms_estimate"),
         (F.col("cms_estimate") >= F.col("exact_cnt")).alias("never_undercounts"),
     ).orderBy(F.col("exact_cnt").desc(), "l_partkey")
 
@@ -2220,7 +2187,7 @@ WITH base AS (SELECT l_partkey AS v FROM lineitem),
 expanded AS (
   SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
                 AS BIGINT) % {CMS_W} AS b
-  FROM base, unnest([0, 1, 2, 3]) AS s(i)
+  FROM base, unnest([{_CMS_SEEDS_SQL}]) AS s(i)
 ),
 cells AS (SELECT i, b, COUNT(*) AS c FROM expanded GROUP BY i, b),
 top AS (
@@ -2234,7 +2201,7 @@ probes AS (
   SELECT v, exact_cnt, i,
          CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
               AS BIGINT) % {CMS_W} AS b
-  FROM top, unnest([0, 1, 2, 3]) AS s(i)
+  FROM top, unnest([{_CMS_SEEDS_SQL}]) AS s(i)
 )
 SELECT v AS l_partkey,
        CAST(exact_cnt AS BIGINT) AS exact_cnt,
@@ -2260,6 +2227,10 @@ BLOOM_K = 3              # hash functions
 BLOOM_BITS_PER_KEY = 8   # m = 8n bits -> ~3% fp at k=3 (demonstrable, not vacuous)
 _BLOOM_WORD = 32         # bits per packed word (shifts stay < 2^31, safe in both engines)
 BLOOM_SPEND = 400000     # filter set: custkeys with an order above this
+
+#: Oracle-side seed list — derived from BLOOM_K (same discipline as
+#: _CMS_SEEDS_SQL).
+_BLOOM_SEEDS_SQL = ", ".join(str(i) for i in range(BLOOM_K))
 
 
 def _bloom_m_bits(n_keys: int) -> int:
@@ -2392,12 +2363,11 @@ def a20_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "v", "candidate", F.coalesce("is_member", F.lit(False)).alias("is_member")
     )
-    fp = F.col("candidates") - F.col("true_matches")
-    non_members = F.col("n_probe") - F.col("true_matches")
-    out = verdicts.agg(
-        F.lit(n_keys).cast("bigint").alias("n_keys"),
-        F.lit(m_bits).cast("bigint").alias("m_bits"),
-        F.lit(BLOOM_K).cast("int").alias("k_hashes"),
+    # The summary is one row: collect it eagerly so keys.unpersist()
+    # runs AFTER both cached uses execute — unpersisting under a lazy
+    # result frame silently re-derived the key set twice at action
+    # time (round-9 review finding).
+    agg = verdicts.agg(
         F.count("*").alias("n_probe"),
         F.sum(F.when(F.col("candidate"), 1).otherwise(0)).cast("bigint").alias("candidates"),
         F.sum(F.when(F.col("candidate") & F.col("is_member"), 1).otherwise(0))
@@ -2405,20 +2375,30 @@ def a20_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("true_matches"),
         F.bool_and(F.when(F.col("is_member"), F.col("candidate")).otherwise(F.lit(True)))
         .alias("no_false_negatives"),
-    )
+    ).collect()[0]
     keys.unpersist()
-    return out.select(
-        "n_keys",
-        "m_bits",
-        "k_hashes",
-        "n_probe",
-        "candidates",
-        "true_matches",
-        fp.alias("false_positives"),
-        F.when(non_members > 0, fp.cast("double") / non_members.cast("double"))
-        .otherwise(F.lit(0.0))
-        .alias("fp_rate"),
-        "no_false_negatives",
+    n_probe = int(agg["n_probe"] or 0)
+    cand = int(agg["candidates"] or 0)
+    true_m = int(agg["true_matches"] or 0)
+    fp = cand - true_m
+    non_members = n_probe - true_m
+    return spark.createDataFrame(
+        [
+            (
+                n_keys,
+                m_bits,
+                BLOOM_K,
+                n_probe,
+                cand,
+                true_m,
+                fp,
+                fp / non_members if non_members > 0 else 0.0,
+                bool(agg["no_false_negatives"]) if n_probe else True,
+            )
+        ],
+        "n_keys BIGINT, m_bits BIGINT, k_hashes INT, n_probe BIGINT, "
+        "candidates BIGINT, true_matches BIGINT, false_positives BIGINT, "
+        "fp_rate DOUBLE, no_false_negatives BOOLEAN",
     )
 
 
@@ -2435,7 +2415,7 @@ sz AS (
 kpos AS (
   SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
               AS BIGINT) % (SELECT m_bits FROM sz) AS p
-  FROM keys, unnest([0, 1, 2]) AS s(i)
+  FROM keys, unnest([{_BLOOM_SEEDS_SQL}]) AS s(i)
 ),
 words AS (
   SELECT word, bit_or(CAST(1 AS BIGINT) << bit) AS wv FROM (
@@ -2447,7 +2427,7 @@ ppos AS (
   SELECT c_custkey AS v,
          CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)), 1, 8)
               AS BIGINT) % (SELECT m_bits FROM sz) AS p
-  FROM customer, unnest([0, 1, 2]) AS s(i)
+  FROM customer, unnest([{_BLOOM_SEEDS_SQL}]) AS s(i)
 ),
 probe AS (
   SELECT v, bool_and(wv IS NOT NULL AND (wv & (CAST(1 AS BIGINT) << bit)) <> 0) AS candidate
@@ -2466,9 +2446,9 @@ agg AS (
          (SELECT CAST(m_bits AS BIGINT) FROM sz) AS m_bits,
          CAST({BLOOM_K} AS INT) AS k_hashes,
          COUNT(*) AS n_probe,
-         CAST(SUM(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT) AS candidates,
-         CAST(SUM(CASE WHEN candidate AND is_member THEN 1 ELSE 0 END) AS BIGINT) AS true_matches,
-         bool_and(CASE WHEN is_member THEN candidate ELSE TRUE END) AS no_false_negatives
+         CAST(COALESCE(SUM(CASE WHEN candidate THEN 1 ELSE 0 END), 0) AS BIGINT) AS candidates,
+         CAST(COALESCE(SUM(CASE WHEN candidate AND is_member THEN 1 ELSE 0 END), 0) AS BIGINT) AS true_matches,
+         COALESCE(bool_and(CASE WHEN is_member THEN candidate ELSE TRUE END), TRUE) AS no_false_negatives
   FROM verdicts
 )
 SELECT n_keys, m_bits, k_hashes, n_probe, candidates, true_matches,
@@ -2541,7 +2521,9 @@ def a21_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("x")
     )
-    brow = li.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+    brow = li.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("x").alias("cnt")
+    ).collect()[0]
     mn, mx = brow["mn"], brow["mx"]
     schema = (
         "q DOUBLE, estimate DOUBLE, bin INT, bin_lo DOUBLE, "
@@ -2550,8 +2532,14 @@ def a21_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if mn is None:
         return spark.createDataFrame([], schema)
     if mx == mn:
+        # Constant column: everything sits in bin 0 with zero width —
+        # the same rows the oracle's guarded bin expression produces
+        # (the unguarded (x-mn)/(mx-mn) is 0/0 in BOTH engines;
+        # round-9 review finding).
+        total = int(brow["cnt"])
         return spark.createDataFrame(
-            [(float(q), float(mn), 0, float(mn), 0, 0.0) for q in QB_QUANTILES],
+            [(float(q), float(mn), 0, float(mn), total, 0.0)
+             for q in QB_QUANTILES],
             schema,
         )
     b = F.least(
@@ -2585,10 +2573,11 @@ A21_QB_ORACLE = f"""
 WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
 bounds AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM src),
 hist AS (
-  SELECT CAST(LEAST({QB_BINS - 1},
+  SELECT CASE WHEN (SELECT mx FROM bounds) = (SELECT mn FROM bounds) THEN 0
+              ELSE CAST(LEAST({QB_BINS - 1},
               floor((x - (SELECT mn FROM bounds))
                     / ((SELECT mx FROM bounds) - (SELECT mn FROM bounds))
-                    * {QB_BINS})) AS INT) AS bin,
+                    * {QB_BINS})) AS INT) END AS bin,
          COUNT(*) AS n
   FROM src GROUP BY 1
 ),
@@ -2652,8 +2641,6 @@ def a22_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: identical to a18 plus one 256-row-per-group merge;
     the per-group register build is one map-side-combinable groupBy on
     (group, register)."""
-    import math
-
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderstatus").alias("g"), F.col("o_custkey").alias("v")
     )
@@ -2693,17 +2680,9 @@ def a22_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = per_group.select("g", "k_used", "s_hit").unionByName(merged).collect()
     regs.unpersist()
 
-    def estimate(k_used: int, s_hit: int) -> tuple[int, int, float]:
-        v_zero = HLL_M - int(k_used or 0)
-        s_scaled = int(s_hit or 0) + v_zero * _HLL_SCALE
-        est = _hll_alpha() * 256.0 * 256.0 * float(_HLL_SCALE) / float(s_scaled)
-        if est <= 2.5 * HLL_M and v_zero > 0:
-            est = HLL_M * math.log(HLL_M / float(v_zero))
-        return v_zero, s_scaled, math.floor(est * HLL_EST_GRID + 0.5) / HLL_EST_GRID
-
     out = []
     for r in sorted(rows, key=lambda r: r["g"]):
-        v_zero, s_scaled, est = estimate(r["k_used"], r["s_hit"])
+        v_zero, s_scaled, est = _hll_est_parts(r["k_used"], r["s_hit"])
         out.append((r["g"], int(v_zero), int(s_scaled), float(est)))
     return spark.createDataFrame(
         out, "g STRING, v_zero BIGINT, s_scaled BIGINT, hll_estimate DOUBLE"
@@ -2759,20 +2738,26 @@ ORDER BY g
 
 
 def _a22_hll_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Plan probes: the grouped register build (the merge is a 256-row
-    fold over it)."""
+    """Plan probes: the grouped register build — the PRODUCTION max-fold
+    expression, not a stand-in aggregate, so a regression in the
+    rho/max path surfaces in the audit (round-9 review finding). The
+    merge is a 256-row fold over this frame."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderstatus").alias("g"), F.col("o_custkey").alias("v")
     )
     h = F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10).cast(
         "bigint"
     )
-    regs = (
-        o.select("g", F.expr(f"conv(substring(md5(cast(v as string)),1,15),16,10) div {_HLL_WMOD}").alias("j"))
-        .groupBy("g", "j")
-        .agg(F.count("*").alias("n"))
+    hashed = o.select("g", h.alias("h"))
+    w = F.col("h") % _HLL_WMOD
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
     )
-    _ = h
+    regs = (
+        hashed.select("g", F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
+        .groupBy("g", "j")
+        .agg(F.max("r").alias("mj"))
+    )
     return {"grouped_registers": regs}
 
 
@@ -2922,10 +2907,14 @@ def a23_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if mn is None:
         return spark.createDataFrame([], schema)
     if mx == mn:
-        groups = [r["g"] for r in li.select("g").distinct().collect()]
+        # same guarded degenerate contract as a21, per group
+        gcounts = {
+            r["g"]: r["n"]
+            for r in li.groupBy("g").agg(F.count("*").alias("n")).collect()
+        }
         return spark.createDataFrame(
-            [(g, float(q), float(mn), 0, 0, 0.0)
-             for g in sorted(groups) for q in QB_QUANTILES],
+            [(g, float(q), float(mn), 0, int(gcounts[g]), 0.0)
+             for g in sorted(gcounts) for q in QB_QUANTILES],
             schema,
         )
     b = F.least(
@@ -2968,10 +2957,11 @@ WITH src AS (
 bounds AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM src),
 hist AS (
   SELECT g,
-         CAST(LEAST({QB_BINS - 1},
+         CASE WHEN (SELECT mx FROM bounds) = (SELECT mn FROM bounds) THEN 0
+              ELSE CAST(LEAST({QB_BINS - 1},
               floor((x - (SELECT mn FROM bounds))
                     / ((SELECT mx FROM bounds) - (SELECT mn FROM bounds))
-                    * {QB_BINS})) AS INT) AS bin,
+                    * {QB_BINS})) AS INT) END AS bin,
          COUNT(*) AS n
   FROM src GROUP BY 1, 2
 ),
@@ -3018,10 +3008,9 @@ def a24_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic a cost-based planner wants BEFORE committing to a join
     strategy at 100 TB: two 4x256 integer sketches (already maintainable
     incrementally per partition — see a22's merge contract) replace a
-    full pre-join of the fact tables. Sides: orders and lineitem on
-    custkey-derived keys (o_custkey vs a lineitem-side customer key via
-    orders — here l_suppkey as an independent key column to keep the
-    two builds single-table; the estimator only sees key frequencies).
+    full pre-join of the fact tables. Sides: orders.o_custkey vs
+    customer.c_custkey — two single-table builds; the estimator only
+    sees key frequencies, so any key pair works identically.
 
     Exactness: every counter and every dot product is bigint (max
     600k^2 << 2^63); the exact join size is one groupBy-join over the
@@ -3078,12 +3067,12 @@ pb AS (SELECT v, COUNT(*) AS cnt FROM b GROUP BY v),
 sa AS (
   SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
                 AS BIGINT) % {CMS_W} AS bkt, SUM(cnt) AS c
-  FROM pa, unnest([0, 1, 2, 3]) AS s(i) GROUP BY 1, 2
+  FROM pa, unnest([{_CMS_SEEDS_SQL}]) AS s(i) GROUP BY 1, 2
 ),
 sb AS (
   SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
                 AS BIGINT) % {CMS_W} AS bkt, SUM(cnt) AS c
-  FROM pb, unnest([0, 1, 2, 3]) AS s(i) GROUP BY 1, 2
+  FROM pb, unnest([{_CMS_SEEDS_SQL}]) AS s(i) GROUP BY 1, 2
 ),
 dots AS (
   SELECT sa.i, SUM(sa.c * sb.c) AS dot
@@ -3097,8 +3086,9 @@ ex AS (
 )
 SELECT exact_join_size, cms_join_size,
        cms_join_size >= exact_join_size AS never_undercounts,
-       CAST(cms_join_size AS DOUBLE) / CAST(exact_join_size AS DOUBLE)
-         AS overcount_ratio
+       CASE WHEN exact_join_size = 0 THEN 0.0
+            ELSE CAST(cms_join_size AS DOUBLE) / CAST(exact_join_size AS DOUBLE)
+       END AS overcount_ratio
 FROM est, ex
 """
 
@@ -3559,21 +3549,18 @@ def hll_fold(df: DataFrame, col: str) -> DataFrame:
 def hll_estimate(df: DataFrame, col: str) -> float:
     """Grid-snapped HLL cardinality estimate of ``df[col]`` (the a18
     estimator over :func:`hll_fold`'s exact integers)."""
-    import math
-
     row = hll_fold(df, col).collect()[0]
-    v_zero = HLL_M - int(row["k_used"] or 0)
-    s_scaled = int(row["s_hit"] or 0) + v_zero * _HLL_SCALE
-    est = _hll_alpha() * 256.0 * 256.0 * float(_HLL_SCALE) / float(s_scaled)
-    if est <= 2.5 * HLL_M and v_zero > 0:
-        est = HLL_M * math.log(HLL_M / float(v_zero))
-    return math.floor(est * HLL_EST_GRID + 0.5) / HLL_EST_GRID
+    return _hll_est_parts(row["k_used"], row["s_hit"])[2]
 
 
 def cms_heavy_hitters(df: DataFrame, col: str, top: int = CMS_TOP) -> DataFrame:
     """(value, exact_cnt, cms_estimate): a19's pre-aggregated build and
     probe over any frame/column."""
     vals = df.select(F.col(col).alias("v"))
+    # The counted frame feeds both the sketch build and the top-k; the
+    # persist stays for the session (the result plan is lazy, so there
+    # is no safe unpersist point) — it is bounded at the distinct-key
+    # frame, and long-lived sessions can spark.catalog.clearCache().
     per_v = vals.groupBy("v").agg(F.count("*").alias("exact_cnt")).persist()
     seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
     cells = (

@@ -863,6 +863,9 @@ def label_propagation(edges_w: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
             F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
         )
     )
+    # persisted for the session (both label rounds read it; the result
+    # plan is lazy so there is no safe unpersist point) — bounded at
+    # the sparsified edge list
     e = both.persist()
     labels = (
         e.select(F.col("u").alias("node"))

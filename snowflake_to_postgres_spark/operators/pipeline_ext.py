@@ -1586,10 +1586,18 @@ def _dense_bucket(key: str):
     width x granularity neighboring keys into one bucket — the
     per-bucket window's memory bound silently grows ~1000x at exactly
     the >10^9-row scale dense_ids targets (round-8 review finding).
-    ``div`` truncates toward zero, which is monotone non-decreasing
-    over the full bigint domain, so buckets stay order-aligned, exact,
-    and at most DENSE_ID_BUCKET keys wide everywhere."""
-    return F.expr(f"`{key}` div {DENSE_ID_BUCKET}")
+    ``div`` alone truncates toward zero, which would merge the buckets
+    either side of 0 into one 2x-wide bucket on a signed key domain
+    (round-9 review finding) — the negative branch subtracts the
+    remainder first so this is TRUE floor division: buckets stay
+    order-aligned, exact, and at most DENSE_ID_BUCKET keys wide over
+    the entire signed bigint domain, matching python's ``//`` (which
+    the property tests replicate)."""
+    b = DENSE_ID_BUCKET
+    return F.expr(
+        f"IF(`{key}` >= 0, `{key}` div {b},"
+        f" (`{key}` - ((({b} + (`{key}` % {b})) % {b}))) div {b})"
+    )
 
 
 def dense_ids(df: DataFrame, key: str) -> DataFrame:

@@ -324,13 +324,14 @@ def _md5i(s: str, n: int) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:n], 16)
 
 
-@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=60))
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=60))
 @settings(max_examples=60, deadline=None)
 def test_dense_bucket_monotone_and_bounded(keys):
-    """Integer-div bucketing must be monotone non-decreasing in the key
-    and each bucket at most DENSE_ID_BUCKET keys wide — for ANY bigint
-    keys, including above 2^53 where the old double path merged
-    buckets."""
+    """Floor-div bucketing must be monotone non-decreasing in the key
+    and each bucket at most DENSE_ID_BUCKET keys wide — over the FULL
+    signed bigint domain (trunc-toward-zero div would merge the two
+    buckets straddling 0 into one 2x-wide bucket; the engine kernel
+    now floors, matching this replica's `//`)."""
     from snowflake_to_postgres_spark.operators.pipeline_ext import DENSE_ID_BUCKET
 
     ks = sorted(set(keys))

@@ -31,7 +31,11 @@ def test_dense_bucket_exact_above_2_53(spark):
     )
 
     big = 2**62
-    keys = [big - 1, big, big + DENSE_ID_BUCKET - 1, big + DENSE_ID_BUCKET]
+    keys = [
+        big - 1, big, big + DENSE_ID_BUCKET - 1, big + DENSE_ID_BUCKET,
+        # signed domain: trunc-div would merge the two buckets around 0
+        -big, -(DENSE_ID_BUCKET + 1), -DENSE_ID_BUCKET, -1, 0, 1,
+    ]
     df = spark.createDataFrame([(k,) for k in keys], "k bigint")
     got = {
         r["k"]: r["b"]
