@@ -73,7 +73,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > MAX_DF)
         .select("shingle")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # hot has one row per over-common shingle — bounded by
+    # total_occurrences / MAX_DF, i.e. it still GROWS with the corpus,
+    # so the anti join is unhinted (key `shingle` is already the
+    # groupBy shuffle key; AQE broadcasts from measured stats if tiny).
+    return sh.join(hot, "shingle", "left_anti")
 
 
 # Shared oracle CTEs: shingles + per-doc counts + pairwise intersections.
@@ -958,8 +962,12 @@ def _lsh_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = _union_find_labels(spark, sym)
     else:
         labels, _rounds = propagate_components(sym)
+    # sizes has one row per duplicate CLUSTER — grows with the corpus's
+    # dup rate, so no forced broadcast: the join key `comp` is already
+    # the groupBy shuffle key, and AQE may still broadcast from
+    # measured (size-gated) stats when the pair graph is genuinely tiny.
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
-    return labels.join(F.broadcast(sizes), "comp").select(
+    return labels.join(sizes, "comp").select(
         "doc_id", F.col("comp").alias("component_id"), "cluster_size"
     )
 
@@ -984,7 +992,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .join(F.broadcast(clustered.select("doc_id")), "doc_id", "left_anti")
+        .join(clustered.select("doc_id"), "doc_id", "left_anti")
         .select(
             "doc_id",
             F.col("doc_id").alias("component_id"),
@@ -1037,18 +1045,20 @@ def dedup_fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     each survivor tagged with how many raw documents it represents.
 
     Scale shape: the cluster labels cover pair-graph nodes only
-    (:func:`_lsh_cluster_labels` — broadcast-sized at any corpus scale),
-    so the corpus-sized work is exactly two broadcast joins, no shuffle
-    of the documents table at all:
-
-    * one broadcast ANTI join eliminating non-canonical cluster members
-      (the only rows fuzzy dedup ever removes), and
-    * one broadcast LEFT join attaching ``cluster_size`` to the
-      canonical survivors (absent → 1).
+    (:func:`_lsh_cluster_labels`), so the corpus-sized work is exactly
+    two joins keyed on ``doc_id`` — an ANTI join eliminating
+    non-canonical cluster members (the only rows fuzzy dedup ever
+    removes) and a LEFT join attaching ``cluster_size`` to the
+    canonical survivors (absent → 1). Both are UNHINTED: at a real
+    30-50% dup rate the loser/canon frames grow with the corpus, so a
+    forced broadcast would OOM the build side — AQE broadcasts from
+    measured stats when the pair graph is genuinely tiny, and falls
+    back to a shuffle join (both joins share the ``doc_id`` key, one
+    exchange of ``docs``) when it is not.
 
     Contrast with running :func:`dedup_cluster_components` and filtering
     ``doc_id = component_id``: that plan unions a corpus-sized singleton
-    frame through a groupBy — this one never moves the corpus."""
+    frame through a groupBy — this one never aggregates the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     clustered = _lsh_cluster_labels(spark, sf_dir).localCheckpoint()
     losers = clustered.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
@@ -1056,8 +1066,8 @@ def dedup_fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cluster_size"
     )
     return (
-        docs.join(F.broadcast(losers), "doc_id", "left_anti")
-        .join(F.broadcast(canon), "doc_id", "left")
+        docs.join(losers, "doc_id", "left_anti")
+        .join(canon, "doc_id", "left")
         .select(
             "doc_id",
             "source",

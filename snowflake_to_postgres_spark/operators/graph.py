@@ -150,12 +150,14 @@ def _degrees(edges: DataFrame) -> DataFrame:
 def _oriented_edges(edges: DataFrame) -> DataFrame:
     """Degree-ordered orientation: (src, dst, dst_ord) with
     ord(src) < ord(dst) under ord = deg·2³² + node. deg is the
-    node-count-sized frame, broadcast to both endpoint joins."""
+    node-count-sized frame — it grows with the graph, so both endpoint
+    joins are UNHINTED (keys u/v are the degree groupBy's own shuffle
+    keys; AQE broadcasts from measured stats when the graph is small)."""
     deg = _degrees(edges)
     ord_of = F.col("deg") * F.lit(_ORD_BASE) + F.col("node")
     du = deg.select(F.col("node").alias("u"), ord_of.alias("u_ord"))
     dv = deg.select(F.col("node").alias("v"), ord_of.alias("v_ord"))
-    e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    e = edges.join(du, "u").join(dv, "v")
     fwd = F.col("u_ord") < F.col("v_ord")
     return e.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
@@ -445,8 +447,8 @@ def jaccard_links(edges: DataFrame, top: int = LINK_TOP) -> DataFrame:
     da = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     db = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
     scored = (
-        non_adj.join(F.broadcast(da), "u")
-        .join(F.broadcast(db), "v")
+        non_adj.join(da, "u")
+        .join(db, "v")
         .select(
             "u",
             "v",
@@ -537,12 +539,8 @@ def kcore(edges: DataFrame, k: int, rounds: int = KCORE_ROUNDS) -> DataFrame:
         )
         keep = deg.filter(F.col("deg") >= k).select("node")
         e = (
-            e.join(
-                F.broadcast(keep.select(F.col("node").alias("u"))), "u", "left_semi"
-            )
-            .join(
-                F.broadcast(keep.select(F.col("node").alias("v"))), "v", "left_semi"
-            )
+            e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
     return (
@@ -638,8 +636,8 @@ def _kcore_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
     deg = _degrees(edges)
     keep = deg.filter(F.col("deg") >= KCORE_MIN_K).select("node")
     peel = edges.join(
-        F.broadcast(keep.select(F.col("node").alias("u"))), "u", "left_semi"
-    ).join(F.broadcast(keep.select(F.col("node").alias("v"))), "v", "left_semi")
+        keep.select(F.col("node").alias("u")), "u", "left_semi"
+    ).join(keep.select(F.col("node").alias("v")), "v", "left_semi")
     return {"round": peel}
 
 
@@ -678,10 +676,10 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     m = edges.count()
     sup = communities
     e = edges.join(
-        F.broadcast(sup.select(F.col("node").alias("u"), F.col("c").alias("cu"))),
+        sup.select(F.col("node").alias("u"), F.col("c").alias("cu")),
         "u",
     ).join(
-        F.broadcast(sup.select(F.col("node").alias("v"), F.col("c").alias("cv"))),
+        sup.select(F.col("node").alias("v"), F.col("c").alias("cv")),
         "v",
     )
     intra = (
@@ -692,7 +690,7 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
     deg_nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
-        .join(F.broadcast(sup), "node")
+        .join(sup, "node")
         .groupBy(F.col("c").alias("c_nationkey"))
         .agg(
             F.countDistinct("node").cast("bigint").alias("n_nodes"),
@@ -770,7 +768,7 @@ def assortativity(edges: DataFrame) -> DataFrame:
     deg = _degrees(edges)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("ju"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("jv"))
-    e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    e = edges.join(du, "u").join(dv, "v")
     sums = e.agg(
         F.count("*").cast("bigint").alias("edges"),
         F.sum(F.col("ju") * F.col("jv")).cast("bigint").alias("sum_jk"),

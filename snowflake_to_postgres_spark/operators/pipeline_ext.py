@@ -1607,16 +1607,18 @@ def dense_ids(df: DataFrame, key: str) -> DataFrame:
     the classic scale-killers: no global sort, no single-partition
     window over the data.
 
-    Two-pass bucket prefix-sum: (1) bucket rows by the ORDER-ALIGNED
-    coarse key ``key div DENSE_ID_BUCKET`` and count per bucket; (2) a
-    running-sum window over the bucket-COUNT frame (cardinality N /
-    DENSE_ID_BUCKET, not N) yields each bucket's exclusive offset,
-    broadcast back; (3) id = offset + (row_number within bucket) - 1.
-    The only unpartitioned window runs over bucket counts — at 10¹¹
-    rows and width 1024 that is 10⁸ bucket rows, at which point the
-    same construction recurses one level (bucket the buckets); one
-    level suffices for every realistic corpus and the recursion is
-    mechanical. Per-bucket windows are bounded by the bucket width.
+    THREE-level bucket prefix-sum: (1) bucket rows by the
+    ORDER-ALIGNED coarse key ``key div DENSE_ID_BUCKET`` and count per
+    bucket; (2) each bucket's exclusive offset = a running sum over
+    earlier buckets WITHIN its superbucket (window partitioned by
+    ``_bucket div DENSE_ID_BUCKET`` — ≤DENSE_ID_BUCKET rows per task)
+    plus a global running sum over per-SUPERBUCKET totals only (N/B²
+    rows — 10¹¹ rows at width 64 leaves 2.4×10⁷ superbucket rows, and
+    the construction recurses mechanically if that ever matters);
+    (3) id = offset + (row_number within bucket) - 1. The offset
+    frame is one row per bucket — corpus-scaled — so its join back is
+    UNHINTED on ``_bucket``, the key the within-bucket window already
+    shuffles on. Per-bucket windows are bounded by the bucket width.
 
     Requires a bigint key (order-aligned integer division) whose values
     are UNIQUE: with duplicate keys the within-bucket row_number breaks
@@ -1628,20 +1630,32 @@ def dense_ids(df: DataFrame, key: str) -> DataFrame:
     before calling this."""
     b = _dense_bucket(key).alias("_bucket")
     bucketed = df.withColumn("_bucket", b)
-    counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_bn"))
-    offsets = counts.select(
-        "_bucket",
-        (
-            F.sum("_bn").over(
-                Window.orderBy("_bucket").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            )
-        ).alias("_offset"),
-    ).fillna({"_offset": 0})
+    counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_bn")).withColumn(
+        "_sbkt", _dense_bucket("_bucket")
+    )
+    within_super = Window.partitionBy("_sbkt").orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    super_tot = counts.groupBy("_sbkt").agg(F.sum("_bn").alias("_sn"))
+    super_carry = super_tot.select(
+        "_sbkt",
+        F.coalesce(
+            F.sum("_sn").over(
+                Window.orderBy("_sbkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_scarry"),
+    )
+    offsets = (
+        counts.withColumn(
+            "_in_super", F.coalesce(F.sum("_bn").over(within_super), F.lit(0))
+        )
+        .join(super_carry, "_sbkt")
+        .select("_bucket", (F.col("_in_super") + F.col("_scarry")).alias("_offset"))
+    )
     within = Window.partitionBy("_bucket").orderBy(key)
     return (
-        bucketed.join(F.broadcast(offsets), "_bucket")
+        bucketed.join(offsets, "_bucket")
         .withColumn(
             "dense_id",
             (F.col("_offset") + F.row_number().over(within) - 1).cast("bigint"),

@@ -436,7 +436,10 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands; at scale the block key comes from a coarse quantizer)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     comp = _components(spark, sf_dir)
-    labeled = comp.join(F.broadcast(emb), "vec_id")
+    # emb (one label row per vector) and the norm frames below are
+    # corpus-cardinality — never force-broadcast them; the join keys
+    # (vec_id, then d1/d2) are the existing shuffle keys.
+    labeled = comp.join(emb, "vec_id")
     a = labeled.alias("a")
     b = labeled.alias("b")
     dots = (
@@ -457,8 +460,8 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.sqrt(F.col("n1sq").cast("double")) * F.sqrt(F.col("n2sq").cast("double")))
     ).cast("decimal(10,8)")
     return (
-        dots.join(F.broadcast(n1), "d1")
-        .join(F.broadcast(n2), "d2")
+        dots.join(n1, "d1")
+        .join(n2, "d2")
         .select("d1", "d2", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COS)
     )

@@ -1382,7 +1382,14 @@ def dedup_winnow_pairs(
 
     100-TB shape: shuffle key = fingerprint hash (capped fanout),
     pair volume = sum df·(df-1)/2 over kept fingerprints — the
-    sparsity winnowing's 2/(w+1) density bought."""
+    sparsity winnowing's 2/(w+1) density bought. Every join here is
+    UNHINTED: ``df_counts`` has one row per kept fingerprint and
+    ``na``/``nb`` one row per document — corpus-cardinality frames
+    that must never be forced broadcast (the anti-pattern the MinHash
+    path purged in round 6). The join keys (``fp``, then ``d1``/``d2``)
+    are exactly the existing shuffle keys, so the unhinted shuffle
+    joins co-locate for free; AQE may still broadcast from MEASURED
+    stats at small scale, which is safe because it is size-gated."""
     fps = (
         tx_winnowing(spark, sf_dir)
         .select("doc_id", F.col("fp_hash").alias("fp"))
@@ -1390,7 +1397,7 @@ def dedup_winnow_pairs(
     )
     df_counts = fps.groupBy("fp").agg(F.count("*").alias("df"))
     kept = fps.join(
-        F.broadcast(df_counts.filter(F.col("df") <= WINNOW_DF_CAP)), "fp"
+        df_counts.filter(F.col("df") <= WINNOW_DF_CAP), "fp"
     ).select("doc_id", "fp")
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = kept.alias("a")
@@ -1404,8 +1411,8 @@ def dedup_winnow_pairs(
     na = sizes.select(F.col("doc_id").alias("d1"), F.col("n_fp").alias("n1"))
     nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_fp").alias("n2"))
     return (
-        shared.join(F.broadcast(na), "d1")
-        .join(F.broadcast(nb), "d2")
+        shared.join(na, "d1")
+        .join(nb, "d2")
         .select(
             "d1",
             "d2",

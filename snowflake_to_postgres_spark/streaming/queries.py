@@ -244,13 +244,19 @@ def st_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries above consume the chosen bound.
 
     100-TB shape: the naive form is one GLOBAL ordered prefix-max —
-    unbounded data through one task. This is the two-level
+    unbounded data through one task. This is the THREE-level
     decomposition instead (the x_concurrency_curve / dense_ids
-    pattern, prefix-MAX this time): a running max within each
-    arrival-order bucket plus each bucket's carry-in (a window over
-    per-bucket maxima — bounded metadata). The oracle replays the
-    naive global window, so the value-hash gate itself proves the
-    decomposition. All comparisons in exact microsecond bigints."""
+    pattern, prefix-MAX this time, recursed once more per the round-9
+    review): a running max within each arrival-order bucket, a
+    running max over bucket maxima WITHIN each superbucket (window
+    partitioned by superbucket — ≤4096 rows per task), and a global
+    prefix-max over per-superbucket maxima only (rows/4096² — 6×10^4
+    rows even at 10^12 events, genuinely bounded metadata). The carry
+    join back to events is UNHINTED and keyed on ``bkt``, the same
+    key the within-bucket window already shuffles on. The oracle
+    replays the naive global window, so the value-hash gate itself
+    proves the decomposition. All comparisons in exact microsecond
+    bigints."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -263,16 +269,27 @@ def st_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = Window.partitionBy("bkt").orderBy("event_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    bucket_max = ev.groupBy("bkt").agg(F.max("us").alias("bmax"))
-    carry = bucket_max.select(
-        "bkt",
-        F.max("bmax")
-        .over(Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1))
-        .alias("carry_us"),
+    bucket_max = ev.groupBy("bkt").agg(F.max("us").alias("bmax")).withColumn(
+        "sbkt", F.expr(f"bkt div {_LATENESS_BUCKET}")
+    )
+    within_super = Window.partitionBy("sbkt").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    super_max = bucket_max.groupBy("sbkt").agg(F.max("bmax").alias("smax"))
+    super_carry = super_max.select(
+        "sbkt",
+        F.max("smax")
+        .over(Window.orderBy("sbkt").rowsBetween(Window.unboundedPreceding, -1))
+        .alias("scarry_us"),
+    )
+    carry = (
+        bucket_max.withColumn("in_super_us", F.max("bmax").over(within_super))
+        .join(super_carry, "sbkt")
+        .select("bkt", F.greatest("in_super_us", "scarry_us").alias("carry_us"))
     )
     lateness = (
         ev.withColumn("run_us", F.max("us").over(within))
-        .join(F.broadcast(carry), "bkt")
+        .join(carry, "bkt")
         .withColumn("prior_us", F.greatest(F.coalesce("run_us", F.lit(None)), F.col("carry_us")))
         .withColumn(
             "late_us",
