@@ -2240,14 +2240,18 @@ def _bloom_m_bits(n_keys: int) -> int:
 
 
 def _bloom_pos(seed, val, m_bits: int):
-    """Hash-``seed`` bit position of ``val`` — the CMS md5 family
-    reduced mod the filter size."""
+    """Hash-``seed`` bit position of ``val`` — the HLL md5 family (15
+    hex chars = 60 bits, positive in a bigint) reduced mod the filter
+    size. 60 bits, not 32: m_bits = 8·n_keys passes 2^32 at ~5×10^8
+    keys, beyond which a 32-bit hash leaves the upper bit positions
+    unreachable and the fp rate silently degrades (round-9 ADVICE);
+    modulo bias is negligible at 60 bits for any reachable m."""
     return (
         F.conv(
             F.substring(
                 F.md5(F.concat_ws("|", seed.cast("string"), val.cast("string"))),
                 1,
-                8,
+                15,
             ),
             16,
             10,
@@ -2413,7 +2417,7 @@ sz AS (
   FROM keys
 ),
 kpos AS (
-  SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+  SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 15)
               AS BIGINT) % (SELECT m_bits FROM sz) AS p
   FROM keys, unnest([{_BLOOM_SEEDS_SQL}]) AS s(i)
 ),
@@ -2425,7 +2429,7 @@ words AS (
 ),
 ppos AS (
   SELECT c_custkey AS v,
-         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)), 1, 8)
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(c_custkey AS VARCHAR)), 1, 15)
               AS BIGINT) % (SELECT m_bits FROM sz) AS p
   FROM customer, unnest([{_BLOOM_SEEDS_SQL}]) AS s(i)
 ),
@@ -2480,6 +2484,33 @@ SPECS.append(
 
 QB_BINS = 1024
 QB_QUANTILES = (0.5, 0.9, 0.99)
+
+#: Ceiling on |groups| for the grouped-sketch operators that collect one
+#: (or bins-many) row(s) PER GROUP to the driver (a22's per-group
+#: register folds, a23's group×bin histogram). The registered queries
+#: group on single-character / enum keys (≤5 groups); the guard exists
+#: for the generic reuse path, mirroring dedup_ngram_jaccard_pairs'
+#: estimate+raise discipline (round-9 verdict #3).
+SKETCH_MAX_GROUPS = 10_000
+
+
+def _guard_group_cardinality(
+    df: DataFrame, gcol: str, op_name: str, fallback: str, max_groups: int
+) -> None:
+    """Raise before any per-group driver collect when the group key's
+    cardinality exceeds ``max_groups`` — one cheap exact countDistinct
+    (a single map-side-combinable aggregate), so a high-cardinality key
+    fails fast with a pointer at the distributed alternative instead of
+    silently materializing an unbounded histogram on the driver."""
+    n_groups = df.agg(F.countDistinct(gcol).alias("n")).collect()[0]["n"]
+    if n_groups > max_groups:
+        raise ValueError(
+            f"{op_name}: group key has {n_groups:,} distinct values, above "
+            f"max_groups={max_groups:,}; the per-group driver interpolation "
+            f"is bounded by |groups| — for high-cardinality keys use "
+            f"{fallback}, or raise max_groups explicitly if the driver-side "
+            f"cost is intended"
+        )
 
 
 def _a21_hist_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -2623,7 +2654,9 @@ SPECS.append(
 )
 
 
-def a22_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a22_hll_union(
+    spark: SparkSession, sf_dir: str, max_groups: int = SKETCH_MAX_GROUPS
+) -> DataFrame:
     """HLL mergeability proof (the property the sketch exists for):
     build one register set per o_orderstatus partition, merge by
     register-wise MAX, and the merged estimate must equal — exactly,
@@ -2643,6 +2676,11 @@ def a22_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group, register)."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderstatus").alias("g"), F.col("o_custkey").alias("v")
+    )
+    # the final collect is one row per group — gate |groups| first
+    _guard_group_cardinality(
+        o, "g", "a22_hll_union", "hll_fold per group (keep folds distributed)",
+        max_groups,
     )
     h = F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 15), 16, 10).cast(
         "bigint"
@@ -2877,7 +2915,9 @@ SPECS.append(
 )
 
 
-def a23_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a23_grouped_quantiles(
+    spark: SparkSession, sf_dir: str, max_groups: int = SKETCH_MAX_GROUPS
+) -> DataFrame:
     """Per-group binned quantiles — the shape the scale path actually
     ships as (p50/p99 latency per service, spend percentiles per
     segment): GLOBAL bounds from one pass (shared bins keep the
@@ -2897,6 +2937,13 @@ def a23_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("g"),
         F.col("o_totalprice").cast("double").alias("x"),
+    )
+    # the histogram collect is |groups| × occupied bins — gate |groups|
+    # first (round-9 verdict: handed a high-cardinality key, the
+    # collect was unbounded)
+    _guard_group_cardinality(
+        li, "g", "a23_grouped_quantiles",
+        "per-group approx_percentile (stays distributed)", max_groups,
     )
     brow = li.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
     mn, mx = brow["mn"], brow["mx"]
@@ -3526,7 +3573,10 @@ def hll_fold(df: DataFrame, col: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
         "bigint"
     )
-    hashed = df.select(h.alias("h"))
+    # NULLs are excluded from the sketch domain: md5(NULL) is NULL, so
+    # a 257th j=NULL register row would inflate k_used and corrupt the
+    # linear-counting zero-register term (round-9 ADVICE).
+    hashed = df.filter(F.col(col).isNotNull()).select(h.alias("h"))
     w = F.col("h") % _HLL_WMOD
     rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
         F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
@@ -3556,20 +3606,29 @@ def hll_estimate(df: DataFrame, col: str) -> float:
 def cms_heavy_hitters(df: DataFrame, col: str, top: int = CMS_TOP) -> DataFrame:
     """(value, exact_cnt, cms_estimate): a19's pre-aggregated build and
     probe over any frame/column."""
-    vals = df.select(F.col(col).alias("v"))
-    # The counted frame feeds both the sketch build and the top-k; the
-    # persist stays for the session (the result plan is lazy, so there
-    # is no safe unpersist point) — it is bounded at the distinct-key
-    # frame, and long-lived sessions can spark.catalog.clearCache().
+    # NULL keys are excluded from the sketch domain: concat_ws DROPS a
+    # NULL arg, so a NULL key would hash as md5(str(seed)) and diverge
+    # from any NULL-propagating oracle concat (round-9 ADVICE).
+    vals = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("v"))
     per_v = vals.groupBy("v").agg(F.count("*").alias("exact_cnt")).persist()
     seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
-    cells = (
+    # Both cached consumers materialize EAGERLY so per_v unpersists
+    # before returning (a20's discipline — closes the round-9 ADVICE
+    # session-lifetime cache leak): the packed cells are bounded at
+    # d×w rows (≤1024), the candidates at ``top`` rows — both small
+    # enough to collect outright, leaving ZERO cached frames behind.
+    spark = df.sparkSession
+    cells_frame = (
         per_v.select("v", "exact_cnt", seeds)
         .select("i", _cms_bucket(F.col("i"), F.col("v")).alias("b"), "exact_cnt")
         .groupBy("i", "b")
         .agg(F.sum("exact_cnt").alias("c"))
     )
-    cand = per_v.orderBy(F.col("exact_cnt").desc(), "v").limit(top)
+    cells = spark.createDataFrame(cells_frame.collect(), cells_frame.schema)
+    cand_schema = per_v.select("v", "exact_cnt").schema
+    cand_rows = per_v.orderBy(F.col("exact_cnt").desc(), "v").limit(top).collect()
+    per_v.unpersist()
+    cand = spark.createDataFrame(cand_rows, cand_schema)
     probes = cand.select("v", "exact_cnt", seeds).select(
         "v", "exact_cnt", "i", _cms_bucket(F.col("i"), F.col("v")).alias("b")
     )
@@ -3584,7 +3643,12 @@ def cms_heavy_hitters(df: DataFrame, col: str, top: int = CMS_TOP) -> DataFrame:
 def binned_quantiles(df: DataFrame, col: str, qs=QB_QUANTILES) -> list:
     """[(q, estimate, err_bound)]: a21's equi-width histogram estimator
     (type-1 quantile target) over any frame/numeric column."""
-    src = df.select(F.col(col).cast("double").alias("x"))
+    # NULL rows are excluded up front: min/max already ignore NULLs,
+    # but F.least skips NULL too, so a NULL x would land in the TOP
+    # bin and silently shift every estimate (round-9 ADVICE).
+    src = df.select(F.col(col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
     brow = src.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
     mn, mx = brow["mn"], brow["mx"]
     if mn is None:
