@@ -249,23 +249,124 @@ WHERE table_name IN ('customer', 'lineitem', 'orders')
 
 
 def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketch surface (no oracle — sketch internals are
-    engine-specific by nature, SURVEY §2.4 note): HLL++ distinct counts
-    and xxhash64 content fingerprints, the 100 TB-scale stand-ins for
-    exact COUNT(DISTINCT) and md5 fingerprinting."""
+    """Approximate sketch surface per l_returnflag, on the engine's OWN
+    deterministic kernels so the whole row replays in the oracle under
+    the value-hash gate (round-9 verdict #4 — this was the last
+    rows-only key): a 256-register md5 HLL distinct-order estimate
+    (a18/a22's algebra), an order-free 60-bit md5 XOR content
+    fingerprint (ivm_join_refresh's monoid), and binned-histogram
+    p50/p95/p99 of l_extendedprice (a21/a23's estimator), each next to
+    the exact COUNT(DISTINCT) baseline. Spark's native HLL++ /
+    approx_percentile / xxhash64 forms remain available and are
+    exercised in pytest (test_native_sketches_bounded), but their
+    internals are engine-specific and can never be cross-engine-
+    checked — the registered key carries the checkable twins.
+
+    100-TB shape: every stage is a map-side-combinable aggregate over
+    a 3-value group key (exact+fingerprint one scan; register fold one
+    scan over (g, 256) cells; bounds + histogram for the shared-bin
+    percentiles); the only driver work is interpolation over 3 groups
+    × bounded bins/registers — the threshold-literal pattern."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Two aggregations joined on the tiny group key: mixing countDistinct
-    # (Expand-based) with object-hash sketch aggregates in ONE agg forces
-    # sort-based ObjectAggregation over the expanded rows (~25× slower).
-    sketches = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.expr("bit_xor(xxhash64(l_orderkey, l_linenumber, l_quantity))").alias("xx_fingerprint"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("price_percentiles"),
+    # quantity enters the fingerprint as exact integer cents — string-
+    # formatting a DOUBLE would couple the hash to each engine's float
+    # printer; ×100 is exact for TPC-H's integral quantities
+    base = (
+        li.groupBy(F.col("l_returnflag").alias("g"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5(concat_ws('|',"
+                " CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),"
+                " CAST(CAST(l_quantity * 100 AS BIGINT) AS STRING))), 1, 15),"
+                " 16, 10) AS BIGINT))"
+            ).alias("fp_xor"),
+        )
+        .collect()
     )
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = F.col("h") % _HLL_WMOD
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
     )
-    return sketches.join(F.broadcast(exact), "l_returnflag")
+    folds = {
+        r["g"]: (r["k_used"], r["s_hit"])
+        for r in (
+            li.select(F.col("l_returnflag").alias("g"), h.alias("h"))
+            .select("g", F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
+            .groupBy("g", "j")
+            .agg(F.max("r").alias("mj"))
+            .groupBy("g")
+            .agg(
+                F.count("*").alias("k_used"),
+                F.sum(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT),"
+                        f" CAST({_HLL_WBITS + 1} - mj AS INT))"
+                    )
+                ).alias("s_hit"),
+            )
+            .collect()
+        )
+    }
+    x = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
+    brow = x.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+    mn, mx = brow["mn"], brow["mx"]
+    qs = (0.5, 0.95, 0.99)
+    if mx == mn:
+        pcts = {r["g"]: {q: float(mn) for q in qs} for r in base}
+    else:
+        b = F.least(
+            F.lit(QB_BINS - 1),
+            F.floor((F.col("x") - F.lit(mn)) / (F.lit(mx) - F.lit(mn)) * QB_BINS),
+        ).cast("int")
+        by_g: dict = {}
+        for r in (
+            x.select("g", b.alias("bin")).groupBy("g", "bin")
+            .agg(F.count("*").alias("n")).collect()
+        ):
+            by_g.setdefault(r["g"], []).append((r["bin"], r["n"]))
+        width = (mx - mn) / QB_BINS
+        pcts = {}
+        for g, hist in by_g.items():
+            hist = sorted(hist)
+            total = sum(n for _, n in hist)
+            pcts[g] = {}
+            for q in qs:
+                t = q * total
+                cum = 0
+                for bin_idx, bin_n in hist:
+                    if cum + bin_n >= t:
+                        pcts[g][q] = mn + (bin_idx + (t - cum) / bin_n) * width
+                        break
+                    cum += bin_n
+    out = []
+    for r in sorted(base, key=lambda r: r["g"]):
+        g = r["g"]
+        _vz, _ss, est = _hll_est_parts(*folds[g])
+        out.append(
+            (
+                g,
+                int(r["exact_orders"]),
+                float(est),
+                int(r["fp_xor"]),
+                float(pcts[g][0.5]),
+                float(pcts[g][0.95]),
+                float(pcts[g][0.99]),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "l_returnflag STRING, exact_orders BIGINT, hll_orders DOUBLE, "
+        "fp_xor BIGINT, p50 DOUBLE, p95 DOUBLE, p99 DOUBLE",
+    )
+
+
 
 
 KMV_K = 64  # k-minimum-values sketch size
@@ -507,8 +608,6 @@ SPECS = [
     QuerySpec("x_q14_conditional_agg", x_q14_conditional_agg, X_Q14_ORACLE),
     QuerySpec("x_correlated_subquery", x_correlated_subquery, X_CORR_ORACLE),
     QuerySpec("s3_catalog_columns", s3_catalog_columns, S3_CATALOG_ORACLE),
-    QuerySpec("x_approx_sketches", x_approx_sketches, None,
-              "sketches are engine-specific — rows-only check by design"),
 ]
 
 
@@ -2081,6 +2180,7 @@ _A18_EST_SQL = f"""CASE
              * {HLL_EST_GRID} + 0.5) / {HLL_EST_GRID}
 END"""
 
+
 A18_HLL_ORACLE = f"""
 WITH h AS (
   SELECT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
@@ -2738,6 +2838,139 @@ _A22_EST_SQL = f"""CASE
               * CAST({_HLL_SCALE} AS DOUBLE) / CAST(s_scaled AS DOUBLE))
              * {HLL_EST_GRID} + 0.5) / {HLL_EST_GRID}
 END"""
+
+
+X_APPROX_SKETCHES_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag AS g,
+         COUNT(DISTINCT l_orderkey) AS exact_orders,
+         bit_xor(CAST('0x' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             CAST(CAST(l_quantity * 100 AS BIGINT) AS VARCHAR)), 1, 15)
+           AS BIGINT)) AS fp_xor
+  FROM lineitem GROUP BY 1
+),
+h AS (
+  SELECT l_returnflag AS g,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM lineitem
+),
+rho AS (
+  SELECT g, h // {_HLL_WMOD} AS j,
+         CASE WHEN h % {_HLL_WMOD} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(h % {_HLL_WMOD})) END AS r
+  FROM h
+),
+regs AS (SELECT g, j, MAX(r) AS mj FROM rho GROUP BY g, j),
+scalars AS (
+  SELECT g,
+         CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST({_HLL_WBITS + 1} - mj AS INT))
+              + ({HLL_M} - COUNT(*)) * {_HLL_SCALE} AS BIGINT) AS s_scaled
+  FROM regs GROUP BY g
+),
+src AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+),
+bounds AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM src),
+hist AS (
+  SELECT g,
+         CASE WHEN (SELECT mx FROM bounds) = (SELECT mn FROM bounds) THEN 0
+              ELSE CAST(LEAST({QB_BINS - 1},
+              floor((x - (SELECT mn FROM bounds))
+                    / ((SELECT mx FROM bounds) - (SELECT mn FROM bounds))
+                    * {QB_BINS})) AS INT) END AS bin,
+         COUNT(*) AS n
+  FROM src GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bin, n,
+         COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM hist
+),
+tot AS (SELECT g, SUM(n) AS total FROM hist GROUP BY g),
+qvals AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)),
+                                (CAST(0.99 AS DOUBLE))) AS v(q)),
+pick AS (
+  SELECT g, q, estimate FROM (
+    SELECT cum.g, qvals.q,
+           (SELECT mn FROM bounds)
+             + (cum.bin + (qvals.q * tot.total - cum.cb) / cum.n)
+               * (((SELECT mx FROM bounds) - (SELECT mn FROM bounds)) / {QB_BINS})
+             AS estimate,
+           ROW_NUMBER() OVER (PARTITION BY cum.g, qvals.q ORDER BY cum.bin) AS rn
+    FROM qvals JOIN cum ON TRUE
+    JOIN tot ON tot.g = cum.g AND cum.cb + cum.n >= qvals.q * tot.total
+  ) WHERE rn = 1
+),
+pcts AS (
+  SELECT g,
+         MAX(CASE WHEN q = 0.5 THEN estimate END) AS p50,
+         MAX(CASE WHEN q = 0.95 THEN estimate END) AS p95,
+         MAX(CASE WHEN q = 0.99 THEN estimate END) AS p99
+  FROM pick GROUP BY g
+)
+SELECT base.g AS l_returnflag, base.exact_orders, {_A22_EST_SQL} AS hll_orders,
+       base.fp_xor, pcts.p50, pcts.p95, pcts.p99
+FROM base JOIN scalars ON scalars.g = base.g JOIN pcts ON pcts.g = base.g
+ORDER BY 1
+"""
+
+
+def _x_approx_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Construction-phase plans for the audit (the a15/a18 pattern —
+    every collect in x_approx_sketches otherwise hides its aggregate
+    plan from the global guard): the exact+fingerprint agg, the
+    per-group register fold, and the shared-bin histogram (literal
+    stand-in bounds)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr(
+            "bit_xor(CAST(conv(substring(md5(concat_ws('|',"
+            " CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),"
+            " CAST(CAST(l_quantity * 100 AS BIGINT) AS STRING))), 1, 15),"
+            " 16, 10) AS BIGINT))"
+        ).alias("fp_xor"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = F.col("h") % _HLL_WMOD
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    folds = (
+        li.select(F.col("l_returnflag").alias("g"), h.alias("h"))
+        .select("g", F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
+        .groupBy("g", "j")
+        .agg(F.max("r").alias("mj"))
+        .groupBy("g")
+        .agg(F.count("*").alias("k_used"))
+    )
+    b = F.least(
+        F.lit(QB_BINS - 1),
+        F.floor((F.col("l_extendedprice") - F.lit(0.0)) / F.lit(1000.0) * QB_BINS),
+    ).cast("int")
+    hist = (
+        li.select(F.col("l_returnflag").alias("g"), b.alias("bin"))
+        .groupBy("g", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    return {"base": base, "register_fold": folds, "histogram": hist}
+
+
+SPECS.append(
+    QuerySpec(
+        "x_approx_sketches",
+        x_approx_sketches,
+        X_APPROX_SKETCHES_ORACLE,
+        probes=_x_approx_frames,
+    )
+)
+
 
 A22_HLL_UNION_ORACLE = f"""
 WITH h AS (

@@ -136,3 +136,43 @@ def test_grouped_sketches_unchanged_below_guard(spark, sf_dir):
     assert SKETCH_MAX_GROUPS >= 10_000
     assert a23_grouped_quantiles(spark, sf_dir).count() > 0
     assert a22_hll_union(spark, sf_dir).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Verdict #4: x_approx_sketches is now oracle-checked; Spark's native
+# sketch surface stays covered here (its internals are engine-specific,
+# so pytest bounds it against exact truth instead of a cross-engine
+# value hash).
+# ---------------------------------------------------------------------------
+
+
+def test_native_sketches_bounded(spark, sf_dir):
+    from snowflake_to_postgres_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    native = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("bit_xor(xxhash64(l_orderkey, l_linenumber, l_quantity))").alias("xx"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))"
+        ).alias("pcts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    for r in native.collect():
+        # HLL++ default rsd 5%: allow a generous 15% band
+        assert abs(r["approx_orders"] - r["exact_orders"]) <= 0.15 * r["exact_orders"]
+        assert r["xx"] is not None
+        p50, p95, p99 = r["pcts"]
+        assert r["mn"] <= p50 <= p95 <= p99 <= r["mx"]
+
+
+def test_x_approx_sketches_estimates_track_exact(spark, sf_dir):
+    from snowflake_to_postgres_spark.operators.analytics_ext import x_approx_sketches
+
+    rows = x_approx_sketches(spark, sf_dir).collect()
+    assert len(rows) == 3  # A / N / R
+    for r in rows:
+        assert abs(r["hll_orders"] - r["exact_orders"]) <= 0.15 * r["exact_orders"]
+        assert r["p50"] <= r["p95"] <= r["p99"]
