@@ -41,6 +41,7 @@ median of RUNS writes.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import statistics
@@ -222,6 +223,33 @@ def main() -> None:
     load_flagged = loaded_queries()
     total = sum(per_query.values())
 
+    # Drift detector (round-9 verdict #5): the per-query load guard above
+    # catches QUERIES that are slow relative to their own spread, but a
+    # UNIFORM machine-level slowdown moves every key together with tight
+    # in-run spreads and sails through it (the round-9 driver refresh ran
+    # ~1.13× the committed run on every key and published load_flagged:
+    # []). Compare this run's per-key medians against the COMMITTED
+    # BENCH_DETAIL.json: the common-key geomean ratio separates ambient
+    # drift (uniform shift) from a real regression (key-local shift).
+    drift_vs_committed = None
+    drift_suspect = False
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")) as fh:
+            committed = json.load(fh).get("queries", {})
+        ratios = [
+            per_query[k] / committed[k]
+            for k in per_query
+            if committed.get(k) and per_query[k] > 0
+        ]
+        if ratios:
+            drift_vs_committed = round(
+                math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+            )
+            drift_suspect = drift_vs_committed > 1.10 or drift_vs_committed < 0.90
+    except (OSError, ValueError, ZeroDivisionError):
+        pass
+
     # Transfer throughput: the reference's headline metric (BASELINE.md).
     # Drop leftover caches first — queries that persist shared subtrees
     # (tx_hashed_features, semantic clusters, the Hilbert LUT) leave one
@@ -254,6 +282,8 @@ def main() -> None:
         "bench_attempts": attempts,
         "load_flagged": load_flagged,
         "load_suspect": len(load_flagged) >= 3,
+        "drift_vs_committed": drift_vs_committed,
+        "drift_suspect": drift_suspect,
         "lineitem_rows": n_rows,
         "transfer_sec": round(transfer_sec, 3),
         "transfer_rows_per_sec": int(n_rows / transfer_sec) if transfer_sec > 0 else None,

@@ -788,3 +788,122 @@ def drain_with_progress(
             }
         )
     return progress
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 (round-9 verdict #6): the warehouse family's third leg.
+# Batch read-side: operators/warehouse.x_scd2_history. Batch write-side:
+# operators/transfer.scd2_apply. This closes the triangle — a foreachBatch
+# stream folding scd2_apply over event micro-batches, with the same
+# restart/parity discipline as upsert_latest_stream.
+# ---------------------------------------------------------------------------
+
+#: History-table schema maintained by the SCD2 stream (key = user_id,
+#: tracked attribute = event_type, validity in event time).
+SCD2_HISTORY_SCHEMA = (
+    "user_id BIGINT, event_type STRING, valid_from TIMESTAMP, "
+    "valid_to TIMESTAMP, is_current BOOLEAN"
+)
+
+
+def scd2_updates(batch: DataFrame) -> DataFrame:
+    """One DETERMINISTIC update row per user from an event micro-batch:
+    the latest event by (ts, event_id) — the event_id tie-break matters
+    because scd2_apply's own per-batch latest-wins window orders by the
+    timestamp alone, which is nondeterministic under equal timestamps;
+    reducing here pins the batch parity tests bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("effective_ts"))
+    )
+
+
+def _read_scd2_history(spark: SparkSession, target_path: str) -> DataFrame:
+    if os.path.isdir(target_path):
+        return spark.read.parquet(target_path)
+    return spark.createDataFrame([], SCD2_HISTORY_SCHEMA)
+
+
+def scd2_apply_events(history: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold one event micro-batch into the SCD2 history — the shared
+    kernel between the stream below and the batch fold the parity test
+    replays (operators/transfer.scd2_apply with this module's key/attr
+    binding)."""
+    from snowflake_to_postgres_spark.operators.transfer import scd2_apply
+
+    return scd2_apply(
+        history,
+        scd2_updates(batch),
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="effective_ts",
+    )
+
+
+def bootstrap_scd2_history(events: DataFrame, target_path: str) -> None:
+    """Materialize the initial history from a batch of events (one
+    scd2_apply fold over the empty history)."""
+    empty = events.sparkSession.createDataFrame([], SCD2_HISTORY_SCHEMA)
+    scd2_apply_events(empty, events).write.mode("overwrite").parquet(target_path)
+
+
+def scd2_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    since=None,
+    batch_log: str | None = None,
+) -> None:
+    """Streaming SCD2 maintenance: drain the events stream (AvailableNow)
+    into the dimension-history table — each micro-batch reduces to one
+    deterministic update per user (:func:`scd2_updates`), then
+    ``foreachBatch`` folds it with the batch kernel
+    (operators/transfer.scd2_apply) and rewrites the history.
+
+    Idempotence under at-least-once delivery: scd2_apply is a no-op on
+    a replayed batch (unchanged attributes close nothing and append
+    nothing), so a crash between the history write and the stream
+    checkpoint commit replays harmlessly — the same argument
+    upsert_latest_stream makes with its version-wins merge.
+
+    100-TB shape: the fold is scd2_apply's — the history's non-current
+    majority passes through as a filter (here: the rewrite would go
+    partition-scoped through merge_upsert_partitioned on a hash bucket
+    of user_id, exactly like upsert_latest_stream's state table; the
+    fixture-scale rewrite keeps the whole history in one parquet dir to
+    keep the parity test readable). ``batch_log`` (tests) archives each
+    micro-batch so the parity test can replay the EXACT same fold in
+    batch mode."""
+
+    events = read_events_stream(spark, sf_dir)
+    if since is not None:
+        events = events.filter(F.col("ts") >= F.lit(since))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        if batch_log is not None:
+            batch.write.mode("overwrite").parquet(
+                os.path.join(batch_log, f"batch={batch_id}")
+            )
+        hist = _read_scd2_history(sp, target_path)
+        # eager localCheckpoint: the new history is derived FROM the
+        # files the overwrite below deletes — materialize off them first
+        new_hist = scd2_apply_events(hist, batch).localCheckpoint(eager=True)
+        new_hist.write.mode("overwrite").parquet(target_path)
+
+    (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

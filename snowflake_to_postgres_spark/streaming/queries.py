@@ -213,6 +213,71 @@ FROM (
 """
 
 
+def st_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming SCD2 pipeline (round-9 verdict #6):
+    the full-granularity TYPE-2 history of each user's event_type over
+    the event log — a new version opens only where the value CHANGES
+    under (ts, event_id) arrival order, valid_to closes at the next
+    change, the live version stays open. The streaming path —
+    foreachBatch folding operators/transfer.scd2_apply per micro-batch
+    — is exercised in tests/test_round10_ops.py (batch-fold parity +
+    restart idempotence + replay no-op); its end state agrees with this
+    twin on every CURRENT version (intermediate versions legitimately
+    collapse under batching — per-batch latest-wins is the documented
+    CDC contract).
+
+    Validity bounds emit as exact microsecond bigints (the
+    st_lateness_audit discipline — no timestamp formatting in the
+    hash). 100-TB shape: one shuffle on user_id, two windows over
+    per-user history (bounded by each user's change count), nothing
+    collected."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changed = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        changed.select(
+            "user_id",
+            "event_type",
+            F.col("us").alias("valid_from_us"),
+            F.lead("us").over(w2).alias("valid_to_us"),
+        )
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+ST_SCD2_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+changed AS (
+  SELECT user_id, event_type, us FROM (
+    SELECT user_id, event_type, us,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             AS prev
+    FROM ev
+  ) WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       us AS valid_from_us,
+       LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us,
+       LEAD(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL AS is_current
+FROM changed
+ORDER BY user_id, valid_from_us
+"""
+
+
 SPECS = [
     QuerySpec("st_windowed_agg", st_windowed_agg, ST_WINDOWED_ORACLE),
     QuerySpec("st_latest_state", st_latest_state, ST_LATEST_STATE_ORACLE),
@@ -226,6 +291,7 @@ SPECS = [
         ST_INTERVAL_JOIN_OUTER_ORACLE,
     ),
     QuerySpec("st_ingest_dedup", st_ingest_dedup, ST_INGEST_DEDUP_ORACLE),
+    QuerySpec("st_scd2", st_scd2, ST_SCD2_ORACLE),
 ]
 
 

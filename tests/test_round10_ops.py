@@ -176,3 +176,107 @@ def test_x_approx_sketches_estimates_track_exact(spark, sf_dir):
     for r in rows:
         assert abs(r["hll_orders"] - r["exact_orders"]) <= 0.15 * r["exact_orders"]
         assert r["p50"] <= r["p95"] <= r["p99"]
+
+
+# ---------------------------------------------------------------------------
+# Verdict #6: streaming SCD2 — the warehouse triangle's third leg.
+# Same discipline as test_stream_cdc_tombstones_match_batch.
+# ---------------------------------------------------------------------------
+
+
+def _hist_rows(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+def test_scd2_stream_matches_batch_fold_and_is_idempotent(spark, sf_dir, tmp_path):
+    """The foreachBatch SCD2 stream must equal the pure batch fold of
+    scd2_apply over the EXACT same micro-batches (logged by the
+    handler), survive a restart on the same checkpoint unchanged, and
+    absorb a replayed batch as a no-op — the at-least-once contract its
+    docstring claims."""
+    import os
+
+    from snowflake_to_postgres_spark.sources import load_table
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        bootstrap_scd2_history,
+        scd2_apply_events,
+        scd2_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.selectExpr(
+        "timestamp_micros(cast(percentile_cont(0.5) WITHIN GROUP "
+        "(ORDER BY unix_micros(ts)) AS bigint)) AS m"
+    ).collect()[0]["m"]
+    target = str(tmp_path / "scd2")
+    batch_log = str(tmp_path / "batches")
+    bootstrap_scd2_history(events.filter(events.ts < cutoff), target)
+    bootstrap = spark.createDataFrame(
+        spark.read.parquet(target).collect(), spark.read.parquet(target).schema
+    )
+
+    scd2_stream(
+        spark, sf_dir, target, str(tmp_path / "ckpt"),
+        since=cutoff, batch_log=batch_log,
+    )
+    streamed = _hist_rows(spark.read.parquet(target))
+
+    # batch fold over the logged micro-batches, in batch-id order
+    batch_ids = sorted(
+        int(d.split("=")[1]) for d in os.listdir(batch_log) if d.startswith("batch=")
+    )
+    assert batch_ids, "stream should have processed at least one batch"
+    hist = bootstrap
+    for bid in batch_ids:
+        hist = scd2_apply_events(
+            hist, spark.read.parquet(os.path.join(batch_log, f"batch={bid}"))
+        ).localCheckpoint(eager=True)
+    assert streamed == _hist_rows(hist)
+
+    # the history is a real SCD2: exactly one current version per user,
+    # and some user must carry real history (multiple versions)
+    cur = spark.read.parquet(target).filter("is_current")
+    assert cur.count() == cur.select("user_id").distinct().count()
+    assert spark.read.parquet(target).count() > cur.count()
+
+    # restart on the same checkpoint: no new data -> no-op
+    scd2_stream(spark, sf_dir, target, str(tmp_path / "ckpt"), since=cutoff)
+    assert _hist_rows(spark.read.parquet(target)) == streamed
+
+    # at-least-once: replaying the LAST batch into the final history
+    # changes nothing (unchanged attributes close/append nothing)
+    last = spark.read.parquet(os.path.join(batch_log, f"batch={batch_ids[-1]}"))
+    replayed = scd2_apply_events(spark.read.parquet(target), last)
+    assert _hist_rows(replayed) == streamed
+
+
+def test_scd2_stream_current_rows_match_batch_twin(spark, sf_dir, tmp_path):
+    """Batching legitimately collapses intermediate versions, but the
+    CURRENT value per user is batching-invariant — the streamed
+    history's live rows must agree with the full-granularity st_scd2
+    twin (and hence with st_latest_state's last_type)."""
+    from snowflake_to_postgres_spark.sources import load_table
+    from snowflake_to_postgres_spark.streaming.queries import st_scd2
+    from snowflake_to_postgres_spark.streaming.pipeline import (
+        bootstrap_scd2_history,
+        scd2_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.selectExpr(
+        "timestamp_micros(cast(percentile_cont(0.5) WITHIN GROUP "
+        "(ORDER BY unix_micros(ts)) AS bigint)) AS m"
+    ).collect()[0]["m"]
+    target = str(tmp_path / "scd2")
+    bootstrap_scd2_history(events.filter(events.ts < cutoff), target)
+    scd2_stream(spark, sf_dir, target, str(tmp_path / "ckpt"), since=cutoff)
+
+    got = {
+        r["user_id"]: r["event_type"]
+        for r in spark.read.parquet(target).filter("is_current").collect()
+    }
+    exp = {
+        r["user_id"]: r["event_type"]
+        for r in st_scd2(spark, sf_dir).filter("is_current").collect()
+    }
+    assert got == exp
