@@ -2574,3 +2574,175 @@ SELECT qid, rank, neighbor_id, cosine FROM (
 SPECS.append(
     QuerySpec("sim_filtered_ann", sim_filtered_ann, SIM_FILTERED_ANN_ORACLE)
 )
+
+
+#: Selectivity ladder for the filtered-ANN recall gate: 1/2, 1/4, 1/16
+#: of the corpus eligible. The most selective rung is the case the
+#: round-9 verdict called out — selective filters starve probed cells,
+#: the regime where n_probe must grow.
+FILTERED_RECALL_MODS = (2, 4, 16)
+
+
+def sim_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall gate for filtered ANN (round-9 verdict #7 —
+    sim_ann_recall's discipline applied to the filtered path): per
+    query and per filter selectivity, recall of the pre-filter IVF
+    search against the EXACT filtered top-k (brute force restricted to
+    the same predicate). Emits (filter_mod, qid, truth_n, hits,
+    recall): truth_n is the eligible ground-truth size (selective
+    filters can leave fewer than k eligible neighbors — recall
+    normalizes by what exists, not by k), and a query whose probed
+    cells hold NO eligible vector still appears with 0.
+
+    Scale shape: same as sim_ann_recall — exact truth over the sampled
+    query block only; each rung's approx side is literally
+    sim_filtered_ann's plan (filter INSIDE the probe) at that
+    selectivity; the all-pairs score block is computed once and
+    filtered per rung (scores are filter-independent — only the rank
+    cut moves)."""
+    comp = _components(spark, sf_dir)
+    bf = _bf_cosines(spark, sf_dir).cache()
+    cand = _ivf_candidates(comp).cache()
+    qids = bf.select("qid").distinct()
+    out = None
+    for mod in FILTERED_RECALL_MODS:
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        truth = (
+            bf.filter(F.col("neighbor_id") % mod == 0)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= ANN_EVAL_K)
+            .select("qid", "neighbor_id")
+        )
+        approx = _rank_candidates(
+            comp, cand.filter(F.col("vec_id") % mod == 0), k=ANN_EVAL_K
+        ).select("qid", "neighbor_id")
+        tn = truth.groupBy("qid").agg(F.count("*").alias("truth_n"))
+        hits = (
+            truth.join(approx, ["qid", "neighbor_id"], "left_semi")
+            .groupBy("qid")
+            .agg(F.count("*").alias("hits"))
+        )
+        m = (
+            qids.join(tn, "qid", "left")
+            .join(hits, "qid", "left")
+            .select(
+                F.lit(mod).cast("bigint").alias("filter_mod"),
+                "qid",
+                F.coalesce("truth_n", F.lit(0)).cast("bigint").alias("truth_n"),
+                F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+                F.when(
+                    F.coalesce("truth_n", F.lit(0)) > 0,
+                    F.coalesce("hits", F.lit(0)).cast("double")
+                    / F.col("truth_n").cast("double"),
+                )
+                .otherwise(F.lit(None).cast("double"))
+                .alias("recall"),
+            )
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("filter_mod", "qid")
+
+
+def _filtered_recall_oracle() -> str:
+    """Oracle for sim_filtered_recall: the shared score blocks (exact
+    all-pairs + IVF candidate scores) once, one truth/approx/hits rung
+    per selectivity, UNION ALL — generated from the same
+    FILTERED_RECALL_MODS the Spark side loops over."""
+    shared = _COMP_CTES + f""",
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
+bfdots AS (
+  SELECT qid, vec_id, CAST(SUM(val * qval) AS DECIMAL(38,18)) AS dot
+  FROM comp JOIN q USING (idx)
+  WHERE vec_id <> qid
+  GROUP BY qid, vec_id
+),
+bfres AS (
+  SELECT qid, bfdots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM bfdots
+  JOIN norms qn ON qn.vec_id = bfdots.qid
+  JOIN norms nn ON nn.vec_id = bfdots.vec_id
+),
+cent AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {N_CENTROIDS}),
+celld2 AS (
+  SELECT vec_id, cid,
+         CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp JOIN cent USING (idx) GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM celld2
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM celld2 WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+allcand AS (
+  SELECT qid, vec_id FROM assign JOIN probes USING (cell) WHERE vec_id <> qid
+),
+cdots AS (
+  SELECT c.qid, c.vec_id, CAST(SUM(comp.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM allcand c
+  JOIN comp ON comp.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid AND q.idx = comp.idx
+  GROUP BY c.qid, c.vec_id
+),
+cres AS (
+  SELECT qid, cdots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM cdots
+  JOIN norms qn ON qn.vec_id = cdots.qid
+  JOIN norms nn ON nn.vec_id = cdots.vec_id
+),
+qids AS (SELECT DISTINCT qid FROM bfres)"""
+    rungs = []
+    blocks = []
+    for mod in FILTERED_RECALL_MODS:
+        rungs.append(f""",
+truth{mod} AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM bfres WHERE neighbor_id % {mod} = 0
+  ) WHERE rn <= {ANN_EVAL_K}
+),
+app{mod} AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM cres WHERE neighbor_id % {mod} = 0
+  ) WHERE rn <= {ANN_EVAL_K}
+),
+tn{mod} AS (SELECT qid, COUNT(*) AS truth_n FROM truth{mod} GROUP BY qid),
+h{mod} AS (
+  SELECT t.qid, COUNT(*) AS hits FROM truth{mod} t
+  WHERE EXISTS (SELECT 1 FROM app{mod} a
+                WHERE a.qid = t.qid AND a.neighbor_id = t.neighbor_id)
+  GROUP BY t.qid
+)""")
+        blocks.append(f"""
+SELECT CAST({mod} AS BIGINT) AS filter_mod, qids.qid,
+       CAST(COALESCE(tn{mod}.truth_n, 0) AS BIGINT) AS truth_n,
+       CAST(COALESCE(h{mod}.hits, 0) AS BIGINT) AS hits,
+       CASE WHEN COALESCE(tn{mod}.truth_n, 0) > 0
+            THEN CAST(COALESCE(h{mod}.hits, 0) AS DOUBLE) / tn{mod}.truth_n
+            ELSE NULL END AS recall
+FROM qids
+LEFT JOIN tn{mod} ON tn{mod}.qid = qids.qid
+LEFT JOIN h{mod} ON h{mod}.qid = qids.qid""")
+    return (
+        shared + "".join(rungs) + "\n" + "\nUNION ALL\n".join(blocks)
+        + "\nORDER BY filter_mod, qid"
+    )
+
+
+SIM_FILTERED_RECALL_ORACLE = _filtered_recall_oracle()
+
+SPECS.append(
+    QuerySpec("sim_filtered_recall", sim_filtered_recall, SIM_FILTERED_RECALL_ORACLE)
+)
