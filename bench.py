@@ -118,6 +118,15 @@ HEADLINE = [
     "sim_range_search",
     "tx_winnowing",
     "graph_label_prop",
+    # round-10 additions (one per new family; prior keys unchanged):
+    # streaming SCD2's batch twin (the warehouse triangle's third leg),
+    # the filtered-ANN recall gate (selectivity-laddered), snapshot
+    # distribution drift (PSI), and series autocorrelation (new ts
+    # member)
+    "st_scd2",
+    "sim_filtered_recall",
+    "val_psi_drift",
+    "ts_acf",
 ]
 
 

@@ -3913,3 +3913,289 @@ def binned_quantiles(df: DataFrame, col: str, qs=QB_QUANTILES) -> list:
                 break
             cum += bin_n
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 10: autocorrelation, decomposition strength, histogram merge.
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 6  # autocorrelation lags evaluated (hours)
+
+
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series, per
+    event type and lag 1..ACF_MAX_LAG — the diagnostic that PICKS the
+    seasonal-naive lag ts_forecast_backtest assumes and the window
+    widths ts_decompose hard-codes (a daily cycle shows as a peak at
+    lag 24; short-memory noise decays by lag 2-3).
+
+    ACF(k) here is the Pearson correlation between the series and its
+    k-hour lag over all present hour pairs (missing hours drop out of
+    the inner join — no imputation). Determinism: every sufficient
+    statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an exact bigint; the two
+    variance factors stay below 2^53 so their doubles are exact;
+    sqrt is correctly rounded everywhere; the single final division
+    lands on the tie-free 1e-9 grid.
+
+    100-TB shape: one map-side-combinable aggregate to hourly grain,
+    then everything runs over the bucketed series (|types| × |hours| ×
+    ACF_MAX_LAG rows — bounded by wall-clock time, not events); the
+    lag join keys on (event_type, hour) — the grain's own shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+        "event_type",
+    ).agg(F.count("*").alias("x"))
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, ACF_MAX_LAG + 1)])
+    ).alias("lag")
+    left = c.select("event_type", "h", "x", lags)
+    right = c.select(
+        "event_type", F.col("h").alias("h2"), F.col("x").alias("y")
+    )
+    stats = (
+        left.join(
+            right,
+            (left.event_type == right.event_type)
+            & (F.col("h2") == F.col("h") + F.col("lag")),
+        )
+        .drop(right.event_type)
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        )
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    vx = (
+        F.col("n").cast("double") * F.col("sx2").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    vy = (
+        F.col("n").cast("double") * F.col("sy2").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    acf = F.when(
+        (vx > 0) & (vy > 0),
+        F.floor(num / (F.sqrt(vx) * F.sqrt(vy)) * 1e9 + F.lit(0.5)) / 1e9,
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        stats.select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            acf.alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+TS_ACF_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+         event_type, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT l.event_type, g.lag,
+         CAST(l.x AS BIGINT) AS x, CAST(r.x AS BIGINT) AS y
+  FROM c l
+  JOIN unnest(generate_series(1, {ACF_MAX_LAG})) AS g(lag) ON TRUE
+  JOIN c r ON r.event_type = l.event_type AND r.h = l.h + g.lag
+),
+stats AS (
+  SELECT event_type, lag, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM lagged GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN (CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) > 0
+             AND (CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy) > 0
+            THEN floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))
+                       * 1000000000.0 + 0.5) / 1000000000.0
+            ELSE NULL END AS acf
+FROM stats
+ORDER BY event_type, lag
+"""
+
+
+SPECS.append(QuerySpec("ts_acf", ts_acf, TS_ACF_ORACLE))
+
+
+def ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonal STRENGTH of the ts_decompose components, per event
+    type — Hyndman & Wang's F_T = max(0, 1 - Var(R)/Var(T+R)) and
+    F_S = max(0, 1 - Var(R)/Var(S+R)): the one-number answer to "is
+    this series actually seasonal/trending, or is the decomposition
+    fitting noise", i.e. which series ts_forecast_backtest's
+    seasonal-naive lag is even appropriate for.
+
+    Determinism: the decomposition components are already on the
+    tie-free 1e-8 decimal grid, so T+R = cnt - seasonal and S+R =
+    cnt - trend are exact decimals; every variance numerator
+    n·Σx² − (Σx)² is computed entirely in exact decimal (the shared-n
+    denominators cancel in the ratio), and the single final division
+    snaps to the 1e-6 grid. 100-TB shape: inherits ts_decompose's
+    (bucketed series only), plus one aggregate per type."""
+    d = ts_decompose(spark, sf_dir).select(
+        "event_type",
+        F.col("residual").alias("r"),
+        (F.col("cnt").cast("decimal(18,8)") - F.col("seasonal")).alias("tr"),
+        (F.col("cnt").cast("decimal(18,8)") - F.col("trend")).alias("sr"),
+    )
+    sums = d.groupBy("event_type").agg(
+        F.count("*").cast("decimal(18,0)").alias("n"),
+        F.sum("r").cast("decimal(38,8)").alias("s_r"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,16)")).alias("s_r2"),
+        F.sum("tr").cast("decimal(38,8)").alias("s_tr"),
+        F.sum((F.col("tr") * F.col("tr")).cast("decimal(38,16)")).alias("s_tr2"),
+        F.sum("sr").cast("decimal(38,8)").alias("s_sr"),
+        F.sum((F.col("sr") * F.col("sr")).cast("decimal(38,16)")).alias("s_sr2"),
+    )
+
+    def var_num(s2, s):  # n·Σx² − (Σx)², exact decimal
+        return (
+            F.col("n") * F.col(s2) - (F.col(s) * F.col(s)).cast("decimal(38,16)")
+        ).cast("double")
+
+    def strength(s2, s):
+        ratio = var_num("s_r2", "s_r") / var_num(s2, s)
+        return F.when(
+            var_num(s2, s) > 0,
+            F.floor(
+                F.greatest(F.lit(0.0), F.lit(1.0) - ratio) * 1e6 + F.lit(0.5)
+            )
+            / 1e6,
+        ).otherwise(F.lit(None).cast("double"))
+
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        strength("s_tr2", "s_tr").alias("strength_trend"),
+        strength("s_sr2", "s_sr").alias("strength_seasonal"),
+    ).orderBy("event_type")
+
+
+TS_STL_STRENGTH_ORACLE = f"""
+WITH decomp AS ({TS_DECOMPOSE_ORACLE}),
+parts AS (
+  SELECT event_type,
+         CAST(residual AS DECIMAL(19,8)) AS r,
+         CAST(CAST(cnt AS DECIMAL(18,8)) - seasonal AS DECIMAL(19,8)) AS tr,
+         CAST(CAST(cnt AS DECIMAL(18,8)) - trend AS DECIMAL(19,8)) AS sr
+  FROM decomp
+),
+sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+         CAST(SUM(r) AS DECIMAL(38,8)) AS s_r,
+         CAST(SUM(CAST(r * r AS DECIMAL(38,16))) AS DECIMAL(38,16)) AS s_r2,
+         CAST(SUM(tr) AS DECIMAL(38,8)) AS s_tr,
+         CAST(SUM(CAST(tr * tr AS DECIMAL(38,16))) AS DECIMAL(38,16)) AS s_tr2,
+         CAST(SUM(sr) AS DECIMAL(38,8)) AS s_sr,
+         CAST(SUM(CAST(sr * sr AS DECIMAL(38,16))) AS DECIMAL(38,16)) AS s_sr2
+  FROM parts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       CASE WHEN CAST(n * s_tr2 - CAST(s_tr * s_tr AS DECIMAL(38,16)) AS DOUBLE) > 0
+            THEN floor(GREATEST(0.0, 1.0 -
+                   CAST(n * s_r2 - CAST(s_r * s_r AS DECIMAL(38,16)) AS DOUBLE)
+                   / CAST(n * s_tr2 - CAST(s_tr * s_tr AS DECIMAL(38,16)) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE NULL END AS strength_trend,
+       CASE WHEN CAST(n * s_sr2 - CAST(s_sr * s_sr AS DECIMAL(38,16)) AS DOUBLE) > 0
+            THEN floor(GREATEST(0.0, 1.0 -
+                   CAST(n * s_r2 - CAST(s_r * s_r AS DECIMAL(38,16)) AS DOUBLE)
+                   / CAST(n * s_sr2 - CAST(s_sr * s_sr AS DECIMAL(38,16)) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE NULL END AS strength_seasonal
+FROM sums
+ORDER BY event_type
+"""
+
+
+SPECS.append(QuerySpec("ts_stl_strength", ts_stl_strength, TS_STL_STRENGTH_ORACLE))
+
+
+HIST_UNION_BINS = 64  # a26: equi-width bins (shared global bounds)
+
+
+def a26_hist_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram mergeability proof — a21/a23's missing third leg (a22
+    proved it for HLL registers): per-o_orderstatus equi-width
+    histograms of o_totalprice over SHARED global bounds, merged by
+    summing bin counts, must equal the single-pass histogram over the
+    union — the property that lets per-partition/per-day histogram
+    sketches roll up without rescanning history. The oracle computes
+    the __merged__ rows DIRECTLY from the raw rows (single pass), so
+    the value-hash gate itself is the mergeability proof.
+
+    All counts exact integers; the bin expression is the a21 kernel's
+    (shared global bounds keep bins comparable across groups). 100-TB
+    shape: one (group, bin) map-side-combinable aggregate, one
+    bin-keyed rollup over |groups|×bins rows — bounded metadata."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.col("o_totalprice").cast("double").alias("x"),
+    )
+    brow = o.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
+    mn, mx = brow["mn"], brow["mx"]
+    if mn is None or mx == mn:
+        b = F.lit(0)
+    else:
+        b = F.least(
+            F.lit(HIST_UNION_BINS - 1),
+            F.floor(
+                (F.col("x") - F.lit(mn)) / (F.lit(mx) - F.lit(mn))
+                * HIST_UNION_BINS
+            ),
+        ).cast("int")
+    per_group = o.select("g", b.alias("bin")).groupBy("g", "bin").agg(
+        F.count("*").alias("n")
+    )
+    merged = per_group.groupBy("bin").agg(F.sum("n").alias("n")).select(
+        F.lit("__merged__").alias("g"), "bin", "n"
+    )
+    return (
+        per_group.unionByName(merged)
+        .select("g", "bin", F.col("n").cast("bigint").alias("n"))
+        .orderBy("g", "bin")
+    )
+
+
+A26_HIST_UNION_ORACLE = f"""
+WITH src AS (
+  SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS x FROM orders
+),
+bounds AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM src),
+binned AS (
+  SELECT g,
+         CASE WHEN (SELECT mx FROM bounds) = (SELECT mn FROM bounds) THEN 0
+              ELSE CAST(LEAST({HIST_UNION_BINS - 1},
+              floor((x - (SELECT mn FROM bounds))
+                    / ((SELECT mx FROM bounds) - (SELECT mn FROM bounds))
+                    * {HIST_UNION_BINS})) AS INT) END AS bin
+  FROM src
+)
+SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned GROUP BY g, bin
+UNION ALL
+SELECT '__merged__' AS g, bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM binned GROUP BY bin
+ORDER BY g, bin
+"""
+
+
+SPECS.append(QuerySpec("a26_hist_union", a26_hist_union, A26_HIST_UNION_ORACLE))

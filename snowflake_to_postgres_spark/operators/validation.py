@@ -584,3 +584,243 @@ ORDER BY check_name
 
 
 SPECS.append(QuerySpec("val_expectations", val_expectations, VAL_EXPECTATIONS_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Round 10: snapshot drift — the validator family extended from "do two
+# copies of the SAME data match" (L1-L5) to "did the DISTRIBUTION move
+# between two snapshots" (the monitoring question a migrated warehouse
+# asks weekly, and the training-data question a corpus refresh asks
+# before retraining).
+# ---------------------------------------------------------------------------
+
+#: Snapshot split for the drift operators: orders strictly before this
+#: date are snapshot A, on/after are snapshot B (~half the date range).
+PSI_SPLIT_DATE = "1995-06-17"
+PSI_BINS = 10
+
+
+def val_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per numeric column between the two
+    order snapshots — THE standard distribution-drift score
+    (credit-risk monitoring lineage): psi = Σ_bins (p−q)·ln(p/q) over
+    {PSI_BINS} equi-width bins with SHARED bounds from the union (the
+    a21/a23 bin kernel — per-snapshot bounds would make the shares
+    incomparable). Bins empty on either side are excluded from the sum
+    and reported (bins_dropped) instead of epsilon-smoothed — the
+    common ε hack makes psi depend on an arbitrary constant; at these
+    bin widths a one-sided-empty bin IS the drift signal, surfaced
+    explicitly. Rule-of-thumb reading: <0.10 stable, 0.10-0.25
+    moderate, >0.25 shifted.
+
+    Determinism: shares are exact-int ratios; each bin's term is
+    non-negative ((p−q) and ln(p/q) share a sign), snapped to the 1e-6
+    grid AS AN INTEGER per bin and summed exactly — an unordered
+    double sum of libm-ln terms would re-import the summation-order
+    problem the engine's other float paths avoid.
+
+    100-TB shape: one bounds pass + one (column, snapshot, bin)
+    map-side-combinable aggregate over the unpivoted frame; the psi
+    fold runs over |columns|×{PSI_BINS} rows — bounded metadata."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(PSI_SPLIT_DATE).cast("date")
+    snap = F.when(F.col("o_orderdate") < split, "a").otherwise("b")
+    long = o.select(
+        snap.alias("snap"),
+        F.expr(
+            "stack(2, 'o_totalprice', CAST(o_totalprice AS DOUBLE),"
+            " 'o_custkey', CAST(o_custkey AS DOUBLE)) AS (column_name, x)"
+        ),
+    )
+    bounds = long.groupBy("column_name").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    binned = (
+        long.join(bounds, "column_name")
+        .withColumn(
+            "bin",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(PSI_BINS - 1),
+                    F.floor(
+                        (F.col("x") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * PSI_BINS
+                    ),
+                ).cast("int")
+            ),
+        )
+        .groupBy("column_name", "bin")
+        .agg(
+            F.sum(F.when(F.col("snap") == "a", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("snap") == "b", 1).otherwise(0)).alias("cb"),
+        )
+    )
+    totals = binned.groupBy("column_name").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    term_scaled = F.when(
+        (F.col("ca") > 0) & (F.col("cb") > 0),
+        F.floor((p - q) * F.log(p / q) * 1e6 + F.lit(0.5)).cast("bigint"),
+    )
+    return (
+        binned.join(totals, "column_name")
+        .groupBy("column_name")
+        .agg(
+            (F.sum(term_scaled).cast("double") / 1e6).alias("psi"),
+            F.sum(F.when(term_scaled.isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bins_used"),
+            F.sum(
+                F.when(
+                    ((F.col("ca") > 0) | (F.col("cb") > 0))
+                    & ((F.col("ca") == 0) | (F.col("cb") == 0)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("bins_dropped"),
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+        )
+        .orderBy("column_name")
+    )
+
+
+VAL_PSI_ORACLE = f"""
+WITH long AS (
+  SELECT CASE WHEN o_orderdate < DATE '{PSI_SPLIT_DATE}' THEN 'a' ELSE 'b' END AS snap,
+         'o_totalprice' AS column_name, CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+  UNION ALL
+  SELECT CASE WHEN o_orderdate < DATE '{PSI_SPLIT_DATE}' THEN 'a' ELSE 'b' END AS snap,
+         'o_custkey' AS column_name, CAST(o_custkey AS DOUBLE) AS x
+  FROM orders
+),
+bounds AS (
+  SELECT column_name, MIN(x) AS mn, MAX(x) AS mx FROM long GROUP BY column_name
+),
+binned AS (
+  SELECT l.column_name,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE CAST(LEAST({PSI_BINS - 1},
+                   floor((l.x - b.mn) / (b.mx - b.mn) * {PSI_BINS})) AS INT) END AS bin,
+         SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM long l JOIN bounds b USING (column_name)
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT column_name, SUM(ca) AS na, SUM(cb) AS nb FROM binned GROUP BY column_name
+),
+terms AS (
+  SELECT binned.column_name, ca, cb,
+         CASE WHEN ca > 0 AND cb > 0
+              THEN CAST(floor((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                     * ln((CAST(ca AS DOUBLE) / na) / (CAST(cb AS DOUBLE) / nb))
+                     * 1000000.0 + 0.5) AS BIGINT)
+              ELSE NULL END AS term_scaled,
+         na, nb
+  FROM binned JOIN totals USING (column_name)
+)
+SELECT column_name,
+       CAST(SUM(term_scaled) AS DOUBLE) / 1000000.0 AS psi,
+       CAST(SUM(CASE WHEN term_scaled IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bins_used,
+       CAST(SUM(CASE WHEN (ca > 0 OR cb > 0) AND (ca = 0 OR cb = 0) THEN 1 ELSE 0 END) AS BIGINT) AS bins_dropped,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b
+FROM terms
+GROUP BY column_name
+ORDER BY column_name
+"""
+
+
+SPECS.append(QuerySpec("val_psi_drift", val_psi_drift, VAL_PSI_ORACLE))
+
+
+def val_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile drift between the two order snapshots: row
+    counts, NULL counts, and distinct counts side by side — the
+    schema-level companion to val_psi_drift's distribution score (a
+    column whose null rate doubles or whose distinct count collapses
+    is drifting even when its value histogram looks stable). All
+    exact integers; distinct counts run on the string image of each
+    value (injective in both engines, so the cardinality matches the
+    oracle's native-typed COUNT(DISTINCT)).
+
+    100-TB shape: the a4 single-pass idiom — one unpivoted
+    (column, snapshot) aggregate, no per-column queries."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(PSI_SPLIT_DATE).cast("date")
+    snap = F.when(F.col("o_orderdate") < split, "a").otherwise("b")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    stack_expr = "stack({}, {}) AS (column_name, v)".format(
+        len(cols),
+        ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols),
+    )
+    long = o.select(snap.alias("snap"), F.expr(stack_expr))
+    agg = long.groupBy("column_name", "snap").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.countDistinct("v").alias("nd"),
+    )
+    a = agg.filter(F.col("snap") == "a").select(
+        "column_name",
+        F.col("n").alias("n_a"),
+        F.col("nulls").alias("nulls_a"),
+        F.col("nd").alias("distinct_a"),
+    )
+    b = agg.filter(F.col("snap") == "b").select(
+        "column_name",
+        F.col("n").alias("n_b"),
+        F.col("nulls").alias("nulls_b"),
+        F.col("nd").alias("distinct_b"),
+    )
+    return (
+        a.join(b, "column_name", "full_outer")
+        .select(
+            "column_name",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in ("n_a", "n_b", "nulls_a", "nulls_b",
+                          "distinct_a", "distinct_b")
+            ],
+        )
+        .orderBy("column_name")
+    )
+
+
+def _schema_drift_oracle() -> str:
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(COALESCE(SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b,
+       CAST(COALESCE(SUM(CASE WHEN snap = 'a' AND {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nulls_a,
+       CAST(COALESCE(SUM(CASE WHEN snap = 'b' AND {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nulls_b,
+       CAST(COUNT(DISTINCT CASE WHEN snap = 'a' THEN {c} END) AS BIGINT) AS distinct_a,
+       CAST(COUNT(DISTINCT CASE WHEN snap = 'b' THEN {c} END) AS BIGINT) AS distinct_b
+FROM snapped""")
+    return (
+        f"WITH snapped AS (SELECT *, CASE WHEN o_orderdate < DATE "
+        f"'{PSI_SPLIT_DATE}' THEN 'a' ELSE 'b' END AS snap FROM orders)"
+        + "\nUNION ALL\n".join(blocks)
+        + "\nORDER BY column_name"
+    )
+
+
+VAL_SCHEMA_DRIFT_ORACLE = _schema_drift_oracle()
+
+SPECS.append(
+    QuerySpec("val_schema_drift", val_schema_drift, VAL_SCHEMA_DRIFT_ORACLE)
+)

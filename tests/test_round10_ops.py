@@ -280,3 +280,167 @@ def test_scd2_stream_current_rows_match_batch_twin(spark, sf_dir, tmp_path):
         for r in st_scd2(spark, sf_dir).filter("is_current").collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 2: ACF, STL strength, histogram union, PSI/schema
+# drift, two-hop reach — one parity/property pin per operator.
+# ---------------------------------------------------------------------------
+
+
+def test_ts_acf_matches_pure_python(spark, sf_dir):
+    import math
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        ACF_MAX_LAG,
+        ts_acf,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = {}
+    for r in (
+        ev.groupBy(
+            F.expr("unix_timestamp(date_trunc('hour', ts)) div 3600").alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("x"))
+        .collect()
+    ):
+        hourly.setdefault(r["event_type"], {})[r["h"]] = r["x"]
+
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in ts_acf(spark, sf_dir).collect()
+    }
+    for etype, series in hourly.items():
+        for lag in range(1, ACF_MAX_LAG + 1):
+            pairs = [
+                (x, series[h + lag]) for h, x in series.items() if h + lag in series
+            ]
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sx2 = sum(x * x for x, _ in pairs); sy2 = sum(y * y for _, y in pairs)
+            vx = n * sx2 - sx * sx; vy = n * sy2 - sy * sy
+            exp = (
+                math.floor((n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)) * 1e9 + 0.5) / 1e9
+                if vx > 0 and vy > 0 else None
+            )
+            assert got[(etype, lag)] == (n, exp)
+
+
+def test_ts_stl_strength_in_unit_interval(spark, sf_dir):
+    from snowflake_to_postgres_spark.operators.analytics_ext import ts_stl_strength
+
+    rows = ts_stl_strength(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["strength_trend"] <= 1.0
+        assert 0.0 <= r["strength_seasonal"] <= 1.0
+
+
+def test_a26_hist_union_merge_equals_groups(spark, duck, sf_dir):
+    from snowflake_to_postgres_spark.operators.analytics_ext import a26_hist_union
+
+    rows = a26_hist_union(spark, sf_dir).collect()
+    groups, merged = {}, {}
+    for r in rows:
+        (merged if r["g"] == "__merged__" else groups).setdefault(r["bin"], 0)
+        if r["g"] == "__merged__":
+            merged[r["bin"]] += r["n"]
+        else:
+            groups[r["bin"]] += r["n"]
+    assert merged == groups
+    total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert sum(merged.values()) == total
+
+
+def test_val_psi_drift_properties(spark, duck, sf_dir):
+    from snowflake_to_postgres_spark.operators.validation import (
+        PSI_BINS,
+        val_psi_drift,
+    )
+
+    rows = val_psi_drift(spark, sf_dir).collect()
+    assert {r["column_name"] for r in rows} == {"o_totalprice", "o_custkey"}
+    total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    for r in rows:
+        assert r["psi"] >= 0.0  # (p-q) and ln(p/q) share a sign
+        assert r["bins_used"] + r["bins_dropped"] <= PSI_BINS
+        assert r["n_a"] + r["n_b"] == total
+
+
+def test_val_psi_matches_pure_python(spark, duck, sf_dir):
+    """Exact parity of the per-bin term algebra with a pure-python PSI
+    over the same bins (shared global bounds, per-term 1e-6 integer
+    snap, zero-sided bins dropped)."""
+    import math
+
+    from snowflake_to_postgres_spark.operators.validation import (
+        PSI_BINS,
+        PSI_SPLIT_DATE,
+        val_psi_drift,
+    )
+
+    got = {r["column_name"]: r for r in val_psi_drift(spark, sf_dir).collect()}
+    for col in ("o_totalprice", "o_custkey"):
+        vals = duck.execute(
+            f"SELECT CAST({col} AS DOUBLE), o_orderdate < DATE '{PSI_SPLIT_DATE}' "
+            f"FROM orders"
+        ).fetchall()
+        mn = min(v for v, _ in vals)
+        mx = max(v for v, _ in vals)
+        ca = [0] * PSI_BINS
+        cb = [0] * PSI_BINS
+        for v, is_a in vals:
+            b = 0 if mx == mn else min(
+                PSI_BINS - 1, math.floor((v - mn) / (mx - mn) * PSI_BINS)
+            )
+            (ca if is_a else cb)[b] += 1
+        na, nb = sum(ca), sum(cb)
+        scaled = 0
+        used = dropped = 0
+        for a, b in zip(ca, cb):
+            if a > 0 and b > 0:
+                p, q = a / na, b / nb
+                scaled += math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
+                used += 1
+            elif a > 0 or b > 0:
+                dropped += 1
+        r = got[col]
+        assert (r["psi"], r["bins_used"], r["bins_dropped"], r["n_a"], r["n_b"]) == (
+            scaled / 1e6, used, dropped, na, nb
+        )
+
+
+def test_val_schema_drift_counts(spark, duck, sf_dir):
+    from snowflake_to_postgres_spark.operators.validation import val_schema_drift
+
+    rows = val_schema_drift(spark, sf_dir).collect()
+    assert len(rows) == 6
+    total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    for r in rows:
+        assert r["n_a"] + r["n_b"] == total
+        assert r["distinct_a"] <= r["n_a"] and r["distinct_b"] <= r["n_b"]
+        assert r["nulls_a"] == 0 and r["nulls_b"] == 0  # TPC-H orders: no NULLs
+
+
+def test_two_hop_reach_on_constructed_graph(spark):
+    """Path graph 1-2-3-4-5: reach2(3) = 4 (everything), reach2(1) = 2
+    (nodes 2, 3); plus a square with a diagonal to exercise dedup of
+    multiple 2-hop routes to the same node."""
+    from snowflake_to_postgres_spark.operators.graph import two_hop_reach
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u bigint, v bigint"
+    )
+    got = {r["u"]: (r["deg"], r["reach2"]) for r in two_hop_reach(path).collect()}
+    assert got == {1: (1, 2), 2: (2, 3), 3: (2, 4), 4: (2, 3), 5: (1, 2)}
+
+    # square 1-2-3-4-1 plus diagonal 1-3: every node reaches all others
+    square = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "u bigint, v bigint"
+    )
+    got = {r["u"]: r["reach2"] for r in two_hop_reach(square).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
