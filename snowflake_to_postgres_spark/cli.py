@@ -552,6 +552,55 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Snapshot drift report between two parquet tables: PSI per
+    numeric column (or the columns named via --columns) plus the
+    per-column profile diff — the monitoring pass a migrated warehouse
+    schedules after every load. Composes the generic validation kernels
+    (psi_drift / profile_drift) and prints one JSON object."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from snowflake_to_postgres_spark.operators.validation import (
+        profile_drift,
+        psi_drift,
+    )
+
+    spark = get_spark("drift")
+    a = spark.read.parquet(args.path_a)
+    b = spark.read.parquet(args.path_b)
+    if args.columns:
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        missing = [c for c in cols if c not in a.columns or c not in b.columns]
+        if missing:
+            print(json.dumps({"error": f"columns {missing} not in both tables"}))
+            return 2
+    else:
+        cols = [
+            f.name for f in a.schema.fields
+            if isinstance(f.dataType, T.NumericType) and f.name in set(b.columns)
+        ]
+    out = {
+        "path_a": args.path_a,
+        "path_b": args.path_b,
+        "psi": [
+            dict(column=r["column_name"], psi=r["psi"],
+                 bins_used=r["bins_used"], bins_dropped=r["bins_dropped"])
+            for r in (psi_drift(a, b, cols).collect() if cols else [])
+        ],
+        "profile": [
+            dict(column=r["column_name"],
+                 n=[r["n_a"], r["n_b"]],
+                 nulls=[r["nulls_a"], r["nulls_b"]],
+                 distinct=[r["distinct_a"], r["distinct_b"]])
+            for r in profile_drift(a, b).collect()
+        ],
+    }
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_corpus_stats(args) -> int:
     """One-shot corpus health report: size, language/source mix, exact-
     duplicate rate, and the quality-score distribution — the numbers an
@@ -795,6 +844,12 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--column", required=True)
     sk.add_argument("--top", type=int, default=10)
     sk.set_defaults(fn=cmd_sketch)
+
+    dr = sub.add_parser("drift")
+    dr.add_argument("--path-a", required=True, help="snapshot A parquet")
+    dr.add_argument("--path-b", required=True, help="snapshot B parquet")
+    dr.add_argument("--columns", help="comma list for PSI (default: shared numeric)")
+    dr.set_defaults(fn=cmd_drift)
 
     cs = sub.add_parser("corpus-stats")
     cs.add_argument("--source", required=True, help="dir holding documents.parquet")

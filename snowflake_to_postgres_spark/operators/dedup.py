@@ -1367,3 +1367,102 @@ DEDUP_SIMHASH64_ORACLE = _simhash64_oracle_sql()
 SPECS.append(
     QuerySpec("dedup_simhash64_pairs", dedup_simhash64_pairs, DEDUP_SIMHASH64_ORACLE)
 )
+
+
+def pipe_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assign WHOLE near-duplicate
+    clusters to a split by hashing the cluster's canonical doc_id, so
+    two near-duplicates can never straddle train and test — the eval-
+    contamination failure a plain per-document hash split
+    (tx_train_split) cannot prevent. Emits per split: documents,
+    clusters, and n_docs_moved — how many documents sit in a DIFFERENT
+    split than their own doc-hash would have put them (exactly the
+    near-dups the doc-level split would have leaked; nonzero on the
+    fixture's planted near-dup clusters).
+
+    100-TB shape: the cluster labels cover pair-graph nodes only (the
+    dedup_fuzzy_corpus argument); everything else is one left join on
+    doc_id plus a 3-group aggregate. Same md5-bucket percentages as
+    tx_train_split, so the two splits are comparable row-for-row."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = _lsh_cluster_labels(spark, sf_dir).select("doc_id", "component_id")
+    d = docs.join(labels, "doc_id", "left").withColumn(
+        "canon", F.coalesce("component_id", "doc_id")
+    )
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 100
+        )
+
+    def split_of(b):
+        return (
+            F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+            .when(b < SPLIT_VAL_PCT, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    rows = d.select(
+        "doc_id",
+        "canon",
+        split_of(bucket("canon")).alias("split"),
+        split_of(bucket("doc_id")).alias("doc_split"),
+    )
+    return (
+        rows.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("canon").cast("bigint").alias("n_clusters"),
+            F.sum(F.when(F.col("split") != F.col("doc_split"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_moved"),
+        )
+        .orderBy("split")
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    return _CLUSTER_CTE + f"""
+, buckets AS (
+  SELECT doc_id, component_id AS canon,
+         CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS BIGINT) AS bc,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS BIGINT) AS bd
+  FROM assign
+),
+splits AS (
+  SELECT doc_id, canon,
+         CASE WHEN bc < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN bc < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END AS split,
+         CASE WHEN bd < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN bd < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END AS doc_split
+  FROM buckets
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN split <> doc_split THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_moved
+FROM splits
+GROUP BY split
+ORDER BY split
+"""
+
+
+PIPE_LEAKAGE_SPLIT_ORACLE = _leakage_split_oracle()
+
+SPECS.append(
+    QuerySpec(
+        "pipe_leakage_safe_split", pipe_leakage_safe_split, PIPE_LEAKAGE_SPLIT_ORACLE
+    )
+)

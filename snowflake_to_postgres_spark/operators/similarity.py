@@ -94,13 +94,16 @@ norms AS (
 """
 
 
-def _bf_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bf_cosines(
+    spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES
+) -> DataFrame:
     """(qid, neighbor_id, cosine): every query vector scored against the
     full corpus — the exact-cosine block shared by the brute-force
-    top-k and the radius (range) search."""
+    top-k, the radius (range) search, and the label-noise audit (which
+    widens the query block via ``n_queries``)."""
     comp = _components(spark, sf_dir)
     norms = _norms(comp)
-    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
+    q = comp.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), "idx", F.col("val").alias("qval")
     )
     dots = (
@@ -2746,3 +2749,106 @@ SIM_FILTERED_RECALL_ORACLE = _filtered_recall_oracle()
 SPECS.append(
     QuerySpec("sim_filtered_recall", sim_filtered_recall, SIM_FILTERED_RECALL_ORACLE)
 )
+
+
+LABEL_AUDIT_QUERIES = 50  # audited block (vec_id < this)
+LABEL_AUDIT_K = 5         # neighbors voting
+
+
+def emb_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise audit (Confident-Learning's cheap cousin, the
+    pass a labeled-corpus pipeline runs before training): for every
+    vector in the audited block, the majority label among its
+    LABEL_AUDIT_K exact nearest neighbors; a vector whose own label
+    loses the vote is a relabel/review candidate. Emits (vec_id,
+    label, predicted, votes_for_predicted, is_suspect).
+
+    Determinism: neighbor ranking is the engine's grid-snapped exact
+    cosine with neighbor_id tie-break; votes are integers; the
+    majority tie-break is (votes DESC, label ASC).
+
+    Scale shape: the audit runs over a SAMPLED block (the sim-family
+    convention — exact kNN is the expensive part by definition); at
+    the corpus scale the same vote runs on the ANN shortlist instead
+    (sim_ann_index_search's output schema is drop-in)."""
+    bf = _bf_cosines(spark, sf_dir, n_queries=LABEL_AUDIT_QUERIES)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        bf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LABEL_AUDIT_K)
+        .select("qid", "neighbor_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        topk.join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("label").alias("nl")), "neighbor_id")
+        .groupBy("qid", "nl")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("nl"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("nl").alias("predicted"),
+                F.col("votes").alias("votes_for_predicted"))
+    )
+    return (
+        emb.filter(F.col("vec_id") < LABEL_AUDIT_QUERIES)
+        .join(pred, emb.vec_id == pred.qid)
+        .select(
+            "vec_id",
+            "label",
+            "predicted",
+            F.col("votes_for_predicted").cast("bigint").alias("votes_for_predicted"),
+            (F.col("predicted") != F.col("label")).alias("is_suspect"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMB_LABEL_NOISE_ORACLE = _COMP_CTES + f""",
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {LABEL_AUDIT_QUERIES}),
+dots AS (
+  SELECT qid, vec_id, CAST(SUM(val * qval) AS DECIMAL(38,18)) AS dot
+  FROM comp JOIN q USING (idx)
+  WHERE vec_id <> qid
+  GROUP BY qid, vec_id
+),
+scored AS (
+  SELECT qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+),
+topk AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {LABEL_AUDIT_K}
+),
+votes AS (
+  SELECT t.qid, e.label AS nl, COUNT(*) AS votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT qid, nl AS predicted, votes FROM (
+    SELECT qid, nl, votes,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT e.vec_id, e.label, p.predicted,
+       CAST(p.votes AS BIGINT) AS votes_for_predicted,
+       p.predicted <> e.label AS is_suspect
+FROM embeddings e JOIN pred p ON p.qid = e.vec_id
+WHERE e.vec_id < {LABEL_AUDIT_QUERIES}
+ORDER BY e.vec_id
+"""
+
+
+SPECS.append(QuerySpec("emb_label_noise", emb_label_noise, EMB_LABEL_NOISE_ORACLE))

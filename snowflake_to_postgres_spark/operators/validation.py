@@ -600,37 +600,22 @@ PSI_SPLIT_DATE = "1995-06-17"
 PSI_BINS = 10
 
 
-def val_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index per numeric column between the two
-    order snapshots — THE standard distribution-drift score
-    (credit-risk monitoring lineage): psi = Σ_bins (p−q)·ln(p/q) over
-    {PSI_BINS} equi-width bins with SHARED bounds from the union (the
-    a21/a23 bin kernel — per-snapshot bounds would make the shares
-    incomparable). Bins empty on either side are excluded from the sum
-    and reported (bins_dropped) instead of epsilon-smoothed — the
-    common ε hack makes psi depend on an arbitrary constant; at these
-    bin widths a one-sided-empty bin IS the drift signal, surfaced
-    explicitly. Rule-of-thumb reading: <0.10 stable, 0.10-0.25
-    moderate, >0.25 shifted.
-
-    Determinism: shares are exact-int ratios; each bin's term is
-    non-negative ((p−q) and ln(p/q) share a sign), snapped to the 1e-6
-    grid AS AN INTEGER per bin and summed exactly — an unordered
-    double sum of libm-ln terms would re-import the summation-order
-    problem the engine's other float paths avoid.
-
-    100-TB shape: one bounds pass + one (column, snapshot, bin)
-    map-side-combinable aggregate over the unpivoted frame; the psi
-    fold runs over |columns|×{PSI_BINS} rows — bounded metadata."""
-    o = load_table(spark, sf_dir, "orders")
-    split = F.lit(PSI_SPLIT_DATE).cast("date")
-    snap = F.when(F.col("o_orderdate") < split, "a").otherwise("b")
-    long = o.select(
-        snap.alias("snap"),
-        F.expr(
-            "stack(2, 'o_totalprice', CAST(o_totalprice AS DOUBLE),"
-            " 'o_custkey', CAST(o_custkey AS DOUBLE)) AS (column_name, x)"
-        ),
+def psi_drift(
+    df_a: DataFrame, df_b: DataFrame, cols: "list[str]", bins: int = PSI_BINS
+) -> DataFrame:
+    """Generic two-frame PSI kernel — (column_name, psi, bins_used,
+    bins_dropped, n_a, n_b) for each named numeric column, shared
+    global bounds from the union, per-bin terms snapped to 1e-6 AS
+    INTEGERS and summed exactly, one-sided-empty bins reported rather
+    than epsilon-smoothed. Consumed by val_psi_drift (the registered
+    snapshot query) and the `drift` CLI verb (arbitrary parquet
+    pairs)."""
+    stack_expr = "stack({}, {}) AS (column_name, x)".format(
+        len(cols), ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+    )
+    long = (
+        df_a.select(F.lit("a").alias("snap"), F.expr(stack_expr))
+        .unionByName(df_b.select(F.lit("b").alias("snap"), F.expr(stack_expr)))
     )
     bounds = long.groupBy("column_name").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
@@ -641,11 +626,11 @@ def val_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
                 F.least(
-                    F.lit(PSI_BINS - 1),
+                    F.lit(bins - 1),
                     F.floor(
                         (F.col("x") - F.col("mn"))
                         / (F.col("mx") - F.col("mn"))
-                        * PSI_BINS
+                        * bins
                     ),
                 ).cast("int")
             ),
@@ -687,6 +672,85 @@ def val_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+def profile_drift(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    """Generic two-frame per-column profile diff — (column_name, n_a,
+    n_b, nulls_a, nulls_b, distinct_a, distinct_b) over the columns the
+    frames SHARE, one unpivoted pass per side (the a4 idiom). Distinct
+    counts run on each value's string image (injective in both
+    engines). Consumed by val_schema_drift and the `drift` CLI verb."""
+    cols = [c for c in df_a.columns if c in set(df_b.columns)]
+    stack_expr = "stack({}, {}) AS (column_name, v)".format(
+        len(cols), ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    )
+    long = (
+        df_a.select(F.lit("a").alias("snap"), F.expr(stack_expr))
+        .unionByName(df_b.select(F.lit("b").alias("snap"), F.expr(stack_expr)))
+    )
+    agg = long.groupBy("column_name", "snap").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.countDistinct("v").alias("nd"),
+    )
+    a = agg.filter(F.col("snap") == "a").select(
+        "column_name",
+        F.col("n").alias("n_a"),
+        F.col("nulls").alias("nulls_a"),
+        F.col("nd").alias("distinct_a"),
+    )
+    b = agg.filter(F.col("snap") == "b").select(
+        "column_name",
+        F.col("n").alias("n_b"),
+        F.col("nulls").alias("nulls_b"),
+        F.col("nd").alias("distinct_b"),
+    )
+    return (
+        a.join(b, "column_name", "full_outer")
+        .select(
+            "column_name",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in ("n_a", "n_b", "nulls_a", "nulls_b",
+                          "distinct_a", "distinct_b")
+            ],
+        )
+        .orderBy("column_name")
+    )
+
+
+def _order_snapshots(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(PSI_SPLIT_DATE).cast("date")
+    return o.filter(F.col("o_orderdate") < split), o.filter(
+        ~(F.col("o_orderdate") < split)
+    )
+
+
+def val_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per numeric column between the two
+    order snapshots — THE standard distribution-drift score
+    (credit-risk monitoring lineage): psi = Σ_bins (p−q)·ln(p/q) over
+    {PSI_BINS} equi-width bins with SHARED bounds from the union (the
+    a21/a23 bin kernel — per-snapshot bounds would make the shares
+    incomparable). Bins empty on either side are excluded from the sum
+    and reported (bins_dropped) instead of epsilon-smoothed — the
+    common ε hack makes psi depend on an arbitrary constant; at these
+    bin widths a one-sided-empty bin IS the drift signal, surfaced
+    explicitly. Rule-of-thumb reading: <0.10 stable, 0.10-0.25
+    moderate, >0.25 shifted.
+
+    Determinism: shares are exact-int ratios; each bin's term is
+    non-negative ((p−q) and ln(p/q) share a sign), snapped to the 1e-6
+    grid AS AN INTEGER per bin and summed exactly — an unordered
+    double sum of libm-ln terms would re-import the summation-order
+    problem the engine's other float paths avoid.
+
+    100-TB shape: one bounds pass + one (column, snapshot, bin)
+    map-side-combinable aggregate over the unpivoted frame; the psi
+    fold runs over |columns|×{PSI_BINS} rows — bounded metadata."""
+    a, b = _order_snapshots(spark, sf_dir)
+    return psi_drift(a, b, ["o_totalprice", "o_custkey"])
 
 
 VAL_PSI_ORACLE = f"""
@@ -752,47 +816,8 @@ def val_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100-TB shape: the a4 single-pass idiom — one unpivoted
     (column, snapshot) aggregate, no per-column queries."""
-    o = load_table(spark, sf_dir, "orders")
-    split = F.lit(PSI_SPLIT_DATE).cast("date")
-    snap = F.when(F.col("o_orderdate") < split, "a").otherwise("b")
-    cols = [
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
-    ]
-    stack_expr = "stack({}, {}) AS (column_name, v)".format(
-        len(cols),
-        ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols),
-    )
-    long = o.select(snap.alias("snap"), F.expr(stack_expr))
-    agg = long.groupBy("column_name", "snap").agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nulls"),
-        F.countDistinct("v").alias("nd"),
-    )
-    a = agg.filter(F.col("snap") == "a").select(
-        "column_name",
-        F.col("n").alias("n_a"),
-        F.col("nulls").alias("nulls_a"),
-        F.col("nd").alias("distinct_a"),
-    )
-    b = agg.filter(F.col("snap") == "b").select(
-        "column_name",
-        F.col("n").alias("n_b"),
-        F.col("nulls").alias("nulls_b"),
-        F.col("nd").alias("distinct_b"),
-    )
-    return (
-        a.join(b, "column_name", "full_outer")
-        .select(
-            "column_name",
-            *[
-                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
-                for c in ("n_a", "n_b", "nulls_a", "nulls_b",
-                          "distinct_a", "distinct_b")
-            ],
-        )
-        .orderBy("column_name")
-    )
+    a, b = _order_snapshots(spark, sf_dir)
+    return profile_drift(a, b)
 
 
 def _schema_drift_oracle() -> str:
