@@ -1466,3 +1466,71 @@ SPECS.append(
         "pipe_leakage_safe_split", pipe_leakage_safe_split, PIPE_LEAKAGE_SPLIT_ORACLE
     )
 )
+
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: verified near-dup pair counts by
+    (source_a, source_b) — which corpus sources copy from each other,
+    the provenance question a training-data pipeline answers before
+    weighting sources (a source whose documents mostly duplicate
+    another adds tokens, not information; tx_mixture_plan's rates
+    should see this first). Pairs come from the verified LSH pipeline;
+    the source pair is emitted canonically (source_a <= source_b) so
+    A→B and B→A copying land in one cell. within_source marks the
+    diagonal. Share = cell count / total verified pairs.
+
+    100-TB shape: two doc_id-keyed joins attaching a tiny source label
+    to the (already sparse) verified pair list, then a |sources|²-row
+    aggregate — bounded metadata."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
+    s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
+    labeled = (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.least("src1", "src2").alias("source_a"),
+            F.greatest("src1", "src2").alias("source_b"),
+        )
+    )
+    total = labeled.count()  # bounded scalar: the verified pair count
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (F.col("source_a") == F.col("source_b")).alias("within_source"),
+            (F.col("n_pairs").cast("double") / F.lit(float(total))).alias("share"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+DEDUP_SOURCE_MATRIX_ORACLE = f"""
+WITH lsh AS (
+  SELECT d1, d2 FROM ({DEDUP_MINHASH_PAIRS_ORACLE})
+),
+labeled AS (
+  SELECT LEAST(a.source, b.source) AS source_a,
+         GREATEST(a.source, b.source) AS source_b
+  FROM lsh
+  JOIN documents a ON a.doc_id = lsh.d1
+  JOIN documents b ON b.doc_id = lsh.d2
+),
+tot AS (SELECT COUNT(*) AS t FROM labeled)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       source_a = source_b AS within_source,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT t FROM tot) AS share
+FROM labeled
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+SPECS.append(
+    QuerySpec("dedup_source_matrix", dedup_source_matrix, DEDUP_SOURCE_MATRIX_ORACLE)
+)

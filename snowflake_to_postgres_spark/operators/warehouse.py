@@ -260,3 +260,75 @@ ORDER BY l.user_id
 
 
 SPECS.append(QuerySpec("x_cdc_apply", x_cdc_apply, X_CDC_APPLY_ORACLE))
+
+
+def xj_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) dimension join — the query SCD2 history
+    exists to serve: every order joins the x_scd2_history version whose
+    validity interval [valid_from, valid_to) contains its order date,
+    i.e. the attribute value that was CURRENT when the fact happened.
+    The result is its own correctness proof: because the history is
+    derived from these same orders, the version each order picks must
+    carry that day's last-write priority — n_version_correct counts the
+    orders whose own priority matches the picked version, and the only
+    legitimate misses are same-day writes superseded by a higher order
+    key (the feed's documented tie-break). Reading those two numbers
+    side by side is the audit a warehouse runs after building any SCD2
+    dimension.
+
+    100-TB shape: one equi-join on the dimension key with the interval
+    predicate evaluated inside it — per-key history is bounded (one
+    row per change day), so the non-equi residual never explodes; the
+    summary is a single map-side-combinable aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("p"),
+    )
+    h = x_scd2_history(spark, sf_dir)
+    j = o.join(
+        h,
+        (o.custkey == h.custkey)
+        & (h.valid_from <= o.d)
+        & (h.valid_to.isNull() | (o.d < h.valid_to)),
+        "left",
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(h.priority.isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(h.priority == F.col("p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_version_correct"),
+        F.sum(
+            F.when(h.priority.isNotNull() & (h.priority != F.col("p")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_same_day_overridden"),
+    )
+
+
+XJ_SCD2_PIT_ORACLE = f"""
+WITH hist AS ({X_SCD2_HISTORY_ORACLE}
+),
+j AS (
+  SELECT o.o_orderpriority AS p, h.priority AS hp
+  FROM orders o
+  LEFT JOIN hist h
+    ON h.custkey = o.o_custkey
+   AND h.valid_from <= o.o_orderdate
+   AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN hp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN hp = p THEN 1 ELSE 0 END) AS BIGINT) AS n_version_correct,
+       CAST(SUM(CASE WHEN hp IS NOT NULL AND hp <> p THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_day_overridden
+FROM j
+"""
+
+
+SPECS.append(
+    QuerySpec("xj_scd2_pointintime", xj_scd2_pointintime, XJ_SCD2_PIT_ORACLE)
+)

@@ -574,3 +574,39 @@ def test_cli_drift_report(capsys, sf_dir):
     ])
     err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc2 == 2 and "error" in err
+
+
+def test_dedup_source_matrix_shares(spark, sf_dir):
+    from snowflake_to_postgres_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs,
+        dedup_source_matrix,
+    )
+
+    rows = dedup_source_matrix(spark, sf_dir).collect()
+    total = dedup_minhash_lsh_pairs(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in rows) == total
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]  # canonical cell
+        assert r["within_source"] == (r["source_a"] == r["source_b"])
+
+
+def test_xj_scd2_pointintime_self_consistency(spark, duck, sf_dir):
+    """The history is derived from these same orders, so the AS OF join
+    must cover every order (each date falls in exactly one validity
+    interval of its key) and the only version mismatches are same-day
+    writes superseded by the max-orderkey tie-break."""
+    from snowflake_to_postgres_spark.operators.warehouse import xj_scd2_pointintime
+
+    r = xj_scd2_pointintime(spark, sf_dir).collect()[0]
+    total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert r["n_orders"] == r["n_matched"] == total
+    assert r["n_version_correct"] + r["n_same_day_overridden"] == r["n_matched"]
+    # the documented tie-break actually bites on the fixture
+    overridden = duck.execute(
+        "SELECT COUNT(*) FROM orders o WHERE o_orderpriority <> ("
+        "  SELECT o2.o_orderpriority FROM orders o2"
+        "  WHERE o2.o_custkey = o.o_custkey AND o2.o_orderdate = o.o_orderdate"
+        "  ORDER BY o2.o_orderkey DESC LIMIT 1)"
+    ).fetchone()[0]
+    assert r["n_same_day_overridden"] == overridden

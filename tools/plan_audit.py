@@ -83,6 +83,19 @@ def main() -> int:
     ]
     errs = [(n, err) for n, c, err in rows if err]
 
+    # Hand-written "## Appendix" sections (e.g. the round-10 broadcast
+    # ledger) survive regeneration: everything from the first appendix
+    # heading onward is carried over verbatim.
+    appendix = ""
+    try:
+        with open(out_md) as f:
+            prev = f.read()
+        i = prev.find("\n## Appendix")
+        if i >= 0:
+            appendix = prev[i:]
+    except OSError:
+        pass
+
     with open(out_md, "w") as f:
         f.write(
             "# PLAN_AUDIT — physical-plan structure of every registered query\n\n"
@@ -127,6 +140,8 @@ def main() -> int:
             f.write(f"- ERROR {n}: {err}\n")
         for n, c in bad:
             f.write(f"- OFFENDER {n}: nested={c['nested']} cartesian={c['cartesian']}\n")
+        if appendix:
+            f.write(appendix)
 
     print(f"audited {len(rows)} queries -> {out_md}; offenders={len(bad)} errors={len(errs)}")
     return 1 if bad or errs else 0
