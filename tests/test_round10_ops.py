@@ -72,13 +72,17 @@ def test_cms_heavy_hitters_leaves_no_cached_frame_behind(spark):
     """ADVICE #4: per_v must unpersist before the kernel returns —
     repeated kernel calls in a long-lived session were accumulating
     cached distinct-key frames."""
-    spark.catalog.clearCache()
+    # delta-based: the shared test session may carry localCheckpoint
+    # RDDs from earlier tests — the kernel must not ADD any
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     df = spark.createDataFrame([(i % 7,) for i in range(200)], "v int")
     out = cms_heavy_hitters(df, "v", top=3)
     out.collect()
-    jsc = spark.sparkContext._jsc.sc()
-    cached = jsc.getPersistentRDDs().size()
-    assert cached == 0, f"{cached} cached RDDs left behind by cms_heavy_hitters"
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"cms_heavy_hitters grew the persistent-RDD set {before} -> {after}"
+    )
 
 
 # ---------------------------------------------------------------------------
