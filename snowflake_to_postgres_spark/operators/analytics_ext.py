@@ -267,20 +267,38 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan over (g, 256) cells; bounds + histogram for the shared-bin
     percentiles); the only driver work is interpolation over 3 groups
     × bounded bins/registers — the threshold-literal pattern."""
+    # four eagerly-collected jobs, each its own pruned parquet scan:
+    # persisting the shared projection was MEASURED SLOWER at sf0.1
+    # (4.7 s vs 3.9 s — materialization costs more than three cheap
+    # column-pruned re-scans); the wall time is md5/distinct compute
     li = load_table(spark, sf_dir, "lineitem")
     # quantity enters the fingerprint as exact integer cents — string-
     # formatting a DOUBLE would couple the hash to each engine's float
     # printer; ×100 is exact for TPC-H's integral quantities
+    # Two aggregations, NOT one: mixing countDistinct (Expand-based)
+    # with the md5 fingerprint in a single agg evaluates the md5 on the
+    # EXPANDED rows and drops out of whole-stage hash aggregation
+    # (measured 3.4 s combined vs 2.5 s split at sf0.1).
+    exact = {
+        r["g"]: r["exact_orders"]
+        for r in li.groupBy(F.col("l_returnflag").alias("g"))
+        .agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+        .collect()
+    }
     base = (
         li.groupBy(F.col("l_returnflag").alias("g"))
         .agg(
-            F.countDistinct("l_orderkey").alias("exact_orders"),
             F.expr(
                 "bit_xor(CAST(conv(substring(md5(concat_ws('|',"
                 " CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),"
                 " CAST(CAST(l_quantity * 100 AS BIGINT) AS STRING))), 1, 15),"
                 " 16, 10) AS BIGINT))"
             ).alias("fp_xor"),
+            # per-group price bounds ride along so the percentile stage
+            # derives its GLOBAL bounds from these 3 collected rows
+            # instead of another full scan
+            F.min(F.col("l_extendedprice").cast("double")).alias("mn"),
+            F.max(F.col("l_extendedprice").cast("double")).alias("mx"),
         )
         .collect()
     )
@@ -315,8 +333,8 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("g"),
         F.col("l_extendedprice").cast("double").alias("x"),
     )
-    brow = x.agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()[0]
-    mn, mx = brow["mn"], brow["mx"]
+    mn = min(r["mn"] for r in base)
+    mx = max(r["mx"] for r in base)
     qs = (0.5, 0.95, 0.99)
     if mx == mn:
         pcts = {r["g"]: {q: float(mn) for q in qs} for r in base}
@@ -352,7 +370,7 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(
             (
                 g,
-                int(r["exact_orders"]),
+                int(exact[g]),
                 float(est),
                 int(r["fp_xor"]),
                 float(pcts[g][0.5]),

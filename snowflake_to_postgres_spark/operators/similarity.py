@@ -2605,7 +2605,13 @@ def sim_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut moves)."""
     comp = _components(spark, sf_dir)
     bf = _bf_cosines(spark, sf_dir).cache()
-    cand = _ivf_candidates(comp).cache()
+    # candidate scores computed ONCE (exact cosine is filter-independent
+    # — only the rank cut moves per rung), then filtered + re-ranked per
+    # selectivity: k large enough to keep every candidate row so the
+    # per-rung cut happens on the shared scored frame
+    cand_scored = _rank_candidates(
+        comp, _ivf_candidates(comp), k=1 << 62
+    ).select("qid", "neighbor_id", "cosine").cache()
     qids = bf.select("qid").distinct()
     out = None
     for mod in FILTERED_RECALL_MODS:
@@ -2618,9 +2624,12 @@ def sim_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= ANN_EVAL_K)
             .select("qid", "neighbor_id")
         )
-        approx = _rank_candidates(
-            comp, cand.filter(F.col("vec_id") % mod == 0), k=ANN_EVAL_K
-        ).select("qid", "neighbor_id")
+        approx = (
+            cand_scored.filter(F.col("neighbor_id") % mod == 0)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= ANN_EVAL_K)
+            .select("qid", "neighbor_id")
+        )
         tn = truth.groupBy("qid").agg(F.count("*").alias("truth_n"))
         hits = (
             truth.join(approx, ["qid", "neighbor_id"], "left_semi")
