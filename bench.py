@@ -245,7 +245,16 @@ def main() -> None:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")) as fh:
-            committed = json.load(fh).get("queries", {})
+            detail = json.load(fh)
+        # SF guard: comparing an sf0.01 run against a committed sf0.1
+        # baseline would publish a spurious ~10x "drift" and poison the
+        # next legitimate comparison — only same-SF runs are comparable
+        sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        committed = (
+            detail.get("queries", {})
+            if str(detail.get("sf")) == sf_label
+            else {}
+        )
         ratios = [
             per_query[k] / committed[k]
             for k in per_query

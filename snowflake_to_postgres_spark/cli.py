@@ -576,6 +576,17 @@ def cmd_drift(args) -> int:
         if missing:
             print(json.dumps({"error": f"columns {missing} not in both tables"}))
             return 2
+        # PSI is a numeric-histogram score: a string column would cast
+        # to all-NULL and report a meaningless "stable" 0.0 — reject it
+        # the way the default path's NumericType filter already does
+        non_numeric = [
+            c for c in cols
+            if not isinstance(a.schema[c].dataType, T.NumericType)
+            or not isinstance(b.schema[c].dataType, T.NumericType)
+        ]
+        if non_numeric:
+            print(json.dumps({"error": f"columns {non_numeric} are not numeric"}))
+            return 2
     else:
         cols = [
             f.name for f in a.schema.fields

@@ -4067,11 +4067,21 @@ def ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominators cancel in the ratio), and the single final division
     snaps to the 1e-6 grid. 100-TB shape: inherits ts_decompose's
     (bucketed series only), plus one aggregate per type."""
+    # operands cast DOWN to decimal(18,8) before squaring: Spark's
+    # (19,8)x(19,8) product needs precision 39, which caps at 38 and
+    # silently ROUNDS the scale to 15 — (18,8)x(18,8) = (37,16) stays
+    # exact and matches the oracle's int128 products bit for bit
+    # (round-10 review finding; values are component-sized, far inside
+    # decimal(18,8))
     d = ts_decompose(spark, sf_dir).select(
         "event_type",
-        F.col("residual").alias("r"),
-        (F.col("cnt").cast("decimal(18,8)") - F.col("seasonal")).alias("tr"),
-        (F.col("cnt").cast("decimal(18,8)") - F.col("trend")).alias("sr"),
+        F.col("residual").cast("decimal(18,8)").alias("r"),
+        (F.col("cnt").cast("decimal(18,8)") - F.col("seasonal"))
+        .cast("decimal(18,8)")
+        .alias("tr"),
+        (F.col("cnt").cast("decimal(18,8)") - F.col("trend"))
+        .cast("decimal(18,8)")
+        .alias("sr"),
     )
     sums = d.groupBy("event_type").agg(
         F.count("*").cast("decimal(18,0)").alias("n"),

@@ -1494,18 +1494,21 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src1", "src2").alias("source_b"),
         )
     )
-    total = labeled.count()  # bounded scalar: the verified pair count
-    return (
-        labeled.groupBy("source_a", "source_b")
+    # ONE execution of the LSH verification pipeline: aggregate to the
+    # bounded |sources|^2 cell frame first and collect it — a separate
+    # labeled.count() for the total re-ran the whole pair join
+    # (round-10 review finding)
+    cells = sorted(
+        (r["source_a"], r["source_b"], r["n_pairs"])
+        for r in labeled.groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
-        .select(
-            "source_a",
-            "source_b",
-            "n_pairs",
-            (F.col("source_a") == F.col("source_b")).alias("within_source"),
-            (F.col("n_pairs").cast("double") / F.lit(float(total))).alias("share"),
-        )
-        .orderBy("source_a", "source_b")
+        .collect()
+    )
+    total = sum(n for _, _, n in cells)
+    return spark.createDataFrame(
+        [(a, b, n, a == b, n / total) for a, b, n in cells],
+        "source_a STRING, source_b STRING, n_pairs BIGINT, "
+        "within_source BOOLEAN, share DOUBLE",
     )
 
 

@@ -973,7 +973,7 @@ def two_hop_reach(edges: DataFrame, top: int = REACH_TOP) -> DataFrame:
         .groupBy("u")
         .agg(F.count("*").alias("reach2"))
     )
-    return (
+    final = (
         deg.join(reach, "u")
         .select(
             "u",
@@ -983,6 +983,11 @@ def two_hop_reach(edges: DataFrame, top: int = REACH_TOP) -> DataFrame:
         .orderBy(F.col("reach2").desc(), "u")
         .limit(top)
     )
+    # bounded top-k result: collect eagerly so the cached adjacency
+    # unpersists before returning (round-10 review)
+    rows, schema = final.collect(), final.schema
+    adj.unpersist()
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:

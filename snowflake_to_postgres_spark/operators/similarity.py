@@ -2654,7 +2654,14 @@ def sim_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = m if out is None else out.unionByName(m)
-    return out.orderBy("filter_mod", "qid")
+    # the result is bounded (|MODS| x |queries| rows): collect it
+    # eagerly so the two cached frames unpersist before returning —
+    # the cms_heavy_hitters cache-lifetime discipline (round-10 review)
+    final = out.orderBy("filter_mod", "qid")
+    rows, schema = final.collect(), final.schema
+    bf.unpersist()
+    cand_scored.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def _filtered_recall_oracle() -> str:

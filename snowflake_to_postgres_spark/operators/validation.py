@@ -611,11 +611,16 @@ def psi_drift(
     snapshot query) and the `drift` CLI verb (arbitrary parquet
     pairs)."""
     stack_expr = "stack({}, {}) AS (column_name, x)".format(
-        len(cols), ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+        len(cols), ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
     )
+    # NULLs are excluded from the PSI domain up front: F.least skips
+    # NULL, so a NULL x would land in the TOP bin as fake mass — the
+    # same defect class the round-9 ADVICE purged from binned_quantiles
+    # (null-RATE drift is val_schema_drift's job, not a histogram's)
     long = (
         df_a.select(F.lit("a").alias("snap"), F.expr(stack_expr))
         .unionByName(df_b.select(F.lit("b").alias("snap"), F.expr(stack_expr)))
+        .filter(F.col("x").isNotNull())
     )
     bounds = long.groupBy("column_name").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
@@ -681,8 +686,16 @@ def profile_drift(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
     counts run on each value's string image (injective in both
     engines). Consumed by val_schema_drift and the `drift` CLI verb."""
     cols = [c for c in df_a.columns if c in set(df_b.columns)]
+    if not cols:
+        # disjoint schemas: a well-formed empty report, not a
+        # stack(0) parse error from the CLI
+        return df_a.sparkSession.createDataFrame(
+            [],
+            "column_name STRING, n_a BIGINT, n_b BIGINT, nulls_a BIGINT, "
+            "nulls_b BIGINT, distinct_a BIGINT, distinct_b BIGINT",
+        )
     stack_expr = "stack({}, {}) AS (column_name, v)".format(
-        len(cols), ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+        len(cols), ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
     )
     long = (
         df_a.select(F.lit("a").alias("snap"), F.expr(stack_expr))
@@ -763,8 +776,9 @@ WITH long AS (
          'o_custkey' AS column_name, CAST(o_custkey AS DOUBLE) AS x
   FROM orders
 ),
+nn AS (SELECT * FROM long WHERE x IS NOT NULL),
 bounds AS (
-  SELECT column_name, MIN(x) AS mn, MAX(x) AS mx FROM long GROUP BY column_name
+  SELECT column_name, MIN(x) AS mn, MAX(x) AS mx FROM nn GROUP BY column_name
 ),
 binned AS (
   SELECT l.column_name,
@@ -773,7 +787,7 @@ binned AS (
                    floor((l.x - b.mn) / (b.mx - b.mn) * {PSI_BINS})) AS INT) END AS bin,
          SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS ca,
          SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS cb
-  FROM long l JOIN bounds b USING (column_name)
+  FROM nn l JOIN bounds b USING (column_name)
   GROUP BY 1, 2
 ),
 totals AS (

@@ -262,8 +262,8 @@ WITH ev AS (
   SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
 ),
 changed AS (
-  SELECT user_id, event_type, us FROM (
-    SELECT user_id, event_type, us,
+  SELECT user_id, event_type, us, event_id FROM (
+    SELECT user_id, event_type, us, event_id,
            LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
              AS prev
     FROM ev
@@ -271,8 +271,8 @@ changed AS (
 )
 SELECT user_id, event_type,
        us AS valid_from_us,
-       LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to_us,
-       LEAD(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL AS is_current
+       LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+       LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
 FROM changed
 ORDER BY user_id, valid_from_us
 """

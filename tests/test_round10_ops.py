@@ -614,3 +614,92 @@ def test_xj_scd2_pointintime_self_consistency(spark, duck, sf_dir):
         "  ORDER BY o2.o_orderkey DESC LIMIT 1)"
     ).fetchone()[0]
     assert r["n_same_day_overridden"] == overridden
+
+
+# ---------------------------------------------------------------------------
+# Round-10 self-review pins (post-review fixes).
+# ---------------------------------------------------------------------------
+
+
+def test_psi_drift_ignores_null_values(spark):
+    """NULLs must not land in the top bin as fake mass: a snapshot pair
+    differing only in null RATE scores psi = 0 (null-rate drift is
+    profile_drift's job)."""
+    from snowflake_to_postgres_spark.operators.validation import psi_drift
+
+    a = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "x double")
+    b = a.unionByName(spark.createDataFrame([(None,)] * 500, "x double"))
+    r = psi_drift(a, b, ["x"]).collect()[0]
+    assert r["psi"] == 0.0
+    assert r["n_a"] == r["n_b"] == 1000  # NULL rows excluded from both sides
+
+
+def test_profile_drift_disjoint_schemas_empty(spark):
+    from snowflake_to_postgres_spark.operators.validation import profile_drift
+
+    a = spark.createDataFrame([(1,)], "p int")
+    b = spark.createDataFrame([(2,)], "q int")
+    assert profile_drift(a, b).count() == 0
+
+
+def test_cli_drift_rejects_non_numeric_column(capsys, sf_dir):
+    import json as _json
+
+    from snowflake_to_postgres_spark.cli import main
+
+    rc = main([
+        "drift", "--path-a", f"{sf_dir}/orders.parquet",
+        "--path-b", f"{sf_dir}/orders.parquet", "--columns", "o_orderstatus",
+    ])
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "not numeric" in err["error"]
+
+
+def test_bounded_result_queries_leave_no_cache_behind(spark, sf_dir):
+    """sim_filtered_recall and two_hop_reach return bounded frames
+    collected eagerly — their OWN caches must be gone when they return
+    (delta-based; two_hop_reach is driven through the kernel on a
+    constructed graph so the graph family's shared partnership-weight
+    cache — a deliberate, lazily-referenced materialization — stays out
+    of the measurement)."""
+    from snowflake_to_postgres_spark.operators.graph import two_hop_reach
+    from snowflake_to_postgres_spark.operators.similarity import sim_filtered_recall
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    sim_filtered_recall(spark, sf_dir).collect()
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u bigint, v bigint")
+    two_hop_reach(edges).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before
+
+
+def test_st_scd2_tie_break_on_equal_timestamps(spark, tmp_path):
+    """Same-microsecond events for one user must resolve by event_id in
+    BOTH engines — pinned with a constructed frame through the Spark
+    side and a python replay (the oracle's ORDER BY us, event_id is the
+    same expression; the fixture has no ties, so this is the latent
+    case the round-10 review flagged)."""
+    import duckdb
+
+    from snowflake_to_postgres_spark.streaming.queries import ST_SCD2_ORACLE
+
+    rows = [
+        (1, "2024-01-01 00:00:00.000001", 10, "view"),
+        (2, "2024-01-01 00:00:00.000001", 10, "purchase"),  # same ts, higher id
+        (3, "2024-01-01 00:00:00.000002", 10, "view"),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT "
+        "CAST(col0 AS BIGINT) AS event_id, CAST(col1 AS TIMESTAMP) AS ts, "
+        "CAST(col2 AS BIGINT) AS user_id, col3 AS event_type "
+        "FROM (VALUES " + ", ".join(str(r) for r in rows) + ") t(col0, col1, col2, col3)"
+    )
+    got = con.execute(ST_SCD2_ORACLE).fetchall()
+    # arrival order by (ts, event_id): view(1) -> purchase(2) -> view(3):
+    # three versions, deterministic bounds
+    assert [(r[0], r[1], r[4]) for r in got] == [
+        (10, "view", False), (10, "purchase", False), (10, "view", True)
+    ]
+    assert got[0][3] == got[1][2]  # first version closes exactly at the tie's us
