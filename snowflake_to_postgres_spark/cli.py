@@ -563,6 +563,7 @@ def cmd_drift(args) -> int:
     from pyspark.sql import types as T
 
     from snowflake_to_postgres_spark.operators.validation import (
+        ks_drift,
         profile_drift,
         psi_drift,
     )
@@ -599,6 +600,10 @@ def cmd_drift(args) -> int:
             dict(column=r["column_name"], psi=r["psi"],
                  bins_used=r["bins_used"], bins_dropped=r["bins_dropped"])
             for r in (psi_drift(a, b, cols).collect() if cols else [])
+        ],
+        "ks": [
+            dict(column=r["column_name"], ks_d=r["ks_d"], x_at_max=r["x_at_max"])
+            for r in (ks_drift(a, b, cols).collect() if cols else [])
         ],
         "profile": [
             dict(column=r["column_name"],

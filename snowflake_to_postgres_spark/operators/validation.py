@@ -863,3 +863,216 @@ VAL_SCHEMA_DRIFT_ORACLE = _schema_drift_oracle()
 SPECS.append(
     QuerySpec("val_schema_drift", val_schema_drift, VAL_SCHEMA_DRIFT_ORACLE)
 )
+
+
+#: KS prefix-sum bucketing (values per bucket bounded by data density,
+#: bucket COUNT bounded by KS_BUCKETS; superbuckets recurse once more).
+KS_BUCKETS = 4096
+
+
+def ks_drift(
+    df_a: DataFrame, df_b: DataFrame, cols: "list[str]"
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per numeric column —
+    D = max_x |F_a(x) − F_b(x)|, the distribution-free companion to
+    :func:`psi_drift` (PSI sees WHERE mass moved between bins; KS sees
+    the single worst CDF gap at full value resolution, no binning
+    loss). Emits (column_name, ks_d, x_at_max, n_a, n_b).
+
+    Determinism: the maximised quantity is the EXACT integer
+    |cum_a·n_b − cum_b·n_a| carried as DECIMAL(38,0) (n up to 10¹²
+    squares past bigint), so the argmax comparison can never suffer a
+    float boundary flip; the single final division is snapped to the
+    1e-9 grid; x_at_max ties break on smallest x via one
+    TakeOrderedAndProject row per column. NULLs are excluded (the
+    psi_drift contract).
+
+    100-TB shape: one (column, value) map-side-combinable aggregate,
+    then the two CDF prefix sums run as the engine's THREE-level
+    decomposition (per-bucket window over order-aligned value buckets,
+    per-superbucket carry, global window over per-superbucket totals
+    only — the dense_ids / st_lateness_audit pattern); the oracle
+    replays the naive global window, so the value-hash gate itself
+    proves the decomposition."""
+    from pyspark.sql.window import Window
+
+    spark = df_a.sparkSession
+    stack_expr = "stack({}, {}) AS (column_name, x)".format(
+        len(cols), ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    )
+    long = (
+        df_a.select(F.lit("a").alias("snap"), F.expr(stack_expr))
+        .unionByName(df_b.select(F.lit("b").alias("snap"), F.expr(stack_expr)))
+        .filter(F.col("x").isNotNull())
+    )
+    per_val = long.groupBy("column_name", "x").agg(
+        F.sum(F.when(F.col("snap") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("snap") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    bounds = per_val.groupBy("column_name").agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    # order-aligned value buckets: equal-width over the column's range
+    # (degenerate single-value columns collapse to bucket 0)
+    v = per_val.join(bounds, "column_name").withColumn(
+        "bkt",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(KS_BUCKETS - 1),
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * KS_BUCKETS
+                ),
+            )
+        ).cast("int"),
+    ).withColumn("sbkt", F.expr(f"bkt div {KS_BUCKETS}"))
+    within = Window.partitionBy("column_name", "bkt").orderBy("x")
+    bkt_tot = v.groupBy("column_name", "sbkt", "bkt").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    within_super = Window.partitionBy("column_name", "sbkt").orderBy(
+        "bkt"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    super_tot = bkt_tot.groupBy("column_name", "sbkt").agg(
+        F.sum("ta").alias("sa"), F.sum("tb").alias("sb")
+    )
+    super_carry = super_tot.select(
+        "column_name",
+        "sbkt",
+        F.coalesce(
+            F.sum("sa").over(
+                Window.partitionBy("column_name").orderBy("sbkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("sca"),
+        F.coalesce(
+            F.sum("sb").over(
+                Window.partitionBy("column_name").orderBy("sbkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("scb"),
+    )
+    carry = (
+        bkt_tot.withColumn(
+            "ia", F.coalesce(F.sum("ta").over(within_super), F.lit(0))
+        )
+        .withColumn("ib", F.coalesce(F.sum("tb").over(within_super), F.lit(0)))
+        .join(super_carry, ["column_name", "sbkt"])
+        .select(
+            "column_name",
+            "bkt",
+            (F.col("ia") + F.col("sca")).alias("carry_a"),
+            (F.col("ib") + F.col("scb")).alias("carry_b"),
+        )
+    )
+    cum = (
+        v.withColumn("wa", F.coalesce(F.sum("ca").over(within), F.lit(0)))
+        .join(carry, ["column_name", "bkt"])
+        .withColumn("cum_a", F.col("wa") + F.col("carry_a"))
+        .withColumn(
+            "cum_b",
+            F.coalesce(
+                F.sum("cb").over(
+                    Window.partitionBy("column_name", "bkt").orderBy("x")
+                ),
+                F.lit(0),
+            )
+            + F.col("carry_b"),
+        )
+    )
+    # exact integer gap: |cum_a*nb - cum_b*na| in DECIMAL(38,0)
+    gap = F.abs(
+        F.col("cum_a").cast("decimal(19,0)") * F.col("nb").cast("decimal(19,0)")
+        - F.col("cum_b").cast("decimal(19,0)") * F.col("na").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    scored = cum.select(
+        "column_name", "x", gap.alias("gap"), "na", "nb"
+    )
+    w_max = Window.partitionBy("column_name").orderBy(
+        F.col("gap").desc(), F.col("x")
+    )
+    top = (
+        scored.withColumn("rn", F.row_number().over(w_max))
+        .filter(F.col("rn") == 1)
+        .select(
+            "column_name",
+            (
+                F.floor(
+                    F.col("gap").cast("double")
+                    / (F.col("na").cast("double") * F.col("nb").cast("double"))
+                    * 1e9
+                    + F.lit(0.5)
+                )
+                / 1e9
+            ).alias("ks_d"),
+            F.col("x").alias("x_at_max"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+        )
+        .orderBy("column_name")
+    )
+    return top
+
+
+def val_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered KS drift between the two order snapshots (the
+    val_psi_drift split), per numeric column — see :func:`ks_drift`."""
+    a, b = _order_snapshots(spark, sf_dir)
+    return ks_drift(a, b, ["o_totalprice", "o_custkey"])
+
+
+VAL_KS_ORACLE = f"""
+WITH long AS (
+  SELECT CASE WHEN o_orderdate < DATE '{PSI_SPLIT_DATE}' THEN 'a' ELSE 'b' END AS snap,
+         'o_totalprice' AS column_name, CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+  UNION ALL
+  SELECT CASE WHEN o_orderdate < DATE '{PSI_SPLIT_DATE}' THEN 'a' ELSE 'b' END AS snap,
+         'o_custkey' AS column_name, CAST(o_custkey AS DOUBLE) AS x
+  FROM orders
+),
+per_val AS (
+  SELECT column_name, x,
+         SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM long WHERE x IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT column_name, SUM(ca) AS na, SUM(cb) AS nb FROM per_val GROUP BY 1
+),
+cum AS (
+  -- the NAIVE global ordered prefix sum the Spark side decomposes
+  SELECT column_name, x,
+         SUM(ca) OVER (PARTITION BY column_name ORDER BY x) AS cum_a,
+         SUM(cb) OVER (PARTITION BY column_name ORDER BY x) AS cum_b
+  FROM per_val
+),
+gaps AS (
+  SELECT cum.column_name, x,
+         abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+             - CAST(cum_b AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0))) AS gap,
+         na, nb
+  FROM cum JOIN tot ON tot.column_name = cum.column_name
+)
+SELECT column_name,
+       floor(CAST(gap AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             * 1000000000.0 + 0.5) / 1000000000.0 AS ks_d,
+       x AS x_at_max,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY column_name
+                               ORDER BY gap DESC, x) AS rn
+  FROM gaps
+) WHERE rn = 1
+ORDER BY column_name
+"""
+
+
+SPECS.append(QuerySpec("val_ks_drift", val_ks_drift, VAL_KS_ORACLE))

@@ -703,3 +703,50 @@ def test_st_scd2_tie_break_on_equal_timestamps(spark, tmp_path):
         (10, "view", False), (10, "purchase", False), (10, "view", True)
     ]
     assert got[0][3] == got[1][2]  # first version closes exactly at the tie's us
+
+
+def test_ks_drift_matches_scipy_style_python(spark, duck, sf_dir):
+    """Exact parity with a pure-python two-sample KS over the same
+    snapshots (integer cumulative gap, smallest-x argmax)."""
+    import math
+
+    from snowflake_to_postgres_spark.operators.validation import (
+        PSI_SPLIT_DATE,
+        val_ks_drift,
+    )
+
+    got = {r["column_name"]: r for r in val_ks_drift(spark, sf_dir).collect()}
+    for col in ("o_totalprice", "o_custkey"):
+        vals = duck.execute(
+            f"SELECT CAST({col} AS DOUBLE), o_orderdate < DATE '{PSI_SPLIT_DATE}' "
+            f"FROM orders"
+        ).fetchall()
+        counts = {}
+        na = nb = 0
+        for v, is_a in vals:
+            ca, cb = counts.get(v, (0, 0))
+            counts[v] = (ca + (1 if is_a else 0), cb + (0 if is_a else 1))
+            na += 1 if is_a else 0
+            nb += 0 if is_a else 1
+        cum_a = cum_b = 0
+        best = (-1, None)
+        for v in sorted(counts):
+            ca, cb = counts[v]
+            cum_a += ca
+            cum_b += cb
+            gap = abs(cum_a * nb - cum_b * na)
+            if gap > best[0]:
+                best = (gap, v)
+        r = got[col]
+        assert r["x_at_max"] == best[1]
+        assert r["ks_d"] == math.floor(best[0] / (na * nb) * 1e9 + 0.5) / 1e9
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+
+
+def test_ks_drift_identical_frames_zero(spark, sf_dir):
+    from snowflake_to_postgres_spark.operators.validation import ks_drift
+    from snowflake_to_postgres_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    for r in ks_drift(o, o, ["o_totalprice"]).collect():
+        assert r["ks_d"] == 0.0
