@@ -2003,3 +2003,63 @@ FROM per
 SPECS.append(
     QuerySpec("tx_mixture_temperature", tx_mixture_temperature, TX_MIXTURE_TEMP_ORACLE)
 )
+
+
+N_EPOCH_SHARDS = 8  # pipe_dense_shards: reproducible shard count
+
+
+def pipe_dense_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch sharding — the contract :func:`dense_ids`
+    exists to serve, promoted to a first-class query: documents get
+    dense ids 0..N-1 (three-level bucket prefix-sum, no global sort)
+    and shard = dense_id mod N_EPOCH_SHARDS, so shard sizes are EXACTLY
+    balanced (max-min ≤ 1 by construction, visible in the result) and
+    an assignment never changes when the corpus is re-partitioned or
+    re-read — the property a training run needs to resume epoch k
+    shard j bit-for-bit. Emits per shard: n_docs, min/max dense id,
+    and an md5 XOR fingerprint of member doc_ids (the order-free
+    monoid), so the oracle's replay proves the exact MEMBERSHIP, not
+    just the sizes.
+
+    100-TB shape: dense_ids' (one (bucket) aggregate + bounded-metadata
+    carries), then one map-side-combinable shard aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = dense_ids(docs, "doc_id")
+    fp = F.expr(
+        "bit_xor(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT))"
+    )
+    return (
+        ids.withColumn("shard", (F.col("dense_id") % N_EPOCH_SHARDS).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("dense_id").cast("bigint").alias("min_id"),
+            F.max("dense_id").cast("bigint").alias("max_id"),
+            fp.alias("member_fp"),
+        )
+        .orderBy("shard")
+    )
+
+
+PIPE_DENSE_SHARDS_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+  FROM documents
+)
+SELECT CAST(dense_id % {N_EPOCH_SHARDS} AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(dense_id) AS BIGINT) AS min_id,
+       CAST(MAX(dense_id) AS BIGINT) AS max_id,
+       bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT))
+         AS member_fp
+FROM ids
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+SPECS.append(
+    QuerySpec("pipe_dense_shards", pipe_dense_shards, PIPE_DENSE_SHARDS_ORACLE)
+)

@@ -2868,3 +2868,74 @@ ORDER BY e.vec_id
 
 
 SPECS.append(QuerySpec("emb_label_noise", emb_label_noise, EMB_LABEL_NOISE_ORACLE))
+
+
+def sim_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health report — the numbers an operator reads before
+    trusting (or re-training) an IVF index: per-cell occupancy of the
+    corpus assignment, as cells, occupied cells, min/max/mean
+    occupancy, and the hot-cell ratio max/mean (a skewed quantizer
+    sends every query to the same few cells, turning the probe into a
+    scan; occupancy balance is the index's partition-balance story).
+    One row; all counts exact, the two ratios grid-snapped.
+
+    100-TB shape: the assignment is the index's own (vector, cell)
+    frame; stats are one map-side-combinable per-cell count plus a
+    bounded |cells|-row aggregate."""
+    comp = _components(spark, sf_dir)
+    d2 = _ivf_cell_d2(comp, _ivf_centroids(comp))
+    assign = _ivf_assign(d2)
+    occ = assign.groupBy("cell").agg(F.count("*").alias("n"))
+    n_vecs = comp.select("vec_id").distinct().count()
+    return occ.agg(
+        F.lit(int(N_CENTROIDS)).cast("bigint").alias("n_cells"),
+        F.count("*").cast("bigint").alias("occupied_cells"),
+        F.lit(n_vecs).cast("bigint").alias("n_vectors"),
+        F.min("n").cast("bigint").alias("min_occ"),
+        F.max("n").cast("bigint").alias("max_occ"),
+        (
+            F.floor(
+                F.sum("n").cast("double") / F.count("*").cast("double") * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("mean_occ"),
+        (
+            F.floor(
+                F.max("n").cast("double")
+                / (F.sum("n").cast("double") / F.count("*").cast("double"))
+                * 1e9
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("hot_cell_ratio"),
+    )
+
+
+SIM_INDEX_STATS_ORACLE = _COMP_CTES + f""",
+cent AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {N_CENTROIDS}),
+d2 AS (
+  SELECT vec_id, cid,
+         CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp JOIN cent USING (idx) GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2
+  ) WHERE rn = 1
+),
+occ AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell)
+SELECT CAST({N_CENTROIDS} AS BIGINT) AS n_cells,
+       CAST(COUNT(*) AS BIGINT) AS occupied_cells,
+       (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM comp) AS n_vectors,
+       CAST(MIN(n) AS BIGINT) AS min_occ,
+       CAST(MAX(n) AS BIGINT) AS max_occ,
+       floor(CAST(SUM(n) AS DOUBLE) / COUNT(*) * 1000000000.0 + 0.5) / 1000000000.0
+         AS mean_occ,
+       floor(CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+             * 1000000000.0 + 0.5) / 1000000000.0 AS hot_cell_ratio
+FROM occ
+"""
+
+
+SPECS.append(QuerySpec("sim_index_stats", sim_index_stats, SIM_INDEX_STATS_ORACLE))

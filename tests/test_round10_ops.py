@@ -750,3 +750,29 @@ def test_ks_drift_identical_frames_zero(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     for r in ks_drift(o, o, ["o_totalprice"]).collect():
         assert r["ks_d"] == 0.0
+
+
+def test_pipe_dense_shards_exact_balance_and_stability(spark, sf_dir):
+    """Shard sizes balanced to ±1 by the mod-N construction, union
+    covers the corpus, and the assignment is STABLE across a
+    repartitioned re-read (the reproducible-epoch contract)."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        N_EPOCH_SHARDS,
+        pipe_dense_shards,
+    )
+
+    rows = pipe_dense_shards(spark, sf_dir).collect()
+    assert len(rows) == N_EPOCH_SHARDS
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    again = pipe_dense_shards(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_sim_index_stats_consistency(spark, sf_dir):
+    from snowflake_to_postgres_spark.operators.similarity import sim_index_stats
+
+    r = sim_index_stats(spark, sf_dir).collect()[0]
+    assert r["occupied_cells"] <= r["n_cells"]
+    assert r["min_occ"] <= r["mean_occ"] <= r["max_occ"]
+    assert r["hot_cell_ratio"] >= 1.0
