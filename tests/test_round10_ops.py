@@ -570,6 +570,7 @@ def test_cli_drift_report(capsys, sf_dir):
     assert out["psi"] == [
         {"column": "o_totalprice", "psi": 0.0, "bins_used": 10, "bins_dropped": 0}
     ]
+    assert len(out["ks"]) == 1 and out["ks"][0]["ks_d"] == 0.0  # KS(X,X)=0
     assert all(p["n"][0] == p["n"][1] for p in out["profile"])
 
     rc2 = main([
