@@ -382,3 +382,61 @@ def test_jaccard_links_noncanonical_edge_spelling(spark):
     got = {(r["u"], r["v"]) for r in jaccard_links(df).collect()}
     assert (1, 2) not in got and (1, 3) not in got and (2, 3) not in got
     assert got == {(0, 2), (0, 3)}
+
+
+def test_wedge_guard_raises_on_planted_hub(spark):
+    """Round-10 verdict #1: the Θ(Σ deg²) wedge expansions must refuse
+    uncapped runs whose estimated wedge volume exceeds max_wedges,
+    pointing at max_deg — BEFORE launching the self-join. A star
+    K_{1,50} has Σ deg² = 50² + 50·1² = 2550."""
+    import pytest
+
+    from snowflake_to_postgres_spark.operators.graph import (
+        jaccard_links,
+        two_hop_reach,
+    )
+
+    star = _edges_df(spark, [(0, k) for k in range(1, 51)])
+    with pytest.raises(ValueError, match="max_deg"):
+        two_hop_reach(star, max_wedges=100)
+    with pytest.raises(ValueError, match="max_deg"):
+        jaccard_links(star, max_wedges=100)
+
+
+def test_wedge_cap_bounds_hub_expansion(spark):
+    """max_deg caps the hub center's neighbor list (deterministically:
+    the max_deg SMALLEST neighbors), so per-center wedges ≤ max_deg².
+    Star K_{1,50}, max_deg=5: only leaves 1..5 see each other at hop 2
+    (reach 5 = hub + 4 peers); leaves 6..50 keep only their direct hub
+    edge (reach 1); the hub's one-hop ball stays FULL (reach 50) and
+    reported degrees are always the true uncapped ones."""
+    from snowflake_to_postgres_spark.operators.graph import two_hop_reach
+
+    star = _edges_df(spark, [(0, k) for k in range(1, 51)])
+    got = {
+        r["u"]: (r["deg"], r["reach2"])
+        for r in two_hop_reach(star, top=60, max_deg=5).collect()
+    }
+    assert got[0] == (50, 50)
+    for leaf in range(1, 6):
+        assert got[leaf] == (1, 5), got[leaf]
+    for leaf in range(6, 51):
+        assert got[leaf] == (1, 1), got[leaf]
+
+
+def test_wedge_cap_is_noop_above_max_degree(spark):
+    """A max_deg above the true max degree must reproduce the uncapped
+    result exactly, for both kernels (fixture graphs unchanged)."""
+    from snowflake_to_postgres_spark.operators.graph import (
+        jaccard_links,
+        two_hop_reach,
+    )
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5), (5, 6)]
+    df = _edges_df(spark, pairs)
+    base_r = sorted(map(tuple, two_hop_reach(df).collect()))
+    capped_r = sorted(map(tuple, two_hop_reach(df, max_deg=1000).collect()))
+    assert base_r == capped_r
+    base_j = sorted(map(tuple, jaccard_links(df).collect()))
+    capped_j = sorted(map(tuple, jaccard_links(df, max_deg=1000).collect()))
+    assert base_j == capped_j
