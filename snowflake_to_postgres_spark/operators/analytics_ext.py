@@ -2331,8 +2331,44 @@ ORDER BY exact_cnt DESC, l_partkey
 """
 
 
+def _a19_cms_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Construction-phase plans for the audit (round-10 ADVICE —
+    cms_heavy_hitters collects its bounded d×w cell table and top-k
+    candidates eagerly, so a19's audited plan shrank to the final
+    1-join fold): the sketch BUILD aggregate and the PROBE join against
+    the lazily-built cell table (bounded ≤ d·w rows — the broadcast is
+    the legal sketch/grid hint class)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.filter(F.col("l_partkey").isNotNull()).select(
+        F.col("l_partkey").alias("v")
+    )
+    per_v = vals.groupBy("v").agg(F.count("*").alias("exact_cnt"))
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    cells = (
+        per_v.select("v", "exact_cnt", seeds)
+        .select("i", _cms_bucket(F.col("i"), F.col("v")).alias("b"), "exact_cnt")
+        .groupBy("i", "b")
+        .agg(F.sum("exact_cnt").alias("c"))
+    )
+    cand = per_v.orderBy(F.col("exact_cnt").desc(), "v").limit(CMS_TOP)
+    probes = cand.select("v", "exact_cnt", seeds).select(
+        "v", "exact_cnt", "i", _cms_bucket(F.col("i"), F.col("v")).alias("b")
+    )
+    probe_fold = (
+        probes.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("v", "exact_cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )
+    return {"cms_build": cells, "cms_probe": probe_fold}
+
+
 SPECS.append(
-    QuerySpec("a19_cms_heavy_hitters", a19_cms_heavy_hitters, A19_CMS_ORACLE)
+    QuerySpec(
+        "a19_cms_heavy_hitters",
+        a19_cms_heavy_hitters,
+        A19_CMS_ORACLE,
+        probes=_a19_cms_frames,
+    )
 )
 
 

@@ -1534,6 +1534,33 @@ ORDER BY source_a, source_b
 """
 
 
+def _source_matrix_probes(spark: SparkSession, sf_dir: str) -> dict:
+    """Construction-phase plans for the audit (round-10 ADVICE — the
+    kernel aggregates to the bounded |sources|² cell frame and collects
+    it, so without probes the verified-LSH pair pipeline and the
+    labeled-pair joins escape the global guard)."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
+    s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
+    cells = (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.least("src1", "src2").alias("source_a"),
+            F.greatest("src1", "src2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+    return {"labeled_pair_cells": cells}
+
+
 SPECS.append(
-    QuerySpec("dedup_source_matrix", dedup_source_matrix, DEDUP_SOURCE_MATRIX_ORACLE)
+    QuerySpec(
+        "dedup_source_matrix",
+        dedup_source_matrix,
+        DEDUP_SOURCE_MATRIX_ORACLE,
+        probes=_source_matrix_probes,
+    )
 )

@@ -2762,8 +2762,48 @@ LEFT JOIN h{mod} ON h{mod}.qid = qids.qid""")
 
 SIM_FILTERED_RECALL_ORACLE = _filtered_recall_oracle()
 
+
+def _filtered_recall_probes(spark: SparkSession, sf_dir: str) -> dict:
+    """Construction-phase plans for the audit (round-10 ADVICE —
+    sim_filtered_recall collects its bounded |MODS|×|queries| result
+    eagerly, so without probes the brute-force cosine block and the
+    candidate ranking escape the global cartesian/nested-loop guard):
+    the exact all-pairs score block, the IVF candidate ranking, and one
+    selectivity rung's truth/approx semi-join."""
+    comp = _components(spark, sf_dir)
+    bf = _bf_cosines(spark, sf_dir)
+    cand_scored = _rank_candidates(comp, _ivf_candidates(comp), k=1 << 62).select(
+        "qid", "neighbor_id", "cosine"
+    )
+    mod = FILTERED_RECALL_MODS[0]
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    truth = (
+        bf.filter(F.col("neighbor_id") % mod == 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_EVAL_K)
+        .select("qid", "neighbor_id")
+    )
+    approx = (
+        cand_scored.filter(F.col("neighbor_id") % mod == 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_EVAL_K)
+        .select("qid", "neighbor_id")
+    )
+    hits = (
+        truth.join(approx, ["qid", "neighbor_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    return {"bf_cosine": bf, "candidate_rank": cand_scored, "rung_hits": hits}
+
+
 SPECS.append(
-    QuerySpec("sim_filtered_recall", sim_filtered_recall, SIM_FILTERED_RECALL_ORACLE)
+    QuerySpec(
+        "sim_filtered_recall",
+        sim_filtered_recall,
+        SIM_FILTERED_RECALL_ORACLE,
+        probes=_filtered_recall_probes,
+    )
 )
 
 
