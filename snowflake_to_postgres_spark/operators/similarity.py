@@ -2507,6 +2507,112 @@ SPECS.append(QuerySpec("sim_range_search", sim_range_search, SIM_RANGE_ORACLE))
 
 FILTER_MOD = 2  # stand-in metadata predicate: vec_id % 2 = 0 ("shard 0")
 
+#: Adaptive-probe floor for filtered ANN (round-10 verdict #3): a
+#: query's probed cells must together hold at least this many ELIGIBLE
+#: vectors (4×ANN_EVAL_K), else the probe list grows to the next-nearest
+#: cells until they do. Selective filters starve fixed-n_probe cells
+#: (sim_filtered_recall measured the dip: min recall 0.667 at 1/16
+#: selectivity at sf0.01); growing probes ONLY where eligible density is
+#: low keeps recall without a global n_probe bump.
+FILTERED_MIN_ELIGIBLE = 12
+
+#: Exact-fallback threshold for filtered ANN (the second tier of the
+#: round-10 verdict-#3 policy, and what production vector stores do —
+#: pre-filtering switches to an exact scan of the eligible posting when
+#: the filter is very selective): if the filter leaves at most this many
+#: eligible vectors IN TOTAL, IVF cell pruning is skipped and every
+#: eligible vector is scored exactly (recall 1.0 by construction, cost
+#: |eligible|·d — CHEAPER than multi-cell probing at this cardinality).
+#: The value is the point where the adaptive rule would expect to probe
+#: everything anyway: min_eligible per probe budget spread uniformly
+#: over all cells → FILTERED_MIN_ELIGIBLE · N_CENTROIDS / N_PROBE.
+FILTERED_BRUTE_MAX = FILTERED_MIN_ELIGIBLE * N_CENTROIDS // N_PROBE
+
+
+def _all_eligible_pairs(assign: DataFrame, mod: int) -> DataFrame:
+    """(qid, vec_id) — every (query, eligible vector) pair, the exact
+    tier's candidate set. Built with a map-side explode of the constant
+    query-id range, NOT a cross join (keeps the global no-cartesian
+    plan invariant; a qid with no stored vector scores to nothing
+    downstream, so over-generating from the literal range is safe)."""
+    return (
+        assign.filter(F.col("vec_id") % mod == 0)
+        .select("vec_id")
+        .withColumn(
+            "qid", F.explode(F.array(*[F.lit(i) for i in range(N_QUERIES)]))
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+
+
+def _ivf_probes_adaptive(
+    d2: DataFrame,
+    elig_cells: DataFrame,
+    n_probe: int = N_PROBE,
+    min_eligible: int = FILTERED_MIN_ELIGIBLE,
+) -> DataFrame:
+    """(qid, cell) — the ``n_probe`` nearest cells per query, EXTENDED
+    while the cumulative eligible count of strictly-nearer cells is
+    below ``min_eligible``: a cell is probed iff rn ≤ n_probe OR the
+    cells ranked before it hold fewer than min_eligible eligible
+    vectors. Deterministic (rank ties on cid, exact integer counts) and
+    replayed verbatim by the SQL oracles. ``elig_cells`` is
+    (cell, n_elig) — bounded at N_CENTROIDS rows, hence the broadcast
+    (sketch/grid-metadata hint class)."""
+    ranked = (
+        d2.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(_w_assign()))
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"), "rn")
+    )
+    w_prev = (
+        Window.partitionBy("qid")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranked.join(F.broadcast(elig_cells), "cell", "left")
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum(F.coalesce(F.col("n_elig"), F.lit(0))).over(w_prev), F.lit(0)
+            ),
+        )
+        .filter(
+            (F.col("rn") <= n_probe) | (F.col("cum_prev") < min_eligible)
+        )
+        .select("qid", "cell")
+    )
+
+
+def _ivf_candidates_filtered(comp: DataFrame, mod: int) -> DataFrame:
+    """(qid, vec_id) — eligible candidates (vec_id % mod = 0) under the
+    two-tier filtered-search policy: if the filter leaves at most
+    FILTERED_BRUTE_MAX eligible vectors in total, EVERY eligible vector
+    is a candidate (exact tier); otherwise candidates come from the
+    ADAPTIVELY probed cells (the filter runs inside the probe, and the
+    probe list grows per query where the filter starves the nearest
+    cells — see _ivf_probes_adaptive). The tier choice is an exact
+    integer count (bounded 1-row collect), so the SQL oracles replay
+    the same branch with the same condition."""
+    d2 = _ivf_cell_d2(comp, _ivf_centroids(comp))
+    assign = _ivf_assign(d2)
+    n_elig_total = assign.filter(F.col("vec_id") % mod == 0).count()
+    if n_elig_total <= FILTERED_BRUTE_MAX:
+        return _all_eligible_pairs(assign, mod)
+    elig = (
+        assign.filter(F.col("vec_id") % mod == 0)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_elig"))
+    )
+    probes = _ivf_probes_adaptive(d2, elig)
+    return (
+        assign.filter(F.col("vec_id") % mod == 0)
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+
 
 def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search: top-k among ONLY the corpus vectors
@@ -2519,14 +2625,18 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set keeps k results whenever the probed cells hold k
     eligible vectors.
 
+    The probe count is ADAPTIVE per query (round-10 verdict #3): cells
+    are probed in distance order until they hold FILTERED_MIN_ELIGIBLE
+    eligible vectors (at least N_PROBE cells always), so selective
+    filters keep recall without a global n_probe bump — the dense-shard
+    fast path is untouched.
+
     100-TB shape: identical to sim_ivf_topk plus one scan-stage
-    predicate on the candidate frame — the filter narrows work, never
-    widens it; no extra shuffle."""
+    predicate on the candidate frame and one bounded (≤N_CENTROIDS-row)
+    eligible-count aggregate feeding the probe window — the filter
+    narrows work, never widens it; no extra data-scaled shuffle."""
     comp = _components(spark, sf_dir)
-    candidates = _ivf_candidates(comp).filter(
-        F.col("vec_id") % FILTER_MOD == 0
-    )
-    return _rank_candidates(comp, candidates, k=3)
+    return _rank_candidates(comp, _ivf_candidates_filtered(comp, FILTER_MOD), k=3)
 
 
 SIM_FILTERED_ANN_ORACLE = _COMP_CTES + f""",
@@ -2541,15 +2651,35 @@ assign AS (
     SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2
   ) WHERE rn = 1
 ),
-probes AS (
-  SELECT vec_id AS qid, cid AS cell FROM (
-    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-    FROM d2 WHERE vec_id < {N_QUERIES}
-  ) WHERE rn <= {N_PROBE}
+elig AS (
+  SELECT cell, COUNT(*) AS n_elig FROM assign
+  WHERE vec_id % {FILTER_MOD} = 0 GROUP BY cell
 ),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT r.qid, r.cell, r.rn,
+           COALESCE(SUM(COALESCE(e.n_elig, 0)) OVER (
+             PARTITION BY r.qid ORDER BY r.rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+    FROM (
+      SELECT vec_id AS qid, cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d2 WHERE vec_id < {N_QUERIES}
+    ) r LEFT JOIN elig e USING (cell)
+  ) WHERE rn <= {N_PROBE} OR cum_prev < {FILTERED_MIN_ELIGIBLE}
+),
+eligtot AS (SELECT COUNT(*) AS t FROM assign WHERE vec_id % {FILTER_MOD} = 0),
 candidates AS (
+  -- two-tier policy: adaptive IVF probes above FILTERED_BRUTE_MAX
+  -- eligible vectors, exact scan of the eligible set at or below it
   SELECT qid, vec_id FROM assign JOIN probes USING (cell)
   WHERE vec_id <> qid AND vec_id % {FILTER_MOD} = 0
+    AND (SELECT t FROM eligtot) > {FILTERED_BRUTE_MAX}
+  UNION ALL
+  SELECT qs.qid, a.vec_id
+  FROM (SELECT DISTINCT vec_id AS qid FROM comp WHERE vec_id < {N_QUERIES}) qs, assign a
+  WHERE a.vec_id % {FILTER_MOD} = 0 AND a.vec_id <> qs.qid
+    AND (SELECT t FROM eligtot) <= {FILTERED_BRUTE_MAX}
 ),
 q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
 dots AS (
@@ -2599,19 +2729,53 @@ def sim_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: same as sim_ann_recall — exact truth over the sampled
     query block only; each rung's approx side is literally
-    sim_filtered_ann's plan (filter INSIDE the probe) at that
-    selectivity; the all-pairs score block is computed once and
-    filtered per rung (scores are filter-independent — only the rank
-    cut moves)."""
+    sim_filtered_ann's plan (the TWO-TIER policy: exact eligible scan
+    at or below FILTERED_BRUTE_MAX total eligible, ADAPTIVE probes with
+    the filter INSIDE the probe above it) at that selectivity; the
+    candidate score block is computed ONCE
+    over the union of the rungs' probed cells (exact cosine is
+    filter-independent — only the probe membership and rank cut move
+    per rung), then semi-joined to each rung's probe set. The per-rung
+    probe frames are bounded (≤ N_QUERIES·N_CENTROIDS rows), collected
+    eagerly (query/probe-bounded collect class) so their window lineage
+    is not re-run per rung."""
     comp = _components(spark, sf_dir)
     bf = _bf_cosines(spark, sf_dir).cache()
-    # candidate scores computed ONCE (exact cosine is filter-independent
-    # — only the rank cut moves per rung), then filtered + re-ranked per
-    # selectivity: k large enough to keep every candidate row so the
-    # per-rung cut happens on the shared scored frame
-    cand_scored = _rank_candidates(
-        comp, _ivf_candidates(comp), k=1 << 62
-    ).select("qid", "neighbor_id", "cosine").cache()
+    d2 = _ivf_cell_d2(comp, _ivf_centroids(comp)).persist()
+    assign = _ivf_assign(d2).persist()
+    # tier choice per rung: exact eligible scan at or below
+    # FILTERED_BRUTE_MAX total eligible, adaptive IVF probes above
+    # (bounded 1-row counts — the scalar-threshold collect idiom)
+    probe_sets: dict = {}
+    cand_frames: list = []
+    for mod in FILTERED_RECALL_MODS:
+        if assign.filter(F.col("vec_id") % mod == 0).count() <= FILTERED_BRUTE_MAX:
+            probe_sets[mod] = None
+            cand_frames.append(_all_eligible_pairs(assign, mod))
+        else:
+            elig = (
+                assign.filter(F.col("vec_id") % mod == 0)
+                .groupBy("cell")
+                .agg(F.count("*").alias("n_elig"))
+            )
+            pf = _ivf_probes_adaptive(d2, elig)
+            probe_sets[mod] = spark.createDataFrame(pf.collect(), pf.schema)
+            cand_frames.append(
+                assign.join(F.broadcast(probe_sets[mod]), "cell")
+                .filter(F.col("vec_id") != F.col("qid"))
+                .select("qid", "vec_id")
+            )
+    union_cand = None
+    for cf in cand_frames:
+        union_cand = cf if union_cand is None else union_cand.unionByName(cf)
+    union_cand = union_cand.distinct()
+    nb_cell = assign.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    cand_scored = (
+        _rank_candidates(comp, union_cand, k=1 << 62)
+        .select("qid", "neighbor_id", "cosine")
+        .join(nb_cell, "neighbor_id")
+        .cache()
+    )
     qids = bf.select("qid").distinct()
     out = None
     for mod in FILTERED_RECALL_MODS:
@@ -2624,8 +2788,15 @@ def sim_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= ANN_EVAL_K)
             .select("qid", "neighbor_id")
         )
+        base = (
+            cand_scored
+            if probe_sets[mod] is None  # exact tier: all eligible scored
+            else cand_scored.join(
+                F.broadcast(probe_sets[mod]), ["qid", "cell"], "left_semi"
+            )
+        )
         approx = (
-            cand_scored.filter(F.col("neighbor_id") % mod == 0)
+            base.filter(F.col("neighbor_id") % mod == 0)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= ANN_EVAL_K)
             .select("qid", "neighbor_id")
@@ -2661,14 +2832,17 @@ def sim_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, schema = final.collect(), final.schema
     bf.unpersist()
     cand_scored.unpersist()
+    d2.unpersist()
+    assign.unpersist()
     return spark.createDataFrame(rows, schema)
 
 
 def _filtered_recall_oracle() -> str:
     """Oracle for sim_filtered_recall: the shared score blocks (exact
-    all-pairs + IVF candidate scores) once, one truth/approx/hits rung
-    per selectivity, UNION ALL — generated from the same
-    FILTERED_RECALL_MODS the Spark side loops over."""
+    all-pairs + candidate scores over the UNION of the rungs' adaptive
+    probe sets) once, one truth/approx/hits rung per selectivity,
+    UNION ALL — generated from the same FILTERED_RECALL_MODS and
+    adaptive-probe rule (_ivf_probes_adaptive) the Spark side runs."""
     shared = _COMP_CTES + f""",
 q AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_QUERIES}),
 bfdots AS (
@@ -2695,14 +2869,54 @@ assign AS (
     SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM celld2
   ) WHERE rn = 1
 ),
-probes AS (
-  SELECT vec_id AS qid, cid AS cell FROM (
-    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-    FROM celld2 WHERE vec_id < {N_QUERIES}
-  ) WHERE rn <= {N_PROBE}
+ranked_cells AS (
+  SELECT vec_id AS qid, cid AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM celld2 WHERE vec_id < {N_QUERIES}
+)"""
+    probe_ctes = []
+    for mod in FILTERED_RECALL_MODS:
+        probe_ctes.append(f""",
+eligtot{mod} AS (
+  SELECT COUNT(*) AS t FROM assign WHERE vec_id % {mod} = 0
 ),
+elig{mod} AS (
+  SELECT cell, COUNT(*) AS n_elig FROM assign
+  WHERE vec_id % {mod} = 0 GROUP BY cell
+),
+probes{mod} AS MATERIALIZED (
+  SELECT qid, cell FROM (
+    SELECT r.qid, r.cell, r.rn,
+           COALESCE(SUM(COALESCE(e.n_elig, 0)) OVER (
+             PARTITION BY r.qid ORDER BY r.rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+    FROM ranked_cells r LEFT JOIN elig{mod} e USING (cell)
+  ) WHERE rn <= {N_PROBE} OR cum_prev < {FILTERED_MIN_ELIGIBLE}
+)""")
+    union_sql = "\n    UNION ALL ".join(
+        f"SELECT qid, cell FROM probes{mod}" for mod in FILTERED_RECALL_MODS
+    )
+    brute_or = "\n     OR ".join(
+        f"(a.vec_id % {mod} = 0 AND (SELECT t FROM eligtot{mod}) <= {FILTERED_BRUTE_MAX})"
+        for mod in FILTERED_RECALL_MODS
+    )
+    scored = f""",
+unionprobes AS (
+  SELECT DISTINCT qid, cell FROM ({union_sql})
+),
+qset AS (SELECT DISTINCT vec_id AS qid FROM comp WHERE vec_id < {N_QUERIES}),
 allcand AS (
-  SELECT qid, vec_id FROM assign JOIN probes USING (cell) WHERE vec_id <> qid
+  -- probe-tier pairs from every rung's probed cells, plus exact-tier
+  -- pairs (all eligible) for rungs at or below FILTERED_BRUTE_MAX;
+  -- a superset scored frame is harmless — each rung's app cut keeps
+  -- only its own tier's pairs
+  SELECT DISTINCT qid, vec_id, cell FROM (
+    SELECT up.qid, a.vec_id, a.cell FROM assign a JOIN unionprobes up USING (cell)
+    WHERE a.vec_id <> up.qid
+    UNION ALL
+    SELECT qs.qid, a.vec_id, a.cell FROM qset qs, assign a
+    WHERE a.vec_id <> qs.qid AND ({brute_or})
+  )
 ),
 cdots AS (
   SELECT c.qid, c.vec_id, CAST(SUM(comp.val * q.qval) AS DECIMAL(38,18)) AS dot
@@ -2711,12 +2925,14 @@ cdots AS (
   JOIN q ON q.qid = c.qid AND q.idx = comp.idx
   GROUP BY c.qid, c.vec_id
 ),
-cres AS (
+cres AS MATERIALIZED (
   SELECT qid, cdots.vec_id AS neighbor_id,
-         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine,
+         a.cell
   FROM cdots
   JOIN norms qn ON qn.vec_id = cdots.qid
   JOIN norms nn ON nn.vec_id = cdots.vec_id
+  JOIN assign a ON a.vec_id = cdots.vec_id
 ),
 qids AS (SELECT DISTINCT qid FROM bfres)"""
     rungs = []
@@ -2732,9 +2948,13 @@ truth{mod} AS (
 ),
 app{mod} AS (
   SELECT qid, neighbor_id FROM (
-    SELECT qid, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id) AS rn
-    FROM cres WHERE neighbor_id % {mod} = 0
+    SELECT cres.qid, cres.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY cres.qid ORDER BY cres.cosine DESC, cres.neighbor_id) AS rn
+    FROM cres
+    WHERE cres.neighbor_id % {mod} = 0
+      AND ((SELECT t FROM eligtot{mod}) <= {FILTERED_BRUTE_MAX}
+           OR EXISTS (SELECT 1 FROM probes{mod} p
+                      WHERE p.qid = cres.qid AND p.cell = cres.cell))
   ) WHERE rn <= {ANN_EVAL_K}
 ),
 tn{mod} AS (SELECT qid, COUNT(*) AS truth_n FROM truth{mod} GROUP BY qid),
@@ -2755,7 +2975,8 @@ FROM qids
 LEFT JOIN tn{mod} ON tn{mod}.qid = qids.qid
 LEFT JOIN h{mod} ON h{mod}.qid = qids.qid""")
     return (
-        shared + "".join(rungs) + "\n" + "\nUNION ALL\n".join(blocks)
+        shared + "".join(probe_ctes) + scored + "".join(rungs) + "\n"
+        + "\nUNION ALL\n".join(blocks)
         + "\nORDER BY filter_mod, qid"
     )
 
@@ -2772,10 +2993,11 @@ def _filtered_recall_probes(spark: SparkSession, sf_dir: str) -> dict:
     selectivity rung's truth/approx semi-join."""
     comp = _components(spark, sf_dir)
     bf = _bf_cosines(spark, sf_dir)
-    cand_scored = _rank_candidates(comp, _ivf_candidates(comp), k=1 << 62).select(
+    mod = FILTERED_RECALL_MODS[-1]  # the most selective rung
+    cand_mod = _ivf_candidates_filtered(comp, mod)
+    cand_scored = _rank_candidates(comp, cand_mod, k=1 << 62).select(
         "qid", "neighbor_id", "cosine"
     )
-    mod = FILTERED_RECALL_MODS[0]
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     truth = (
         bf.filter(F.col("neighbor_id") % mod == 0)
@@ -2784,8 +3006,7 @@ def _filtered_recall_probes(spark: SparkSession, sf_dir: str) -> dict:
         .select("qid", "neighbor_id")
     )
     approx = (
-        cand_scored.filter(F.col("neighbor_id") % mod == 0)
-        .withColumn("rank", F.row_number().over(w))
+        cand_scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= ANN_EVAL_K)
         .select("qid", "neighbor_id")
     )

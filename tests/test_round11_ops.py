@@ -102,3 +102,59 @@ def test_cli_drift_reports_retyped_columns(capsys, tmp_path, spark):
     assert out["retyped_columns"] == ["amount"]
     scored = {p["column"] for p in out["psi"]} | {k["column"] for k in out["ks"]}
     assert scored == {"stable"}
+
+
+def test_adaptive_probes_grow_only_when_starved(spark):
+    """The adaptive probe window (round-10 verdict #3): with a dense
+    eligible frame the probe list stays at N_PROBE; with a starved one
+    it extends in distance order exactly until the strictly-nearer
+    cells hold FILTERED_MIN_ELIGIBLE eligible vectors."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        FILTERED_MIN_ELIGIBLE,
+        N_PROBE,
+        _ivf_probes_adaptive,
+    )
+
+    # one query (vec_id 0), four cells at increasing distance
+    d2 = spark.createDataFrame(
+        [(0, c, float(c)) for c in range(4)],
+        "vec_id long, cid long, d2 double",
+    )
+    dense = spark.createDataFrame(
+        [(c, FILTERED_MIN_ELIGIBLE * 2) for c in range(4)], "cell long, n_elig long"
+    )
+    got = sorted(r["cell"] for r in _ivf_probes_adaptive(d2, dense).collect())
+    assert got == list(range(N_PROBE)), got  # base plan untouched
+
+    starved = spark.createDataFrame(
+        [(c, 5) for c in range(4)], "cell long, n_elig long"
+    )
+    # cum_prev: cell0=0, cell1=5, cell2=10, cell3=15 — keeps cells with
+    # cum_prev < 12 → {0,1,2}
+    got = sorted(r["cell"] for r in _ivf_probes_adaptive(d2, starved).collect())
+    assert got == [0, 1, 2], got
+
+
+def test_filtered_recall_exact_tier_is_perfect(spark, sf_dir):
+    """Rungs whose total eligible count is at or below
+    FILTERED_BRUTE_MAX take the exact tier (all eligible vectors
+    scored), so recall is 1.0 by construction wherever truth exists."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        FILTERED_BRUTE_MAX,
+        FILTERED_RECALL_MODS,
+        sim_filtered_recall,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    rows = sim_filtered_recall(spark, sf_dir).collect()
+    exact_mods = {
+        mod
+        for mod in FILTERED_RECALL_MODS
+        # eligible ids are 0, mod, 2·mod, … < n_vec
+        if (n_vec + mod - 1) // mod <= FILTERED_BRUTE_MAX
+    }
+    assert exact_mods, "fixture too large — no rung takes the exact tier"
+    for r in rows:
+        if r["filter_mod"] in exact_mods and r["truth_n"] > 0:
+            assert r["recall"] == 1.0, r
