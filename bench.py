@@ -127,6 +127,10 @@ HEADLINE = [
     "sim_filtered_recall",
     "val_psi_drift",
     "ts_acf",
+    # round-11 additions (one per new family; prior keys unchanged):
+    # the streaming drift monitor's batch twin (frozen-reference
+    # per-day PSI — the per-micro-batch check a corpus ingest runs)
+    "st_drift",
 ]
 
 

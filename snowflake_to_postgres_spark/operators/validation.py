@@ -695,6 +695,139 @@ def psi_drift(
     )
 
 
+def psi_drift_vs_reference(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: "list[str]",
+    group_col: str,
+    bins: int = PSI_BINS,
+) -> DataFrame:
+    """Grouped PSI against a FROZEN reference — (group, column_name,
+    psi, bins_used, bins_dropped, n_ref, n_cur) for every group in
+    ``cur`` (a day, a micro-batch id, …) scored against one fixed
+    reference snapshot. Unlike :func:`psi_drift`'s shared union bounds
+    (which need BOTH snapshots up front and therefore cannot stream),
+    bin bounds here come from the reference alone — the deployed-
+    monitoring contract: bins freeze when the reference is taken, and
+    out-of-range current values CLAMP to the edge bins (they are drift
+    mass, not an error). Consumed by the registered st_drift twin and
+    the foreachBatch drift monitor (streaming/pipeline.drift_stream).
+
+    Same determinism as psi_drift: exact integer counts, each matched
+    bin's term snapped to the 1e-6 grid AS AN INTEGER and summed
+    exactly. bins_dropped counts one-sided bins from BOTH directions —
+    current-only bins (left join miss) plus reference bins the group
+    never hit (ref_bins_total − matched) — without materializing a
+    group×bin grid.
+
+    100-TB shape: one bounds pass over the reference, one
+    (column, bin) aggregate per side (map-side combinable), then the
+    psi fold over |groups|·|cols|·bins bounded-metadata rows."""
+    bounds, ref_counts, ref_meta = psi_reference_artifacts(ref, cols, bins)
+    return psi_score_vs_reference(
+        bounds, ref_counts, ref_meta, cur, cols, group_col, bins
+    )
+
+
+def _psi_bin_expr(bins: int):
+    """Frozen-reference bin assignment: equal-width over the REFERENCE
+    [mn, mx]; values outside (possible only on the current side) clamp
+    to the edge bins."""
+    return F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * bins
+                ),
+            ),
+        ).cast("int")
+    )
+
+
+def psi_reference_artifacts(
+    ref: DataFrame, cols: "list[str]", bins: int = PSI_BINS
+):
+    """The frozen reference, reduced to its three BOUNDED artifacts:
+    per-column bounds, (column, bin) counts, and per-column totals —
+    ≤ |cols|·(bins+2) rows in total. A streaming monitor computes these
+    ONCE at setup (collect + createDataFrame — the truly-bounded-frame
+    idiom) instead of re-aggregating the reference every micro-batch."""
+    ref_long = ref.select(F.expr(_stack_unpivot_expr(cols, "DOUBLE"))).filter(
+        F.col("x").isNotNull()
+    )
+    bounds = ref_long.groupBy("column_name").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    ref_counts = (
+        ref_long.join(bounds, "column_name")
+        .withColumn("bin", _psi_bin_expr(bins))
+        .groupBy("column_name", "bin")
+        .agg(F.count("*").alias("ca"))
+    )
+    ref_meta = ref_counts.groupBy("column_name").agg(
+        F.sum("ca").alias("na"), F.count("*").alias("ref_bins")
+    )
+    return bounds, ref_counts, ref_meta
+
+
+def psi_score_vs_reference(
+    bounds: DataFrame,
+    ref_counts: DataFrame,
+    ref_meta: DataFrame,
+    cur: DataFrame,
+    cols: "list[str]",
+    group_col: str,
+    bins: int = PSI_BINS,
+) -> DataFrame:
+    """Score ``cur`` groups against precomputed reference artifacts
+    (see :func:`psi_reference_artifacts`); the scoring half of
+    :func:`psi_drift_vs_reference`."""
+    bin_expr = _psi_bin_expr(bins)
+    cur_long = cur.select(
+        F.col(group_col).alias("g"), F.expr(_stack_unpivot_expr(cols, "DOUBLE"))
+    ).filter(F.col("x").isNotNull())
+    cur_counts = (
+        cur_long.join(bounds, "column_name")
+        .withColumn("bin", bin_expr)
+        .groupBy("g", "column_name", "bin")
+        .agg(F.count("*").alias("cb"))
+    )
+    cur_tot = cur_counts.groupBy("g", "column_name").agg(F.sum("cb").alias("nb"))
+    joined = (
+        cur_counts.join(ref_counts, ["column_name", "bin"], "left")
+        .join(cur_tot, ["g", "column_name"])
+        .join(ref_meta, "column_name")
+    )
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    term_scaled = F.when(
+        F.col("ca").isNotNull(),
+        F.floor((p - q) * F.log(p / q) * 1e6 + F.lit(0.5)).cast("bigint"),
+    )
+    return (
+        joined.groupBy("g", "column_name")
+        .agg(
+            (F.sum(term_scaled).cast("double") / 1e6).alias("psi"),
+            F.sum(F.when(term_scaled.isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bins_used"),
+            (
+                F.sum(F.when(F.col("ca").isNull(), 1).otherwise(0))
+                + F.max("ref_bins")
+                - F.sum(F.when(term_scaled.isNotNull(), 1).otherwise(0))
+            )
+            .cast("bigint")
+            .alias("bins_dropped"),
+            F.max("na").cast("bigint").alias("n_ref"),
+            F.max("nb").cast("bigint").alias("n_cur"),
+        )
+        .withColumnRenamed("g", group_col)
+        .orderBy(group_col, "column_name")
+    )
+
+
 def profile_drift(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
     """Generic two-frame per-column profile diff — (column_name, n_a,
     n_b, nulls_a, nulls_b, distinct_a, distinct_b) over the columns the

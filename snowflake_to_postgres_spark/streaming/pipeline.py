@@ -907,3 +907,78 @@ def scd2_stream(
         .start()
         .awaitTermination()
     )
+
+
+def drift_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    since=None,
+    cols: "list[str] | None" = None,
+    events: DataFrame | None = None,
+) -> None:
+    """Streaming drift monitor (round-10 verdict #5): drain the events
+    stream (AvailableNow) and score every micro-batch's numeric columns
+    against the FROZEN first-week reference with the same kernel as the
+    registered st_drift twin and the `drift` CLI verb — each batch
+    appends rows (batch_id, column_name, psi, bins_used, bins_dropped,
+    n_ref, n_cur) to the monitor table.
+
+    The reference is reduced ONCE at setup to its bounded artifacts
+    (per-column bounds + (column, bin) counts + totals,
+    ≤ |cols|·(bins+2) rows, collected to literal frames), so micro-
+    batches never re-aggregate reference data — the production shape: a
+    drift monitor ships its frozen reference histogram, not the raw
+    snapshot.
+
+    Idempotence under at-least-once delivery: each batch's monitor rows
+    land at ``batch=<id>`` with mode=overwrite, so a replayed batch
+    rewrites identical content (the scoring is deterministic in the
+    batch's rows) and a restart on the same checkpoint appends
+    nothing."""
+    from snowflake_to_postgres_spark.operators.validation import (
+        psi_reference_artifacts,
+        psi_score_vs_reference,
+    )
+    from snowflake_to_postgres_spark.streaming.queries import (
+        ST_DRIFT_COLS,
+        ST_DRIFT_REF_DATE,
+    )
+
+    score_cols = list(cols) if cols is not None else list(ST_DRIFT_COLS)
+    ref = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").cast("date") < F.lit(ST_DRIFT_REF_DATE).cast("date")
+    )
+    artifacts = []
+    for frame in psi_reference_artifacts(ref, score_cols):
+        artifacts.append(spark.createDataFrame(frame.collect(), frame.schema))
+    bounds, ref_counts, ref_meta = artifacts
+
+    if events is None:  # tests inject a chunked multi-batch source
+        events = read_events_stream(spark, sf_dir)
+    if since is not None:
+        events = events.filter(F.col("ts") >= F.lit(since))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        report = psi_score_vs_reference(
+            bounds,
+            ref_counts,
+            ref_meta,
+            batch.withColumn("batch_id", F.lit(batch_id).cast("bigint")),
+            score_cols,
+            "batch_id",
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(monitor_path, f"batch={batch_id}")
+        )
+
+    (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -158,3 +158,82 @@ def test_filtered_recall_exact_tier_is_perfect(spark, sf_dir):
     for r in rows:
         if r["filter_mod"] in exact_mods and r["truth_n"] > 0:
             assert r["recall"] == 1.0, r
+
+
+def _monitor_rows(df):
+    return sorted(
+        (r["column_name"], r["psi"], r["bins_used"], r["bins_dropped"],
+         r["n_ref"], r["n_cur"])
+        for r in df.collect()
+    )
+
+
+def test_drift_stream_matches_batch_and_is_idempotent(spark, sf_dir, tmp_path):
+    """The foreachBatch drift monitor (round-10 verdict #5, st_scd2
+    discipline): per-micro-batch PSI rows must equal the batch kernel
+    run on the same chunks against the same frozen reference, and a
+    restart on the same checkpoint must change nothing."""
+    from snowflake_to_postgres_spark.operators.validation import (
+        psi_drift_vs_reference,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+    from snowflake_to_postgres_spark.streaming.pipeline import drift_stream
+    from snowflake_to_postgres_spark.streaming.queries import (
+        ST_DRIFT_COLS,
+        ST_DRIFT_REF_DATE,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    split = F.lit(ST_DRIFT_REF_DATE).cast("date")
+    ref = events.filter(F.col("ts").cast("date") < split)
+    cur = events.filter(~(F.col("ts").cast("date") < split))
+    mid = cur.agg(
+        F.percentile_approx(F.col("ts").cast("double"), F.lit(0.5)).alias("m")
+    ).collect()[0][0]
+    chunks = [
+        cur.filter(F.col("ts").cast("double") <= mid),
+        cur.filter(F.col("ts").cast("double") > mid),
+    ]
+    src = str(tmp_path / "src")
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.parquet(f"{src}/chunk{i}.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    monitor = str(tmp_path / "monitor")
+    ckpt = str(tmp_path / "ckpt")
+    drift_stream(spark, sf_dir, monitor, ckpt, events=stream)
+
+    got = spark.read.parquet(monitor)
+    batch_ids = sorted(r["batch_id"] for r in got.select("batch_id").distinct().collect())
+    assert len(batch_ids) == 2, batch_ids  # one per chunk file
+
+    # batch parity: the same chunks through the batch kernel, against
+    # the same frozen reference — compared as a multiset because the
+    # file→batch order is the stream's choice
+    expected = []
+    for i, c in enumerate(chunks):
+        rep = psi_drift_vs_reference(
+            ref, c.withColumn("bid", F.lit(i).cast("bigint")), ST_DRIFT_COLS, "bid"
+        )
+        expected.extend(_monitor_rows(rep))
+    assert sorted(expected) == _monitor_rows(got)
+
+    # restart on the same checkpoint: no new batches, monitor unchanged
+    stream2 = (
+        spark.readStream.schema(events.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    drift_stream(spark, sf_dir, monitor, ckpt, events=stream2)
+    again = spark.read.parquet(monitor)
+    assert _monitor_rows(again) == _monitor_rows(got)
+    assert sorted(
+        r["batch_id"] for r in again.select("batch_id").distinct().collect()
+    ) == batch_ids
