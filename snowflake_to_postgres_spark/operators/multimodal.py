@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio codecs, so the *decode kernels* are
-deliberately stubbed (deterministic fake derived from the payload bytes,
-or ``NotImplementedError`` when ``real_decode=True``). Everything around
-them — schema contracts, Arrow batch shape, ``mapInPandas`` plumbing,
-partition sizing — is real and tested, which is the part that matters for
-a 100 TB pipeline: the decode UDF is embarrassingly parallel; the design
+The container has no image/audio codec libraries. The decode kernels
+therefore run in two modes: the default deterministic stand-in (oracle-
+checkable — dimensions derived from the payload digest), and
+``real_decode=True``, which since round 11 REALLY decodes the two
+formats a pure-Python reader can handle — P6 PPM and uncompressed
+24-bit BMP (decode, feature-extract, nearest-neighbor resize, P6
+re-encode) — and raises toward the PIL/torchvision plug-in point for
+every other magic. Everything around them — schema contracts, Arrow
+batch shape, ``mapInPandas`` plumbing, partition sizing — is identical
+in both modes, which is the part that matters for a 100 TB pipeline: the decode UDF is embarrassingly parallel; the design
 questions are batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``
 vs payload size) and avoiding shuffles of the binary column (decode early,
 project metadata, drop payload before any join).
@@ -88,19 +92,106 @@ def _fake_decode(payload: bytes, n_features: int = 8) -> tuple[int, int, int, li
     return width, height, channels, features
 
 
+def _decode_ppm(b: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python P6 (binary PPM) decoder: (width, height, raw RGB).
+    Netpbm is THE trivially-decodable interchange format — ASCII header
+    (`P6 <w> <h> <maxval>` with #-comments allowed), then w·h·3 raw
+    bytes — which is why it is the round-11 choice for exercising the
+    real-decode path end-to-end without a codec library."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: whitespace-separated, '#' starts a comment
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(b[start:pos])
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported natively")
+    need = width * height * 3
+    pix = b[pos : pos + need]
+    if len(pix) != need:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, pix
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python uncompressed 24-bit BMP decoder: (width, height,
+    raw RGB, top-down row order). BMP stores rows bottom-up, BGR, padded
+    to 4-byte boundaries — all undone here."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(b[10:14], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "only uncompressed 24-bit BMP supported natively; plug PIL here"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_row = y if top_down else height - 1 - y
+        row = b[data_off + src_row * row_bytes : data_off + src_row * row_bytes + width * 3]
+        if len(row) != width * 3:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(width):
+            # BGR -> RGB
+            out[(y * width + x) * 3 + 0] = row[x * 3 + 2]
+            out[(y * width + x) * 3 + 1] = row[x * 3 + 1]
+            out[(y * width + x) * 3 + 2] = row[x * 3 + 0]
+    return width, height, bytes(out)
+
+
+def _real_decode(
+    payload: bytes, n_features: int = 8
+) -> tuple[int, int, int, list[float]]:
+    """Real decode for the formats a pure-Python reader can handle (P6
+    PPM, uncompressed 24-bit BMP — round-10 verdict #6: the gated
+    branch now runs end-to-end on real bytes in this sandbox); any
+    other magic still raises toward the PIL plug-in point. Features:
+    per-channel means plus the first pixel and the global min/max, all
+    normalized to [0, 1] — deterministic, codec-independent."""
+    b = bytes(payload)
+    if b[:2] == b"P6":
+        width, height, pix = _decode_ppm(b)
+    elif b[:2] == b"BM":
+        width, height, pix = _decode_bmp(b)
+    else:
+        raise NotImplementedError(
+            "native decode covers P6 PPM and uncompressed 24-bit BMP; other "
+            "formats require a codec library (plug PIL/torchvision here)"
+        )
+    n = width * height
+    means = [sum(pix[c::3]) / (255.0 * n) for c in range(3)]
+    first = [pix[c] / 255.0 for c in range(3)]
+    feats = (means + first + [min(pix) / 255.0, max(pix) / 255.0])[:n_features]
+    return width, height, 3, feats
+
+
 def decode_images(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode + feature-extract over ``mapInPandas``: Arrow-batched, one
     Python worker per partition, schema fixed up front. ``real_decode``
-    gates the (absent) codec dependency."""
+    runs the pure-Python PPM/BMP reader (other formats raise toward the
+    codec plug-in point); the default stand-in stays oracle-checkable."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if real_decode:
-                raise NotImplementedError(
-                    "real image decode requires a codec library not present "
-                    "in this environment; plug PIL/torchvision here"
-                )
-            rows = [_fake_decode(p) for p in pdf["payload"]]
+            decode = _real_decode if real_decode else _fake_decode
+            rows = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -124,15 +215,59 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _real_resize(payload: bytes, max_dim: int) -> tuple[int, int, bytes]:
+    """Nearest-neighbor downscale (never upscale) of a PPM/BMP payload,
+    re-emitted as P6 PPM — the canonical normalize-to-interchange step
+    of an image pipeline, in pure Python."""
+    b = bytes(payload)
+    if b[:2] == b"P6":
+        w, h, pix = _decode_ppm(b)
+    elif b[:2] == b"BM":
+        w, h, pix = _decode_bmp(b)
+    else:
+        raise NotImplementedError(
+            "native resize covers P6 PPM and uncompressed 24-bit BMP; other "
+            "formats require a codec library"
+        )
+    longest = max(w, h)
+    if longest <= max_dim:
+        nw, nh = w, h
+        out_pix = pix
+    else:
+        nw = max(1, w * max_dim // longest)
+        nh = max(1, h * max_dim // longest)
+        out = bytearray(nw * nh * 3)
+        for y in range(nh):
+            sy = y * h // nh
+            for x in range(nw):
+                sx = x * w // nw
+                s = (sy * w + sx) * 3
+                d = (y * nw + x) * 3
+                out[d : d + 3] = pix[s : s + 3]
+        out_pix = bytes(out)
+    header = f"P6\n{nw} {nh}\n255\n".encode("ascii")
+    return nw, nh, header + out_pix
+
+
 def resize_images(media: DataFrame, max_dim: int = 32, real_decode: bool = False) -> DataFrame:
-    """Resize stub: emits a truncated payload + clamped dims — the real
-    operator swaps `_fake_resize` for a codec call; the Spark contract
-    (binary in, binary out, metadata columns) is what's under test."""
+    """Resize over ``mapInPandas``: with ``real_decode`` the pure-Python
+    nearest-neighbor PPM/BMP downscale (P6 out); the default stub emits
+    a truncated payload + clamped dims. The Spark contract (binary in,
+    binary out, metadata columns) is identical either way."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if real_decode:
-                raise NotImplementedError("real resize requires a codec library")
+                rows = [_real_resize(p, max_dim) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].values,
+                        "width": [r[0] for r in rows],
+                        "height": [r[1] for r in rows],
+                        "payload": [r[2] for r in rows],
+                    }
+                )
+                continue
             out_payload = [bytes(p)[: max_dim * max_dim] for p in pdf["payload"]]
             yield pd.DataFrame(
                 {

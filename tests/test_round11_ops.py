@@ -237,3 +237,99 @@ def test_drift_stream_matches_batch_and_is_idempotent(spark, sf_dir, tmp_path):
     assert sorted(
         r["batch_id"] for r in again.select("batch_id").distinct().collect()
     ) == batch_ids
+
+
+def _make_ppm(w, h, rgb_fn):
+    header = f"P6\n# fixture\n{w} {h}\n255\n".encode()
+    pix = bytearray()
+    for y in range(h):
+        for x in range(w):
+            pix.extend(rgb_fn(x, y))
+    return bytes(header + pix)
+
+
+def _make_bmp(w, h, rgb_fn):
+    row_bytes = (w * 3 + 3) // 4 * 4
+    data = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb_fn(x, y)
+            row.extend((b, g, r))  # BGR
+        row.extend(b"\x00" * (row_bytes - len(row)))
+        data.extend(row)
+    size = 14 + 40 + len(data)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header + data)
+
+
+def test_real_decode_ppm_and_bmp_end_to_end(spark):
+    """Round-10 verdict #6: the real_decode branch must run end-to-end
+    on real bytes in this sandbox. The SAME image encoded as P6 PPM and
+    as uncompressed 24-bit BMP must decode to identical dimensions and
+    identical features through the Spark mapInPandas path; an unknown
+    magic must still raise toward the codec plug-in point."""
+    import pytest
+
+    from snowflake_to_postgres_spark.operators.multimodal import decode_images
+
+    rgb = lambda x, y: ((x * 37) % 256, (y * 91) % 256, (x + y) % 256)  # noqa: E731
+    w, h = 7, 5  # odd width exercises BMP row padding
+    media = spark.createDataFrame(
+        [(1, _make_ppm(w, h, rgb)), (2, _make_bmp(w, h, rgb))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_images(media, real_decode=True).collect()}
+    assert rows[1]["width"] == rows[2]["width"] == w
+    assert rows[1]["height"] == rows[2]["height"] == h
+    assert rows[1]["channels"] == 3
+    assert rows[1]["features"] == rows[2]["features"]
+    # spot-check the first feature: mean of the R channel
+    exp_r = sum(rgb(x, y)[0] for y in range(h) for x in range(w)) / (255.0 * w * h)
+    assert abs(rows[1]["features"][0] - exp_r) < 1e-6
+
+    bad = spark.createDataFrame(
+        [(3, b"GIF89a notactuallydecodable")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_images(bad, real_decode=True).collect()
+
+
+def test_real_resize_roundtrip(spark):
+    """Nearest-neighbor downscale: the resized P6 payload must re-decode
+    to the clamped dimensions with aspect preserved; images already at
+    or under max_dim pass through untouched."""
+    from snowflake_to_postgres_spark.operators.multimodal import (
+        decode_images,
+        resize_images,
+    )
+
+    rgb = lambda x, y: (x % 256, y % 256, 7)  # noqa: E731
+    media = spark.createDataFrame(
+        [(1, _make_ppm(64, 16, rgb)), (2, _make_bmp(8, 6, rgb))],
+        "doc_id long, payload binary",
+    )
+    resized = resize_images(media, max_dim=32, real_decode=True)
+    meta = {r["doc_id"]: r for r in resized.collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (32, 8)  # aspect kept
+    assert (meta[2]["width"], meta[2]["height"]) == (8, 6)   # no upscale
+    # the emitted payload is itself decodable P6 with the same dims
+    again = {
+        r["doc_id"]: r
+        for r in decode_images(
+            resized.select("doc_id", "payload"), real_decode=True
+        ).collect()
+    }
+    assert (again[1]["width"], again[1]["height"]) == (32, 8)
+    assert (again[2]["width"], again[2]["height"]) == (8, 6)
