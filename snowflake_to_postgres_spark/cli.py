@@ -552,6 +552,19 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def _chi2_rows(kernel, a, b, cat_cols):
+    """(rows, note) for the drift report's chi2 section — an id-like
+    string column trips chi2_drift's distinct-cardinality guard
+    (ValueError), which a report verb surfaces as a note rather than a
+    crash."""
+    if not cat_cols:
+        return [], None
+    try:
+        return kernel(a, b, cat_cols).collect(), None
+    except ValueError as e:
+        return [], str(e)
+
+
 def cmd_drift(args) -> int:
     """Snapshot drift report between two parquet tables: PSI per
     numeric column (or the columns named via --columns) plus the
@@ -563,6 +576,7 @@ def cmd_drift(args) -> int:
     from pyspark.sql import types as T
 
     from snowflake_to_postgres_spark.operators.validation import (
+        chi2_drift,
         ks_drift,
         profile_drift,
         psi_drift,
@@ -589,6 +603,7 @@ def cmd_drift(args) -> int:
             print(json.dumps({"error": f"columns {non_numeric} are not numeric"}))
             return 2
         retyped: list[str] = []
+        cat_cols: list[str] = []
     else:
         # numeric on BOTH sides (round-10 ADVICE): a column numeric in A
         # but re-typed string in B — a realistic schema-drift case —
@@ -607,6 +622,14 @@ def cmd_drift(args) -> int:
             and f.name in b_types
             and not isinstance(b_types[f.name], T.NumericType)
         ]
+        # string columns on both sides get the categorical score
+        # (chi2_drift) — previously simply excluded from the report
+        cat_cols = [
+            f.name for f in a.schema.fields
+            if isinstance(f.dataType, T.StringType)
+            and isinstance(b_types.get(f.name), T.StringType)
+        ]
+    chi2_rows, chi2_note = _chi2_rows(chi2_drift, a, b, cat_cols)
     out = {
         "path_a": args.path_a,
         "path_b": args.path_b,
@@ -620,6 +643,12 @@ def cmd_drift(args) -> int:
             dict(column=r["column_name"], ks_d=r["ks_d"], x_at_max=r["x_at_max"])
             for r in (ks_drift(a, b, cols).collect() if cols else [])
         ],
+        "chi2": [
+            dict(column=r["column_name"], chi2=r["chi2"], dof=r["dof"],
+                 cramers_v=r["cramers_v"], n_folded=r["n_folded"])
+            for r in chi2_rows
+        ],
+        **({"chi2_note": chi2_note} if chi2_note else {}),
         "profile": [
             dict(column=r["column_name"],
                  n=[r["n_a"], r["n_b"]],

