@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from snowflake_to_postgres_spark.registry import QuerySpec
@@ -2744,24 +2745,67 @@ def sim_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = _ivf_cell_d2(comp, _ivf_centroids(comp)).persist()
     assign = _ivf_assign(d2).persist()
     # tier choice per rung: exact eligible scan at or below
-    # FILTERED_BRUTE_MAX total eligible, adaptive IVF probes above
-    # (bounded 1-row counts — the scalar-threshold collect idiom)
-    probe_sets: dict = {}
-    cand_frames: list = []
-    for mod in FILTERED_RECALL_MODS:
-        if assign.filter(F.col("vec_id") % mod == 0).count() <= FILTERED_BRUTE_MAX:
-            probe_sets[mod] = None
-            cand_frames.append(_all_eligible_pairs(assign, mod))
-        else:
-            elig = (
-                assign.filter(F.col("vec_id") % mod == 0)
-                .groupBy("cell")
-                .agg(F.count("*").alias("n_elig"))
+    # FILTERED_BRUTE_MAX total eligible, adaptive IVF probes above.
+    # All rungs' tier counts come from ONE conditional-sum aggregate
+    # and all adaptive rungs' probe sets from ONE ranked-cells pass
+    # (per-mod cumulative-eligible columns over the same window,
+    # bounded N_QUERIES × N_CENTROIDS rows) — the per-rung form ran
+    # 3 + 3 separate jobs for the same exact integers (measured
+    # 0.6 + 2.5 s of the 8.6 s warm total at sf0.1; see
+    # PERFORMANCE.md round-11). The probe RULE is unchanged and the
+    # oracle replays it verbatim.
+    tier = assign.agg(
+        *[
+            F.sum(F.when(F.col("vec_id") % m == 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"t{m}")
+            for m in FILTERED_RECALL_MODS
+        ]
+    ).collect()[0]
+    adaptive = [m for m in FILTERED_RECALL_MODS if tier[f"t{m}"] > FILTERED_BRUTE_MAX]
+    probe_sets: dict = {m: None for m in FILTERED_RECALL_MODS}
+    cand_frames: list = [
+        _all_eligible_pairs(assign, m)
+        for m in FILTERED_RECALL_MODS
+        if tier[f"t{m}"] <= FILTERED_BRUTE_MAX
+    ]
+    if adaptive:
+        elig_mat = assign.groupBy("cell").agg(
+            *[
+                F.sum(F.when(F.col("vec_id") % m == 0, 1).otherwise(0)).alias(f"n{m}")
+                for m in adaptive
+            ]
+        )
+        ranked = (
+            d2.filter(F.col("vec_id") < N_QUERIES)
+            .withColumn("rn", F.row_number().over(_w_assign()))
+            .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"), "rn")
+        )
+        w_prev = (
+            Window.partitionBy("qid")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        j = ranked.join(F.broadcast(elig_mat), "cell", "left")
+        for m in adaptive:
+            j = j.withColumn(
+                f"cum{m}",
+                F.coalesce(
+                    F.sum(F.coalesce(F.col(f"n{m}"), F.lit(0))).over(w_prev),
+                    F.lit(0),
+                ),
             )
-            pf = _ivf_probes_adaptive(d2, elig)
-            probe_sets[mod] = spark.createDataFrame(pf.collect(), pf.schema)
+        pschema = T.StructType([j.schema["qid"], j.schema["cell"]])
+        jrows = j.collect()  # bounded: N_QUERIES × N_CENTROIDS
+        for m in adaptive:
+            sel = [
+                (r["qid"], r["cell"])
+                for r in jrows
+                if r["rn"] <= N_PROBE or r[f"cum{m}"] < FILTERED_MIN_ELIGIBLE
+            ]
+            probe_sets[m] = spark.createDataFrame(sel, pschema)
             cand_frames.append(
-                assign.join(F.broadcast(probe_sets[mod]), "cell")
+                assign.join(F.broadcast(probe_sets[m]), "cell")
                 .filter(F.col("vec_id") != F.col("qid"))
                 .select("qid", "vec_id")
             )
