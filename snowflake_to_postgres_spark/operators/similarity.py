@@ -1465,9 +1465,10 @@ def train_ivf_centroids(
     emb: DataFrame, k: int = N_CENTROIDS, iterations: int = 5, dim: int = 64
 ) -> list[list[float]]:
     """Lloyd's k-means over DataFrames — the principled IVF training step
-    (sim_ivf_topk's oracle uses deterministic seed centroids instead,
-    because iterative training is not SQL-oracle-able; this trainer is
-    convergence-tested in pytest).
+    (sim_ivf_topk's oracle uses deterministic seed centroids; this
+    float-path trainer is convergence-tested in pytest, and its
+    exact-decimal registered twin :func:`emb_kmeans` is oracle-checked
+    via unrolled CTE rounds — the emb_pca_direction discipline).
 
     Per iteration: one Spark job (assignment via an argmin over k
     broadcast-literal distance expressions + 64 avg aggregates); only the
@@ -3244,3 +3245,182 @@ FROM occ
 
 
 SPECS.append(QuerySpec("sim_index_stats", sim_index_stats, SIM_INDEX_STATS_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Registered Lloyd's k-means (round 11) — promotes train_ivf_centroids'
+# pytest-only capability to an oracle-checked query, the PCA precedent
+# (emb_pca_direction round 8: "iterative is not SQL-oracle-able" was
+# wrong — unroll the rounds as CTEs over the same gridded components).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding components:
+    (cid, n_members, inertia) after :data:`KMEANS_ITERS` exact
+    assignment/update rounds from the deterministic seed set (first
+    :data:`KMEANS_K` vectors — the IVF-centroid convention).
+
+    Determinism (the emb_pca_direction discipline, applied to the OTHER
+    classic iterative kernel): assignment distances are the exact-
+    decimal ``_ivf_cell_d2`` sums (ties on cid), so the argmin is exact;
+    each centroid update is one IEEE division (decimal SUM / count)
+    snapped to the component grid (1e-9, half-up) before it re-enters
+    the next round — both engines iterate over IDENTICAL decimal
+    centroid tables, so no drift can accumulate. The DuckDB oracle
+    unrolls every round as CTEs over the same gridded components.
+    Empty clusters keep their previous centroid (LEFT JOIN + COALESCE,
+    mirrored).
+
+    100-TB shape: per round, one broadcast of the K×dim centroid table
+    onto the component frame (the IVF assignment topology — no shuffle
+    grows with K), one (cid, idx) mean aggregate (map-side combinable,
+    K·dim result rows), and a K×dim driver collect (SKETCH-class:
+    the centroid table IS the model). Lineage stays flat because each
+    round's centroids re-enter as a literal frame — the
+    train_ivf_centroids pattern, which remains the fast float-path
+    trainer for IVF builds; this registered twin is the checkable one."""
+    comp = _components(spark, sf_dir)
+    cents = comp.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
+    )
+    cschema = T.StructType(
+        [
+            T.StructField("cid", cents.schema["cid"].dataType),
+            T.StructField("idx", cents.schema["idx"].dataType),
+            T.StructField("cval", cents.schema["cval"].dataType),
+        ]
+    )
+    for _ in range(KMEANS_ITERS):
+        d2 = _ivf_cell_d2(comp, cents)
+        assign = (
+            d2.withColumn("rn", F.row_number().over(_w_assign()))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        means = (
+            assign.join(comp, "vec_id")
+            .groupBy("cid", "idx")
+            .agg(
+                (
+                    F.floor(
+                        (F.sum("val").cast("double") / F.count("*"))
+                        * F.lit(1e9)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e9)
+                )
+                .cast(cents.schema["cval"].dataType.simpleString())
+                .alias("mval")
+            )
+        )
+        nxt = cents.join(means, ["cid", "idx"], "left").select(
+            "cid", "idx", F.coalesce("mval", F.col("cval")).alias("cval")
+        )
+        rows = nxt.collect()  # K × dim centroid table — the model itself
+        cents = spark.createDataFrame(
+            [(r["cid"], r["idx"], r["cval"]) for r in rows], cschema
+        )
+    final = _ivf_cell_d2(comp, cents)
+    best = (
+        final.withColumn("rn", F.row_number().over(_w_assign()))
+        .filter(F.col("rn") == 1)
+        .select("cid", "d2")
+    )
+    return (
+        best.groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            # double first (the wide-decimal→double conversion may
+            # differ by 1 ULP across engines — the _bf_cosines caveat),
+            # then the 1e-6 snap absorbs it (the PSI grid idiom;
+            # decimal-domain downscaling instead rounds HALF-differently
+            # across engines — measured 1-unit mismatches at scale 10)
+            (
+                F.floor(F.sum("d2").cast("double") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """Construction plans of one k-means round (the collected centroid
+    table enters the next round only as a literal frame, so the seed
+    stand-in reproduces the identical round-plan structure)."""
+    comp = _components(spark, sf_dir)
+    cents = comp.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
+    )
+    d2 = _ivf_cell_d2(comp, cents)
+    assign = (
+        d2.withColumn("rn", F.row_number().over(_w_assign()))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    means = (
+        assign.join(comp, "vec_id")
+        .groupBy("cid", "idx")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+    )
+    return {"kmeans_round_update": means}
+
+
+def _kmeans_oracle() -> str:
+    k, iters = KMEANS_K, KMEANS_ITERS
+    parts = [
+        _COMP_CTES,
+        f""",
+c0 AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {k})""",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f""",
+d{t} AS (
+  SELECT comp.vec_id, cid,
+         CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp JOIN {prev} USING (idx)
+  GROUP BY comp.vec_id, cid),
+a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{t}) r WHERE rn = 1),
+m{t} AS (
+  SELECT a{t}.cid, comp.idx,
+         CAST(FLOOR(CAST(SUM(comp.val) AS DOUBLE) / COUNT(*) * 1000000000.0 + 0.5)
+              / 1000000000.0 AS DECIMAL(18,9)) AS mval
+  FROM a{t} JOIN comp USING (vec_id)
+  GROUP BY a{t}.cid, comp.idx),
+c{t} AS (
+  SELECT {prev}.cid, {prev}.idx, COALESCE(m{t}.mval, {prev}.cval) AS cval
+  FROM {prev} LEFT JOIN m{t} ON m{t}.cid = {prev}.cid AND m{t}.idx = {prev}.idx)""",
+        )
+        prev = f"c{t}"
+    parts.append(f""",
+dfin AS (
+  SELECT comp.vec_id, cid,
+         CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp JOIN {prev} USING (idx)
+  GROUP BY comp.vec_id, cid),
+afin AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dfin) r WHERE rn = 1)
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       FLOOR(CAST(SUM(d2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS inertia
+FROM afin
+GROUP BY cid
+ORDER BY cid""",
+    )
+    return "".join(parts)
+
+
+SPECS.append(
+    QuerySpec("emb_kmeans", emb_kmeans, _kmeans_oracle(), probes=_kmeans_probes)
+)

@@ -86,6 +86,7 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/similarity.py", "emb_remove_top_component"): (1, "SCHEMA/CONST"),
     ("operators/similarity.py", "emb_top_component"): (2, "SCHEMA/CONST"),
     ("operators/similarity.py", "kmeans_sse"): (1, "SCALAR-1ROW"),
+    ("operators/similarity.py", "emb_kmeans"): (1, "SKETCH"),
     ("operators/similarity.py", "sim_filtered_recall"): (3, "PROBE/QUERY"),
     ("operators/similarity.py", "sim_ivf_pq_search"): (1, "PROBE/QUERY"),
     ("operators/similarity.py", "sim_topk_dense"): (1, "TOPK/LIMIT"),

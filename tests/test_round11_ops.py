@@ -508,3 +508,35 @@ def test_cli_drift_chi2_section(capsys, sf_dir):
     chi2_cols = {c["column"] for c in out["chi2"]}
     assert "o_orderstatus" in chi2_cols and "o_orderpriority" in chi2_cols
     assert all(c["chi2"] == 0.0 for c in out["chi2"])
+
+
+def test_emb_kmeans_partition_and_improvement(spark, sf_dir):
+    """emb_kmeans must (a) partition every vector exactly once
+    (Σ n_members = |vectors|), (b) end with total inertia no worse than
+    the SEED assignment's (Lloyd's monotonicity, surfaced end-to-end),
+    and (c) keep at most KMEANS_K clusters."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        KMEANS_K,
+        _components,
+        _ivf_cell_d2,
+        _w_assign,
+        emb_kmeans,
+    )
+
+    rows = emb_kmeans(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= KMEANS_K
+    comp = _components(spark, sf_dir)
+    n_vec = comp.select("vec_id").distinct().count()
+    assert sum(r["n_members"] for r in rows) == n_vec
+    assert all(r["inertia"] >= 0.0 for r in rows)
+
+    seeds = comp.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
+    )
+    seed_best = (
+        _ivf_cell_d2(comp, seeds)
+        .withColumn("rn", F.row_number().over(_w_assign()))
+        .filter(F.col("rn") == 1)
+    )
+    seed_inertia = float(seed_best.agg(F.sum(F.col("d2").cast("double"))).collect()[0][0])
+    assert sum(r["inertia"] for r in rows) <= seed_inertia + 1e-6
