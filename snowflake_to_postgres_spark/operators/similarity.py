@@ -3424,3 +3424,112 @@ ORDER BY cid""",
 SPECS.append(
     QuerySpec("emb_kmeans", emb_kmeans, _kmeans_oracle(), probes=_kmeans_probes)
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance (round 11) — the delta-ingest half of
+# the index lifecycle. build_ann_index / sim_index_stats cover build and
+# health; this covers APPEND: new vectors are quantized against the
+# FROZEN centroid set (never retrained per batch — that is what keeps
+# delta ingest cheap), and the per-cell growth report is what decides
+# when a retrain (emb_kmeans) is due. Complements dedup_incremental
+# (probe-vs-corpus) on the dedup side.
+# ---------------------------------------------------------------------------
+
+DELTA_MOD = 10       # vec_id % 10 >= DELTA_SPLIT → delta batch
+DELTA_SPLIT = 8      # 80% base corpus / 20% arriving batch
+DELTA_REBALANCE = 0.5  # flag cells growing >50% in one batch
+
+
+def emb_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell ingest report for one delta batch: base occupancy, delta
+    occupancy, growth ratio, and the rebalance flag. The deterministic
+    80/20 split on ``vec_id % 10`` stands in for base-corpus vs arriving
+    batch (same device as dedup_incremental's probe split).
+
+    Shape: the corpus components explode ONCE; base and delta are
+    filters over that one frame, each assigned by the shared
+    exact-decimal argmin kernel (_ivf_cell_d2 + _ivf_assign) against the
+    SAME frozen centroids. 100-TB shape: the base assignment is the
+    index's own stored (vector, cell) frame — a real deployment reads
+    it, paying only |delta| quantizations (one broadcast of the K×D
+    centroid matrix onto the delta components, one map-side-combined
+    distance aggregate, one bounded per-cell count). The growth join is
+    |cells| vs |cells| — bounded metadata."""
+    comp = _components(spark, sf_dir)
+    cent = _ivf_centroids(comp)
+    base = comp.filter(F.col("vec_id") % DELTA_MOD < DELTA_SPLIT)
+    delta = comp.filter(F.col("vec_id") % DELTA_MOD >= DELTA_SPLIT)
+    base_occ = (
+        _ivf_assign(_ivf_cell_d2(base, cent))
+        .groupBy("cell")
+        .agg(F.count("*").alias("base_n"))
+    )
+    delta_occ = (
+        _ivf_assign(_ivf_cell_d2(delta, cent))
+        .groupBy("cell")
+        .agg(F.count("*").alias("delta_n"))
+    )
+    # full outer: a cell can be empty on either side (unoccupied base
+    # cell receiving its first vectors is exactly the rebalance case)
+    joined = base_occ.join(delta_occ, "cell", "full_outer").select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.coalesce("base_n", F.lit(0)).cast("bigint").alias("base_n"),
+        F.coalesce("delta_n", F.lit(0)).cast("bigint").alias("delta_n"),
+    )
+    growth = (
+        F.floor(
+            F.col("delta_n").cast("double")
+            / F.greatest(F.col("base_n").cast("double"), F.lit(1.0))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        joined.withColumn("growth", growth)
+        .withColumn(
+            "rebalance",
+            (F.col("base_n") == 0) | (F.col("growth") > F.lit(DELTA_REBALANCE)),
+        )
+        .orderBy("cell")
+    )
+
+
+EMB_INDEX_DELTA_ORACLE = _COMP_CTES + f""",
+cent AS (SELECT vec_id AS cid, idx, val AS cval FROM comp WHERE vec_id < {N_CENTROIDS}),
+d2 AS (
+  SELECT comp.vec_id, cid,
+         CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp JOIN cent USING (idx) GROUP BY comp.vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2
+  ) WHERE rn = 1
+),
+base_occ AS (
+  SELECT cell, COUNT(*) AS base_n FROM assign
+  WHERE vec_id % {DELTA_MOD} < {DELTA_SPLIT} GROUP BY cell
+),
+delta_occ AS (
+  SELECT cell, COUNT(*) AS delta_n FROM assign
+  WHERE vec_id % {DELTA_MOD} >= {DELTA_SPLIT} GROUP BY cell
+),
+joined AS (
+  SELECT CAST(COALESCE(b.cell, d.cell) AS BIGINT) AS cell,
+         CAST(COALESCE(base_n, 0) AS BIGINT) AS base_n,
+         CAST(COALESCE(delta_n, 0) AS BIGINT) AS delta_n
+  FROM base_occ b FULL OUTER JOIN delta_occ d USING (cell)
+)
+SELECT cell, base_n, delta_n,
+       FLOOR(CAST(delta_n AS DOUBLE) / GREATEST(CAST(base_n AS DOUBLE), 1.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS growth,
+       (base_n = 0
+        OR FLOOR(CAST(delta_n AS DOUBLE) / GREATEST(CAST(base_n AS DOUBLE), 1.0)
+                 * 1000000.0 + 0.5) / 1000000.0 > {DELTA_REBALANCE}) AS rebalance
+FROM joined
+ORDER BY cell
+"""
+
+SPECS.append(QuerySpec("emb_index_delta", emb_index_delta, EMB_INDEX_DELTA_ORACLE))

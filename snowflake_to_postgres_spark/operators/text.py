@@ -1807,3 +1807,107 @@ ORDER BY doc_id
 
 
 SPECS.append(QuerySpec("tx_dsir_weights", tx_dsir_weights, TX_DSIR_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity tiers (round 11). CCNet (Wenzek et al. 2020)
+# buckets each language's documents into head/middle/tail thirds of the
+# LM-perplexity distribution and trains mostly on the head. The LM here
+# is the engine's own corpus-trained bigram model (tx_bigram_lm_score —
+# KenLM stand-in), so the tiering is self-contained and oracle-exact.
+# ---------------------------------------------------------------------------
+
+PPL_GRID = 1000      # logprob grid = floor(avg_logprob * 1000)
+PPL_TIERS = 3        # head / middle / tail
+
+
+def tx_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, tier) corpus report: doc count and mean/min/max bigram
+    log-probability, where tier 0 = head (highest avg logprob = lowest
+    perplexity) per language. Only docs the LM scores (≥2 tokens) tier.
+
+    Tier assignment is tx_quality_deciles' histogram-CDF device, per
+    language and in DESCENDING score order: snap avg_logprob to a 1e-3
+    grid (bounds the histogram regardless of corpus size), tier(v) =
+    (docs strictly above v) * 3 div N_lang — pure integer math, ties
+    share a tier deterministically.
+
+    100-TB shape: the LM score is tx_bigram_lm_score's two model
+    aggregations + scoring join; on top of that ONE (lang, grid)
+    map-side-combined histogram, windows over that bounded histogram
+    only (each lang partition holds grid rows, never docs), and a
+    broadcast tier-map join back. Per-lang N comes from a window over
+    the histogram itself — no driver collect, no corpus recount."""
+    scored = tx_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_logprob")
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    g = scored.join(lang, "doc_id").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.floor(F.col("avg_logprob") * PPL_GRID).cast("bigint").alias("p_grid"),
+    )
+    hist = g.groupBy("lang", "p_grid").agg(F.count("*").alias("cnt"))
+    w_above = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("p_grid").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tiers = (
+        hist.withColumn(
+            "cum_above", F.coalesce(F.sum("cnt").over(w_above), F.lit(0))
+        )
+        .withColumn("n_lang", F.sum("cnt").over(Window.partitionBy("lang")))
+        .select(
+            "lang",
+            "p_grid",
+            # exact integer division — cum*3 outgrows double's 53-bit
+            # integer range at corpus scale (the deciles rationale)
+            F.expr(f"(cum_above * {PPL_TIERS}) div n_lang")
+            .cast("bigint")
+            .alias("tier"),
+        )
+    )
+    return (
+        g.join(F.broadcast(tiers), ["lang", "p_grid"])
+        .groupBy("lang", "tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            # exact decimal sum, downcast (fits: |sum| < 1e10), then ONE
+            # int64-exact →double conversion and ONE IEEE divide — both
+            # engines see identical inputs at every step
+            (
+                F.sum("avg_logprob").cast("decimal(18,8)").cast("double")
+                / F.count("*")
+            ).alias("mean_lp"),
+            F.min("avg_logprob").cast("double").alias("min_lp"),
+            F.max("avg_logprob").cast("double").alias("max_lp"),
+        )
+        .orderBy("lang", "tier")
+    )
+
+
+TX_PPL_BUCKETS_ORACLE = f"""
+WITH scored AS (SELECT doc_id, avg_logprob FROM ({TX_BIGRAM_LM_ORACLE}) lm),
+g AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob,
+         CAST(floor(avg_logprob * {PPL_GRID}) AS BIGINT) AS p_grid
+  FROM scored s JOIN documents d USING (doc_id)
+),
+hist AS (SELECT lang, p_grid, COUNT(*) AS cnt FROM g GROUP BY lang, p_grid),
+tiers AS (
+  SELECT lang, p_grid,
+         CAST((COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY p_grid DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * {PPL_TIERS})
+              // SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS tier
+  FROM hist
+)
+SELECT lang, tier, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST(SUM(avg_logprob) AS DECIMAL(18,8)) AS DOUBLE) / COUNT(*) AS mean_lp,
+       CAST(MIN(avg_logprob) AS DOUBLE) AS min_lp,
+       CAST(MAX(avg_logprob) AS DOUBLE) AS max_lp
+FROM g JOIN tiers USING (lang, p_grid)
+GROUP BY lang, tier
+ORDER BY lang, tier
+"""
+
+SPECS.append(QuerySpec("tx_ppl_buckets", tx_ppl_buckets, TX_PPL_BUCKETS_ORACLE))

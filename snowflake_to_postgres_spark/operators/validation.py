@@ -1427,3 +1427,115 @@ ORDER BY column_name
 VAL_CHI2_ORACLE = _chi2_oracle()
 
 SPECS.append(QuerySpec("val_chi2_drift", val_chi2_drift, VAL_CHI2_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (round 11) — the post-migration FK check.
+#
+# The reference DISCOVERS foreign keys (discovery.py:34-43 Constraint,
+# ConstraintType.FOREIGN_KEY) and topologically sorts them for DDL
+# (sf_migrate.py FK ordering), but its 5-layer validator never verifies
+# that the migrated data still SATISFIES them. This audit closes that
+# loop: one bounded row per FK edge of the TPC-H-ish schema with row,
+# key, orphan, and NULL-key counts.
+# ---------------------------------------------------------------------------
+
+#: (fk_name, child_table, child_key, parent_table, parent_key,
+#:  broadcast_parent). Parent key sets of region/nation are constant-
+#: bounded (5 / 25 rows) → broadcast; customer/orders/part/supplier key
+#: sets scale with the data → shuffle hash join on the key.
+_FK_EDGES: list[tuple[str, str, str, str, str, bool]] = [
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", False),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey", True),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey", False),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+]
+
+
+def val_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over every FK edge: per edge, child rows, distinct
+    non-NULL child keys, orphan rows/keys (non-NULL key with no parent),
+    and NULL-key rows, plus the pass verdict.
+
+    Shape per edge: the child pre-aggregates to its (key, count) frame —
+    the join side shrinks from |child| rows to |distinct keys| BEFORE the
+    parent lookup — then ONE left join against the parent's distinct key
+    set marks hits, and ONE aggregate folds the marked frame to a single
+    row. 100-TB shape: the heavy edges (lineitem→orders/part/supplier)
+    shuffle once on the key for the pre-aggregate (map-side combined)
+    and hash-join key-set vs key-set; constant-size parents broadcast.
+    Seven bounded rows union — no per-check rescans of any child."""
+    rows = []
+    for fk_name, child_t, ckey, parent_t, pkey, bcast in _FK_EDGES:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t)
+        per_key = child.groupBy(F.col(ckey).alias("k")).agg(
+            F.count("*").alias("n")
+        )
+        pk = parent.select(F.col(pkey).alias("k")).distinct().withColumn(
+            "hit", F.lit(1)
+        )
+        if bcast:
+            pk = F.broadcast(pk)
+        marked = per_key.join(pk, "k", "left")
+        null_k = F.col("k").isNull()
+        orphan = F.col("k").isNotNull() & F.col("hit").isNull()
+        rows.append(
+            marked.agg(
+                F.lit(fk_name).alias("fk_name"),
+                F.lit(child_t).alias("child_table"),
+                F.lit(parent_t).alias("parent_table"),
+                F.sum("n").cast("bigint").alias("n_child_rows"),
+                F.sum(F.when(~null_k, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_child_keys"),
+                F.coalesce(F.sum(F.when(orphan, F.col("n"))), F.lit(0))
+                .cast("bigint")
+                .alias("n_orphan_rows"),
+                F.sum(F.when(orphan, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+                F.coalesce(F.sum(F.when(null_k, F.col("n"))), F.lit(0))
+                .cast("bigint")
+                .alias("n_null_key_rows"),
+            ).withColumn(
+                "ref_intact",
+                (F.col("n_orphan_rows") == 0) & (F.col("n_null_key_rows") == 0),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk_name")
+
+
+def _ref_integrity_oracle() -> str:
+    parts = []
+    for fk_name, child_t, ckey, parent_t, pkey, _ in _FK_EDGES:
+        parts.append(f"""
+SELECT '{fk_name}' AS fk_name, '{child_t}' AS child_table,
+       '{parent_t}' AS parent_table,
+       CAST(SUM(n) AS BIGINT) AS n_child_rows,
+       CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_child_keys,
+       CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL AND hit IS NULL THEN n END), 0) AS BIGINT) AS n_orphan_rows,
+       CAST(SUM(CASE WHEN k IS NOT NULL AND hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+       CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN n END), 0) AS BIGINT) AS n_null_key_rows,
+       (COALESCE(SUM(CASE WHEN k IS NOT NULL AND hit IS NULL THEN n END), 0) = 0
+        AND COALESCE(SUM(CASE WHEN k IS NULL THEN n END), 0) = 0) AS ref_intact
+FROM (SELECT {ckey} AS k, COUNT(*) AS n FROM {child_t} GROUP BY 1) c
+LEFT JOIN (SELECT DISTINCT {pkey} AS k, 1 AS hit FROM {parent_t}) p USING (k)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY fk_name"
+
+
+VAL_REF_INTEGRITY_ORACLE = _ref_integrity_oracle()
+
+SPECS.append(
+    QuerySpec(
+        "val_referential_integrity",
+        val_referential_integrity,
+        VAL_REF_INTEGRITY_ORACLE,
+    )
+)

@@ -540,3 +540,136 @@ def test_emb_kmeans_partition_and_improvement(spark, sf_dir):
     )
     seed_inertia = float(seed_best.agg(F.sum(F.col("d2").cast("double"))).collect()[0][0])
     assert sum(r["inertia"] for r in rows) <= seed_inertia + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# val_referential_integrity
+# ---------------------------------------------------------------------------
+
+
+def test_referential_integrity_fixture_intact(spark, sf_dir):
+    """The generated TPC-H-ish fixture satisfies every FK edge; row
+    totals agree with the child tables themselves."""
+    from snowflake_to_postgres_spark.operators.validation import (
+        _FK_EDGES,
+        val_referential_integrity,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+
+    rows = {r["fk_name"]: r for r in val_referential_integrity(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(e[0] for e in _FK_EDGES)
+    counts = {}
+    for fk_name, child_t, *_ in _FK_EDGES:
+        if child_t not in counts:
+            counts[child_t] = load_table(spark, sf_dir, child_t).count()
+        r = rows[fk_name]
+        assert r["ref_intact"], fk_name
+        assert r["n_orphan_rows"] == 0 and r["n_orphan_keys"] == 0
+        assert r["n_null_key_rows"] == 0
+        assert r["n_child_rows"] == counts[child_t], fk_name
+        assert 0 < r["n_child_keys"] <= r["n_child_rows"]
+
+
+def test_referential_integrity_detects_planted_orphans(spark, tmp_path):
+    """Planted defects surface with exact counts: two lineitem rows on a
+    missing order key (1 orphan key / 2 orphan rows), one NULL-key
+    order row — and only the edges they belong to flip to failed."""
+    from snowflake_to_postgres_spark.operators.validation import (
+        val_referential_integrity,
+    )
+
+    sf = str(tmp_path / "sf")
+    tiny = {
+        "region": [("r_regionkey", [0])],
+        "nation": [("n_nationkey", [0, 1]), ("n_regionkey", [0, 0])],
+        "customer": [("c_custkey", [10, 11]), ("c_nationkey", [0, 1])],
+        "supplier": [("s_suppkey", [20]), ("s_nationkey", [1])],
+        "part": [("p_partkey", [30, 31])],
+        "orders": [("o_orderkey", [40, 41, 42]), ("o_custkey", [10, 11, None])],
+        "lineitem": [
+            ("l_orderkey", [40, 41, 99, 99]),     # 99 → 1 orphan key, 2 rows
+            ("l_partkey", [30, 31, 30, 31]),
+            ("l_suppkey", [20, 20, 20, 20]),
+        ],
+    }
+    for t, cols in tiny.items():
+        names = [c for c, _ in cols]
+        vals = list(zip(*[v for _, v in cols]))
+        spark.createDataFrame(vals, names).write.parquet(f"{sf}/{t}.parquet")
+    rows = {r["fk_name"]: r for r in val_referential_integrity(spark, sf).collect()}
+
+    li = rows["lineitem_orders"]
+    assert not li["ref_intact"]
+    assert li["n_orphan_keys"] == 1 and li["n_orphan_rows"] == 2
+    assert li["n_child_rows"] == 4 and li["n_null_key_rows"] == 0
+
+    oc = rows["orders_customer"]
+    assert not oc["ref_intact"]
+    assert oc["n_orphan_rows"] == 0 and oc["n_null_key_rows"] == 1
+    assert oc["n_child_rows"] == 3 and oc["n_child_keys"] == 2
+
+    for ok_edge in ("customer_nation", "supplier_nation", "nation_region",
+                    "lineitem_part", "lineitem_supplier"):
+        assert rows[ok_edge]["ref_intact"], ok_edge
+
+
+# ---------------------------------------------------------------------------
+# emb_index_delta
+# ---------------------------------------------------------------------------
+
+
+def test_index_delta_conserves_and_flags(spark, sf_dir):
+    """Every vector lands in exactly one (cell, side); the rebalance
+    flag is exactly the documented predicate; the delta batch is the
+    vec_id % 10 >= 8 slice."""
+    from snowflake_to_postgres_spark.operators.similarity import (
+        DELTA_MOD,
+        DELTA_REBALANCE,
+        DELTA_SPLIT,
+        emb_index_delta,
+    )
+    from snowflake_to_postgres_spark.sources import load_table
+
+    out = emb_index_delta(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_delta = emb.filter(F.col("vec_id") % DELTA_MOD >= DELTA_SPLIT).count()
+    assert sum(r["base_n"] for r in out) == n - n_delta
+    assert sum(r["delta_n"] for r in out) == n_delta
+    for r in out:
+        assert r["rebalance"] == (
+            r["base_n"] == 0 or r["growth"] > DELTA_REBALANCE
+        )
+    cells = [r["cell"] for r in out]
+    assert cells == sorted(cells)
+
+
+# ---------------------------------------------------------------------------
+# tx_ppl_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ppl_buckets_tier_contract(spark, sf_dir):
+    """Per language: tiers ⊆ {0,1,2}, doc counts sum to the LM-scored
+    doc count, and mean logprob is strictly ordered head > middle >
+    tail (tier 0 holds the highest-logprob = lowest-perplexity third)."""
+    from snowflake_to_postgres_spark.operators.text import (
+        tx_bigram_lm_score,
+        tx_ppl_buckets,
+    )
+
+    out = tx_ppl_buckets(spark, sf_dir).collect()
+    scored = tx_bigram_lm_score(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in out) == scored
+    by_lang = {}
+    for r in out:
+        assert r["tier"] in (0, 1, 2)
+        assert r["min_lp"] <= r["mean_lp"] <= r["max_lp"]
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["tier"])
+        for hi, lo in zip(rows, rows[1:]):
+            assert hi["mean_lp"] > lo["mean_lp"], lang
+            # tiers split on grid values: a lower tier's best doc sits at
+            # most one grid step above the higher tier's worst doc
+            assert hi["min_lp"] >= lo["max_lp"] - 1e-3, lang
