@@ -699,6 +699,22 @@ def cmd_corpus_stats(args) -> int:
     return 0
 
 
+def cmd_ref_check(args) -> int:
+    """Referential-integrity audit over a migrated schema dir: one JSON
+    row per FK edge (val_referential_integrity), exit 1 if any edge is
+    broken — the post-`transfer` FK gate the reference's validator
+    lacks (it discovers FKs for DDL ordering but never re-checks the
+    data)."""
+    from snowflake_to_postgres_spark.operators.validation import (
+        val_referential_integrity,
+    )
+
+    spark = get_spark("ref-check")
+    rows = [r.asDict() for r in val_referential_integrity(spark, args.source).collect()]
+    print(json.dumps(rows, indent=2))
+    return 0 if all(r["ref_intact"] for r in rows) else 1
+
+
 def cmd_validate(args) -> int:
     from snowflake_to_postgres_spark.operators.validation import DataValidator
 
@@ -914,6 +930,10 @@ def main(argv: list[str] | None = None) -> int:
     cs = sub.add_parser("corpus-stats")
     cs.add_argument("--source", required=True, help="dir holding documents.parquet")
     cs.set_defaults(fn=cmd_corpus_stats)
+
+    rc = sub.add_parser("ref-check")
+    rc.add_argument("--source", required=True, help="schema dir of parquet tables")
+    rc.set_defaults(fn=cmd_ref_check)
 
     v = sub.add_parser("validate")
     v.add_argument("--source", required=True)

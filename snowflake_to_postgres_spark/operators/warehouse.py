@@ -332,3 +332,86 @@ FROM j
 SPECS.append(
     QuerySpec("xj_scd2_pointintime", xj_scd2_pointintime, XJ_SCD2_PIT_ORACLE)
 )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (round 11) — the third leg of the SCD2 read-side story:
+# x_scd2_history BUILDS the dimension, xj_scd2_pointintime reads it AS OF
+# one instant, this diffs it between TWO instants ("what changed between
+# the Jan-97 and Jan-00 snapshots?") — the audit a warehouse runs after a
+# backfill or before certifying a historical report.
+# ---------------------------------------------------------------------------
+
+SNAP_T1 = "1997-01-01"
+SNAP_T2 = "2000-01-01"
+SNAP_NEW = "<NEW>"       # key absent from the earlier snapshot
+
+
+def _as_of(h: DataFrame, d: str) -> DataFrame:
+    """(custkey, priority) — the dimension snapshot at date ``d``."""
+    return h.filter(
+        (F.col("valid_from") <= F.lit(d))
+        & (F.col("valid_to").isNull() | (F.lit(d) < F.col("valid_to")))
+    ).select("custkey", "priority")
+
+
+def x_scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition matrix between the SNAP_T1 and SNAP_T2 snapshots of
+    the SCD2 dimension: per (old_priority, new_priority) pair, how many
+    keys moved — new keys fold under old_priority='<NEW>'. Keys first
+    seen after SNAP_T2 are in neither snapshot and drop out; SCD2 keys
+    never disappear (valid_to only closes onto a successor version), so
+    the matrix is the complete story of the interval.
+
+    100-TB shape: the history builds ONCE (one shuffle on the key);
+    both snapshots are filters over it, the diff is one key-keyed
+    full-outer join between frames already partitioned by that key,
+    and the output is a bounded |values|² matrix aggregate."""
+    h = x_scd2_history(spark, sf_dir)
+    s1 = _as_of(h, SNAP_T1).withColumnRenamed("priority", "p1")
+    s2 = _as_of(h, SNAP_T2).withColumnRenamed("priority", "p2")
+    return (
+        s1.join(s2, "custkey", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("p1"), F.lit(SNAP_NEW)).alias("old_priority"),
+            F.col("p2").alias("new_priority"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum(
+                F.when(F.col("p1").isNull() | (F.col("p1") != F.col("p2")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_changed"),
+        )
+        .orderBy("old_priority", "new_priority")
+    )
+
+
+X_SCD2_SNAPSHOT_DIFF_ORACLE = f"""
+WITH hist AS ({X_SCD2_HISTORY_ORACLE}
+),
+s1 AS (
+  SELECT custkey, priority AS p1 FROM hist
+  WHERE valid_from <= DATE '{SNAP_T1}'
+    AND (valid_to IS NULL OR DATE '{SNAP_T1}' < valid_to)
+),
+s2 AS (
+  SELECT custkey, priority AS p2 FROM hist
+  WHERE valid_from <= DATE '{SNAP_T2}'
+    AND (valid_to IS NULL OR DATE '{SNAP_T2}' < valid_to)
+)
+SELECT COALESCE(p1, '{SNAP_NEW}') AS old_priority,
+       p2 AS new_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN p1 IS NULL OR p1 <> p2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed
+FROM s1 FULL OUTER JOIN s2 USING (custkey)
+GROUP BY 1, 2
+ORDER BY old_priority, new_priority
+"""
+
+SPECS.append(
+    QuerySpec("x_scd2_snapshot_diff", x_scd2_snapshot_diff, X_SCD2_SNAPSHOT_DIFF_ORACLE)
+)

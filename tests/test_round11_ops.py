@@ -673,3 +673,64 @@ def test_ppl_buckets_tier_contract(spark, sf_dir):
             # tiers split on grid values: a lower tier's best doc sits at
             # most one grid step above the higher tier's worst doc
             assert hi["min_lp"] >= lo["max_lp"] - 1e-3, lang
+
+
+def test_cli_ref_check_verb(capsys, sf_dir, spark, tmp_path):
+    """ref-check prints one row per FK edge and gates on intactness:
+    exit 0 on the fixture, exit 1 on a schema with a planted orphan."""
+    from snowflake_to_postgres_spark.cli import main
+    from snowflake_to_postgres_spark.operators.validation import _FK_EDGES
+
+    rc = main(["ref-check", "--source", sf_dir])
+    rows = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert {r["fk_name"] for r in rows} == {e[0] for e in _FK_EDGES}
+    assert all(r["ref_intact"] for r in rows)
+
+    bad = str(tmp_path / "bad")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(f"{bad}/{t}.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") == 1, F.lit(-1)).otherwise(F.col("l_orderkey")),
+    )
+    li.write.parquet(f"{bad}/lineitem.parquet")
+    rc = main(["ref-check", "--source", bad])
+    rows = {r["fk_name"]: r for r in json.loads(capsys.readouterr().out)}
+    assert rc == 1
+    assert not rows["lineitem_orders"]["ref_intact"]
+    assert rows["lineitem_orders"]["n_orphan_keys"] == 1
+
+
+def test_scd2_snapshot_diff_contract(spark, sf_dir):
+    """Matrix conservation: every key first seen on/before T2 appears in
+    exactly one cell; diagonal cells count as unchanged, off-diagonal
+    and '<NEW>' cells as changed; SCD2 keys never vanish (no NULL
+    new_priority cell)."""
+    from snowflake_to_postgres_spark.operators.warehouse import (
+        SNAP_NEW,
+        SNAP_T2,
+        x_scd2_history,
+        x_scd2_snapshot_diff,
+    )
+
+    out = x_scd2_snapshot_diff(spark, sf_dir).collect()
+    h = x_scd2_history(spark, sf_dir)
+    n_keys_t2 = (
+        h.filter(F.col("valid_from") <= F.lit(SNAP_T2))
+        .select("custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_keys"] for r in out) == n_keys_t2
+    for r in out:
+        assert r["new_priority"] is not None
+        if r["old_priority"] == SNAP_NEW or r["old_priority"] != r["new_priority"]:
+            assert r["n_changed"] == r["n_keys"], r
+        else:
+            assert r["n_changed"] == 0, r
+    assert any(r["old_priority"] == SNAP_NEW for r in out)
+    assert any(
+        r["old_priority"] not in (SNAP_NEW, r["new_priority"]) for r in out
+    )
