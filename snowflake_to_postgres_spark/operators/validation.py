@@ -1539,3 +1539,28 @@ SPECS.append(
         VAL_REF_INTEGRITY_ORACLE,
     )
 )
+
+
+def fk_orphan_counts(
+    child: DataFrame, key_col: str, parent_keys: DataFrame, group_col: str
+) -> DataFrame:
+    """Per-group FK audit kernel shared by the streaming orphan monitor
+    (streaming/pipeline.orphan_audit_stream + its batch twin
+    st_orphan_audit) — val_referential_integrity's check re-keyed by a
+    group column so each micro-batch / day reports its own counts.
+
+    ``parent_keys`` must be a single-column ``k`` distinct key frame;
+    the child marks rows via ONE left join against it (broadcast-sized
+    dims broadcast on their own; corpus-scale dims hash-join on the
+    key) and folds to |groups| bounded rows in one map-side-combinable
+    aggregate."""
+    marked = child.select(group_col, F.col(key_col).alias("k")).join(
+        parent_keys.withColumn("hit", F.lit(1)), "k", "left"
+    )
+    null_k = F.col("k").isNull()
+    orphan = F.col("k").isNotNull() & F.col("hit").isNull()
+    return marked.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(orphan, 1).otherwise(0)).cast("bigint").alias("n_orphan_rows"),
+        F.sum(F.when(null_k, 1).otherwise(0)).cast("bigint").alias("n_null_key_rows"),
+    )

@@ -982,3 +982,63 @@ def drift_stream(
         .start()
         .awaitTermination()
     )
+
+
+def orphan_audit_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    since=None,
+    events: DataFrame | None = None,
+    parent_keys: DataFrame | None = None,
+) -> None:
+    """Streaming referential monitor (round 11): drain the events
+    stream (AvailableNow) and audit every micro-batch's ``user_id``
+    against the customer dimension's key set with the same kernel as
+    the registered st_orphan_audit twin — each batch appends one row
+    (batch_id, n_rows, n_orphan_rows, n_null_key_rows) to the monitor
+    table. The continuous form of the `ref-check` CLI gate.
+
+    The dimension stays a DataFrame (stream-static join semantics):
+    broadcast-sized dims broadcast per batch; corpus-scale dims
+    hash-join on the key — never collected to the driver.
+
+    Idempotence under at-least-once delivery: each batch's monitor row
+    lands at ``batch=<id>`` with mode=overwrite, so a replayed batch
+    rewrites identical content and a restart on the same checkpoint
+    appends nothing (the drift_stream discipline)."""
+    from snowflake_to_postgres_spark.operators.validation import fk_orphan_counts
+
+    if parent_keys is None:
+        parent_keys = (
+            load_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("k"))
+            .distinct()
+        )
+
+    if events is None:  # tests inject a chunked multi-batch source
+        events = read_events_stream(spark, sf_dir)
+    if since is not None:
+        events = events.filter(F.col("ts") >= F.lit(since))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        report = fk_orphan_counts(
+            batch.withColumn("batch_id", F.lit(batch_id).cast("bigint")),
+            "user_id",
+            parent_keys,
+            "batch_id",
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(monitor_path, f"batch={batch_id}")
+        )
+
+    (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

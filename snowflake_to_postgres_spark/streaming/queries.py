@@ -363,7 +363,70 @@ ORDER BY day, column_name
 """.replace("{bins}", str(PSI_BINS)).replace("{bins1}", str(PSI_BINS - 1))
 
 
+def st_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming referential monitor (round-11: the
+    ref-check gate for data in motion): per event day, how many rows
+    arrived whose ``user_id`` has no customer row — the FK audit a
+    warehouse runs CONTINUOUSLY on its ingest stream rather than once
+    after a transfer. The real foreachBatch stream
+    (streaming/pipeline.orphan_audit_stream) emits the SAME counts per
+    micro-batch via the shared kernel
+    (validation.fk_orphan_counts), exercised in tests with batch
+    parity, planted orphans, and restart idempotence (the st_scd2 /
+    st_drift discipline).
+
+    100-TB shape: one left join of the stream's (day, key) projection
+    against the dimension's distinct key set (broadcast when the dim is
+    broadcast-sized, key hash join otherwise) and one |days|-bounded
+    fold."""
+    from snowflake_to_postgres_spark.operators.validation import fk_orphan_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    out = fk_orphan_counts(ev, "user_id", cust, "day")
+    return (
+        out.select(
+            "day",
+            F.col("n_rows").alias("n_events"),
+            "n_orphan_rows",
+            "n_null_key_rows",
+            ((F.col("n_orphan_rows") == 0) & (F.col("n_null_key_rows") == 0)).alias(
+                "ref_intact"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ST_ORPHAN_AUDIT_ORACLE = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, user_id AS k FROM events
+),
+marked AS (
+  SELECT day, ev.k, hit FROM ev
+  LEFT JOIN (SELECT DISTINCT c_custkey AS k, 1 AS hit FROM customer) p USING (k)
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN k IS NOT NULL AND hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_rows,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key_rows,
+       (SUM(CASE WHEN k IS NOT NULL AND hit IS NULL THEN 1 ELSE 0 END) = 0
+        AND SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) = 0) AS ref_intact
+FROM marked
+GROUP BY day
+ORDER BY day
+"""
+
+
 SPECS = [
+    QuerySpec("st_orphan_audit", st_orphan_audit, ST_ORPHAN_AUDIT_ORACLE),
     QuerySpec("st_drift", st_drift, ST_DRIFT_ORACLE),
     QuerySpec("st_windowed_agg", st_windowed_agg, ST_WINDOWED_ORACLE),
     QuerySpec("st_latest_state", st_latest_state, ST_LATEST_STATE_ORACLE),

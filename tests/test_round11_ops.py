@@ -734,3 +734,77 @@ def test_scd2_snapshot_diff_contract(spark, sf_dir):
     assert any(
         r["old_priority"] not in (SNAP_NEW, r["new_priority"]) for r in out
     )
+
+
+def test_orphan_audit_stream_parity_planted_and_idempotent(spark, sf_dir, tmp_path):
+    """The streaming FK monitor (ref-check for data in motion): per
+    micro-batch counts must equal the shared kernel run on the same
+    chunks, planted orphans/NULL keys must surface with exact counts,
+    and a restart on the same checkpoint must change nothing."""
+    from snowflake_to_postgres_spark.operators.validation import fk_orphan_counts
+    from snowflake_to_postgres_spark.sources import load_table
+    from snowflake_to_postgres_spark.streaming.pipeline import orphan_audit_stream
+
+    events = load_table(spark, sf_dir, "events")
+    # two chunks; the second gets planted defects: 3 orphan rows
+    # (user_id -7) and 2 NULL-key rows
+    n = events.count()
+    half = events.limit(n // 2)
+    rest = events.subtract(half)
+    planted = rest.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 100 < 3, F.lit(-7))
+        .when(F.col("event_id") % 100 >= 98, F.lit(None))
+        .otherwise(F.col("user_id")),
+    )
+    n_orph = planted.filter(F.col("user_id") == -7).count()
+    n_null = planted.filter(F.col("user_id").isNull()).count()
+    assert n_orph > 0 and n_null > 0
+
+    src = str(tmp_path / "src")
+    half.coalesce(1).write.parquet(f"{src}/chunk0.parquet")
+    planted.coalesce(1).write.parquet(f"{src}/chunk1.parquet")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .load(src)
+        )
+
+    monitor = str(tmp_path / "monitor")
+    ckpt = str(tmp_path / "ckpt")
+    orphan_audit_stream(spark, sf_dir, monitor, ckpt, events=make_stream())
+
+    got = spark.read.parquet(monitor)
+    rows = sorted(
+        (r["n_rows"], r["n_orphan_rows"], r["n_null_key_rows"])
+        for r in got.collect()
+    )
+    assert len(rows) == 2
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    expected = []
+    for i, c in enumerate([half, planted]):
+        rep = fk_orphan_counts(
+            c.withColumn("bid", F.lit(i).cast("bigint")), "user_id", cust, "bid"
+        ).collect()[0]
+        expected.append(
+            (rep["n_rows"], rep["n_orphan_rows"], rep["n_null_key_rows"])
+        )
+    assert rows == sorted(expected)
+    assert sum(r[1] for r in rows) == n_orph
+    assert sum(r[2] for r in rows) == n_null
+
+    orphan_audit_stream(spark, sf_dir, monitor, ckpt, events=make_stream())
+    again = sorted(
+        (r["n_rows"], r["n_orphan_rows"], r["n_null_key_rows"])
+        for r in spark.read.parquet(monitor).collect()
+    )
+    assert again == rows
