@@ -1584,7 +1584,12 @@ def _bm25_scored(
     # tf is the inverted index; it feeds dl, df, the probe block AND the
     # postings join — persist the compact (doc, term, tf) frame so the
     # scan+explode+shuffle subtree runs once (the tx_hashed_features
-    # discipline). df/dl are grouped aggregates joined back, NOT
+    # discipline). Cache lifetime: session-pinned by design, like the
+    # partnership-edge cache (PERFORMANCE.md round-10 — unpersist
+    # variants measured 2.3-3.1x slower there); repeat calls do NOT
+    # stack copies because Spark's CacheManager dedupes persists by
+    # canonicalized plan, so tx_bm25_topk + sim_hybrid_rrf share one
+    # entry. df/dl are grouped aggregates joined back, NOT
     # per-term/per-doc windows: a `COUNT(*) OVER (PARTITION BY term)`
     # funnels each stop-term's full posting list through one task with
     # no AQE escape, while the join form gets skew-split at runtime.

@@ -609,10 +609,15 @@ def _stack_unpivot_expr(
     literal ('' for quotes) and as the backtick identifier (`` for
     backticks) — arbitrary parquet fed through the drift CLI can carry
     names containing either, which previously broke the generated
-    expression or mislabeled output (round-10 ADVICE)."""
+    expression or mislabeled output (round-10 ADVICE). Backslashes in
+    the label double FIRST: Spark's string literals are C-escaped, so
+    an undoubled ``a\\b`` mislabels as backspace and a trailing
+    backslash escapes the closing quote (ParseException)."""
     pairs = ", ".join(
         "'{}', CAST(`{}` AS {})".format(
-            c.replace("'", "''"), c.replace("`", "``"), cast_to
+            c.replace("\\", "\\\\").replace("'", "''"),
+            c.replace("`", "``"),
+            cast_to,
         )
         for c in cols
     )
@@ -1298,14 +1303,31 @@ def chi2_drift(
         F.sum(F.when(F.col("snap") == "a", 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("snap") == "b", 1).otherwise(0)).alias("cb"),
     )
-    # estimate+raise guard: |cols| result rows over the wire
-    card = cells.groupBy("column_name").count().collect()
-    over = {r["column_name"]: r["count"] for r in card if r["count"] > max_distinct}
+    # estimate+raise guard: |cols| result rows over the wire. The same
+    # bounded pass also vets per-side support — a column with zero
+    # non-NULL values on either side (all-NULL drift, schema decay)
+    # would divide by a zero expected count below (ANSI: crash;
+    # non-ANSI: a silent chi2=0 "no drift"), so it raises explicitly.
+    card = cells.groupBy("column_name").agg(
+        F.count("*").alias("n_cat"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    ).collect()
+    over = {r["column_name"]: r["n_cat"] for r in card if r["n_cat"] > max_distinct}
     if over:
         raise ValueError(
             f"chi2_drift: distinct-category cardinality exceeds {max_distinct} "
             f"for {sorted(over)} — an id-like column; use psi_drift on a hash "
             "or pick an enum-ish column"
+        )
+    empty = sorted(
+        set(cols) - {r["column_name"] for r in card}
+    ) + sorted(r["column_name"] for r in card if r["na"] == 0 or r["nb"] == 0)
+    if empty:
+        raise ValueError(
+            f"chi2_drift: no non-NULL values on one or both sides for {empty} "
+            "— cannot form expected counts; the column is itself the drift "
+            "finding (all-NULL / dropped on one snapshot)"
         )
     w = Window.partitionBy("column_name").orderBy(
         (F.col("ca") + F.col("cb")).desc(), "cat"

@@ -954,6 +954,19 @@ def drift_stream(
     for frame in psi_reference_artifacts(ref, score_cols):
         artifacts.append(spark.createDataFrame(frame.collect(), frame.schema))
     bounds, ref_counts, ref_meta = artifacts
+    # Fail-fast, not a blind spot: a column with no non-NULL reference
+    # data yields no artifacts, and the scoring joins would then drop
+    # its every micro-batch row SILENTLY — the monitor would report
+    # nothing for exactly the column that changed most (all-NULL or
+    # newly-added in the reference window). Setup is the place to say so.
+    have = {r["column_name"] for r in bounds.collect()}
+    missing = sorted(set(score_cols) - have)
+    if missing:
+        raise ValueError(
+            f"drift_stream: no non-NULL reference data for {missing} — "
+            "the frozen window cannot score them; widen the reference or "
+            "drop the columns explicitly"
+        )
 
     if events is None:  # tests inject a chunked multi-batch source
         events = read_events_stream(spark, sf_dir)

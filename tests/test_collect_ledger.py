@@ -45,6 +45,7 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("cli.py", "_chi2_rows"): (1, "REPORT-CLI"),
     ("cli.py", "cmd_drift"): (3, "REPORT-CLI"),
     ("cli.py", "cmd_graph"): (8, "REPORT-CLI"),
+    ("cli.py", "cmd_ref_check"): (1, "REPORT-CLI"),
     ("cli.py", "cmd_sketch"): (1, "REPORT-CLI"),
     ("operators/analytics_ext.py", "_guard_group_cardinality"): (1, "SCALAR-1ROW"),
     ("operators/analytics_ext.py", "a15_kmv_distinct"): (2, "SKETCH"),
@@ -109,7 +110,7 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/catalog.py", "describe_table"): (3, "SCHEMA/CONST"),
     ("plans/jdbc_discovery.py", "discover_jdbc_schema"): (1, "SCHEMA/CONST"),
     ("plans/jdbc_discovery.py", "scan"): (1, "SCHEMA/CONST"),
-    ("streaming/pipeline.py", "drift_stream"): (1, "SKETCH"),
+    ("streaming/pipeline.py", "drift_stream"): (2, "SKETCH"),
 }
 
 ALLOWED_CLASSES = {

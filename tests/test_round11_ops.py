@@ -808,3 +808,75 @@ def test_orphan_audit_stream_parity_planted_and_idempotent(spark, sf_dir, tmp_pa
         for r in spark.read.parquet(monitor).collect()
     )
     assert again == rows
+
+
+# ---------------------------------------------------------------------------
+# round-11 self-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_drift_raises_on_all_null_side(spark):
+    """A column populated in A but all-NULL in B must raise the explicit
+    ValueError (previously: ANSI divide-by-zero crash, or a silent
+    chi2=0 'no drift' with ANSI off), and the drift CLI must surface it
+    as a note instead of dying."""
+    import pytest
+
+    from snowflake_to_postgres_spark.operators.validation import chi2_drift
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], ["c"])
+    b = spark.createDataFrame(
+        [(None,), (None,)], schema="c string"
+    )
+    with pytest.raises(ValueError, match="no non-NULL values"):
+        chi2_drift(a, b, ["c"]).collect()
+
+
+def test_cli_drift_notes_all_null_chi2_column(capsys, tmp_path, spark):
+    from snowflake_to_postgres_spark.cli import main
+
+    pa = str(tmp_path / "a.parquet")
+    pb = str(tmp_path / "b.parquet")
+    spark.createDataFrame([("x", 1.0), ("y", 2.0)], ["c", "v"]).write.parquet(pa)
+    spark.createDataFrame(
+        [(None, 1.5), (None, 2.5)], schema="c string, v double"
+    ).write.parquet(pb)
+    rc = main(["drift", "--path-a", pa, "--path-b", pb])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert "no non-NULL values" in out.get("chi2_note", "")
+
+
+def test_drift_stack_escapes_backslashes(spark):
+    """Backslash-bearing names (the remaining hostile-name case): a
+    name with an interior backslash must label verbatim, and a TRAILING
+    backslash must not escape the closing quote (ParseException)."""
+    from snowflake_to_postgres_spark.operators.validation import psi_drift
+
+    df = spark.createDataFrame([(1.0, 2.0)], ["a\\b", "trail\\"])
+    out = psi_drift(df, df, ["a\\b", "trail\\"])
+    names = sorted(r["column_name"] for r in out.collect())
+    assert names == ["a\\b", "trail\\"]
+
+
+def test_drift_stream_raises_on_unreferenced_column(spark, sf_dir, tmp_path):
+    """A monitored column with no non-NULL data in the frozen reference
+    window must fail at setup, not silently vanish from every
+    micro-batch report."""
+    import pytest
+
+    from snowflake_to_postgres_spark.sources import load_table
+    from snowflake_to_postgres_spark.streaming.pipeline import drift_stream
+
+    sf = str(tmp_path / "sf")
+    load_table(spark, sf_dir, "events").withColumn(
+        "dead_signal", F.lit(None).cast("double")
+    ).write.parquet(f"{sf}/events.parquet")
+    with pytest.raises(ValueError, match="no non-NULL reference data"):
+        drift_stream(
+            spark,
+            sf,
+            str(tmp_path / "m"),
+            str(tmp_path / "c"),
+            cols=["value", "dead_signal"],
+        )
