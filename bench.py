@@ -131,6 +131,13 @@ HEADLINE = [
     # the streaming drift monitor's batch twin (frozen-reference
     # per-day PSI — the per-micro-batch check a corpus ingest runs)
     "st_drift",
+    # round-11 (cont.): BM25 lexical retrieval (inverted-index
+    # topology), registered Lloyd's k-means (unrolled exact rounds),
+    # the all-FK orphan audit, and CCNet perplexity tiers
+    "tx_bm25_topk",
+    "emb_kmeans",
+    "val_referential_integrity",
+    "tx_ppl_buckets",
 ]
 
 
