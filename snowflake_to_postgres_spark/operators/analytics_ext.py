@@ -4263,3 +4263,128 @@ ORDER BY g, bin
 
 
 SPECS.append(QuerySpec("a26_hist_union", a26_hist_union, A26_HIST_UNION_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Session-grain funnel (round 11): x_funnel answers "did the USER ever
+# convert"; product analytics usually asks "did the SESSION convert" —
+# a purchase in tonight's session does not rescue this morning's
+# abandoned one. Same min-ts chain, per 30-minute session window.
+# ---------------------------------------------------------------------------
+
+SESSION_FUNNEL_GAP = "30 minutes"
+_SF_GAP_US = 1_800_000_000  # must equal SESSION_FUNNEL_GAP in µs
+
+
+def _session_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construction-phase aggregation (shared with the plan probe): ONE
+    shuffle on user_id into native session windows, per-session array
+    expressions for the step chain, then the |sessions|→1 fold.
+
+    100-TB shape: x_funnel's device at session grain — the collected
+    per-session event arrays are bounded by session length (strictly
+    tighter than x_funnel's per-user arrays), and no raw-stream window
+    pass exists: ``F.session_window`` sessionizes inside the same hash
+    aggregate that computes t1."""
+    events = load_table(spark, sf_dir, "events")
+    t1 = F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts")))
+    per_sess = events.groupBy(
+        "user_id", F.session_window("ts", SESSION_FUNNEL_GAP).alias("w")
+    ).agg(
+        t1.alias("t1"),
+        F.collect_list(F.struct("ts", "event_type")).alias("evs"),
+    )
+    per_sess = per_sess.withColumn(
+        "t2",
+        F.expr(
+            f"array_min(transform(filter(evs, e -> e.event_type = '{FUNNEL_STEPS[1]}'"
+            " AND t1 IS NOT NULL AND e.ts > t1), e -> e.ts))"
+        ),
+    ).withColumn(
+        "t3",
+        F.expr(
+            f"array_min(transform(filter(evs, e -> e.event_type = '{FUNNEL_STEPS[2]}'"
+            " AND t2 IS NOT NULL AND e.ts > t2), e -> e.ts))"
+        ),
+    )
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t1").alias("s1"),
+        F.count("t2").alias("s2"),
+        F.count("t3").alias("s3"),
+    )
+
+
+def x_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step SESSION conversion: one row per funnel step with the
+    number of sessions whose earliest qualifying step-k event follows
+    the session's step-(k-1) conversion time, total session count, and
+    the conversion rate from step 1. Session boundary = 30-minute gap,
+    the st_session_window semantics (half-open [start, last+gap))."""
+    r = _session_funnel_counts(spark, sf_dir).collect()[0]
+    rows = [
+        (i + 1, FUNNEL_STEPS[i], int(r[f"s{i+1}"]), int(r["n_sessions"]))
+        for i in range(3)
+    ]
+    out = spark.createDataFrame(
+        rows, "step int, event_type string, n_sessions_converted long, n_sessions long"
+    )
+    return out.withColumn(
+        "conversion",
+        (F.col("n_sessions_converted").cast("double") / F.lit(float(r["s1"])))
+        .cast("decimal(12,8)"),
+    )
+
+
+X_SESSION_FUNNEL_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {_SF_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+sess1 AS (
+  SELECT user_id, sid,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END) AS t1
+  FROM s GROUP BY user_id, sid
+),
+sess2 AS (
+  SELECT p.user_id, p.sid, p.t1,
+         MIN(CASE WHEN e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > p.t1 THEN e.ts END) AS t2
+  FROM sess1 p LEFT JOIN s e ON e.user_id = p.user_id AND e.sid = p.sid
+  GROUP BY p.user_id, p.sid, p.t1
+),
+sess3 AS (
+  SELECT u.user_id, u.sid, u.t1, u.t2,
+         MIN(CASE WHEN e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > u.t2 THEN e.ts END) AS t3
+  FROM sess2 u LEFT JOIN s e ON e.user_id = u.user_id AND e.sid = u.sid
+  GROUP BY u.user_id, u.sid, u.t1, u.t2
+),
+c AS (SELECT COUNT(*) AS n_sessions, COUNT(t1) AS s1, COUNT(t2) AS s2,
+             COUNT(t3) AS s3 FROM sess3)
+SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+       CAST(s1 AS BIGINT) AS n_sessions_converted,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(CAST(s1 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) AS conversion FROM c
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', CAST(s2 AS BIGINT), CAST(n_sessions AS BIGINT),
+       CAST(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) FROM c
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', CAST(s3 AS BIGINT), CAST(n_sessions AS BIGINT),
+       CAST(CAST(s3 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) FROM c
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "x_session_funnel",
+        x_session_funnel,
+        X_SESSION_FUNNEL_ORACLE,
+        probes=lambda spark, sf: {"counts": _session_funnel_counts(spark, sf)},
+    )
+)

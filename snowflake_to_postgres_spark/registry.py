@@ -102,6 +102,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "sim_filtered_ann": ("cosine",),
     "x_cdc_apply": ("last_value",),
     "x_funnel": ("conversion",),
+    "x_session_funnel": ("conversion",),
     "ts_resample_ohlc": ("open", "close", "high", "low"),
     "ts_anomaly_zscore": ("zscore",),
     "xj_asof_join": ("p_value",),

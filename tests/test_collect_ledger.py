@@ -65,6 +65,7 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/analytics_ext.py", "sketch"): (1, "SKETCH"),
     ("operators/analytics_ext.py", "x_approx_sketches"): (4, "SKETCH"),
     ("operators/analytics_ext.py", "x_funnel"): (1, "SCHEMA/CONST"),
+    ("operators/analytics_ext.py", "x_session_funnel"): (1, "SCHEMA/CONST"),
     ("operators/analytics_ext.py", "x_q22_dormant_balance"): (1, "SCALAR-1ROW"),
     ("operators/bpe.py", "train_bpe"): (1, "TOPK/LIMIT"),
     ("operators/bpe.py", "tx_bpe_tokenize"): (1, "SCHEMA/CONST"),

@@ -1016,3 +1016,40 @@ def test_fk_orphan_counts_vs_python_reference(spark):
             nn + (1 if k is None else 0),
         )
     assert out == exp
+
+
+def test_session_funnel_monotone_and_distinct_from_user_grain(spark, sf_dir, tmp_path):
+    """Step counts are monotone non-increasing, and the session grain is
+    semantically distinct from x_funnel's user grain: a planted user who
+    views tonight and clicks tomorrow converts at USER grain but in NO
+    session."""
+    from datetime import datetime
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        x_funnel,
+        x_session_funnel,
+    )
+
+    rows = {r["step"]: r for r in x_session_funnel(spark, sf_dir).collect()}
+    assert rows[1]["n_sessions_converted"] >= rows[2]["n_sessions_converted"]
+    assert rows[2]["n_sessions_converted"] >= rows[3]["n_sessions_converted"]
+    assert rows[1]["n_sessions"] == rows[2]["n_sessions"] == rows[3]["n_sessions"]
+    assert rows[1]["n_sessions"] >= rows[1]["n_sessions_converted"]
+
+    sf = str(tmp_path / "sf")
+    ev = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), 7, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 2, 10, 0, 0), 7, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    user = {r["step"]: r["n_users"] for r in x_funnel(spark, sf).collect()}
+    sess = {
+        r["step"]: r["n_sessions_converted"]
+        for r in x_session_funnel(spark, sf).collect()
+    }
+    assert user[2] == 1      # the user converts across sessions
+    assert sess[2] == 0      # no single session contains the chain
+    assert sess[1] == 1 and user[1] == 1
