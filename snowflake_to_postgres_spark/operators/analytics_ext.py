@@ -1143,10 +1143,14 @@ def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _funnel_counts(spark, sf_dir).collect()[0]
     rows = [(i + 1, FUNNEL_STEPS[i], int(r[f"s{i+1}"])) for i in range(3)]
     out = spark.createDataFrame(rows, "step int, event_type string, n_users long")
-    return out.withColumn(
-        "conversion",
-        (F.col("n_users").cast("double") / F.lit(float(r["s1"]))).cast("decimal(12,8)"),
+    # NULL conversion when s1 == 0, mirrored by NULLIF in the oracle
+    s1 = int(r["s1"])
+    conv = (
+        (F.col("n_users").cast("double") / F.lit(float(s1)))
+        if s1 > 0
+        else F.lit(None).cast("double")
     )
+    return out.withColumn("conversion", conv.cast("decimal(12,8)"))
 
 
 X_FUNNEL_ORACLE = f"""
@@ -1169,13 +1173,13 @@ u3 AS (
 ),
 c AS (SELECT COUNT(t1) AS s1, COUNT(t2) AS s2, COUNT(t3) AS s3 FROM u3)
 SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type, CAST(s1 AS BIGINT) AS n_users,
-       CAST(CAST(s1 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) AS conversion FROM c
+       CAST(CAST(s1 AS DOUBLE) / NULLIF(CAST(s1 AS DOUBLE), 0) AS DECIMAL(12,8)) AS conversion FROM c
 UNION ALL
 SELECT 2, '{FUNNEL_STEPS[1]}', CAST(s2 AS BIGINT),
-       CAST(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) FROM c
+       CAST(CAST(s2 AS DOUBLE) / NULLIF(CAST(s1 AS DOUBLE), 0) AS DECIMAL(12,8)) FROM c
 UNION ALL
 SELECT 3, '{FUNNEL_STEPS[2]}', CAST(s3 AS BIGINT),
-       CAST(CAST(s3 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) FROM c
+       CAST(CAST(s3 AS DOUBLE) / NULLIF(CAST(s1 AS DOUBLE), 0) AS DECIMAL(12,8)) FROM c
 """
 
 
@@ -4272,8 +4276,9 @@ SPECS.append(QuerySpec("a26_hist_union", a26_hist_union, A26_HIST_UNION_ORACLE))
 # abandoned one. Same min-ts chain, per 30-minute session window.
 # ---------------------------------------------------------------------------
 
-SESSION_FUNNEL_GAP = "30 minutes"
-_SF_GAP_US = 1_800_000_000  # must equal SESSION_FUNNEL_GAP in µs
+_SF_GAP_S = 1800  # single source of truth for the session gap
+SESSION_FUNNEL_GAP = f"{_SF_GAP_S} seconds"
+_SF_GAP_US = _SF_GAP_S * 1_000_000
 
 
 def _session_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4329,11 +4334,16 @@ def x_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(
         rows, "step int, event_type string, n_sessions_converted long, n_sessions long"
     )
-    return out.withColumn(
-        "conversion",
-        (F.col("n_sessions_converted").cast("double") / F.lit(float(r["s1"])))
-        .cast("decimal(12,8)"),
+    # NULL conversion when no session ever reached step 1 (0/0 would be
+    # NULL in Spark's non-ANSI divide but NaN/inf in the oracle's double
+    # path — NULLIF on both sides pins the degenerate case to NULL).
+    s1 = int(r["s1"])
+    conv = (
+        (F.col("n_sessions_converted").cast("double") / F.lit(float(s1)))
+        if s1 > 0
+        else F.lit(None).cast("double")
     )
+    return out.withColumn("conversion", conv.cast("decimal(12,8)"))
 
 
 X_SESSION_FUNNEL_ORACLE = f"""
@@ -4370,13 +4380,13 @@ c AS (SELECT COUNT(*) AS n_sessions, COUNT(t1) AS s1, COUNT(t2) AS s2,
 SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
        CAST(s1 AS BIGINT) AS n_sessions_converted,
        CAST(n_sessions AS BIGINT) AS n_sessions,
-       CAST(CAST(s1 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) AS conversion FROM c
+       CAST(CAST(s1 AS DOUBLE) / NULLIF(CAST(s1 AS DOUBLE), 0) AS DECIMAL(12,8)) AS conversion FROM c
 UNION ALL
 SELECT 2, '{FUNNEL_STEPS[1]}', CAST(s2 AS BIGINT), CAST(n_sessions AS BIGINT),
-       CAST(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) FROM c
+       CAST(CAST(s2 AS DOUBLE) / NULLIF(CAST(s1 AS DOUBLE), 0) AS DECIMAL(12,8)) FROM c
 UNION ALL
 SELECT 3, '{FUNNEL_STEPS[2]}', CAST(s3 AS BIGINT), CAST(n_sessions AS BIGINT),
-       CAST(CAST(s3 AS DOUBLE) / CAST(s1 AS DOUBLE) AS DECIMAL(12,8)) FROM c
+       CAST(CAST(s3 AS DOUBLE) / NULLIF(CAST(s1 AS DOUBLE), 0) AS DECIMAL(12,8)) FROM c
 """
 
 

@@ -1575,12 +1575,20 @@ def fk_orphan_counts(
     the child marks rows via ONE left join against it (broadcast-sized
     dims broadcast on their own; corpus-scale dims hash-join on the
     key) and folds to |groups| bounded rows in one map-side-combinable
-    aggregate."""
-    marked = child.select(group_col, F.col(key_col).alias("k")).join(
-        parent_keys.withColumn("hit", F.lit(1)), "k", "left"
+    aggregate. Internal working columns use collision-proof ``__fk_*``
+    names so a child frame that already carries ``k``/``hit`` (or a
+    ``group_col`` literally named ``k``) cannot clobber the join."""
+    if group_col in ("__fk_k", "__fk_hit"):
+        raise ValueError(f"fk_orphan_counts: reserved group_col {group_col!r}")
+    marked = child.select(group_col, F.col(key_col).alias("__fk_k")).join(
+        parent_keys.select(F.col("k").alias("__fk_k")).withColumn(
+            "__fk_hit", F.lit(1)
+        ),
+        "__fk_k",
+        "left",
     )
-    null_k = F.col("k").isNull()
-    orphan = F.col("k").isNotNull() & F.col("hit").isNull()
+    null_k = F.col("__fk_k").isNull()
+    orphan = F.col("__fk_k").isNotNull() & F.col("__fk_hit").isNull()
     return marked.groupBy(group_col).agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.when(orphan, 1).otherwise(0)).cast("bigint").alias("n_orphan_rows"),

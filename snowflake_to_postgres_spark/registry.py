@@ -175,42 +175,12 @@ _PRIORITY: tuple[str, ...] = (
     "v1_variant_json_extract",
     "val_fingerprint_diff",
     "x_sessionization",
-    # LLM-pipeline extension families. Round-6 rotations: verdict-#5
-    # swaps (sim_ann_recall / st_interval_join / dedup_incremental_lsh
-    # in) plus the round-6 new families — a16_kmv_set_ops (supersedes
-    # a15's single-set sketch), layout_hilbert (supersedes zorder's
-    # Morton math), ivm_agg_refresh (incremental-maintenance algebra),
-    # tx_zipf_fit (corpus-health fit) — displacing a15_kmv_distinct,
-    # layout_zorder, tx_train_split (split family keeps
-    # tx_weighted_downsample) and pipe_clean_corpus (composition keeps
-    # pipe_training_corpus). Original note:
-    # three FULL-only keys with semantics no same-family window row
-    # carries swap IN — sim_ann_recall (the measured ANN recall gate),
-    # st_interval_join (stream-stream join state), dedup_incremental_lsh
-    # (probe-vs-corpus banding) — displacing three near-duplicates of
-    # surviving rows: dedup_fuzzy_corpus (exact groups + LSH pairs stay),
-    # sim_doc_hashed_topk (sim_rp_lsh_topk stays), st_windowed_agg
-    # (st_session_window + st_latest_state stay). Demoted rows remain
-    # registered below the window and FULL-checked, like p3/a5/w2/f2/f9/
-    # val_partition_diff/x_q5 and p5/xj_asof_forward/sim_ivf_topk in
-    # earlier rounds.
-    # Round-7 rotation (verdict #2): dedup_simhash64_pairs — the
-    # guaranteed-recall Manku et al. 4×16-bit pigeonhole design, proven
-    # vs brute force at hamming<=3 — replaces dedup_simhash_pairs (16-bit
-    # prefix blocking, ~0.9% hamming-6 recall) as the hard-signal SimHash
-    # row. The prefix variant stays registered + FULL-checked below.
-    # Round-9 rotations: x_scd2_history (the new warehouse-maintenance
-    # family — SCD Type-2 / MERGE semantics, the queries a migration
-    # tool's users actually run — deserves a hard-signal seat) and
-    # a18_hll_distinct (the md5-register HLL whose sketch itself
-    # replays in the oracle — the KMV promotion story completed for
-    # the industry-standard sketch). They displace two near-duplicates
-    # of surviving dedup rows: dedup_incremental (probe-vs-corpus
-    # exact; dedup_incremental_lsh keeps the incremental seat) and
-    # dedup_containment_pairs (the exact twin of the banded
-    # dedup_containment_lsh scale path — the dedup family keeps five
-    # window rows). Both demoted rows remain registered + FULL-checked
-    # below.
+    # LLM-pipeline extension families. Current window rationale: one
+    # hard-signal seat per family — dedup (exact/minhash/simhash64/
+    # incremental-LSH/semantic), warehouse (x_scd2_history), sketch
+    # (a18 HLL + a16 KMV). Rotation history (rounds 6-9 swaps and what
+    # each displaced) lives in OPERATORS.md "Driver-window rotation
+    # history"; demoted rows stay registered + FULL-checked below.
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash64_pairs",
@@ -218,17 +188,10 @@ _PRIORITY: tuple[str, ...] = (
     "x_scd2_history",
     "dedup_semantic_clusters",
     "a18_hll_distinct",
-    # Round-7 rotation (verdict #3): graph_pagerank — now FULL via the
-    # gridded-recurrence DuckDB oracle (unrolled 8-step CTE chain) —
-    # takes the window seat of sim_rp_lsh_topk, whose RP-LSH oracle
-    # remains exercised inside sim_ann_recall's composed recall gate
-    # (and stays registered + FULL-checked below).
-    # Round-8 rotations: sim_ann_index_search (the materialized
-    # build/search split — the production ANN shape; same oracle)
-    # replaces its in-query twin sim_ivf_pq_topk, and tx_gopher_gate
-    # (the composed repetition/quality keep-drop verdict) replaces
-    # tx_token_stats (whose token counts the gate's signals subsume).
-    # Both demoted rows stay registered + FULL-checked below.
+    # similarity/graph/text seats: graph_pagerank (gridded-recurrence
+    # oracle), sim_ann_index_search (production build/search split),
+    # sim_ann_recall (the measured recall gate), tx_gopher_gate. See
+    # OPERATORS.md rotation history for the rows these displaced.
     "sim_topk_bruteforce",
     "sim_ann_index_search",
     "graph_pagerank",

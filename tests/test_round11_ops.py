@@ -899,7 +899,7 @@ def test_dhash_pigeonhole_math(spark):
     from snowflake_to_postgres_spark.operators.multimodal import dhash_pairs
 
     base = 0xDEADBEEFCAFEF00D
-    h3 = base ^ 0b10101              # 3 bits flipped within band 0
+    h3 = base ^ 0b10101              # 3 bits flipped within band 3 (LSB 16 bits)
     h5 = base ^ 0b1010100000000000000000001001  # 5 bits across bands
     rows = [(0, f"{base:016x}"), (1, f"{h3:016x}"), (2, f"{h5:016x}")]
     hashes = spark.createDataFrame(rows, ["doc_id", "dhash_hex"])
