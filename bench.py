@@ -36,6 +36,14 @@ The reference's comparison band (BASELINE.md) is transfer throughput of
 50k-200k rows/s (tuned); ``transfer_rows_per_sec`` is the apples-to-apples
 number: full lineitem read → parquet write, native types end-to-end,
 median of RUNS writes.
+
+Since round 12 (round-11 verdict #1 and #3): the headline benches
+PRODUCTION query shapes only — the two gate/audit queries
+(sim_filtered_recall's 5-rung recall sweep, the checkpointed
+graph_pagerank) run under ``python bench.py --gates`` into
+BENCH_GATES.json — and BENCH_DETAIL.json carries ``query_cold`` (the
+timed first-touch pass) next to the warm medians so cache-state spread
+is machine-readable round-over-round.
 """
 
 from __future__ import annotations
@@ -91,7 +99,6 @@ HEADLINE = [
     "ivm_agg_refresh",
     "a16_kmv_set_ops",
     "tx_zipf_fit",
-    "graph_pagerank",
     "sim_mmr_rerank",
     "ts_decompose",
     # round-7 additions (one per new family; prior keys unchanged)
@@ -120,11 +127,10 @@ HEADLINE = [
     "graph_label_prop",
     # round-10 additions (one per new family; prior keys unchanged):
     # streaming SCD2's batch twin (the warehouse triangle's third leg),
-    # the filtered-ANN recall gate (selectivity-laddered), snapshot
-    # distribution drift (PSI), and series autocorrelation (new ts
-    # member)
+    # filtered ANN (see round-12 note below), snapshot distribution
+    # drift (PSI), and series autocorrelation (new ts member)
     "st_scd2",
-    "sim_filtered_recall",
+    "sim_filtered_ann",
     "val_psi_drift",
     "ts_acf",
     # round-11 additions (one per new family; prior keys unchanged):
@@ -140,29 +146,50 @@ HEADLINE = [
     "tx_ppl_buckets",
 ]
 
+# Round-12 (round-11 verdict #1): the headline measures PRODUCTION query
+# cost; the two keys whose time was mostly gate/audit construct cost are
+# benched separately under --gates (BENCH_GATES.json) and stay FULL at
+# both SFs via check_correctness:
+#   - sim_filtered_recall (6.7 s, construct 6.4) -> headline rows the
+#     production single-rung sim_filtered_ann; the 5-rung selectivity
+#     recall sweep is a gate.
+#   - graph_pagerank (7.0 s checkpointed audit variant) -> the
+#     co-partitioned graph_pagerank_bucketed (already a headline key,
+#     the plan a 100x deployment runs) is the headline PageRank row;
+#     the checkpointed twin is a gate.
+# Per-key round-over-round comparison: sim_filtered_ann is NEW in r12's
+# headline; graph_pagerank/sim_filtered_recall medians continue in
+# BENCH_GATES.json.
+GATES = [
+    "graph_pagerank",
+    "sim_filtered_recall",
+]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from snowflake_to_postgres_spark.registry import queries
-    from snowflake_to_postgres_spark.session import get_spark
-    from snowflake_to_postgres_spark.sources import load_table
 
-    spark = get_spark(app_name="bench")
-    qs = queries()
-
-    # Warm-up pass: JIT/codegen/parquet-footer caches, so the timed pass
-    # measures steady-state plan execution rather than JVM startup.
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is not None:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+def _bench_keys(spark, qs, sf_dir: str, keys: list[str]) -> dict:
+    """Run the full measurement protocol over ``keys``: one TIMED cold
+    pass (first-touch cost — JIT/codegen/parquet-footer caches all cold;
+    round-11 verdict #3 wants the cache state machine-readable, so the
+    warm-up is no longer thrown away), then RUNS interleaved warm rounds
+    with the load guard. Returns per-key medians, spread, cold times and
+    the construct/exec split."""
+    keys = [k for k in keys if k in qs]
+    # Cold pass doubles as warm-up: the timed warm passes below measure
+    # steady-state plan execution rather than JVM startup, and the
+    # cold/warm delta per key IS the session-cache spread (a key whose
+    # warm median sits far below its cold time holds a cache).
+    query_cold: dict[str, float] = {}
+    for name in keys:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        query_cold[name] = round(time.perf_counter() - t0, 3)
 
     # Interleaved rounds (1st full pass, 2nd, 3rd ...) rather than
     # back-to-back repeats of one query, so a transient stall (GC, page
     # cache) can't poison all samples of the same query.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE if name in qs}
+    samples: dict[str, list[float]] = {name: [] for name in keys}
     # Round-7 verdict #4: per-key construction-vs-execution split. The
-    # HEADLINE median stays the honest combined clock; these let a future
+    # headline median stays the honest combined clock; these let a future
     # regression be attributed to a phase (driver-side fits/collects vs
     # shuffle plans) straight from BENCH_DETAIL.json.
     construct_samples: dict[str, list[float]] = {n: [] for n in samples}
@@ -240,7 +267,35 @@ def main() -> None:
         name: round(max(0.0, per_query[name] - query_construct[name]), 3)
         for name in per_query
     }
-    load_flagged = loaded_queries()
+    return {
+        "per_query": per_query,
+        "query_spread": query_spread,
+        "query_cold": query_cold,
+        "query_construct": query_construct,
+        "query_exec_only": query_exec_only,
+        "load_flagged": loaded_queries(),
+        "attempts": attempts,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    run_gates = "--gates" in sys.argv[1:]
+    from snowflake_to_postgres_spark.registry import queries
+    from snowflake_to_postgres_spark.session import get_spark
+    from snowflake_to_postgres_spark.sources import load_table
+
+    spark = get_spark(app_name="bench")
+    qs = queries()
+
+    r = _bench_keys(spark, qs, sf_dir, HEADLINE)
+    per_query = r["per_query"]
+    query_spread = r["query_spread"]
+    query_cold = r["query_cold"]
+    query_construct = r["query_construct"]
+    query_exec_only = r["query_exec_only"]
+    load_flagged = r["load_flagged"]
+    attempts = r["attempts"]
     total = sum(per_query.values())
 
     # Drift detector (round-9 verdict #5): the per-query load guard above
@@ -324,6 +379,13 @@ def main() -> None:
     # object is the FINAL line, so tail truncation can never eat it.
     detail = {
         "query_spread": query_spread,
+        # Round-11 verdict #3 (bench protocol pin): query_cold is the
+        # timed first-touch pass; warm median ÷ cold per key makes
+        # session-cache spread machine-readable (cache-holding keys show
+        # warm << cold), so an r(N)→r(N+1) delta decomposes from the
+        # artifact alone: construct split = policy cost, spread = run
+        # variance, cold/warm = cache state.
+        "query_cold": query_cold,
         "query_construct": query_construct,
         "query_exec_only": query_exec_only,
         **result,
@@ -334,6 +396,35 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
+
+    # --gates (round-11 verdict #1): the audit/gate queries — the full
+    # filtered-ANN recall sweep and the checkpointed PageRank variant —
+    # are measured OUTSIDE the headline so the headline tracks production
+    # query cost. Same protocol (cold pass + interleaved warm rounds +
+    # load guard); results go to BENCH_GATES.json and a preceding stdout
+    # line, never the final line the driver parses.
+    if run_gates:
+        g = _bench_keys(spark, qs, sf_dir, GATES)
+        gates_out = {
+            "metric": "gates_total_sec",
+            "value": round(sum(g["per_query"].values()), 3),
+            "unit": "sec",
+            "queries": g["per_query"],
+            "query_spread": g["query_spread"],
+            "query_cold": g["query_cold"],
+            "query_construct": g["query_construct"],
+            "query_exec_only": g["query_exec_only"],
+            "load_flagged": g["load_flagged"],
+            "sf": result["sf"],
+        }
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_GATES.json"), "w") as fh:
+                json.dump(gates_out, fh, indent=1)
+        except OSError:
+            pass
+        print(json.dumps(gates_out))
+
     print(json.dumps({"query_spread": query_spread}))
     print(json.dumps(result))
     sys.stdout.flush()
