@@ -347,14 +347,6 @@ SNAP_T2 = "2000-01-01"
 SNAP_NEW = "<NEW>"       # key absent from the earlier snapshot
 
 
-def _as_of(h: DataFrame, d: str) -> DataFrame:
-    """(custkey, priority) — the dimension snapshot at date ``d``."""
-    return h.filter(
-        (F.col("valid_from") <= F.lit(d))
-        & (F.col("valid_to").isNull() | (F.lit(d) < F.col("valid_to")))
-    ).select("custkey", "priority")
-
-
 def x_scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transition matrix between the SNAP_T1 and SNAP_T2 snapshots of
     the SCD2 dimension: per (old_priority, new_priority) pair, how many
@@ -363,16 +355,37 @@ def x_scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     never disappear (valid_to only closes onto a successor version), so
     the matrix is the complete story of the interval.
 
-    100-TB shape: the history builds ONCE (one shuffle on the key);
-    both snapshots are filters over it, the diff is one key-keyed
-    full-outer join between frames already partitioned by that key,
-    and the output is a bounded |values|² matrix aggregate."""
-    h = x_scd2_history(spark, sf_dir)
-    s1 = _as_of(h, SNAP_T1).withColumnRenamed("priority", "p1")
-    s2 = _as_of(h, SNAP_T2).withColumnRenamed("priority", "p2")
+    100-TB shape (round-11 verdict #4 — the window-based history build
+    was the rehearsal's worst 10× grower at 1.7×): the as-of value at a
+    snapshot instant is an ARGMAX over the raw change events — the
+    latest (change_date, orderkey)-ordered priority at or before the
+    instant — so the whole audit is ONE map-side-combinable hash
+    aggregate per key computing both snapshots at once (max_by with a
+    NULL ordering key skips rows after the instant), then the bounded
+    |values|² matrix fold. No window sort, no history materialization,
+    no per-snapshot rebuild, no full-outer join. The DuckDB oracle
+    keeps the interval-algebra spec (build history, filter both
+    snapshots, full-outer diff) so the argmax plan is proven equivalent
+    on values, not just asserted."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def as_of(d: str):
+        # same-day ties resolve by max orderkey — the _change_feed rule
+        ordkey = F.when(
+            F.col("o_orderdate") <= F.lit(d),
+            F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+        )
+        return F.max_by(F.col("o_orderpriority"), ordkey)
+
+    per_key = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(as_of(SNAP_T1).alias("p1"), as_of(SNAP_T2).alias("p2"))
+        # in neither snapshot (first order after SNAP_T2) -> drops out;
+        # p1 set implies p2 set since SNAP_T1 < SNAP_T2
+        .filter(F.col("p2").isNotNull())
+    )
     return (
-        s1.join(s2, "custkey", "full_outer")
-        .groupBy(
+        per_key.groupBy(
             F.coalesce(F.col("p1"), F.lit(SNAP_NEW)).alias("old_priority"),
             F.col("p2").alias("new_priority"),
         )

@@ -1,0 +1,269 @@
+"""Round-12 operator tests: pure-Python PNG decode (verdict #5), the
+argmax SCD2 snapshot diff, and the RP-LSH multi-table design.
+
+The PNG encoder below is test-only: it writes non-interlaced 8-bit PNGs
+with a CHOSEN scanline filter per row, so every filter branch of the
+decoder (None/Sub/Up/Average/Paeth) is exercised against ground-truth
+pixels rather than whatever filter an external encoder happened to pick.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from snowflake_to_postgres_spark.operators.multimodal import (
+    _decode_pixels,
+    _decode_png,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _filter_line(f: int, line: bytes, prev: bytes, nch: int) -> bytes:
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - nch] if i >= nch else 0
+        b = prev[i]
+        c = prev[i - nch] if i >= nch else 0
+        if f == 0:
+            out[i] = line[i]
+        elif f == 1:
+            out[i] = (line[i] - a) & 0xFF
+        elif f == 2:
+            out[i] = (line[i] - b) & 0xFF
+        elif f == 3:
+            out[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+        else:
+            out[i] = (line[i] - _paeth(a, b, c)) & 0xFF
+    return bytes(out)
+
+
+def make_png(
+    w: int, h: int, pix: bytes, colortype: int = 2, filters=None
+) -> bytes:
+    """Minimal non-interlaced 8-bit PNG encoder. ``pix`` is raw samples
+    in scanline order for the given colortype (1/2/3/4 channels);
+    ``filters`` picks the scanline filter per row (default: cycle
+    through all five)."""
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+    stride = w * nch
+    assert len(pix) == stride * h
+    filters = filters or [y % 5 for y in range(h)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = pix[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        raw += _filter_line(f, line, prev, nch)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _rgb_gradient(w: int, h: int) -> bytes:
+    return bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((x * 255) // max(1, w - 1), (y * 255) // max(1, h - 1), (x ^ y) & 0xFF)
+    )
+
+
+class TestPngDecode:
+    def test_roundtrip_all_filters_rgb(self):
+        """Every scanline filter (0-4) must invert exactly: the decoded
+        RGB equals the pre-filter pixels."""
+        w, h = 11, 10  # h=10 cycles all 5 filters twice
+        pix = _rgb_gradient(w, h)
+        for filters in ([0], [1], [2], [3], [4], None):
+            got = _decode_png(make_png(w, h, pix, 2, filters))
+            assert got == (w, h, pix), f"filters={filters}"
+
+    def test_grayscale_and_alpha_normalize_to_rgb(self):
+        """Color types 0 (gray), 4 (gray+alpha), 6 (RGBA) all normalize
+        to 3-channel RGB: gray replicates, alpha drops."""
+        w, h = 7, 5
+        gray = bytes((x * 37 + y * 11) & 0xFF for y in range(h) for x in range(w))
+        want = bytes(v for g in gray for v in (g, g, g))
+        assert _decode_png(make_png(w, h, gray, 0)) == (w, h, want)
+        ga = bytes(v for g in gray for v in (g, 0x80))
+        assert _decode_png(make_png(w, h, ga, 4)) == (w, h, want)
+        rgb = _rgb_gradient(w, h)
+        rgba = bytes(
+            v
+            for i in range(w * h)
+            for v in (rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2], 0x33)
+        )
+        assert _decode_png(make_png(w, h, rgba, 6)) == (w, h, rgb)
+
+    def test_unsupported_shapes_raise_gated(self):
+        """Palette / 16-bit / interlaced stay honestly gated."""
+        w, h = 4, 3
+        pix = _rgb_gradient(w, h)
+        good = make_png(w, h, pix, 2, [0])
+
+        def mutate(b: bytes, off: int, val: int) -> bytes:
+            # IHDR data starts at 16; bitdepth at +8, colortype +9,
+            # interlace +12. CRC is wrong after mutation, but the
+            # decoder (like most) does not verify CRCs.
+            ba = bytearray(b)
+            ba[16 + off] = val
+            return bytes(ba)
+
+        with pytest.raises(NotImplementedError):
+            _decode_png(mutate(good, 8, 16))  # bitdepth 16
+        with pytest.raises(NotImplementedError):
+            _decode_png(mutate(good, 9, 3))  # palette
+        with pytest.raises(NotImplementedError):
+            _decode_png(mutate(good, 12, 1))  # Adam7
+        with pytest.raises(ValueError):
+            _decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IEND", b""))
+        with pytest.raises((ValueError, NotImplementedError)):
+            _decode_pixels(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG magic
+
+    def test_truncated_idat_raises(self):
+        w, h = 6, 4
+        png = make_png(w, h, _rgb_gradient(w, h), 2, [0])
+        # rebuild with one scanline missing from the zlib payload
+        raw = bytearray()
+        stride = w * 3
+        pix = _rgb_gradient(w, h)
+        for y in range(h - 1):
+            raw.append(0)
+            raw += pix[y * stride : (y + 1) * stride]
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            _decode_png(bad)
+        assert _decode_png(png)[2] == pix  # the good twin still decodes
+
+
+class TestPngSparkParity:
+    def test_dhash_parity_png_vs_ppm(self, spark):
+        """The SAME pixels encoded as P6 PPM and as PNG (mixed filters)
+        must produce the IDENTICAL 64-bit dHash through the real-decode
+        Spark path — the compressed format joins the uncompressed twins
+        on equal footing."""
+        from snowflake_to_postgres_spark.operators.multimodal import dhash_images
+
+        w, h = 18, 16
+        pix = _rgb_gradient(w, h)
+        ppm = f"P6\n{w} {h}\n255\n".encode() + pix
+        media = spark.createDataFrame(
+            [(1, bytearray(ppm)), (2, bytearray(make_png(w, h, pix, 2)))],
+            "doc_id long, payload binary",
+        )
+        got = {r["doc_id"]: r["dhash_hex"] for r in dhash_images(media, real_decode=True).collect()}
+        assert got[1] == got[2]
+
+    def test_decode_and_resize_png_end_to_end(self, spark):
+        """decode_images and resize_images accept PNG payloads under
+        real_decode with the mm_decode_meta schema contract unchanged;
+        the resized output is decodable P6 with capped dims."""
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            decode_images,
+            resize_images,
+        )
+
+        w, h = 48, 20
+        pix = _rgb_gradient(w, h)
+        media = spark.createDataFrame(
+            [(7, bytearray(make_png(w, h, pix, 2)))],
+            "doc_id long, payload binary",
+        )
+        meta = decode_images(media, real_decode=True).collect()
+        assert len(meta) == 1
+        r = meta[0]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+        rz = resize_images(media, max_dim=16, real_decode=True).collect()[0]
+        assert max(rz["width"], rz["height"]) == 16
+        w2, h2, pix2 = _decode_pixels(bytes(rz["payload"]))
+        assert (w2, h2) == (rz["width"], rz["height"])
+        assert len(pix2) == w2 * h2 * 3
+
+
+class TestScd2SnapshotDiffArgmax:
+    def test_matrix_matches_history_based_build(self, spark, sf_dir):
+        """The argmax plan (round-11 verdict #4's growth fix) must equal
+        the interval-algebra result computed the old way: build the SCD2
+        history, filter both snapshots, full-outer diff."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.warehouse import (
+            SNAP_NEW,
+            SNAP_T1,
+            SNAP_T2,
+            x_scd2_history,
+            x_scd2_snapshot_diff,
+        )
+
+        h = x_scd2_history(spark, sf_dir)
+
+        def as_of(d):
+            return h.filter(
+                (F.col("valid_from") <= F.lit(d))
+                & (F.col("valid_to").isNull() | (F.lit(d) < F.col("valid_to")))
+            ).select("custkey", "priority")
+
+        s1 = as_of(SNAP_T1).withColumnRenamed("priority", "p1")
+        s2 = as_of(SNAP_T2).withColumnRenamed("priority", "p2")
+        want = {
+            (r["old_priority"], r["new_priority"]): (r["n_keys"], r["n_changed"])
+            for r in s1.join(s2, "custkey", "full_outer")
+            .groupBy(
+                F.coalesce("p1", F.lit(SNAP_NEW)).alias("old_priority"),
+                F.col("p2").alias("new_priority"),
+            )
+            .agg(
+                F.count("*").alias("n_keys"),
+                F.sum(
+                    F.when(F.col("p1").isNull() | (F.col("p1") != F.col("p2")), 1)
+                    .otherwise(0)
+                ).alias("n_changed"),
+            )
+            .collect()
+        }
+        got = {
+            (r["old_priority"], r["new_priority"]): (r["n_keys"], r["n_changed"])
+            for r in x_scd2_snapshot_diff(spark, sf_dir).collect()
+        }
+        assert got == want and got
+
+    def test_single_wide_shuffle(self, spark, sf_dir):
+        """The plan must contain no window function and no join — the
+        data-scaled work is one partial-aggregated exchange on custkey."""
+        from snowflake_to_postgres_spark.operators.warehouse import (
+            x_scd2_snapshot_diff,
+        )
+
+        plan = x_scd2_snapshot_diff(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "Join" not in plan
+        assert "partial_max_by" in plan
