@@ -144,6 +144,10 @@ HEADLINE = [
     "emb_kmeans",
     "val_referential_integrity",
     "tx_ppl_buckets",
+    # round-12 additions (one per new family; prior keys unchanged):
+    # the per-day/per-batch CMS heavy-keys monitor (skew early warning —
+    # the streaming observability set's fourth leg)
+    "st_heavy_hitters",
 ]
 
 # Round-12 (round-11 verdict #1): the headline measures PRODUCTION query

@@ -3931,6 +3931,68 @@ def cms_heavy_hitters(df: DataFrame, col: str, top: int = CMS_TOP) -> DataFrame:
     )
 
 
+HH_TOP = 5  # heavy keys reported per group/micro-batch
+
+
+def cms_heavy_hitters_by_group(
+    df: DataFrame, key_col: str, group_col: str, top: int = HH_TOP
+) -> DataFrame:
+    """Per-group CMS heavy hitters — the skew early-warning kernel
+    shared by the st_heavy_hitters batch twin (group = event day) and
+    the foreachBatch stream monitor (group = micro-batch id). Emits
+    (group, rank, key, exact_cnt, cms_estimate, share_ppm,
+    never_undercounts): the top ``top`` keys per group with their
+    sketch estimate next to the truth and their integer-exact
+    parts-per-million share of the group's rows — the number a
+    salted-join / repartition decision reads.
+
+    Unlike :func:`cms_heavy_hitters`, everything stays LAZY (no
+    collects): one (group, key) pre-aggregation, a d×w-per-group cell
+    fold, a rank window over the pre-aggregated keys, and a probe join
+    keyed by (group, i, b). 100-TB shape: per-group sketch state is
+    bounded at d·w cells; the only key-domain-sized frame is the
+    pre-aggregation, which is map-side-combinable; nothing broadcasts
+    (cells scale with |groups|, so the probe hash-joins)."""
+    if group_col in ("v", "exact_cnt", "i", "b", "c", "rank", "n_rows"):
+        raise ValueError(f"cms_heavy_hitters_by_group: reserved group_col {group_col!r}")
+    vals = df.filter(F.col(key_col).isNotNull()).select(
+        group_col, F.col(key_col).alias("v")
+    )
+    per_v = vals.groupBy(group_col, "v").agg(F.count("*").alias("exact_cnt"))
+    tot = per_v.groupBy(group_col).agg(F.sum("exact_cnt").alias("n_rows"))
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    cells = (
+        per_v.select(group_col, "v", "exact_cnt", seeds)
+        .select(group_col, "i", _cms_bucket(F.col("i"), F.col("v")).alias("b"), "exact_cnt")
+        .groupBy(group_col, "i", "b")
+        .agg(F.sum("exact_cnt").alias("c"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("exact_cnt").desc(), "v")
+    cand = (
+        per_v.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top)
+    )
+    probes = cand.select(group_col, "v", "exact_cnt", "rank", seeds).select(
+        group_col, "v", "exact_cnt", "rank", "i",
+        _cms_bucket(F.col("i"), F.col("v")).alias("b"),
+    )
+    return (
+        probes.join(cells, [group_col, "i", "b"])
+        .groupBy(group_col, "v", "exact_cnt", "rank")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+        .join(tot, group_col)
+        .select(
+            group_col,
+            "rank",
+            "v",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            "cms_estimate",
+            F.expr("exact_cnt * 1000000L div n_rows").alias("share_ppm"),
+            (F.col("cms_estimate") >= F.col("exact_cnt")).alias("never_undercounts"),
+        )
+    )
+
+
 def binned_quantiles(df: DataFrame, col: str, qs=QB_QUANTILES) -> list:
     """[(q, estimate, err_bound)]: a21's equi-width histogram estimator
     (type-1 quantile target) over any frame/numeric column."""

@@ -1055,3 +1055,58 @@ def orphan_audit_stream(
         .start()
         .awaitTermination()
     )
+
+
+def heavy_hitters_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    since=None,
+    events: DataFrame | None = None,
+    top: int | None = None,
+) -> None:
+    """Streaming heavy-keys monitor (round-11 verdict #6): drain the
+    events stream (AvailableNow) and fold every micro-batch through the
+    per-group CMS kernel shared with the registered st_heavy_hitters
+    twin — each batch appends its top-k (rank, user_id, exact_cnt,
+    cms_estimate, share_ppm, never_undercounts) rows to the monitor
+    table, keyed by batch_id. The skew early-warning a 100-TB ingest
+    wants: a key whose share_ppm spikes is the one to salt or
+    quarantine BEFORE it lands in a join.
+
+    Idempotence under at-least-once delivery: each batch's rows land at
+    ``batch=<id>`` with mode=overwrite, so a replayed batch rewrites
+    identical content and a restart on the same checkpoint appends
+    nothing (the drift_stream / orphan_audit_stream discipline)."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        HH_TOP,
+        cms_heavy_hitters_by_group,
+    )
+
+    k = HH_TOP if top is None else top
+    if events is None:  # tests inject a chunked multi-batch source
+        events = read_events_stream(spark, sf_dir)
+    if since is not None:
+        events = events.filter(F.col("ts") >= F.lit(since))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        report = cms_heavy_hitters_by_group(
+            batch.withColumn("batch_id", F.lit(batch_id).cast("bigint")),
+            "user_id",
+            "batch_id",
+            top=k,
+        ).withColumnRenamed("v", "user_id")
+        report.write.mode("overwrite").parquet(
+            os.path.join(monitor_path, f"batch={batch_id}")
+        )
+
+    (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -549,3 +549,104 @@ ORDER BY event_type
 
 
 SPECS.append(QuerySpec("st_lateness_audit", st_lateness_audit, ST_LATENESS_ORACLE))
+
+
+def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming heavy-keys monitor (round-11 verdict
+    #6 — the skew early-warning the drift/orphan/SCD2 observability set
+    lacked): per event day, the HH_TOP heaviest ``user_id`` keys with
+    exact count, CMS estimate (the a19 hash family, so the sketch
+    replays in the oracle), integer parts-per-million share of the
+    day's rows, and the never-undercounts guarantee bit. The number a
+    100-TB ingest reads before deciding to salt a join or repartition —
+    pair with diag_heavy_keys / the skew tooling. The real foreachBatch
+    stream (streaming/pipeline.heavy_hitters_stream) emits the SAME
+    schema per micro-batch via the shared kernel
+    (analytics_ext.cms_heavy_hitters_by_group), exercised in tests with
+    batch parity, planted skew, and restart idempotence (the st_scd2 /
+    st_drift / st_orphan_audit discipline).
+
+    100-TB shape: one map-side-combinable (day, key) pre-aggregation is
+    the only key-domain-sized frame; sketch state is d·w cells per day;
+    the probe hash-joins on (day, i, b); output is |days|·HH_TOP rows."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        cms_heavy_hitters_by_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    out = cms_heavy_hitters_by_group(ev, "user_id", "day")
+    return out.select(
+        "day",
+        "rank",
+        F.col("v").alias("user_id"),
+        "exact_cnt",
+        "cms_estimate",
+        "share_ppm",
+        "never_undercounts",
+    ).orderBy("day", "rank")
+
+
+ST_HEAVY_HITTERS_ORACLE = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, user_id AS v FROM events
+  WHERE user_id IS NOT NULL
+),
+per_v AS (SELECT day, v, COUNT(*) AS exact_cnt FROM ev GROUP BY 1, 2),
+tot AS (SELECT day, SUM(exact_cnt) AS n_rows FROM per_v GROUP BY day),
+cells AS (
+  SELECT day, i,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+              AS BIGINT) % {w} AS b,
+         SUM(exact_cnt) AS c
+  FROM per_v, unnest([{seeds}]) AS s(i)
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT day, v, exact_cnt, rn FROM (
+    SELECT day, v, exact_cnt,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY exact_cnt DESC, v) AS rn
+    FROM per_v
+  ) WHERE rn <= {top}
+),
+probes AS (
+  SELECT day, v, exact_cnt, rn, i,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+              AS BIGINT) % {w} AS b
+  FROM cand, unnest([{seeds}]) AS s(i)
+),
+est AS (
+  SELECT probes.day AS day, v, exact_cnt, rn, MIN(c) AS cms_estimate
+  FROM probes JOIN cells
+    ON cells.day = probes.day AND cells.i = probes.i AND cells.b = probes.b
+  GROUP BY 1, 2, 3, 4
+)
+SELECT est.day,
+       CAST(rn AS BIGINT) AS rank,
+       v AS user_id,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST((exact_cnt * 1000000) // n_rows AS BIGINT) AS share_ppm,
+       cms_estimate >= exact_cnt AS never_undercounts
+FROM est JOIN tot ON tot.day = est.day
+ORDER BY 1, 2
+"""
+
+
+def _st_hh_oracle() -> str:
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        _CMS_SEEDS_SQL,
+        CMS_W,
+        HH_TOP,
+    )
+
+    return (
+        ST_HEAVY_HITTERS_ORACLE
+        .replace("{w}", str(CMS_W))
+        .replace("{seeds}", _CMS_SEEDS_SQL)
+        .replace("{top}", str(HH_TOP))
+    )
+
+
+SPECS.append(QuerySpec("st_heavy_hitters", st_heavy_hitters, _st_hh_oracle()))

@@ -267,3 +267,117 @@ class TestScd2SnapshotDiffArgmax:
         assert "Window" not in plan
         assert "Join" not in plan
         assert "partial_max_by" in plan
+
+
+class TestHeavyHittersMonitor:
+    def test_batch_twin_invariants(self, spark, sf_dir):
+        """st_heavy_hitters structural contract: <= HH_TOP rows per day,
+        dense ranks ordered by exact count, CMS never undercounts,
+        share_ppm bounded by 1e6 and consistent with exact_cnt."""
+        from snowflake_to_postgres_spark.operators.analytics_ext import HH_TOP
+        from snowflake_to_postgres_spark.streaming.queries import st_heavy_hitters
+
+        rows = st_heavy_hitters(spark, sf_dir).collect()
+        assert rows
+        by_day = {}
+        for r in rows:
+            by_day.setdefault(r["day"], []).append(r)
+            assert r["never_undercounts"] and r["cms_estimate"] >= r["exact_cnt"]
+            assert 0 < r["share_ppm"] <= 1_000_000
+        for day, rs in by_day.items():
+            assert len(rs) <= HH_TOP
+            assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+                range(1, len(rs) + 1)
+            )
+            cnts = [r["exact_cnt"] for r in sorted(rs, key=lambda r: r["rank"])]
+            assert cnts == sorted(cnts, reverse=True)
+
+    def test_stream_parity_planted_skew_and_idempotent(self, spark, sf_dir, tmp_path):
+        """The streaming monitor: per micro-batch rows must equal the
+        shared kernel run on the same chunks, a planted hot key must
+        surface at rank 1 with its exact share, and a restart on the
+        same checkpoint must change nothing."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            cms_heavy_hitters_by_group,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+        from snowflake_to_postgres_spark.streaming.pipeline import heavy_hitters_stream
+
+        events = load_table(spark, sf_dir, "events")
+        n = events.count()
+        half = events.limit(n // 2)
+        rest = events.subtract(half)
+        # plant a hot key: ~40% of the second chunk becomes user -99
+        planted = rest.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < 4, F.lit(-99)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        n_hot = planted.filter(F.col("user_id") == -99).count()
+        n_chunk = planted.count()
+        assert n_hot > 0
+
+        src = str(tmp_path / "src")
+        half.coalesce(1).write.parquet(f"{src}/chunk0.parquet")
+        planted.coalesce(1).write.parquet(f"{src}/chunk1.parquet")
+
+        def make_stream():
+            return (
+                spark.readStream.schema(events.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .load(src)
+            )
+
+        monitor = str(tmp_path / "monitor")
+        ckpt = str(tmp_path / "ckpt")
+        heavy_hitters_stream(spark, sf_dir, monitor, ckpt, events=make_stream())
+
+        got = spark.read.parquet(monitor)
+        rows = sorted(
+            (r["batch_id"], r["rank"], r["user_id"], r["exact_cnt"],
+             r["cms_estimate"], r["share_ppm"])
+            for r in got.collect()
+        )
+        assert len({b for b, *_ in rows}) == 2
+
+        # parity: the shared kernel over the same chunks
+        expected = []
+        for i, c in enumerate([half, planted]):
+            rep = cms_heavy_hitters_by_group(
+                c.withColumn("bid", F.lit(i).cast("bigint")), "user_id", "bid"
+            ).collect()
+            expected.extend(
+                (r["bid"], r["rank"], r["v"], r["exact_cnt"],
+                 r["cms_estimate"], r["share_ppm"])
+                for r in rep
+            )
+        assert rows == sorted(expected)
+
+        # planted skew surfaces at rank 1 of the hot batch with its share
+        hot_batch = max(b for b, *_ in rows)
+        top = [r for r in rows if r[0] == hot_batch and r[1] == 1][0]
+        assert top[2] == -99 and top[3] == n_hot
+        assert top[5] == n_hot * 1_000_000 // n_chunk
+
+        # restart idempotence
+        heavy_hitters_stream(spark, sf_dir, monitor, ckpt, events=make_stream())
+        again = sorted(
+            (r["batch_id"], r["rank"], r["user_id"], r["exact_cnt"],
+             r["cms_estimate"], r["share_ppm"])
+            for r in spark.read.parquet(monitor).collect()
+        )
+        assert again == rows
+
+    def test_kernel_reserved_group_col_raises(self, spark):
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            cms_heavy_hitters_by_group,
+        )
+
+        df = spark.createDataFrame([(1, 1)], ["v", "x"])
+        with pytest.raises(ValueError, match="reserved"):
+            cms_heavy_hitters_by_group(df, "x", "v")
