@@ -686,3 +686,191 @@ ORDER BY doc_a, doc_b
 
 
 SPECS.append(QuerySpec("mm_dhash_pairs", mm_dhash_pairs, _dhash_oracle()))
+
+
+# ---------------------------------------------------------------------------
+# Audio: 16-bit PCM WAV real decode + energy-delta fingerprint — the audio
+# leg of the multimodal surface (round 12). Same two-mode discipline as the
+# image path: real_decode parses actual RIFF bytes in pure Python; the
+# registered query proves the FINGERPRINT math (framing, energy, delta
+# bits, band packing) cross-engine over a synthesized deterministic
+# waveform, since WAV bytes cannot reasonably be constructed in SQL.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_FRAMES = 65   # 65 frames -> 64 energy-delta bits (the dhash shape)
+AUDIO_FP_FRAME_LEN = 16  # synth waveform: samples per frame
+_AUDIO_SYNTH_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, list[int]]:
+    """Pure-Python RIFF/WAVE reader for 16-bit PCM: (sample_rate,
+    n_channels, mono samples) — multi-channel input averages to mono.
+    Compressed/float WAV (and every non-WAV magic) raises toward the
+    codec plug-in point, the image-path discipline."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        chunk = b[pos + 8 : pos + 8 + size]
+        if len(chunk) != size:
+            raise ValueError("truncated WAV chunk")
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        raise NotImplementedError(
+            "native audio decode covers 16-bit PCM WAV; compressed/float "
+            "formats require a codec library (plug ffmpeg/soundfile here)"
+        )
+    n = len(data) // (2 * n_ch)
+    mono = []
+    for i in range(n):
+        acc = 0
+        for c in range(n_ch):
+            off = (i * n_ch + c) * 2
+            acc += int.from_bytes(data[off : off + 2], "little", signed=True)
+        mono.append(acc // n_ch)
+    return rate, n_ch, mono
+
+
+def _audio_fp_bits(samples: list[int]) -> str:
+    """64-bit energy-delta fingerprint as 16 hex chars: the signal
+    splits into AUDIO_FP_FRAMES equal frames, frame energy = Σ|sample|
+    (exact integer), bit f = energy[f] > energy[f+1]. The audio
+    analogue of the image dHash: robust to gain-preserving re-encodes
+    and small edits, and its 4×16-bit bands drop straight into
+    :func:`dhash_pairs`' banded pigeonhole search."""
+    nf = AUDIO_FP_FRAMES
+    if len(samples) < nf:
+        raise ValueError(f"audio too short to fingerprint (<{nf} samples)")
+    e = []
+    for f in range(nf):
+        lo = f * len(samples) // nf
+        hi = (f + 1) * len(samples) // nf
+        e.append(sum(abs(s) for s in samples[lo:hi]))
+    bits = 0
+    for f in range(nf - 1):
+        bits = (bits << 1) | (1 if e[f] > e[f + 1] else 0)
+    return f"{bits:016x}"
+
+
+def audio_fingerprints(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """(doc_id, fp_hex) over ``mapInPandas`` — the audio twin of
+    :func:`dhash_images`. ``real_decode`` parses actual WAV bytes and
+    fingerprints real energies; the default stand-in takes the payload
+    digest's first 64 bits (exact-dup-only, oracle-checkable). Either
+    way the output feeds :func:`dhash_pairs` unchanged (rename fp_hex
+    -> dhash_hex): the banded near-dup search is hash-agnostic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if real_decode:
+                    _rate, _ch, mono = _decode_wav(b)
+                    fps.append(_audio_fp_bits(mono))
+                else:
+                    fps.append(hashlib.md5(b).hexdigest()[:16])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "fp_hex": fps})
+
+    return media.mapInPandas(
+        batches,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("fp_hex", T.StringType()),
+            ]
+        ),
+    )
+
+
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered audio-fingerprint query: the energy-delta math of
+    :func:`_audio_fp_bits` proven CROSS-ENGINE over a synthesized
+    deterministic waveform (sample(doc, i) = ((doc_id+1)·(i+1)·
+    2654435761) mod 65536 — 65 frames × 16 samples per document; WAV
+    bytes cannot reasonably be built in SQL, so the synth waveform is
+    the oracle-able carrier for the framing/delta/band-packing math,
+    while the RIFF byte parsing is pinned by the real-decode pytest).
+
+    Emits (doc_id, fp_hex, n_frames). 100-TB shape: frame energies are
+    a per-document ARRAY expression (transform/aggregate — JVM-side
+    codegen, no UDF, no explode, no shuffle beyond the source scan);
+    the fingerprint folds MSB-first per 16-bit band and concatenates 4
+    zero-padded hex bands."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nf, fl, mult = AUDIO_FP_FRAMES, AUDIO_FP_FRAME_LEN, _AUDIO_SYNTH_MULT
+    energies = (
+        f"transform(sequence(0, {nf - 1}), f -> aggregate(sequence(0, {fl - 1}), 0L, "
+        f"(acc, k) -> acc + ((doc_id + 1L) * (f * {fl} + k + 1L) * {mult}L) % 65536L))"
+    )
+    band = (
+        "aggregate(sequence({lo}, {hi}), 0L, (acc, f) -> acc * 2L + "
+        "(CASE WHEN element_at(__e, f + 1) > element_at(__e, f + 2) "
+        "THEN 1L ELSE 0L END))"
+    )
+    bands = [
+        F.expr(band.format(lo=16 * b, hi=16 * b + 15)) for b in range(4)
+    ]
+    fp = F.lower(
+        F.concat(*[F.lpad(F.hex(bexpr), 4, "0") for bexpr in bands])
+    )
+    return (
+        docs.withColumn("__e", F.expr(energies))
+        .select(
+            "doc_id",
+            fp.alias("fp_hex"),
+            F.lit(nf).cast("bigint").alias("n_frames"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MM_AUDIO_FP_ORACLE = f"""
+WITH frames AS (
+  SELECT doc_id, f,
+         SUM(((doc_id + 1) * (f * {AUDIO_FP_FRAME_LEN} + k + 1) * {_AUDIO_SYNTH_MULT}) % 65536) AS e
+  FROM documents,
+       generate_series(0, {AUDIO_FP_FRAMES - 1}) t(f),
+       generate_series(0, {AUDIO_FP_FRAME_LEN - 1}) u(k)
+  GROUP BY doc_id, f
+),
+bits AS (
+  SELECT a.doc_id, a.f,
+         CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM frames a JOIN frames b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+),
+bands AS (
+  SELECT doc_id, f // 16 AS band,
+         SUM(bit << (15 - (f % 16))) AS bv
+  FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       lower(concat(
+         lpad(to_hex(MAX(CASE WHEN band = 0 THEN bv END)), 4, '0'),
+         lpad(to_hex(MAX(CASE WHEN band = 1 THEN bv END)), 4, '0'),
+         lpad(to_hex(MAX(CASE WHEN band = 2 THEN bv END)), 4, '0'),
+         lpad(to_hex(MAX(CASE WHEN band = 3 THEN bv END)), 4, '0')
+       )) AS fp_hex,
+       CAST({AUDIO_FP_FRAMES} AS BIGINT) AS n_frames
+FROM bands
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+SPECS.append(
+    QuerySpec("mm_audio_fingerprint", mm_audio_fingerprint, MM_AUDIO_FP_ORACLE)
+)

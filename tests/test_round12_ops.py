@@ -381,3 +381,134 @@ class TestHeavyHittersMonitor:
         df = spark.createDataFrame([(1, 1)], ["v", "x"])
         with pytest.raises(ValueError, match="reserved"):
             cms_heavy_hitters_by_group(df, "x", "v")
+
+
+def make_wav(samples, rate=8000, n_ch=1, extra_chunk=False):
+    """Minimal 16-bit PCM WAV encoder (test-only). ``samples`` is mono;
+    stereo duplicates the channel. ``extra_chunk`` inserts a LIST chunk
+    before data to exercise chunk-walking."""
+    data = bytearray()
+    for s in samples:
+        for _ in range(n_ch):
+            data += int(s).to_bytes(2, "little", signed=True)
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * n_ch * 2).to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if extra_chunk:
+        chunks += b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    chunks += b"data" + len(data).to_bytes(4, "little") + bytes(data)
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+class TestAudioDecode:
+    def test_wav_roundtrip_mono_stereo_and_chunkwalk(self):
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_wav
+
+        samples = [0, 1000, -1000, 32767, -32768, 7, -7] * 20
+        rate, ch, mono = _decode_wav(make_wav(samples))
+        assert (rate, ch, mono) == (8000, 1, samples)
+        # stereo (identical channels) averages back to the same mono
+        rate, ch, mono = _decode_wav(make_wav(samples, n_ch=2))
+        assert (rate, ch) == (8000, 2) and mono == samples
+        # extra metadata chunk between fmt and data is skipped cleanly
+        _, _, mono = _decode_wav(make_wav(samples, extra_chunk=True))
+        assert mono == samples
+
+    def test_wav_gated_formats_raise(self):
+        import pytest as _pytest
+
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_wav
+
+        samples = [0] * 100
+        good = bytearray(make_wav(samples))
+        bad_fmt = bytearray(good)
+        bad_fmt[20] = 3  # IEEE float
+        with _pytest.raises(NotImplementedError):
+            _decode_wav(bytes(bad_fmt))
+        bad_bits = bytearray(good)
+        bad_bits[34] = 8
+        with _pytest.raises(NotImplementedError):
+            _decode_wav(bytes(bad_bits))
+        with _pytest.raises(ValueError):
+            _decode_wav(b"ID3\x04mp3-ish-bytes")
+        with _pytest.raises(ValueError):
+            _decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+    def test_fingerprint_properties_and_near_dup(self):
+        """Gain-scaled audio keeps a close fingerprint (energy ORDER is
+        preserved -> identical bits); unrelated noise does not."""
+        from snowflake_to_postgres_spark.operators.multimodal import _audio_fp_bits
+
+        base = [((i * 37) % 200 - 100) * (1 + (i // 100) % 5) for i in range(1300)]
+        louder = [s * 2 for s in base]
+        assert _audio_fp_bits(base) == _audio_fp_bits(louder)
+        other = [((i * 101) % 199 - 99) * (1 + (i // 64) % 7) for i in range(1300)]
+        a = int(_audio_fp_bits(base), 16)
+        b = int(_audio_fp_bits(other), 16)
+        assert bin(a ^ b).count("1") > 3
+
+    def test_spark_path_and_banded_pairs_on_planted_dup(self, spark):
+        """audio_fingerprints(real) + dhash_pairs: a planted gain-dup
+        WAV pair lands at Hamming 0 through the banded search; the
+        unrelated track does not pair with it."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            audio_fingerprints,
+            dhash_pairs,
+        )
+
+        base = [((i * 37) % 200 - 100) * (1 + (i // 100) % 5) for i in range(1300)]
+        louder = [s * 3 for s in base]
+        other = [((i * 101) % 199 - 99) * (1 + (i // 64) % 7) for i in range(1300)]
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(make_wav(base))),
+                (2, bytearray(make_wav(louder, n_ch=2))),
+                (3, bytearray(make_wav(other))),
+            ],
+            "doc_id long, payload binary",
+        )
+        fps = audio_fingerprints(media, real_decode=True).withColumnRenamed(
+            "fp_hex", "dhash_hex"
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"] for r in dhash_pairs(fps).collect()
+        }
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_registered_synth_matches_python_reference(self, spark, sf_dir):
+        """Triple-check beyond the DuckDB oracle: the registered synth
+        fingerprint equals a plain-Python evaluation of the same spec
+        for a sample of documents."""
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _AUDIO_SYNTH_MULT,
+            AUDIO_FP_FRAME_LEN,
+            AUDIO_FP_FRAMES,
+            mm_audio_fingerprint,
+        )
+
+        rows = mm_audio_fingerprint(spark, sf_dir).limit(5).collect()
+        assert rows
+        for r in rows:
+            doc = r["doc_id"]
+            e = [
+                sum(
+                    ((doc + 1) * (f * AUDIO_FP_FRAME_LEN + k + 1) * _AUDIO_SYNTH_MULT)
+                    % 65536
+                    for k in range(AUDIO_FP_FRAME_LEN)
+                )
+                for f in range(AUDIO_FP_FRAMES)
+            ]
+            bits = 0
+            for f in range(AUDIO_FP_FRAMES - 1):
+                bits = (bits << 1) | (1 if e[f] > e[f + 1] else 0)
+            assert r["fp_hex"] == f"{bits:016x}", doc
+            assert r["n_frames"] == AUDIO_FP_FRAMES
