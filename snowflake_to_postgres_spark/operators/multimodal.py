@@ -874,3 +874,116 @@ ORDER BY doc_id
 SPECS.append(
     QuerySpec("mm_audio_fingerprint", mm_audio_fingerprint, MM_AUDIO_FP_ORACLE)
 )
+
+
+# ---------------------------------------------------------------------------
+# Video: uncompressed-DIB AVI real frame extraction + per-frame dHash —
+# the video leg (round 12), completing the image/audio/video real-decode
+# trifecta. AVI is RIFF (like WAV): LIST('hdrl') carries the main header
+# with dimensions, LIST('movi') carries '##db' (uncompressed DIB) frame
+# chunks — bottom-up BGR rows padded to 4 bytes, the BMP pixel layout,
+# so the frames feed the SAME _dhash64_pixels kernel the image path uses.
+# Compressed streams ('##dc' with a codec) stay gated.
+# ---------------------------------------------------------------------------
+
+
+def _decode_avi_frames(b: bytes, every: int = 1) -> tuple[int, int, list[bytes]]:
+    """(width, height, [raw RGB frame, ...]) for an uncompressed-DIB AVI,
+    keeping every ``every``-th frame (the sampling cadence a video
+    pipeline uses — decode cost scales with kept frames only, since
+    skipped '##db' chunks are never pixel-converted)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    width = height = None
+    frames: list[bytes] = []
+    n_seen = 0
+
+    def walk(buf: bytes, in_movi: bool) -> None:
+        nonlocal width, height, n_seen
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                raise ValueError("truncated AVI chunk")
+            pos += 8 + size + (size & 1)
+            if cid == b"LIST":
+                walk(body[4:], in_movi or body[:4] == b"movi")
+            elif cid == b"avih":
+                width = int.from_bytes(body[32:36], "little")
+                height = int.from_bytes(body[36:40], "little")
+            elif in_movi and cid[2:4] == b"dc":
+                raise NotImplementedError(
+                    "native video decode covers uncompressed-DIB AVI ('##db' "
+                    "frames); codec streams require a library (plug ffmpeg here)"
+                )
+            elif in_movi and cid[2:4] == b"db":
+                keep = n_seen % every == 0
+                n_seen += 1
+                if not keep:
+                    continue
+                if width is None or height is None:
+                    raise ValueError("AVI frame before header")
+                row_bytes = (width * 3 + 3) // 4 * 4
+                if len(body) < row_bytes * height:
+                    raise ValueError("truncated AVI frame data")
+                out = bytearray(width * height * 3)
+                for y in range(height):
+                    row = body[(height - 1 - y) * row_bytes :][: width * 3]
+                    for x in range(width):
+                        out[(y * width + x) * 3 + 0] = row[x * 3 + 2]
+                        out[(y * width + x) * 3 + 1] = row[x * 3 + 1]
+                        out[(y * width + x) * 3 + 2] = row[x * 3 + 0]
+                frames.append(bytes(out))
+
+    walk(b[12:], False)
+    if width is None:
+        raise ValueError("AVI missing avih header")
+    return width, height, frames
+
+
+VIDEO_FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("dhash_hex", T.StringType()),
+    ]
+)
+
+
+def video_frame_dhash(
+    media: DataFrame, every: int = 1, real_decode: bool = False
+) -> DataFrame:
+    """(doc_id, frame_no, dhash_hex) — per-sampled-frame perceptual hash
+    over ``mapInPandas``: the fan-out contract of :func:`sample_frames`
+    with REAL pixels when ``real_decode`` (AVI '##db' frames through the
+    image path's `_dhash64_pixels`). Two videos sharing >= K frame
+    hashes are near-dup candidates — frame-set containment, resolved by
+    the same banded machinery as the still-image path (each frame row
+    joins dhash_pairs' topology; per-video containment is a groupBy over
+    matched frame counts). The stand-in hashes byte-chunks, keeping the
+    fan-out testable without payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, hxs = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                if real_decode:
+                    w, h, frames = _decode_avi_frames(b, every=every)
+                    for fno, pix in enumerate(frames):
+                        ids.append(doc_id)
+                        nos.append(fno)
+                        hxs.append(f"{_dhash64_pixels(w, h, pix):016x}")
+                else:
+                    n = max(1, len(b) // 256)
+                    for fno in range(0, n, every):
+                        ids.append(doc_id)
+                        nos.append(fno)
+                        chunk = b[fno * 256 : (fno + 1) * 256]
+                        hxs.append(hashlib.md5(chunk).hexdigest()[:16])
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "dhash_hex": hxs})
+
+    return media.mapInPandas(batches, schema=VIDEO_FRAME_DHASH_SCHEMA)

@@ -512,3 +512,136 @@ class TestAudioDecode:
                 bits = (bits << 1) | (1 if e[f] > e[f + 1] else 0)
             assert r["fp_hex"] == f"{bits:016x}", doc
             assert r["n_frames"] == AUDIO_FP_FRAMES
+
+
+def make_avi(w, h, frames_rgb, codec=b"db"):
+    """Minimal uncompressed-DIB AVI encoder (test-only): RIFF('AVI ')
+    with LIST('hdrl'){avih} + LIST('movi'){'00db' DIB frames} — frames
+    given as top-down RGB, stored bottom-up BGR with 4-byte row pad."""
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = bytearray(56)
+    avih[32:36] = w.to_bytes(4, "little")
+    avih[36:40] = h.to_bytes(4, "little")
+    row_bytes = (w * 3 + 3) // 4 * 4
+    movi = b""
+    for rgb in frames_rgb:
+        dib = bytearray(row_bytes * h)
+        for y in range(h):
+            for x in range(w):
+                s = (y * w + x) * 3
+                d = (h - 1 - y) * row_bytes + x * 3
+                dib[d] = rgb[s + 2]
+                dib[d + 1] = rgb[s + 1]
+                dib[d + 2] = rgb[s]
+        movi += chunk(b"00" + codec, bytes(dib))
+    body = lst(b"hdrl", chunk(b"avih", bytes(avih))) + lst(b"movi", movi)
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"AVI " + body
+
+
+class TestVideoFrames:
+    def test_avi_roundtrip_and_sampling(self):
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _decode_avi_frames,
+        )
+
+        w, h = 9, 6
+        frames = [
+            bytes(((x * 11 + y * 3 + f * 17 + c * 5) & 0xFF)
+                  for y in range(h) for x in range(w) for c in range(3))
+            for f in range(5)
+        ]
+        gw, gh, got = _decode_avi_frames(make_avi(w, h, frames))
+        assert (gw, gh) == (w, h)
+        assert got == frames
+        # every=2 keeps frames 0, 2, 4
+        _, _, sampled = _decode_avi_frames(make_avi(w, h, frames), every=2)
+        assert sampled == [frames[0], frames[2], frames[4]]
+
+    def test_avi_gated_and_malformed(self):
+        import pytest as _pytest
+
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _decode_avi_frames,
+        )
+
+        w, h = 4, 4
+        f0 = bytes(range(48))
+        with _pytest.raises(NotImplementedError, match="codec"):
+            _decode_avi_frames(make_avi(w, h, [f0], codec=b"dc"))
+        with _pytest.raises(ValueError):
+            _decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+        with _pytest.raises(ValueError, match="missing avih"):
+            _decode_avi_frames(b"RIFF\x04\x00\x00\x00AVI ")
+
+    def test_video_near_dup_by_shared_frames(self, spark):
+        """Two videos sharing re-encoded frames surface through the
+        frame-dhash + banded-pair machinery; per-video containment
+        counts matched frames."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            dhash_pairs,
+            video_frame_dhash,
+        )
+
+        w, h = 18, 12
+
+        def grad(f):
+            # per-frame multiplicative pattern: dHash is invariant to
+            # constant brightness offsets, so frames must differ in
+            # STRUCTURE; verified pairwise distinct beyond hamming 3
+            m = 2 * f + 1
+            return bytes(
+                (((x * 97 + y * 57 + c * 31) * m) & 0xFF)
+                for y in range(h) for x in range(w) for c in range(3)
+            )
+
+        a = [grad(0), grad(1), grad(2), grad(3)]
+        b = [grad(2), grad(3), grad(9)]      # shares 2 frames with a
+        c = [grad(20), grad(30)]             # shares none
+        media = spark.createDataFrame(
+            [(1, bytearray(make_avi(w, h, a))),
+             (2, bytearray(make_avi(w, h, b))),
+             (3, bytearray(make_avi(w, h, c)))],
+            "doc_id long, payload binary",
+        )
+        fd = video_frame_dhash(media, real_decode=True)
+        assert fd.count() == 9
+        # frame-level near-dups via the banded topology: key by a
+        # composite id (video, frame) packed into one long
+        keyed = fd.select(
+            (F.col("doc_id") * 1000 + F.col("frame_no")).alias("doc_id"),
+            "dhash_hex",
+        )
+        pairs = dhash_pairs(keyed, max_hamming=0)
+        matched = (
+            pairs.select(
+                (F.col("doc_a") / 1000).cast("long").alias("va"),
+                (F.col("doc_b") / 1000).cast("long").alias("vb"),
+            )
+            .filter(F.col("va") != F.col("vb"))
+            .groupBy("va", "vb")
+            .count()
+            .collect()
+        )
+        got = {(r["va"], r["vb"]): r["count"] for r in matched}
+        assert got == {(1, 2): 2}
+
+    def test_stand_in_fanout_contract(self, spark):
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            video_frame_dhash,
+        )
+
+        media = spark.createDataFrame(
+            [(5, bytearray(bytes(1024)))], "doc_id long, payload binary"
+        )
+        rows = video_frame_dhash(media, every=2).collect()
+        assert [r["frame_no"] for r in rows] == [0, 2]
+        assert all(len(r["dhash_hex"]) == 16 for r in rows)
