@@ -1594,3 +1594,78 @@ def fk_orphan_counts(
         F.sum(F.when(orphan, 1).otherwise(0)).cast("bigint").alias("n_orphan_rows"),
         F.sum(F.when(null_k, 1).otherwise(0)).cast("bigint").alias("n_null_key_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity release gate (round 12): before a table (or a training
+# corpus's metadata sidecar) leaves the warehouse, every quasi-identifier
+# combination must describe at least K individuals — groups below K are
+# re-identification risks the release must suppress or generalize.
+# ---------------------------------------------------------------------------
+
+K_ANON_K = 5
+K_ANON_QUASI = ("c_nationkey", "c_mktsegment")
+
+
+def k_anonymity_report(df: DataFrame, quasi: list[str], k: int) -> DataFrame:
+    """Per quasi-identifier combination: group size and the below-k
+    verdict. ONE map-side-combinable aggregate over the quasi columns —
+    |distinct combinations| bounded output, no second scan. Shared by
+    the registered gate and any CLI caller."""
+    return (
+        df.groupBy(*quasi)
+        .agg(F.count("*").cast("bigint").alias("group_size"))
+        .withColumn("below_k", F.col("group_size") < k)
+    )
+
+
+def val_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity gate over the customer dimension's quasi-identifiers
+    (nation × market segment, K_ANON_K = 5): one row per combination
+    with its population and verdict, plus a '<TOTAL>' summary row
+    carrying the released-table verdict (n_below_k groups, min group
+    size). Sweeney's k-anonymity as a warehouse release check.
+
+    100-TB shape: one hash aggregate over the quasi columns (output
+    bounded by the quasi-domain product), one |groups|-row fold for the
+    summary — nothing key-domain-sized leaves the aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    rep = k_anonymity_report(cust, list(K_ANON_QUASI), K_ANON_K)
+    detail = rep.select(
+        F.col(K_ANON_QUASI[0]).cast("string").alias("quasi_nation"),
+        F.col(K_ANON_QUASI[1]).alias("quasi_segment"),
+        "group_size",
+        "below_k",
+    )
+    summary = rep.agg(
+        F.sum(F.when(F.col("below_k"), 1).otherwise(0)).cast("bigint").alias("n_below"),
+        F.min("group_size").cast("bigint").alias("min_size"),
+    ).select(
+        F.lit("<TOTAL>").alias("quasi_nation"),
+        F.lit("<TOTAL>").alias("quasi_segment"),
+        F.col("min_size").alias("group_size"),
+        (F.col("n_below") > 0).alias("below_k"),
+    )
+    return detail.unionByName(summary).orderBy("quasi_nation", "quasi_segment")
+
+
+VAL_K_ANON_ORACLE = f"""
+WITH rep AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(c_nationkey AS VARCHAR) AS quasi_nation,
+       c_mktsegment AS quasi_segment,
+       CAST(group_size AS BIGINT) AS group_size,
+       group_size < {K_ANON_K} AS below_k
+FROM rep
+UNION ALL
+SELECT '<TOTAL>', '<TOTAL>',
+       CAST(MIN(group_size) AS BIGINT),
+       SUM(CASE WHEN group_size < {K_ANON_K} THEN 1 ELSE 0 END) > 0
+FROM rep
+ORDER BY quasi_nation, quasi_segment
+"""
+
+
+SPECS.append(QuerySpec("val_k_anonymity", val_k_anonymity, VAL_K_ANON_ORACLE))

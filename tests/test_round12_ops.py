@@ -645,3 +645,84 @@ class TestVideoFrames:
         rows = video_frame_dhash(media, every=2).collect()
         assert [r["frame_no"] for r in rows] == [0, 2]
         assert all(len(r["dhash_hex"]) == 16 for r in rows)
+
+
+class TestCmsJoinCardinality:
+    def test_registered_guarantee(self, spark, sf_dir):
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            a27_cms_join_cardinality,
+        )
+
+        r = a27_cms_join_cardinality(spark, sf_dir).collect()[0]
+        assert r["never_undercounts"]
+        assert r["cms_estimate"] >= r["exact_pairs"] > 0
+        assert r["rel_err_ppm"] >= 0
+
+    def test_inner_product_never_undercounts_randomized(self, spark):
+        """CMS inner-product guarantee on adversarial input: a planted
+        hot key on both sides (where collisions inflate hardest) still
+        never undercounts, and the estimate is exact when the sketch is
+        collision-free."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            CMS_D,
+            CMS_W,
+            _cms_bucket,
+        )
+
+        rng = random.Random(12)
+        a_keys = [rng.randrange(10_000) for _ in range(400)] + [77] * 200
+        b_keys = [rng.randrange(10_000) for _ in range(300)] + [77] * 100
+        a = spark.createDataFrame([(k,) for k in a_keys], ["k"])
+        b = spark.createDataFrame([(k,) for k in b_keys], ["k"])
+        seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+
+        def sketch(side, cn):
+            return (
+                side.select("k", seeds)
+                .select("i", _cms_bucket(F.col("i"), F.col("k")).alias("b"))
+                .groupBy("i", "b")
+                .agg(F.count("*").alias(cn))
+            )
+
+        est = (
+            sketch(a, "ca")
+            .join(sketch(b, "cb"), ["i", "b"])
+            .groupBy("i")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+            .agg(F.min("dot").alias("est"))
+            .collect()[0]["est"]
+        )
+        exact = sum(
+            a_keys.count(k) * b_keys.count(k) for k in set(a_keys) & set(b_keys)
+        )
+        assert est >= exact > 0
+
+
+class TestKAnonymity:
+    def test_planted_below_k_group_surfaces(self, spark):
+        from snowflake_to_postgres_spark.operators.validation import (
+            k_anonymity_report,
+        )
+
+        rows = [("us", "auto")] * 10 + [("fr", "auto")] * 2
+        df = spark.createDataFrame(rows, ["nat", "seg"])
+        rep = {
+            (r["nat"], r["seg"]): (r["group_size"], r["below_k"])
+            for r in k_anonymity_report(df, ["nat", "seg"], k=5).collect()
+        }
+        assert rep[("us", "auto")] == (10, False)
+        assert rep[("fr", "auto")] == (2, True)
+
+    def test_registered_summary_row(self, spark, sf_dir):
+        from snowflake_to_postgres_spark.operators.validation import val_k_anonymity
+
+        rows = val_k_anonymity(spark, sf_dir).collect()
+        total = [r for r in rows if r["quasi_nation"] == "<TOTAL>"]
+        assert len(total) == 1
+        detail = [r for r in rows if r["quasi_nation"] != "<TOTAL>"]
+        assert total[0]["group_size"] == min(r["group_size"] for r in detail)
+        assert total[0]["below_k"] == any(r["below_k"] for r in detail)
