@@ -4474,17 +4474,29 @@ SPECS.append(
 
 
 def a27_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Estimate |orders ⋈ lineitem ON orderkey| from two count-min
+    """UPPER-BOUND |orders ⋈ lineitem ON orderkey| from two count-min
     sketches (the a19 hash family, so both sketches AND the exact join
     size replay in DuckDB under the value-hash gate). Emits one row:
     (exact_pairs, cms_estimate, never_undercounts, rel_err_ppm).
 
+    Honest accuracy statement: the CMS inner product NEVER undercounts
+    (the pinned guarantee) but its slack is additive ≈ ‖a‖₁·‖b‖₁/w —
+    at the engine's w=256 with 150k keys the fixture estimate runs
+    ~59× the exact 60k (rel_err_ppm says so in the output). The
+    planner use is therefore the one the bound supports: "this join
+    produces AT MOST X pairs" — a cartesian-blowup tripwire, cheap
+    enough to run before every large join — not a tight cost model. A
+    production deployment sizes w to the key cardinality it guards
+    (w ≈ ‖a‖₁·‖b‖₁ / tolerable_slack); w is a memory dial, the plan
+    shape below is unchanged.
+
     100-TB shape: each side folds to d·w = 1024 counters in one
-    map-side-combinable pass (posexplode by a constant d); the inner
-    product joins two 1024-cell tables — driver-free, broadcast-legal
-    (sketch class); the EXACT side here exists only because the fixture
-    is small enough to verify the guarantee — production runs the
-    sketch alone, that being the point."""
+    map-side-combinable pass over the PER-KEY counts (md5 per distinct
+    key × d, not per raw row); the inner product joins two 1024-cell
+    tables — driver-free, broadcast-legal (sketch class); the EXACT
+    side here exists only because the fixture is small enough to verify
+    the guarantee — production runs the sketch alone, that being the
+    point."""
     o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
     seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
@@ -4515,7 +4527,24 @@ def a27_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb.withColumnRenamed("cnt", "nb"), "k")
         .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_pairs"))
     )
-    return exact.crossJoin(est).select(
+    # 1-row × 1-row combine WITHOUT a join: a literal-key equi-join
+    # constant-folds back into BroadcastNestedLoopJoin (audit offender),
+    # so the two scalars union into one frame and fold with max()
+    combined = (
+        exact.select(
+            F.col("exact_pairs"), F.lit(None).cast("bigint").alias("cms_estimate")
+        )
+        .unionByName(
+            est.select(
+                F.lit(None).cast("bigint").alias("exact_pairs"), "cms_estimate"
+            )
+        )
+        .agg(
+            F.max("exact_pairs").alias("exact_pairs"),
+            F.max("cms_estimate").alias("cms_estimate"),
+        )
+    )
+    return combined.select(
         "exact_pairs",
         "cms_estimate",
         (F.col("cms_estimate") >= F.col("exact_pairs")).alias("never_undercounts"),
