@@ -4590,3 +4590,121 @@ SPECS.append(
         "a27_cms_join_cardinality", a27_cms_join_cardinality, A27_CMS_JOIN_ORACLE
     )
 )
+
+
+def hll_fold_by_group(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """Per-group HLL register fold: (group, k_used, s_hit) — hll_fold's
+    algebra keyed by a group column, the cardinality analogue of
+    :func:`cms_heavy_hitters_by_group`. Shared by st_cardinality (group
+    = event day) and the foreachBatch cardinality monitor (group =
+    micro-batch id). 100-TB shape: two map-side-combinable aggregates —
+    (group, j) register max, then a |groups|×256-bounded fold."""
+    if group_col in ("j", "r", "mj", "k_used", "s_hit"):
+        raise ValueError(f"hll_fold_by_group: reserved group_col {group_col!r}")
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = df.filter(F.col(col).isNotNull()).select(group_col, h.alias("h"))
+    w = F.col("h") % _HLL_WMOD
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        hashed.select(group_col, F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
+        .groupBy(group_col, "j")
+        .agg(F.max("r").alias("mj"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - mj AS INT))"
+                )
+            ).alias("s_hit"),
+        )
+    )
+
+
+def hll_estimate_cols(folded: DataFrame) -> DataFrame:
+    """Append (v_zero, s_scaled, hll_estimate) COLUMNS to a register
+    fold — the a18 estimator (`_hll_est_parts`) as pure column
+    expressions so grouped/streaming consumers estimate WITHOUT driver
+    collects. Same float-expression order and 1e6 grid snap as the
+    driver-side twin, so both produce identical doubles."""
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    v_zero = (F.lit(HLL_M) - F.col("k_used")).cast("bigint")
+    s_scaled = (F.col("s_hit") + v_zero * F.lit(_HLL_SCALE)).cast("bigint")
+    raw = (
+        F.lit(alpha) * F.lit(256.0) * F.lit(256.0) * F.lit(float(_HLL_SCALE))
+        / s_scaled.cast("double")
+    )
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0), lc).otherwise(raw)
+    snapped = F.floor(est * F.lit(HLL_EST_GRID) + F.lit(0.5)) / F.lit(HLL_EST_GRID)
+    return folded.select(
+        "*",
+        v_zero.alias("v_zero"),
+        s_scaled.alias("s_scaled"),
+        snapped.alias("hll_estimate"),
+    )
+
+
+#: diag_salt_plan: keys holding more than this fraction of the rows get
+#: a salt recommendation (1/32 = one full local[32] task's fair share).
+SALT_PLAN_SHARE_PPM = 31_250  # 1/32 in parts-per-million
+SALT_PLAN_PARTITIONS = 32     # planning parallelism the salt is sized for
+
+
+def diag_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actionable skew plan — diag_heavy_keys' diagnosis turned into the
+    decision ``operators.skew.salted_join`` consumes: per hot key
+    (share > SALT_PLAN_SHARE_PPM of rows, integer ppm math), the
+    recommended salt bucket count ceil(share × SALT_PLAN_PARTITIONS) —
+    enough splits that no single salted partial exceeds one task's fair
+    share of the shuffle. Emits (user_id, cnt, share_ppm, salt_buckets)
+    for hot keys only; an empty result means "plain hash join is fine".
+
+    100-TB shape: one map-side-combined count per key, a scalar total,
+    and a filter — the reduced |keys| frame never sorts globally; the
+    output is bounded by how many keys can mathematically exceed the
+    share threshold (< 1/threshold keys)."""
+    events = load_table(spark, sf_dir, "events")
+    total = events.count()
+    per_key = events.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    share_ppm = F.expr(f"cnt * 1000000L div {total}")
+    # ceil(share * P) in exact integer math: (cnt*P + total - 1) div total
+    salt = F.expr(
+        f"(cnt * {SALT_PLAN_PARTITIONS}L + {total - 1}L) div {total}L"
+    )
+    return (
+        per_key.select(
+            "user_id",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            share_ppm.alias("share_ppm"),
+            salt.cast("bigint").alias("salt_buckets"),
+        )
+        .filter(F.col("share_ppm") > SALT_PLAN_SHARE_PPM)
+        .orderBy(F.col("cnt").desc(), "user_id")
+    )
+
+
+DIAG_SALT_PLAN_ORACLE = f"""
+WITH tot AS (SELECT COUNT(*) AS total FROM events),
+per_key AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST((cnt * {SALT_PLAN_PARTITIONS} + total - 1) // total AS BIGINT)
+         AS salt_buckets
+FROM per_key, tot
+WHERE cnt * 1000000 // total > {SALT_PLAN_SHARE_PPM}
+ORDER BY cnt DESC, user_id
+"""
+
+
+SPECS.append(QuerySpec("diag_salt_plan", diag_salt_plan, DIAG_SALT_PLAN_ORACLE))

@@ -2198,3 +2198,63 @@ WHERE rank <= {RRF_TOPK}
 
 
 SPECS.append(QuerySpec("sim_hybrid_rrf", sim_hybrid_rrf, _hybrid_rrf_oracle()))
+
+
+#: pipe_quota_sample: documents kept per source (RefinedWeb-style
+#: per-domain cap — no single crawl domain may dominate the corpus).
+QUOTA_PER_SOURCE = 50
+
+
+def pipe_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping — the anti-domination rule every crawl
+    corpus applies (C4/RefinedWeb: cap documents per domain so one
+    giant source cannot swamp the mixture): keep the QUOTA_PER_SOURCE
+    best documents per source, ranked by a DETERMINISTIC key (longest
+    n_chars first, doc_id tie-break — rank on doubles would make the
+    kept-set engine-dependent at score ties). Emits the per-source
+    audit row: (source, n_docs, n_kept, chars_total, chars_kept) — the
+    report a mixture rebalance reads before retraining weights.
+
+    100-TB shape: one rank window PARTITIONED BY source (parallel
+    across sources; a single giant source pre-splits on a doc_id range,
+    the tx_pack_sequences note) folded straight into a |sources|-bounded
+    aggregate — the per-doc ranks never leave the stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.withColumn("rnk", F.row_number().over(w))
+    kept = F.col("rnk") <= QUOTA_PER_SOURCE
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPE_QUOTA_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rnk <= {QUOTA_PER_SOURCE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN rnk <= {QUOTA_PER_SOURCE} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_kept
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+SPECS.append(QuerySpec("pipe_quota_sample", pipe_quota_sample, PIPE_QUOTA_ORACLE))

@@ -1110,3 +1110,55 @@ def heavy_hitters_stream(
         .start()
         .awaitTermination()
     )
+
+
+def cardinality_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    since=None,
+    events: DataFrame | None = None,
+) -> None:
+    """Streaming cardinality monitor: drain the events stream
+    (AvailableNow) and fold every micro-batch's ``user_id`` through the
+    grouped deterministic-HLL kernel shared with the registered
+    st_cardinality twin — each batch appends one row (batch_id, k_used,
+    s_hit, v_zero, s_scaled, hll_estimate) to the monitor table. The
+    register fold is the canonical MERGEABLE sketch, so downstream can
+    also union monitor rows across batches and re-estimate (a22's merge
+    algebra) without touching the raw stream again.
+
+    Idempotence: batch=<id> partitions, mode=overwrite — the
+    drift/orphan/heavy-hitters discipline."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        hll_estimate_cols,
+        hll_fold_by_group,
+    )
+
+    if events is None:  # tests inject a chunked multi-batch source
+        events = read_events_stream(spark, sf_dir)
+    if since is not None:
+        events = events.filter(F.col("ts") >= F.lit(since))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        report = hll_estimate_cols(
+            hll_fold_by_group(
+                batch.withColumn("batch_id", F.lit(batch_id).cast("bigint")),
+                "user_id",
+                "batch_id",
+            )
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(monitor_path, f"batch={batch_id}")
+        )
+
+    (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

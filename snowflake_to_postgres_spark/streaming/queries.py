@@ -650,3 +650,108 @@ def _st_hh_oracle() -> str:
 
 
 SPECS.append(QuerySpec("st_heavy_hitters", st_heavy_hitters, _st_hh_oracle()))
+
+
+def st_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming cardinality monitor — the fifth leg
+    of the observability set (volume = st_heavy_hitters, quality =
+    st_drift, integrity = st_orphan_audit, history = st_scd2): per
+    event day, the DETERMINISTIC-HLL distinct-user estimate (the a18
+    register algebra, so the sketch replays in the oracle) next to the
+    exact truth. The unique-visitors / key-cardinality panel every
+    ingest dashboard carries, sketch-priced. foreachBatch twin:
+    streaming/pipeline.cardinality_stream (same grouped kernel,
+    restart-idempotent).
+
+    100-TB shape: two map-side-combinable aggregates — (day, register)
+    max then a |days|×256-bounded fold — plus the estimator as column
+    expressions (no driver collect); the exact COUNT(DISTINCT) baseline
+    is eval-time truth, sampled or dropped at real scale."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        HLL_M,
+        hll_estimate_cols,
+        hll_fold_by_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    folded = hll_estimate_cols(hll_fold_by_group(ev, "user_id", "day"))
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        folded.join(exact, "day")
+        .select(
+            "day",
+            F.lit(HLL_M).cast("int").alias("m"),
+            "v_zero",
+            "s_scaled",
+            "hll_estimate",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        )
+        .orderBy("day")
+    )
+
+
+def _st_cardinality_oracle() -> str:
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        _HLL_SCALE,
+        _HLL_WBITS,
+        _HLL_WMOD,
+        HLL_EST_GRID,
+        HLL_M,
+    )
+
+    est_sql = f"""CASE
+  WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+        * CAST({_HLL_SCALE} AS DOUBLE) / CAST(s_scaled AS DOUBLE))
+         <= {2.5 * HLL_M}
+       AND v_zero > 0
+  THEN floor({HLL_M} * ln({HLL_M} / CAST(v_zero AS DOUBLE))
+             * {HLL_EST_GRID} + 0.5) / {HLL_EST_GRID}
+  ELSE floor(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+              * CAST({_HLL_SCALE} AS DOUBLE) / CAST(s_scaled AS DOUBLE))
+             * {HLL_EST_GRID} + 0.5) / {HLL_EST_GRID}
+END"""
+    return f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, user_id AS v FROM events
+  WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT day, CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM ev
+),
+rho AS (
+  SELECT day, h // {_HLL_WMOD} AS j,
+         CASE WHEN h % {_HLL_WMOD} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(h % {_HLL_WMOD})) END AS r
+  FROM h
+),
+regs AS (SELECT day, j, MAX(r) AS mj FROM rho GROUP BY day, j),
+folded AS (
+  SELECT day, COUNT(*) AS k_used,
+         COALESCE(SUM(CAST(1 AS BIGINT) << CAST({_HLL_WBITS + 1} - mj AS INT)), 0) AS s_hit
+  FROM regs GROUP BY day
+),
+scalars AS (
+  SELECT day,
+         CAST({HLL_M} - k_used AS BIGINT) AS v_zero,
+         CAST(s_hit + ({HLL_M} - k_used) * {_HLL_SCALE} AS BIGINT) AS s_scaled
+  FROM folded
+),
+ex AS (SELECT day, COUNT(DISTINCT v) AS exact_distinct FROM ev GROUP BY day)
+SELECT scalars.day AS day,
+       CAST({HLL_M} AS INT) AS m,
+       v_zero, s_scaled,
+       {est_sql} AS hll_estimate,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM scalars JOIN ex ON ex.day = scalars.day
+ORDER BY 1
+"""
+
+
+SPECS.append(QuerySpec("st_cardinality", st_cardinality, _st_cardinality_oracle()))

@@ -726,3 +726,198 @@ class TestKAnonymity:
         detail = [r for r in rows if r["quasi_nation"] != "<TOTAL>"]
         assert total[0]["group_size"] == min(r["group_size"] for r in detail)
         assert total[0]["below_k"] == any(r["below_k"] for r in detail)
+
+
+class TestCardinalityMonitor:
+    def test_column_estimator_matches_driver_twin(self, spark, sf_dir):
+        """hll_estimate_cols must produce the EXACT double the a18
+        driver-side estimator produces from the same fold."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            _hll_est_parts,
+            hll_estimate_cols,
+            hll_fold_by_group,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.col("ts").cast("date")
+        )
+        rows = hll_estimate_cols(hll_fold_by_group(ev, "user_id", "day")).collect()
+        assert rows
+        for r in rows:
+            v_zero, s_scaled, est = _hll_est_parts(r["k_used"], r["s_hit"])
+            assert (r["v_zero"], r["s_scaled"]) == (v_zero, s_scaled)
+            assert r["hll_estimate"] == est, r["day"]
+
+    def test_registered_accuracy(self, spark, sf_dir):
+        """Per-day estimates within the standard HLL error envelope for
+        m=256 (~1.04/sqrt(256) = 6.5%; allow 3 sigma)."""
+        from snowflake_to_postgres_spark.streaming.queries import st_cardinality
+
+        rows = st_cardinality(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["exact_distinct"] > 0
+            rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+            assert rel < 0.20, (r["day"], rel)
+
+    def test_stream_parity_and_idempotence(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            hll_estimate_cols,
+            hll_fold_by_group,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+        from snowflake_to_postgres_spark.streaming.pipeline import cardinality_stream
+
+        events = load_table(spark, sf_dir, "events")
+        n = events.count()
+        half = events.limit(n // 2)
+        rest = events.subtract(half)
+        src = str(tmp_path / "src")
+        half.coalesce(1).write.parquet(f"{src}/chunk0.parquet")
+        rest.coalesce(1).write.parquet(f"{src}/chunk1.parquet")
+
+        def make_stream():
+            return (
+                spark.readStream.schema(events.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .load(src)
+            )
+
+        monitor = str(tmp_path / "monitor")
+        ckpt = str(tmp_path / "ckpt")
+        cardinality_stream(spark, sf_dir, monitor, ckpt, events=make_stream())
+        got = sorted(
+            (r["batch_id"], r["k_used"], r["s_hit"], r["hll_estimate"])
+            for r in spark.read.parquet(monitor).collect()
+        )
+        assert len(got) == 2
+
+        expected = []
+        for i, c in enumerate([half, rest]):
+            rep = hll_estimate_cols(
+                hll_fold_by_group(
+                    c.withColumn("bid", F.lit(i).cast("bigint")), "user_id", "bid"
+                )
+            ).collect()[0]
+            expected.append((i, rep["k_used"], rep["s_hit"], rep["hll_estimate"]))
+        assert got == sorted(expected)
+
+        cardinality_stream(spark, sf_dir, monitor, ckpt, events=make_stream())
+        again = sorted(
+            (r["batch_id"], r["k_used"], r["s_hit"], r["hll_estimate"])
+            for r in spark.read.parquet(monitor).collect()
+        )
+        assert again == got
+
+    def test_kernel_reserved_group_col_raises(self, spark):
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            hll_fold_by_group,
+        )
+
+        df = spark.createDataFrame([(1, 1)], ["j", "x"])
+        with pytest.raises(ValueError, match="reserved"):
+            hll_fold_by_group(df, "x", "j")
+
+
+class TestSaltPlan:
+    def test_planted_hot_key_gets_proportional_salt(self, spark, sf_dir, tmp_path):
+        """A key holding ~40% of rows must be recommended ceil(0.4 × 32)
+        = 13 salt buckets; uniform keys must not appear at all."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            SALT_PLAN_PARTITIONS,
+            diag_salt_plan,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+
+        # plant: rewrite events with 40% of rows on user -5, park it as
+        # a parquet dir and point the query at it
+        events = load_table(spark, sf_dir, "events")
+        planted = events.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < 4, F.lit(-5)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        sfdir = str(tmp_path / "sf")
+        import os
+        import shutil
+
+        os.makedirs(sfdir)
+        planted.write.parquet(os.path.join(sfdir, "events.parquet"))
+        rows = diag_salt_plan(spark, sfdir).collect()
+        # the hot key leads the plan (small fixtures may legitimately
+        # surface other keys above 1/32 — the plan is ordered by count)
+        r = rows[0]
+        assert r["user_id"] == -5
+        total = planted.count()
+        cnt = planted.filter(F.col("user_id") == -5).count()
+        assert r["cnt"] == cnt
+        assert r["share_ppm"] == cnt * 1_000_000 // total
+        want_salt = (cnt * SALT_PLAN_PARTITIONS + total - 1) // total
+        assert r["salt_buckets"] == want_salt >= 2
+        assert all(x["salt_buckets"] <= want_salt for x in rows)
+        shutil.rmtree(sfdir)
+
+    def test_every_row_satisfies_threshold_and_math(self, spark, sf_dir):
+        """Every emitted row must actually exceed the share threshold
+        with exact integer math (at sf0.01+ the uniform fixture emits
+        zero rows — the oracle checks that emptiness; the tiny sf0.001
+        test fixture has few enough users that rows legitimately
+        appear, which makes it the exact-math check)."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            SALT_PLAN_PARTITIONS,
+            SALT_PLAN_SHARE_PPM,
+            diag_salt_plan,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+
+        total = load_table(spark, sf_dir, "events").count()
+        for r in diag_salt_plan(spark, sf_dir).collect():
+            assert r["share_ppm"] == r["cnt"] * 1_000_000 // total
+            assert r["share_ppm"] > SALT_PLAN_SHARE_PPM
+            assert r["salt_buckets"] == (
+                r["cnt"] * SALT_PLAN_PARTITIONS + total - 1
+            ) // total
+
+
+class TestQuotaSample:
+    def test_cap_and_determinism(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.pipeline_ext import (
+            QUOTA_PER_SOURCE,
+            pipe_quota_sample,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+
+        rows = pipe_quota_sample(spark, sf_dir).collect()
+        assert rows
+        docs = load_table(spark, sf_dir, "documents")
+        per_src = {
+            r["source"]: r["cnt"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+        }
+        for r in rows:
+            assert r["n_kept"] == min(QUOTA_PER_SOURCE, per_src[r["source"]])
+            assert r["n_docs"] == per_src[r["source"]]
+            assert r["chars_kept"] <= r["chars_total"]
+        # kept chars are the TOP-n_chars docs: recompute one source
+        src = rows[0]["source"]
+        want = sum(
+            sorted(
+                (d["n_chars"] for d in docs.filter(F.col("source") == src).collect()),
+                reverse=True,
+            )[:QUOTA_PER_SOURCE]
+        )
+        assert rows[0]["chars_kept"] == want
