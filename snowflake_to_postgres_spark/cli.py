@@ -715,6 +715,34 @@ def cmd_ref_check(args) -> int:
     return 0 if all(r["ref_intact"] for r in rows) else 1
 
 
+def cmd_skew_plan(args) -> int:
+    """Pre-join skew advisory: the diag_salt_plan recommendation as JSON
+    — per key above a 1/32 row share, the salt bucket count
+    ``operators.skew.salted_join`` should use. Exit 0 either way (this
+    is a planner, not a gate); an empty list means plain hash join is
+    fine."""
+    from snowflake_to_postgres_spark.operators.analytics_ext import diag_salt_plan
+
+    spark = get_spark("skew-plan")
+    rows = [r.asDict() for r in diag_salt_plan(spark, args.source).collect()]
+    print(json.dumps(rows, indent=2, default=str))
+    return 0
+
+
+def cmd_privacy_check(args) -> int:
+    """Release gate: k-anonymity over the customer dimension's
+    quasi-identifiers (val_k_anonymity) — one JSON row per combination
+    plus the <TOTAL> verdict row; exit 1 when any group sits below k
+    (the release must suppress or generalize before shipping)."""
+    from snowflake_to_postgres_spark.operators.validation import val_k_anonymity
+
+    spark = get_spark("privacy-check")
+    rows = [r.asDict() for r in val_k_anonymity(spark, args.source).collect()]
+    print(json.dumps(rows, indent=2, default=str))
+    total = [r for r in rows if r["quasi_nation"] == "<TOTAL>"]
+    return 1 if (total and total[0]["below_k"]) else 0
+
+
 def cmd_validate(args) -> int:
     from snowflake_to_postgres_spark.operators.validation import DataValidator
 
@@ -934,6 +962,14 @@ def main(argv: list[str] | None = None) -> int:
     rc = sub.add_parser("ref-check")
     rc.add_argument("--source", required=True, help="schema dir of parquet tables")
     rc.set_defaults(fn=cmd_ref_check)
+
+    sp = sub.add_parser("skew-plan")
+    sp.add_argument("--source", required=True, help="dir holding events.parquet")
+    sp.set_defaults(fn=cmd_skew_plan)
+
+    pv = sub.add_parser("privacy-check")
+    pv.add_argument("--source", required=True, help="dir holding customer.parquet")
+    pv.set_defaults(fn=cmd_privacy_check)
 
     v = sub.add_parser("validate")
     v.add_argument("--source", required=True)

@@ -357,3 +357,26 @@ def test_cli_sketch_profile(capsys, sf_dir, duck):
     rc2 = main(["sketch", "--path", f"{sf_dir}/orders.parquet", "--column", "nope"])
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc2 == 2 and "error" in err
+
+
+def test_cli_skew_plan(capsys, sf_dir):
+    """skew-plan emits the salt advisory as JSON and always exits 0
+    (planner, not gate); every row carries the exact integer math."""
+    rc = main(["skew-plan", "--source", sf_dir])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    for r in rows:
+        assert set(r) == {"user_id", "cnt", "share_ppm", "salt_buckets"}
+        assert r["share_ppm"] > 31_250 and r["salt_buckets"] >= 1
+
+
+def test_cli_privacy_check_gates_on_below_k(capsys, sf_dir):
+    """privacy-check exits 1 when any quasi group sits below k (the
+    tiny fixture has below-k groups by construction) and its <TOTAL>
+    row carries the release verdict."""
+    rc = main(["privacy-check", "--source", sf_dir])
+    rows = json.loads(capsys.readouterr().out)
+    total = [r for r in rows if r["quasi_nation"] == "<TOTAL>"]
+    assert len(total) == 1
+    assert rc == (1 if total[0]["below_k"] else 0)
+    assert rc == 1  # sf0.001 has 3-row quasi groups
