@@ -2130,9 +2130,13 @@ def _hll_alpha() -> float:
 
 def _hll_est_parts(k_used: int, s_hit: int) -> tuple:
     """(v_zero, s_scaled, grid-snapped estimate) from a register fold —
-    the ONE copy of the estimator math shared by a18, a22's merge, and
-    the generic hll_estimate kernel (round-9 review finding: it existed
-    in three)."""
+    the driver-side copy of the estimator math shared by a18, a22's
+    merge, and the generic hll_estimate kernel (round-9 review finding:
+    it existed in three). Since round 12 a COLUMN-expression twin
+    exists (:func:`hll_estimate_cols`, for grouped/streaming consumers
+    that must not collect); the two are pinned to produce the identical
+    double by test_column_estimator_matches_driver_twin — change the
+    math in BOTH or that test fails."""
     import math
 
     v_zero = HLL_M - int(k_used or 0)
@@ -3857,32 +3861,47 @@ SPECS.append(
 # ---------------------------------------------------------------------------
 
 
-def hll_fold(df: DataFrame, col: str) -> DataFrame:
-    """(k_used, s_hit): the HLL register fold of ``df[col]`` — identical
-    algebra to a18 (md5 60-bit hash, 256 registers, scaled harmonic
-    sum), parameterized over any frame/column."""
+def _hll_rho_frame(df: DataFrame, col: str, group_cols: list) -> DataFrame:
+    """(group..., j, r): the ONE copy of the md5 60-bit hash → register
+    index / rho projection shared by the global fold (hll_fold) and the
+    grouped fold (hll_fold_by_group) — a fix to the hash algebra lands
+    in every consumer at once. NULLs are excluded from the sketch
+    domain: md5(NULL) is NULL, so a 257th j=NULL register row would
+    inflate k_used and corrupt the linear-counting zero-register term
+    (round-9 ADVICE)."""
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
         "bigint"
     )
-    # NULLs are excluded from the sketch domain: md5(NULL) is NULL, so
-    # a 257th j=NULL register row would inflate k_used and corrupt the
-    # linear-counting zero-register term (round-9 ADVICE).
-    hashed = df.filter(F.col(col).isNotNull()).select(h.alias("h"))
+    hashed = df.filter(F.col(col).isNotNull()).select(*group_cols, h.alias("h"))
     w = F.col("h") % _HLL_WMOD
     rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
         F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
     )
+    return hashed.select(
+        *group_cols, F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r")
+    )
+
+
+_HLL_SHIFT_EXPR = (
+    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - mj AS INT))"
+)
+
+
+def hll_fold(df: DataFrame, col: str) -> DataFrame:
+    """(k_used, s_hit): the HLL register fold of ``df[col]`` — identical
+    algebra to a18 (md5 60-bit hash, 256 registers, scaled harmonic
+    sum), parameterized over any frame/column. Hash/rho projection
+    shared with the grouped fold via :func:`_hll_rho_frame`. Note the
+    empty-input contract difference: this GLOBAL fold always returns
+    one row (k_used=0 on empty input); the grouped fold returns zero
+    rows for absent groups."""
     return (
-        hashed.select(F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
+        _hll_rho_frame(df, col, [])
         .groupBy("j")
         .agg(F.max("r").alias("mj"))
         .agg(
             F.count("*").alias("k_used"),
-            F.sum(
-                F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - mj AS INT))"
-                )
-            ).alias("s_hit"),
+            F.sum(F.expr(_HLL_SHIFT_EXPR)).alias("s_hit"),
         )
     )
 
@@ -3953,7 +3972,9 @@ def cms_heavy_hitters_by_group(
     bounded at d·w cells; the only key-domain-sized frame is the
     pre-aggregation, which is map-side-combinable; nothing broadcasts
     (cells scale with |groups|, so the probe hash-joins)."""
-    if group_col in ("v", "exact_cnt", "i", "b", "c", "rank", "n_rows"):
+    reserved = ("v", "exact_cnt", "i", "b", "c", "rank", "n_rows",
+                "cms_estimate", "share_ppm", "never_undercounts")
+    if group_col in reserved:
         raise ValueError(f"cms_heavy_hitters_by_group: reserved group_col {group_col!r}")
     vals = df.filter(F.col(key_col).isNotNull()).select(
         group_col, F.col(key_col).alias("v")
@@ -4599,28 +4620,18 @@ def hll_fold_by_group(df: DataFrame, col: str, group_col: str) -> DataFrame:
     = event day) and the foreachBatch cardinality monitor (group =
     micro-batch id). 100-TB shape: two map-side-combinable aggregates —
     (group, j) register max, then a |groups|×256-bounded fold."""
-    if group_col in ("j", "r", "mj", "k_used", "s_hit"):
+    reserved = ("h", "j", "r", "mj", "k_used", "s_hit",
+                "v_zero", "s_scaled", "hll_estimate")
+    if group_col in reserved:
         raise ValueError(f"hll_fold_by_group: reserved group_col {group_col!r}")
-    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
-    hashed = df.filter(F.col(col).isNotNull()).select(group_col, h.alias("h"))
-    w = F.col("h") % _HLL_WMOD
-    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
-    )
     return (
-        hashed.select(group_col, F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
+        _hll_rho_frame(df, col, [group_col])
         .groupBy(group_col, "j")
         .agg(F.max("r").alias("mj"))
         .groupBy(group_col)
         .agg(
             F.count("*").alias("k_used"),
-            F.sum(
-                F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - mj AS INT))"
-                )
-            ).alias("s_hit"),
+            F.sum(F.expr(_HLL_SHIFT_EXPR)).alias("s_hit"),
         )
     )
 

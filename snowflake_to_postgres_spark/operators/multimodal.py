@@ -800,7 +800,12 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered audio-fingerprint query: the energy-delta math of
     :func:`_audio_fp_bits` proven CROSS-ENGINE over a synthesized
     deterministic waveform (sample(doc, i) = ((doc_id+1)·(i+1)·
-    2654435761) mod 65536 — 65 frames × 16 samples per document; WAV
+    2654435761) mod 65536, evaluated in the modular-reduced form
+    ((d mod 2^16)·(i mod 2^16) mod 2^16 · (M mod 2^16)) mod 2^16 — the
+    SAME values by modular arithmetic, but every intermediate stays
+    under 2^48 so neither engine can hit int64 overflow at any doc_id
+    (the naive product overflows at doc_id ≈ 3.3M: Spark wraps
+    silently, DuckDB raises — a parity landmine at larger SFs); WAV
     bytes cannot reasonably be built in SQL, so the synth waveform is
     the oracle-able carrier for the framing/delta/band-packing math,
     while the RIFF byte parsing is pinned by the real-decode pytest).
@@ -814,7 +819,8 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     nf, fl, mult = AUDIO_FP_FRAMES, AUDIO_FP_FRAME_LEN, _AUDIO_SYNTH_MULT
     energies = (
         f"transform(sequence(0, {nf - 1}), f -> aggregate(sequence(0, {fl - 1}), 0L, "
-        f"(acc, k) -> acc + ((doc_id + 1L) * (f * {fl} + k + 1L) * {mult}L) % 65536L))"
+        f"(acc, k) -> acc + ((((doc_id + 1L) % 65536L) * ((f * {fl} + k + 1L) % 65536L))"
+        f" % 65536L * {mult % 65536}L) % 65536L))"
     )
     band = (
         "aggregate(sequence({lo}, {hi}), 0L, (acc, f) -> acc * 2L + "
@@ -841,7 +847,7 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_AUDIO_FP_ORACLE = f"""
 WITH frames AS (
   SELECT doc_id, f,
-         SUM(((doc_id + 1) * (f * {AUDIO_FP_FRAME_LEN} + k + 1) * {_AUDIO_SYNTH_MULT}) % 65536) AS e
+         SUM((((doc_id + 1) % 65536) * ((f * {AUDIO_FP_FRAME_LEN} + k + 1) % 65536) % 65536 * {_AUDIO_SYNTH_MULT % 65536}) % 65536) AS e
   FROM documents,
        generate_series(0, {AUDIO_FP_FRAMES - 1}) t(f),
        generate_series(0, {AUDIO_FP_FRAME_LEN - 1}) u(k)
@@ -973,9 +979,11 @@ def video_frame_dhash(
                 b = bytes(p)
                 if real_decode:
                     w, h, frames = _decode_avi_frames(b, every=every)
-                    for fno, pix in enumerate(frames):
+                    # frame_no is the SOURCE frame index (kept-index ×
+                    # cadence) so both modes number frames identically
+                    for kept_i, pix in enumerate(frames):
                         ids.append(doc_id)
-                        nos.append(fno)
+                        nos.append(kept_i * every)
                         hxs.append(f"{_dhash64_pixels(w, h, pix):016x}")
                 else:
                     n = max(1, len(b) // 256)

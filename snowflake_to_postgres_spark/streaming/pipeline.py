@@ -997,6 +997,43 @@ def drift_stream(
     )
 
 
+def _run_batch_monitor(
+    spark: SparkSession,
+    sf_dir: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    report_fn,
+    since=None,
+    events: DataFrame | None = None,
+) -> None:
+    """The ONE copy of the foreachBatch monitor discipline shared by
+    the orphan / heavy-hitters / cardinality monitors: AvailableNow
+    drain, optional since-filter, empty-batch skip, and the
+    idempotence contract — each batch's report lands at ``batch=<id>``
+    with mode=overwrite, so a replayed batch rewrites identical content
+    and a restart on the same checkpoint appends nothing. ``report_fn``
+    maps (batch_frame, batch_id) → the bounded report DataFrame."""
+    if events is None:  # tests inject a chunked multi-batch source
+        events = read_events_stream(spark, sf_dir)
+    if since is not None:
+        events = events.filter(F.col("ts") >= F.lit(since))
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        report_fn(batch, batch_id).write.mode("overwrite").parquet(
+            os.path.join(monitor_path, f"batch={batch_id}")
+        )
+
+    (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def orphan_audit_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -1030,30 +1067,17 @@ def orphan_audit_stream(
             .distinct()
         )
 
-    if events is None:  # tests inject a chunked multi-batch source
-        events = read_events_stream(spark, sf_dir)
-    if since is not None:
-        events = events.filter(F.col("ts") >= F.lit(since))
-
-    def handle(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        report = fk_orphan_counts(
+    def report(batch: DataFrame, batch_id: int) -> DataFrame:
+        return fk_orphan_counts(
             batch.withColumn("batch_id", F.lit(batch_id).cast("bigint")),
             "user_id",
             parent_keys,
             "batch_id",
         )
-        report.write.mode("overwrite").parquet(
-            os.path.join(monitor_path, f"batch={batch_id}")
-        )
 
-    (
-        events.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    _run_batch_monitor(
+        spark, sf_dir, monitor_path, checkpoint_dir, report,
+        since=since, events=events,
     )
 
 
@@ -1085,30 +1109,18 @@ def heavy_hitters_stream(
     )
 
     k = HH_TOP if top is None else top
-    if events is None:  # tests inject a chunked multi-batch source
-        events = read_events_stream(spark, sf_dir)
-    if since is not None:
-        events = events.filter(F.col("ts") >= F.lit(since))
 
-    def handle(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        report = cms_heavy_hitters_by_group(
+    def report(batch: DataFrame, batch_id: int) -> DataFrame:
+        return cms_heavy_hitters_by_group(
             batch.withColumn("batch_id", F.lit(batch_id).cast("bigint")),
             "user_id",
             "batch_id",
             top=k,
         ).withColumnRenamed("v", "user_id")
-        report.write.mode("overwrite").parquet(
-            os.path.join(monitor_path, f"batch={batch_id}")
-        )
 
-    (
-        events.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    _run_batch_monitor(
+        spark, sf_dir, monitor_path, checkpoint_dir, report,
+        since=since, events=events,
     )
 
 
@@ -1136,29 +1148,16 @@ def cardinality_stream(
         hll_fold_by_group,
     )
 
-    if events is None:  # tests inject a chunked multi-batch source
-        events = read_events_stream(spark, sf_dir)
-    if since is not None:
-        events = events.filter(F.col("ts") >= F.lit(since))
-
-    def handle(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        report = hll_estimate_cols(
+    def report(batch: DataFrame, batch_id: int) -> DataFrame:
+        return hll_estimate_cols(
             hll_fold_by_group(
                 batch.withColumn("batch_id", F.lit(batch_id).cast("bigint")),
                 "user_id",
                 "batch_id",
             )
         )
-        report.write.mode("overwrite").parquet(
-            os.path.join(monitor_path, f"batch={batch_id}")
-        )
 
-    (
-        events.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    _run_batch_monitor(
+        spark, sf_dir, monitor_path, checkpoint_dir, report,
+        since=since, events=events,
     )
