@@ -921,3 +921,107 @@ class TestQuotaSample:
             )[:QUOTA_PER_SOURCE]
         )
         assert rows[0]["chars_kept"] == want
+
+
+# ---------------------------------------------------------------------------
+# randomized property coverage for the round-12 decoders (hypothesis):
+# encode→decode must be the identity for every valid input, not just the
+# hand-picked fixtures above.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestDecoderProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        colortype=st.sampled_from([0, 2, 4, 6]),
+        data=st.data(),
+    )
+    def test_png_roundtrip_random(self, w, h, colortype, data):
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+        pix = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * nch,
+                    max_size=w * h * nch,
+                )
+            )
+        )
+        filters = data.draw(st.lists(st.integers(0, 4), min_size=1, max_size=5))
+        gw, gh, rgb = _decode_png(make_png(w, h, pix, colortype, filters))
+        assert (gw, gh) == (w, h)
+        # reference normalization of the raw samples to RGB
+        want = bytearray()
+        for i in range(w * h):
+            s = i * nch
+            if colortype in (0, 4):
+                want += bytes((pix[s], pix[s], pix[s]))
+            else:
+                want += pix[s : s + 3]
+        assert rgb == bytes(want)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(65, 400),
+        n_ch=st.integers(1, 2),
+        data=st.data(),
+    )
+    def test_wav_roundtrip_random(self, n, n_ch, data):
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_wav
+
+        samples = data.draw(
+            st.lists(st.integers(-32768, 32767), min_size=n, max_size=n)
+        )
+        rate, ch, mono = _decode_wav(make_wav(samples, n_ch=n_ch))
+        assert (rate, ch) == (8000, n_ch)
+        assert mono == samples  # identical channels average to themselves
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 8),
+        h=st.integers(1, 6),
+        n_frames=st.integers(1, 6),
+        every=st.integers(1, 3),
+        data=st.data(),
+    )
+    def test_avi_roundtrip_random(self, w, h, n_frames, every, data):
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _decode_avi_frames,
+        )
+
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h * 3,
+                        max_size=w * h * 3,
+                    )
+                )
+            )
+            for _ in range(n_frames)
+        ]
+        gw, gh, got = _decode_avi_frames(make_avi(w, h, frames), every=every)
+        assert (gw, gh) == (w, h)
+        assert got == frames[::every]
+
+    @settings(max_examples=20, deadline=None)
+    @given(data=st.data())
+    def test_audio_fp_gain_invariance_random(self, data):
+        """Positive gain never changes the fingerprint (energy ORDER is
+        preserved exactly under integer scaling)."""
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _audio_fp_bits,
+        )
+
+        n = data.draw(st.integers(130, 650))
+        base = data.draw(
+            st.lists(st.integers(-3000, 3000), min_size=n, max_size=n)
+        )
+        gain = data.draw(st.integers(2, 9))
+        assert _audio_fp_bits(base) == _audio_fp_bits([s * gain for s in base])
