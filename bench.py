@@ -60,6 +60,30 @@ import time
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def assess_drift(per_query: dict, committed: dict) -> dict:
+    """Common-key geomean drift of this run vs the committed baseline
+    medians, DIRECTION-AWARE (round-12 verdict #3): ``drift_suspect``
+    fires only on a SLOWER run (>1.10) — the flag exists to stop a
+    loaded-machine artifact being read as a regression, and a uniformly
+    FASTER run is not suspect, it is the machine having a good day (the
+    r12 driver run published suspect on geomean 0.894). The direction
+    is published explicitly so a reader never re-derives it:
+    ``faster`` (<0.90), ``slower`` (>1.10), or ``stable``."""
+    ratios = [
+        per_query[k] / committed[k]
+        for k in per_query
+        if committed.get(k) and per_query[k] > 0
+    ]
+    if not ratios:
+        return {"geomean": None, "suspect": False, "direction": None}
+    geomean = round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+    direction = (
+        "slower" if geomean > 1.10 else "faster" if geomean < 0.90 else "stable"
+    )
+    return {"geomean": geomean, "suspect": direction == "slower",
+            "direction": direction}
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "a2_group_count_by_date",
@@ -312,6 +336,7 @@ def main() -> None:
     # drift (uniform shift) from a real regression (key-local shift).
     drift_vs_committed = None
     drift_suspect = False
+    drift_direction = None
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")) as fh:
@@ -325,16 +350,10 @@ def main() -> None:
             if str(detail.get("sf")) == sf_label
             else {}
         )
-        ratios = [
-            per_query[k] / committed[k]
-            for k in per_query
-            if committed.get(k) and per_query[k] > 0
-        ]
-        if ratios:
-            drift_vs_committed = round(
-                math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
-            )
-            drift_suspect = drift_vs_committed > 1.10 or drift_vs_committed < 0.90
+        drift = assess_drift(per_query, committed)
+        drift_vs_committed = drift["geomean"]
+        drift_suspect = drift["suspect"]
+        drift_direction = drift["direction"]
     except (OSError, ValueError, ZeroDivisionError):
         pass
 
@@ -372,6 +391,7 @@ def main() -> None:
         "load_suspect": len(load_flagged) >= 3,
         "drift_vs_committed": drift_vs_committed,
         "drift_suspect": drift_suspect,
+        "drift_direction": drift_direction,
         "lineitem_rows": n_rows,
         "transfer_sec": round(transfer_sec, 3),
         "transfer_rows_per_sec": int(n_rows / transfer_sec) if transfer_sec > 0 else None,
@@ -409,6 +429,29 @@ def main() -> None:
     # line, never the final line the driver parses.
     if run_gates:
         g = _bench_keys(spark, qs, sf_dir, GATES)
+        gates_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_GATES.json"
+        )
+        # Baseline pinning (round-12 verdict #4): the committed
+        # BENCH_GATES.json read at run start IS the comparison baseline,
+        # and its numbers are EMBEDDED in the new artifact so the
+        # round-over-round gate delta reads off one file. Gates compare
+        # only same-protocol runs (this same-JVM post-headline pass) —
+        # see PERFORMANCE.md's bench-protocol section.
+        baseline = None
+        gates_drift = {"geomean": None, "suspect": False, "direction": None}
+        try:
+            with open(gates_path) as fh:
+                prev = json.load(fh)
+            if str(prev.get("sf")) == str(result["sf"]):
+                baseline = {
+                    "source": "committed BENCH_GATES.json at run start",
+                    "value": prev.get("value"),
+                    "queries": prev.get("queries"),
+                }
+                gates_drift = assess_drift(g["per_query"], prev.get("queries") or {})
+        except (OSError, ValueError):
+            pass
         gates_out = {
             "metric": "gates_total_sec",
             "value": round(sum(g["per_query"].values()), 3),
@@ -420,10 +463,19 @@ def main() -> None:
             "query_exec_only": g["query_exec_only"],
             "load_flagged": g["load_flagged"],
             "sf": result["sf"],
+            "baseline": baseline,
+            "drift_vs_baseline": gates_drift["geomean"],
+            "drift_suspect": gates_drift["suspect"],
+            "drift_direction": gates_drift["direction"],
+            # ADVICE r12: gates run in the same JVM AFTER the headline
+            # pass, so query_cold here is first-touch for the GATE plans
+            # only — JIT, parquet footers, and scans shared with headline
+            # keys are already warm. Cross-artifact cold comparisons are
+            # valid gates-to-gates, not gates-to-headline.
+            "cold_note": "post-headline same-JVM: cold is per-plan, not per-session",
         }
         try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH_GATES.json"), "w") as fh:
+            with open(gates_path, "w") as fh:
                 json.dump(gates_out, fh, indent=1)
         except OSError:
             pass
