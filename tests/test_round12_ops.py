@@ -119,7 +119,9 @@ class TestPngDecode:
         assert _decode_png(make_png(w, h, rgba, 6)) == (w, h, rgb)
 
     def test_unsupported_shapes_raise_gated(self):
-        """Palette / 16-bit / interlaced stay honestly gated."""
+        """16-bit / interlaced stay honestly gated; 8-bit palette is
+        decoded since round 13, so a colortype-3 file WITHOUT a PLTE
+        chunk is malformed input (ValueError), not a gated codec."""
         w, h = 4, 3
         pix = _rgb_gradient(w, h)
         good = make_png(w, h, pix, 2, [0])
@@ -134,8 +136,8 @@ class TestPngDecode:
 
         with pytest.raises(NotImplementedError):
             _decode_png(mutate(good, 8, 16))  # bitdepth 16
-        with pytest.raises(NotImplementedError):
-            _decode_png(mutate(good, 9, 3))  # palette
+        with pytest.raises(ValueError):
+            _decode_png(mutate(good, 9, 3))  # palette claim, no PLTE
         with pytest.raises(NotImplementedError):
             _decode_png(mutate(good, 12, 1))  # Adam7
         with pytest.raises(ValueError):

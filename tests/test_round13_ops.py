@@ -46,6 +46,168 @@ class TestBenchDriftDirection:
         assert r["geomean"] is None
 
 
+def make_palette_png(w, h, indices, palette, filters=None):
+    """8-bit palette (colortype 3) PNG: the round-12 encoder's filter
+    machinery over a 1-channel index plane + a PLTE chunk."""
+    import struct
+    import zlib
+
+    from tests.test_round12_ops import _chunk, _filter_line
+
+    assert len(indices) == w * h
+    filters = filters or [y % 5 for y in range(h)]
+    raw = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        line = bytes(indices[y * w : (y + 1) * w])
+        f = filters[y % len(filters)]
+        raw.append(f)
+        raw += _filter_line(f, line, prev, 1)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = bytes(v for rgb in palette for v in rgb)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+class TestPalettePng:
+    """Round-12 verdict #6: PLTE decode on the existing scanline
+    pipeline — the web-crawl-thumbnail shape."""
+
+    PALETTE = [((i * 7) & 0xFF, (i * 13) & 0xFF, (i * 29) & 0xFF) for i in range(64)]
+
+    def test_palette_roundtrip_all_filters(self):
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_png
+
+        w, h = 9, 10  # h=10 cycles all five filters twice
+        idx = [(x * 5 + y * 11) % 64 for y in range(h) for x in range(w)]
+        want = bytes(v for i in idx for v in self.PALETTE[i])
+        for filters in ([0], [1], [2], [3], [4], None):
+            got = _decode_png(make_palette_png(w, h, idx, self.PALETTE, filters))
+            assert got == (w, h, want), f"filters={filters}"
+
+    def test_dhash_parity_with_rgb_twin(self):
+        """The palette decode feeds the SAME pixel dHash as its RGB
+        twin — a re-encoded thumbnail pairs at Hamming 0."""
+        from tests.test_round12_ops import make_png
+
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _decode_pixels,
+            _dhash64_pixels,
+        )
+
+        w, h = 18, 12
+        idx = [((x * 3) ^ (y * 5)) % 64 for y in range(h) for x in range(w)]
+        rgb = bytes(v for i in idx for v in self.PALETTE[i])
+        pw, ph, ppix = _decode_pixels(make_palette_png(w, h, idx, self.PALETTE))
+        rw, rh, rpix = _decode_pixels(make_png(w, h, rgb, 2))
+        assert (pw, ph, ppix) == (rw, rh, rpix)
+        assert _dhash64_pixels(pw, ph, ppix) == _dhash64_pixels(rw, rh, rpix)
+
+    def test_palette_gates_and_malformed(self):
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_png
+
+        w, h = 4, 3
+        idx = [i % 4 for i in range(w * h)]
+        small = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]  # only 3 entries
+        with pytest.raises(ValueError, match="palette index out of range"):
+            _decode_png(make_palette_png(w, h, idx, small))
+        # malformed PLTE (length not a multiple of 3)
+        good = make_palette_png(w, h, idx, self.PALETTE)
+        plte_at = good.index(b"PLTE") - 4
+        bad = bytearray(good)
+        bad[plte_at : plte_at + 4] = (191).to_bytes(4, "big")
+        with pytest.raises(ValueError):
+            _decode_png(bytes(bad[: plte_at + 8 + 191]) + good[plte_at + 8 + 192 :])
+
+
+class TestDecodeGuards:
+    """ADVICE r12: zero-area images and non-24-bpp AVI streams fail
+    with the gated-error discipline, never executor arithmetic errors."""
+
+    def test_zero_dim_image_value_error(self):
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _decode_pixels,
+            _real_decode,
+            _real_resize,
+        )
+
+        zero_ppm = b"P6\n0 3\n255\n"
+        for fn in (_decode_pixels, lambda b: _real_decode(b),
+                   lambda b: _real_resize(b, 8)):
+            with pytest.raises(ValueError, match="degenerate"):
+                fn(zero_ppm)
+        from tests.test_round12_ops import make_png
+
+        zero_png = make_png(3, 0, b"", 2, [0])
+        with pytest.raises(ValueError, match="degenerate"):
+            _decode_pixels(zero_png)
+
+    def test_avi_32bpp_strf_gated(self):
+        """A 32-bpp 'strf' video stream header raises toward the codec
+        plug-in point instead of silently decoding garbage pixels."""
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _decode_avi_frames,
+        )
+
+        w, h = 4, 4
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + len(body).to_bytes(4, "little") + body + pad
+
+        def lst(kind, body):
+            return chunk(b"LIST", kind + body)
+
+        avih = bytearray(56)
+        avih[32:36] = w.to_bytes(4, "little")
+        avih[36:40] = h.to_bytes(4, "little")
+        strh = b"vids" + bytes(52)
+        strf = bytearray(40)  # BITMAPINFOHEADER
+        strf[14:16] = (32).to_bytes(2, "little")  # biBitCount = 32
+        frame = bytes(w * 4 * h)  # 32-bpp rows happen to be 4-aligned
+        body = lst(
+            b"hdrl",
+            chunk(b"avih", bytes(avih))
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", bytes(strf))),
+        ) + lst(b"movi", chunk(b"00db", frame))
+        avi = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"AVI " + body
+        with pytest.raises(NotImplementedError, match="bpp"):
+            _decode_avi_frames(avi)
+
+    def test_avi_frame_size_mismatch_gated(self):
+        """Without an strf header, a '##db' frame whose byte count is
+        not exactly rows x row_bytes (e.g. 32-bpp data) is gated too."""
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _decode_avi_frames,
+        )
+
+        w, h = 4, 4
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + len(body).to_bytes(4, "little") + body + pad
+
+        def lst(kind, body):
+            return chunk(b"LIST", kind + body)
+
+        avih = bytearray(56)
+        avih[32:36] = w.to_bytes(4, "little")
+        avih[36:40] = h.to_bytes(4, "little")
+        frame = bytes(w * 4 * h)  # 32-bpp payload: passes >=, fails ==
+        body = lst(b"hdrl", chunk(b"avih", bytes(avih))) + lst(
+            b"movi", chunk(b"00db", frame)
+        )
+        avi = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"AVI " + body
+        with pytest.raises(NotImplementedError, match="24-bpp DIB"):
+            _decode_avi_frames(avi)
+
+
 class TestCmsJoinCardinalityWidth:
     """Round-12 verdict #5: ``w`` is a kernel parameter and the sizing
     rule is measurable — rel_err_ppm tightens as w grows."""
