@@ -369,18 +369,34 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. For 10⁹ vectors you'd raise RP_BITS so bucket occupancy
     stays ~constant (bits ≈ log2(N / target_bucket_size))."""
     comp = _components(spark, sf_dir)
+    return _rank_candidates(comp, rp_lsh_candidates(comp), k=3)
+
+
+def rp_lsh_candidates(
+    comp: DataFrame,
+    bits: int = RP_BITS,
+    tables: int = RP_TABLES,
+    radius: int = RP_PROBE_RADIUS,
+) -> DataFrame:
+    """(qid, vec_id) RP-LSH candidate pairs over a components frame —
+    the parameterized kernel behind :func:`sim_rp_lsh_topk` (its module
+    constants are the defaults). ``bits``/``tables``/``radius`` are THE
+    scale dials: bits ≈ log2(N/occupancy) grows with the corpus so the
+    probed bucket fraction tables·C(bits,≤radius)/2^bits collapses —
+    tools/rp_ladder.py measures recall and candidate volume along that
+    ladder (round-12 verdict #2) instead of leaving it prose math."""
     # Table t's hyperplane j is v_{t·2B+j} − v_{t·2B+B+j}: disjoint
-    # corpus-vector slices per table, so the RP_TABLES signatures are
+    # corpus-vector slices per table, so the ``tables`` signatures are
     # independent draws from the same direction-unbiased family.
-    span = 2 * RP_BITS
-    src = comp.filter(F.col("vec_id") < RP_TABLES * span)
+    span = 2 * bits
+    src = comp.filter(F.col("vec_id") < tables * span)
     t_col = F.floor(F.col("vec_id") / span).cast("int")
     r_col = (F.col("vec_id") % span).cast("int")
-    ha = src.filter(r_col < RP_BITS).select(
+    ha = src.filter(r_col < bits).select(
         t_col.alias("t"), r_col.alias("h"), "idx", F.col("val").alias("av")
     )
-    hb = src.filter(r_col >= RP_BITS).select(
-        t_col.alias("t"), (r_col - RP_BITS).alias("h"), "idx", F.col("val").alias("bv")
+    hb = src.filter(r_col >= bits).select(
+        t_col.alias("t"), (r_col - bits).alias("h"), "idx", F.col("val").alias("bv")
     )
     hyper = ha.join(hb, ["t", "h", "idx"]).select(
         "t", "h", "idx", (F.col("av") - F.col("bv")).alias("hval")
@@ -399,7 +415,9 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bucket")
     )
-    masks = RP_PROBE_MASKS
+    masks = sorted(
+        m for m in range(1 << bits) if bin(m).count("1") <= radius
+    )
     variants = (
         bucket.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -412,13 +430,12 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # distinct: a neighbor probed by several tables must score ONCE
     # (the rescore sums partial dot products per (qid, vec_id))
-    candidates = (
+    return (
         bucket.join(F.broadcast(variants), ["t", "bucket"])
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
         .distinct()
     )
-    return _rank_candidates(comp, candidates, k=3)
 
 
 SIM_RP_LSH_ORACLE = _COMP_CTES + f""",
