@@ -172,6 +172,10 @@ HEADLINE = [
     # the per-day/per-batch CMS heavy-keys monitor (skew early warning —
     # the streaming observability set's fourth leg)
     "st_heavy_hitters",
+    # round-13 addition (one per new family; prior keys unchanged):
+    # the per-source mixture-share monitor's batch twin (source-mix
+    # early warning — the observability set's sixth leg)
+    "st_mixture",
 ]
 
 # Round-12 (round-11 verdict #1): the headline measures PRODUCTION query

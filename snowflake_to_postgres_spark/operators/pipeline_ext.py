@@ -295,6 +295,75 @@ FROM per
 """
 
 
+def mixture_targets(docs: DataFrame) -> DataFrame:
+    """(source, weight, target_share_ppm) — the configured mixture
+    weights of :func:`tx_mixture_plan` (weight(srcN) = 1 + N % 3, the
+    stand-in for a hand-tuned mixture table) as an exact-integer share
+    target: target_share_ppm = weight·10⁶ div Σweights. Integer ppm so
+    the batch twin, the DuckDB oracle, and every micro-batch of the
+    stream monitor replay the SAME arithmetic with no float rounding
+    seam. Bounded by the source domain (a catalog-sized dimension);
+    Σweights is a driver literal like tx_mixture_plan's."""
+    src_num = F.substring("source", 4, 10).cast("int")
+    weight = (F.lit(1) + src_num % 3).cast("bigint")
+    per_src = docs.select("source").distinct().withColumn("weight", weight)
+    sum_weights = int(per_src.agg(F.sum("weight")).first()[0])
+    return per_src.select(
+        "source",
+        "weight",
+        F.expr(f"weight * 1000000L div {sum_weights}L").alias("target_share_ppm"),
+    )
+
+
+def mixture_share_by_group(
+    df: DataFrame, group_col: str, targets: DataFrame
+) -> DataFrame:
+    """Per-(group, source) observed char share vs the mixture-plan
+    target: (group, source, n_docs, obs_chars, obs_share_ppm,
+    target_share_ppm, dev_ppm, over_target) — the mixture twin of
+    ``cms_heavy_hitters_by_group``, shared by the registered st_mixture
+    batch twin (group = whole corpus) and the foreachBatch mixture
+    monitor (group = micro-batch id). A source missing from ``targets``
+    (new mid-stream) surfaces with NULL target/dev rather than being
+    dropped.
+
+    100-TB shape: one map-side-combinable (group, source) aggregate is
+    the only data-scaled frame; the per-group totals fold |groups|·
+    |sources| rows; targets broadcast (catalog-sized). All shares are
+    exact integer ppm (x·10⁶ div total)."""
+    reserved = (
+        "source", "n_docs", "obs_chars", "total_chars", "obs_share_ppm",
+        "target_share_ppm", "dev_ppm", "over_target", "weight", "n_chars",
+    )
+    if group_col in reserved:
+        raise ValueError(f"mixture_share_by_group: reserved group_col {group_col!r}")
+    per = df.groupBy(group_col, "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("obs_chars"),
+    )
+    tot = per.groupBy(group_col).agg(F.sum("obs_chars").alias("total_chars"))
+    j = (
+        per.join(tot, group_col)
+        .join(
+            F.broadcast(targets.select("source", "target_share_ppm")),
+            "source",
+            "left",
+        )
+    )
+    obs = F.expr("obs_chars * 1000000L div total_chars")
+    dev = obs - F.col("target_share_ppm")
+    return j.select(
+        group_col,
+        "source",
+        "n_docs",
+        "obs_chars",
+        obs.alias("obs_share_ppm"),
+        "target_share_ppm",
+        dev.alias("dev_ppm"),
+        (dev > 0).alias("over_target"),
+    )
+
+
 def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap fill: hourly sum of high-value event volume
     per event_type over a *dense* generated hour grid, missing buckets

@@ -755,3 +755,63 @@ ORDER BY 1
 
 
 SPECS.append(QuerySpec("st_cardinality", st_cardinality, _st_cardinality_oracle()))
+
+
+def st_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming mixture monitor (round-12 verdict #7
+    — the sixth leg of the observability set: volume = st_heavy_hitters,
+    quality = st_drift, integrity = st_orphan_audit, history = st_scd2,
+    cardinality = st_cardinality, MIX = this): per document source, the
+    observed char share of the corpus next to the tx_mixture_plan target
+    share, with the deviation in exact integer ppm. The panel a 100-TB
+    ingest reads to see source-mix drift BEFORE the corpus is built —
+    pairs with pipe_quota_sample (the enforcement side of the same
+    targets). foreachBatch twin: streaming/pipeline.mixture_stream (same
+    grouped kernel over frozen targets, restart-idempotent).
+
+    100-TB shape: one map-side-combinable (source) aggregate; targets
+    broadcast (catalog-sized source domain); all arithmetic integer ppm
+    so both engines and every micro-batch replay it exactly."""
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        mixture_share_by_group,
+        mixture_targets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_share_by_group(
+        docs.withColumn("corpus_window", F.lit(0).cast("bigint")),
+        "corpus_window",
+        mixture_targets(docs),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "obs_chars",
+        "obs_share_ppm",
+        "target_share_ppm",
+        "dev_ppm",
+        "over_target",
+    ).orderBy("source")
+
+
+ST_MIXTURE_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS obs_chars,
+         CAST(1 + CAST(substr(source, 4) AS INT) % 3 AS BIGINT) AS weight
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(obs_chars) AS BIGINT) AS t FROM per),
+sw AS (SELECT CAST(SUM(weight) AS BIGINT) AS s FROM per)
+SELECT source, n_docs, obs_chars,
+       CAST(obs_chars * 1000000 // (SELECT t FROM tot) AS BIGINT) AS obs_share_ppm,
+       CAST(weight * 1000000 // (SELECT s FROM sw) AS BIGINT) AS target_share_ppm,
+       CAST(obs_chars * 1000000 // (SELECT t FROM tot)
+            - weight * 1000000 // (SELECT s FROM sw) AS BIGINT) AS dev_ppm,
+       (obs_chars * 1000000 // (SELECT t FROM tot)
+            - weight * 1000000 // (SELECT s FROM sw)) > 0 AS over_target
+FROM per
+ORDER BY source
+"""
+
+
+SPECS.append(QuerySpec("st_mixture", st_mixture, ST_MIXTURE_ORACLE))

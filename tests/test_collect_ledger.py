@@ -114,6 +114,8 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/jdbc_discovery.py", "discover_jdbc_schema"): (1, "SCHEMA/CONST"),
     ("plans/jdbc_discovery.py", "scan"): (1, "SCHEMA/CONST"),
     ("streaming/pipeline.py", "drift_stream"): (2, "SKETCH"),
+    # frozen mixture targets: bounded by the catalog-sized source domain
+    ("streaming/pipeline.py", "mixture_stream"): (1, "SCHEMA/CONST"),
 }
 
 ALLOWED_CLASSES = {

@@ -208,6 +208,141 @@ class TestDecodeGuards:
             _decode_avi_frames(avi)
 
 
+class TestMixtureMonitor:
+    """Round-12 verdict #7: the per-batch source-share monitor — batch
+    twin invariants, stream/kernel parity with planted mixture skew,
+    and restart idempotence (the heavy-hitters discipline)."""
+
+    def test_batch_twin_invariants(self, spark, sf_dir):
+        from snowflake_to_postgres_spark.streaming.queries import st_mixture
+
+        rows = st_mixture(spark, sf_dir).collect()
+        assert rows
+        # integer-ppm shares sum to ~1e6 (floor rounding loses <|sources|)
+        obs_total = sum(r["obs_share_ppm"] for r in rows)
+        tgt_total = sum(r["target_share_ppm"] for r in rows)
+        n = len(rows)
+        assert 1_000_000 - n <= obs_total <= 1_000_000
+        assert 1_000_000 - n <= tgt_total <= 1_000_000
+        for r in rows:
+            assert r["dev_ppm"] == r["obs_share_ppm"] - r["target_share_ppm"]
+            assert r["over_target"] == (r["dev_ppm"] > 0)
+            assert r["n_docs"] > 0 and r["obs_chars"] > 0
+
+    def test_stream_parity_planted_flood_and_idempotent(self, spark, sf_dir, tmp_path):
+        """Per micro-batch rows equal the shared kernel on the same
+        chunks; a planted source flood (one source rewritten over ~half
+        of chunk 2) must spike that source's dev_ppm; a restart on the
+        same checkpoint changes nothing."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.pipeline_ext import (
+            mixture_share_by_group,
+            mixture_targets,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+        from snowflake_to_postgres_spark.streaming.pipeline import mixture_stream
+
+        docs = load_table(spark, sf_dir, "documents")
+        n = docs.count()
+        half = docs.limit(n // 2)
+        rest = docs.subtract(half)
+        # plant a flood: ~half of the second chunk becomes src0
+        planted = rest.withColumn(
+            "source",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("src0")).otherwise(
+                F.col("source")
+            ),
+        )
+        src = str(tmp_path / "src")
+        half.coalesce(1).write.parquet(f"{src}/chunk0.parquet")
+        planted.coalesce(1).write.parquet(f"{src}/chunk1.parquet")
+
+        def make_stream():
+            return (
+                spark.readStream.schema(docs.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .load(src)
+            )
+
+        monitor = str(tmp_path / "monitor")
+        ckpt = str(tmp_path / "ckpt")
+        mixture_stream(spark, sf_dir, monitor, ckpt, docs=make_stream())
+
+        got = spark.read.parquet(monitor)
+        rows = sorted(
+            (r["batch_id"], r["source"], r["n_docs"], r["obs_chars"],
+             r["obs_share_ppm"], r["target_share_ppm"], r["dev_ppm"])
+            for r in got.collect()
+        )
+        assert len({b for b, *_ in rows}) == 2
+
+        # parity: the shared kernel over the same chunks vs frozen targets
+        targets = mixture_targets(docs)
+        expected = []
+        for i, c in enumerate([half, planted]):
+            rep = mixture_share_by_group(
+                c.withColumn("bid", F.lit(i).cast("bigint")), "bid", targets
+            ).collect()
+            expected.extend(
+                (r["bid"], r["source"], r["n_docs"], r["obs_chars"],
+                 r["obs_share_ppm"], r["target_share_ppm"], r["dev_ppm"])
+                for r in rep
+            )
+        assert rows == sorted(expected)
+
+        # the flood surfaces: src0's dev_ppm in the hot batch dwarfs its
+        # target share (it holds ~half the batch's chars vs a ~5% target)
+        hot = max(b for b, *_ in rows)
+        src0 = [r for r in rows if r[0] == hot and r[1] == "src0"][0]
+        assert src0[6] > 300_000  # > +30 points of share in ppm
+        assert all(
+            r[6] <= 100_000 for r in rows if r[0] == hot and r[1] != "src0"
+        )
+
+        # restart idempotence
+        mixture_stream(spark, sf_dir, monitor, ckpt, docs=make_stream())
+        again = sorted(
+            (r["batch_id"], r["source"], r["n_docs"], r["obs_chars"],
+             r["obs_share_ppm"], r["target_share_ppm"], r["dev_ppm"])
+            for r in spark.read.parquet(monitor).collect()
+        )
+        assert again == rows
+
+    def test_kernel_reserved_group_col_raises(self, spark):
+        from snowflake_to_postgres_spark.operators.pipeline_ext import (
+            mixture_share_by_group,
+        )
+
+        df = spark.createDataFrame([("src0", 5, 1)], ["source", "n_chars", "weight"])
+        with pytest.raises(ValueError, match="reserved"):
+            mixture_share_by_group(df, "weight", df)
+
+    def test_unknown_source_surfaces_with_null_target(self, spark):
+        """A source missing from the frozen targets (new mid-stream) is
+        kept with NULL target/dev — visible, not dropped."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.pipeline_ext import (
+            mixture_share_by_group,
+        )
+
+        batch = spark.createDataFrame(
+            [("src0", 60, 0), ("srcNEW", 40, 0)], ["source", "n_chars", "g"]
+        ).withColumn("g", F.col("g").cast("bigint"))
+        targets = spark.createDataFrame(
+            [("src0", 1, 500_000)], ["source", "weight", "target_share_ppm"]
+        )
+        rows = {r["source"]: r for r in
+                mixture_share_by_group(batch, "g", targets).collect()}
+        assert rows["srcNEW"]["target_share_ppm"] is None
+        assert rows["srcNEW"]["dev_ppm"] is None
+        assert rows["srcNEW"]["obs_share_ppm"] == 400_000
+        assert rows["src0"]["dev_ppm"] == 100_000
+
+
 class TestRpLshLadder:
     """Round-12 verdict #2: the bits dial is a kernel parameter and the
     selectivity collapse is measurable, not prose — one rung up from
