@@ -328,9 +328,15 @@ def mixture_share_by_group(
     dropped.
 
     100-TB shape: one map-side-combinable (group, source) aggregate is
-    the only data-scaled frame; the per-group totals fold |groups|·
-    |sources| rows; targets broadcast (catalog-sized). All shares are
-    exact integer ppm (x·10⁶ div total)."""
+    the only data-scaled frame; the per-group totals are a WINDOW over
+    that already-bounded |groups|·|sources| frame rather than a
+    group-totals self-join — the batch twin's group key is a literal,
+    and a literal-key equi-join constant-folds into
+    BroadcastNestedLoopJoin (the a27 lesson; plan pinned by
+    test_plan_quality); targets broadcast (catalog-sized). All shares
+    are exact integer ppm (x·10⁶ div total)."""
+    from pyspark.sql import Window
+
     reserved = (
         "source", "n_docs", "obs_chars", "total_chars", "obs_share_ppm",
         "target_share_ppm", "dev_ppm", "over_target", "weight", "n_chars",
@@ -341,14 +347,12 @@ def mixture_share_by_group(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("obs_chars"),
     )
-    tot = per.groupBy(group_col).agg(F.sum("obs_chars").alias("total_chars"))
-    j = (
-        per.join(tot, group_col)
-        .join(
-            F.broadcast(targets.select("source", "target_share_ppm")),
-            "source",
-            "left",
-        )
+    j = per.withColumn(
+        "total_chars", F.sum("obs_chars").over(Window.partitionBy(group_col))
+    ).join(
+        F.broadcast(targets.select("source", "target_share_ppm")),
+        "source",
+        "left",
     )
     obs = F.expr("obs_chars * 1000000L div total_chars")
     dev = obs - F.col("target_share_ppm")
