@@ -432,30 +432,32 @@ def main() -> None:
     # load guard); results go to BENCH_GATES.json and a preceding stdout
     # line, never the final line the driver parses.
     if run_gates:
-        g = _bench_keys(spark, qs, sf_dir, GATES)
         gates_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_GATES.json"
         )
         # Baseline pinning (round-12 verdict #4): the committed
-        # BENCH_GATES.json read at run start IS the comparison baseline,
-        # and its numbers are EMBEDDED in the new artifact so the
-        # round-over-round gate delta reads off one file. Gates compare
-        # only same-protocol runs (this same-JVM post-headline pass) —
-        # see PERFORMANCE.md's bench-protocol section.
-        baseline = None
-        gates_drift = {"geomean": None, "suspect": False, "direction": None}
+        # BENCH_GATES.json is read BEFORE the gates measurement (so the
+        # provenance below is literally true even if a future change
+        # writes the file mid-run) and its numbers are EMBEDDED in the
+        # new artifact so the round-over-round gate delta reads off one
+        # file. Gates compare only same-protocol runs (this same-JVM
+        # post-headline pass) — see PERFORMANCE.md's protocol section.
+        prev = None
         try:
             with open(gates_path) as fh:
                 prev = json.load(fh)
-            if str(prev.get("sf")) == str(result["sf"]):
-                baseline = {
-                    "source": "committed BENCH_GATES.json at run start",
-                    "value": prev.get("value"),
-                    "queries": prev.get("queries"),
-                }
-                gates_drift = assess_drift(g["per_query"], prev.get("queries") or {})
         except (OSError, ValueError):
             pass
+        g = _bench_keys(spark, qs, sf_dir, GATES)
+        baseline = None
+        gates_drift = {"geomean": None, "suspect": False, "direction": None}
+        if prev and str(prev.get("sf")) == str(result["sf"]):
+            baseline = {
+                "source": "committed BENCH_GATES.json read before gates measurement",
+                "value": prev.get("value"),
+                "queries": prev.get("queries"),
+            }
+            gates_drift = assess_drift(g["per_query"], prev.get("queries") or {})
         gates_out = {
             "metric": "gates_total_sec",
             "value": round(sum(g["per_query"].values()), 3),

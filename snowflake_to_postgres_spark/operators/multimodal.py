@@ -967,10 +967,17 @@ def _decode_avi_frames(b: bytes, every: int = 1) -> tuple[int, int, list[bytes]]
                 height = int.from_bytes(body[36:40], "little")
             elif cid == b"strh":
                 strh_type = body[:4]
-            elif cid == b"strf" and strh_type == b"vids" and len(body) >= 16:
+            elif cid == b"strf" and strh_type == b"vids":
                 # BITMAPINFOHEADER.biBitCount (ADVICE r12): a 32-bpp DIB
                 # stream would pass a >=-length check and silently decode
-                # garbage; gate it like every other unsupported shape.
+                # garbage; gate it like every other unsupported shape. A
+                # vids strf too short to carry biBitCount (e.g. a
+                # BITMAPCOREHEADER) is malformed, NOT a skipped gate — a
+                # width-1 16-bpp stream pads to the same row_bytes as
+                # 24-bpp and would silently slip past the exact-size
+                # check below (round-13 review finding).
+                if len(body) < 16:
+                    raise ValueError("truncated AVI video strf header")
                 bpp = int.from_bytes(body[14:16], "little")
                 if bpp != 24:
                     raise NotImplementedError(

@@ -249,12 +249,10 @@ def tx_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per source before any driver interaction; total chars and
     Σweights are driver literals."""
     docs = load_table(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("int")
-    weight = (F.lit(1) + src_num % 3).cast("bigint")
     per_src = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("actual_chars"),
-    ).withColumn("weight", weight)
+    ).withColumn("weight", _mixture_weight())
     total_chars = docs.agg(F.sum("n_chars").cast("bigint")).first()[0]
     sum_weights = per_src.agg(F.sum("weight")).first()[0]
     share = F.col("weight").cast("double") / F.lit(float(sum_weights))
@@ -295,19 +293,30 @@ FROM per
 """
 
 
-def mixture_targets(docs: DataFrame) -> DataFrame:
-    """(source, weight, target_share_ppm) — the configured mixture
-    weights of :func:`tx_mixture_plan` (weight(srcN) = 1 + N % 3, the
-    stand-in for a hand-tuned mixture table) as an exact-integer share
-    target: target_share_ppm = weight·10⁶ div Σweights. Integer ppm so
-    the batch twin, the DuckDB oracle, and every micro-batch of the
-    stream monitor replay the SAME arithmetic with no float rounding
-    seam. Bounded by the source domain (a catalog-sized dimension);
-    Σweights is a driver literal like tx_mixture_plan's."""
+def _mixture_weight():
+    """THE configured mixture weight column — weight(srcN) = 1 + N % 3,
+    the stand-in for a hand-tuned mixture table. One definition shared
+    by tx_mixture_plan, tx_mixture_draw (via the plan) and
+    mixture_targets so the 'targets mirror the plan' contract cannot
+    silently fork (round-13 review finding)."""
     src_num = F.substring("source", 4, 10).cast("int")
-    weight = (F.lit(1) + src_num % 3).cast("bigint")
-    per_src = docs.select("source").distinct().withColumn("weight", weight)
-    sum_weights = int(per_src.agg(F.sum("weight")).first()[0])
+    return (F.lit(1) + src_num % 3).cast("bigint")
+
+
+def mixture_targets(docs: DataFrame) -> DataFrame:
+    """(source, weight, target_share_ppm) — :func:`tx_mixture_plan`'s
+    configured weights (:func:`_mixture_weight`) as an exact-integer
+    share target: target_share_ppm = weight·10⁶ div Σweights. Integer
+    ppm so the batch twin, the DuckDB oracle, and every micro-batch of
+    the stream monitor replay the SAME arithmetic with no float
+    rounding seam. Bounded by the source domain (a catalog-sized
+    dimension); Σweights is a driver literal like tx_mixture_plan's."""
+    per_src = docs.select("source").distinct().withColumn(
+        "weight", _mixture_weight()
+    )
+    sw = per_src.agg(F.sum("weight")).first()[0]
+    # empty corpus: the frame below is empty too, the literal is unused
+    sum_weights = int(sw) if sw is not None else 1
     return per_src.select(
         "source",
         "weight",
@@ -354,7 +363,10 @@ def mixture_share_by_group(
         "source",
         "left",
     )
-    obs = F.expr("obs_chars * 1000000L div total_chars")
+    # NULLIF (the a27 discipline, same PR): an all-empty-docs group has
+    # total_chars = 0 — the share pins to NULL instead of relying on
+    # non-ANSI div-by-zero (ANSI mode would kill the stream monitor)
+    obs = F.expr("obs_chars * 1000000L div nullif(total_chars, 0L)")
     dev = obs - F.col("target_share_ppm")
     return j.select(
         group_col,

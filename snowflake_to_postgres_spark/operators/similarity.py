@@ -337,9 +337,25 @@ RP_BITS = 6          # RP-LSH: hyperplanes / signature bits → 2^6 buckets
 ANN_RECALL_BAR = 0.8
 RP_TABLES = 4
 RP_PROBE_RADIUS = 2
-RP_PROBE_MASKS = sorted(
-    m for m in range(1 << RP_BITS) if bin(m).count("1") <= RP_PROBE_RADIUS
-)
+
+
+def _probe_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight <= radius, enumerated as
+    C(bits, <=radius) combinations of bit POSITIONS — O(bits^radius),
+    not O(2^bits): the kernel's own scale story raises bits to
+    log2(N/occupancy) (~30 at 10^9 vectors), where a full 2^bits scan
+    would hang the driver for the ~466 masks combinations yield
+    directly (round-13 review finding)."""
+    from itertools import combinations
+
+    return sorted(
+        sum(1 << p for p in pos)
+        for r in range(radius + 1)
+        for pos in combinations(range(bits), r)
+    )
+
+
+RP_PROBE_MASKS = _probe_masks(RP_BITS, RP_PROBE_RADIUS)
 
 
 def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,9 +431,7 @@ def rp_lsh_candidates(
         .cast("bigint")
         .alias("bucket")
     )
-    masks = sorted(
-        m for m in range(1 << bits) if bin(m).count("1") <= radius
-    )
+    masks = _probe_masks(bits, radius)
     variants = (
         bucket.filter(F.col("vec_id") < N_QUERIES)
         .select(

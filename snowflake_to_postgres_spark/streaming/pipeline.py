@@ -27,48 +27,39 @@ from snowflake_to_postgres_spark.sources import (
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (schema pinned from a
-    batch read — required for file streams). Event-time normalization is
-    the SAME function the batch loader applies
-    (``normalize_external_types``: raw-nanos long or TIMESTAMP_NTZ →
-    instant TIMESTAMP), so the stream and its batch twin cannot drift —
-    and ``withWatermark`` downstream gets the TIMESTAMP it requires."""
-    batch = load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    # file streams require a directory source; glob-filter to the events file
+def _read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """THE file-source stream idiom (one copy — round-13 review
+    finding): schema pinned from a batch read (required for file
+    streams), type normalization via the SAME function the batch loader
+    applies (``normalize_external_types``: raw-nanos long or
+    TIMESTAMP_NTZ → instant TIMESTAMP), and a stream/batch schema-drift
+    assert so a stream and its batch twin cannot diverge."""
+    batch = load_table(spark, sf_dir, table)
+    raw_schema = spark.read.parquet(table_path(sf_dir, table)).schema
+    # file streams require a directory source; glob-filter to one file
     stream = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{table}.parquet")
         .load(sf_dir)
     )
-    stream = normalize_external_types(stream, table="events")
+    stream = normalize_external_types(stream, table=table)
     assert stream.schema == batch.schema, (
-        f"stream/batch schema drift for events: {stream.schema} != {batch.schema}"
+        f"stream/batch schema drift for {table}: {stream.schema} != {batch.schema}"
     )
     return stream
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream — event-time normalized so ``withWatermark``
+    downstream gets the TIMESTAMP it requires."""
+    return _read_table_stream(spark, sf_dir, "events")
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the documents parquet — the ingest feed
-    the mixture monitor drains (documents, not events: source mix is a
-    corpus property). Schema pinned from a batch read; the same
-    ``normalize_external_types`` as the batch loader, so stream and
-    batch twin cannot drift."""
-    batch = load_table(spark, sf_dir, "documents")
-    raw_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
-    stream = normalize_external_types(stream, table="documents")
-    assert stream.schema == batch.schema, (
-        f"stream/batch schema drift for documents: {stream.schema} != {batch.schema}"
-    )
-    return stream
+    """Documents stream — the ingest feed the mixture monitor drains
+    (documents, not events: source mix is a corpus property)."""
+    return _read_table_stream(spark, sf_dir, "documents")
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

@@ -803,11 +803,11 @@ WITH per AS (
 tot AS (SELECT CAST(SUM(obs_chars) AS BIGINT) AS t FROM per),
 sw AS (SELECT CAST(SUM(weight) AS BIGINT) AS s FROM per)
 SELECT source, n_docs, obs_chars,
-       CAST(obs_chars * 1000000 // (SELECT t FROM tot) AS BIGINT) AS obs_share_ppm,
+       CAST(obs_chars * 1000000 // NULLIF((SELECT t FROM tot), 0) AS BIGINT) AS obs_share_ppm,
        CAST(weight * 1000000 // (SELECT s FROM sw) AS BIGINT) AS target_share_ppm,
-       CAST(obs_chars * 1000000 // (SELECT t FROM tot)
+       CAST(obs_chars * 1000000 // NULLIF((SELECT t FROM tot), 0)
             - weight * 1000000 // (SELECT s FROM sw) AS BIGINT) AS dev_ppm,
-       (obs_chars * 1000000 // (SELECT t FROM tot)
+       (obs_chars * 1000000 // NULLIF((SELECT t FROM tot), 0)
             - weight * 1000000 // (SELECT s FROM sw)) > 0 AS over_target
 FROM per
 ORDER BY source

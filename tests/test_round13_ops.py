@@ -180,6 +180,50 @@ class TestDecodeGuards:
         with pytest.raises(NotImplementedError, match="bpp"):
             _decode_avi_frames(avi)
 
+    def test_avi_short_vids_strf_is_malformed(self):
+        """A vids strf too short to carry biBitCount must raise, not
+        silently skip the bit-depth gate (review finding: a width-1
+        16-bpp stream pads to the same row_bytes as 24-bpp)."""
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _decode_avi_frames,
+        )
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + len(body).to_bytes(4, "little") + body + pad
+
+        def lst(kind, body):
+            return chunk(b"LIST", kind + body)
+
+        avih = bytearray(56)
+        avih[32:36] = (4).to_bytes(4, "little")
+        avih[36:40] = (4).to_bytes(4, "little")
+        body = lst(
+            b"hdrl",
+            chunk(b"avih", bytes(avih))
+            + lst(b"strl", chunk(b"strh", b"vids" + bytes(52))
+                  + chunk(b"strf", bytes(12))),  # BITMAPCOREHEADER-sized
+        )
+        avi = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"AVI " + body
+        with pytest.raises(ValueError, match="truncated AVI video strf"):
+            _decode_avi_frames(avi)
+
+    def test_probe_masks_match_bruteforce_and_scale(self):
+        """_probe_masks must equal the brute-force 2^bits definition on
+        small bits and stay cheap at the kernel's documented scale
+        target (bits≈30 would be ~10^9 brute-force iterations)."""
+        from math import comb
+
+        from snowflake_to_postgres_spark.operators.similarity import _probe_masks
+
+        for bits in (4, 6, 8):
+            for radius in (0, 1, 2, 3):
+                brute = sorted(
+                    m for m in range(1 << bits) if bin(m).count("1") <= radius
+                )
+                assert _probe_masks(bits, radius) == brute
+        assert len(_probe_masks(30, 2)) == 1 + 30 + comb(30, 2)
+
     def test_avi_frame_size_mismatch_gated(self):
         """Without an strf header, a '##db' frame whose byte count is
         not exactly rows x row_bytes (e.g. 32-bpp data) is gated too."""
