@@ -4735,3 +4735,140 @@ ORDER BY cnt DESC, user_id
 
 
 SPECS.append(QuerySpec("diag_salt_plan", diag_salt_plan, DIAG_SALT_PLAN_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# a28: CMS mergeability (round 13) — the frequency twin of a22's HLL
+# register-max union and a26's histogram merge. The heavy-hitters
+# monitors (st_heavy_hitters / heavy_hitters_stream) persist per-day /
+# per-batch d×w cell tables; cell-wise SUM of those tables IS the
+# sketch of the union stream (CMS counters are linear), so monitor
+# state rolls up to daily/weekly views WITHOUT rescanning — the
+# mergeable-rollup contract, proven in-engine by pinning the merged
+# estimate equal to a single-pass global build.
+# ---------------------------------------------------------------------------
+
+
+def a28_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge per-day CMS sketches over ``events.user_id`` by cell-wise
+    SUM and probe the global top-HH_TOP keys against BOTH the merged
+    sketch and a single-pass global build: (rank, user_id, exact_cnt,
+    est_merged, est_single_pass, merged_matches_single_pass,
+    never_undercounts). Linearity makes the two estimates IDENTICAL —
+    emitted as a checked column, the a22/a26 pinned-equal discipline —
+    and the merged estimate keeps the never-undercounts guarantee.
+
+    100-TB shape: per-day cells are the monitors' existing bounded
+    state (d·w per day); the merge is a groupBy over |days|·d·w rows;
+    the top-k candidate set comes from TakeOrderedAndProject over the
+    map-side-combinable per-key counts; probes hash-join on (i, b).
+    Nothing new scans the raw stream — that is the point."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    vals = ev.filter(F.col("user_id").isNotNull()).select(
+        "day", F.col("user_id").alias("v")
+    )
+    per_v_day = vals.groupBy("day", "v").agg(F.count("*").alias("cnt"))
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    day_cells = (
+        per_v_day.select("day", "v", "cnt", seeds)
+        .select("day", "i", _cms_bucket(F.col("i"), F.col("v")).alias("b"), "cnt")
+        .groupBy("day", "i", "b")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    merged = day_cells.groupBy("i", "b").agg(F.sum("c").alias("c_merged"))
+    per_v = per_v_day.groupBy("v").agg(F.sum("cnt").alias("exact_cnt"))
+    single = (
+        per_v.select("v", "exact_cnt", seeds)
+        .select("i", _cms_bucket(F.col("i"), F.col("v")).alias("b"), "exact_cnt")
+        .groupBy("i", "b")
+        .agg(F.sum("exact_cnt").alias("c_single"))
+    )
+    cand = per_v.orderBy(F.col("exact_cnt").desc(), "v").limit(HH_TOP)
+    from pyspark.sql import Window
+
+    cand = cand.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("exact_cnt").desc(), "v"))
+        .cast("bigint"),
+    )
+    probes = cand.select("v", "exact_cnt", "rank", seeds).select(
+        "v", "exact_cnt", "rank", "i",
+        _cms_bucket(F.col("i"), F.col("v")).alias("b"),
+    )
+    return (
+        probes.join(merged, ["i", "b"])
+        .join(single, ["i", "b"])
+        .groupBy("v", "exact_cnt", "rank")
+        .agg(
+            F.min("c_merged").cast("bigint").alias("est_merged"),
+            F.min("c_single").cast("bigint").alias("est_single_pass"),
+        )
+        .select(
+            "rank",
+            F.col("v").alias("user_id"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            "est_merged",
+            "est_single_pass",
+            (F.col("est_merged") == F.col("est_single_pass")).alias(
+                "merged_matches_single_pass"
+            ),
+            (F.col("est_merged") >= F.col("exact_cnt")).alias("never_undercounts"),
+        )
+        .orderBy("rank")
+    )
+
+
+A28_CMS_MERGE_ORACLE = f"""
+WITH vals AS (
+  SELECT CAST(ts AS DATE) AS day, user_id AS v FROM events
+  WHERE user_id IS NOT NULL
+),
+per_v_day AS (SELECT day, v, COUNT(*) AS cnt FROM vals GROUP BY 1, 2),
+day_cells AS (
+  SELECT day, i,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+              AS BIGINT) % {CMS_W} AS b,
+         SUM(cnt) AS c
+  FROM per_v_day, unnest([{_CMS_SEEDS_SQL}]) AS s(i)
+  GROUP BY 1, 2, 3
+),
+merged AS (SELECT i, b, SUM(c) AS c_merged FROM day_cells GROUP BY 1, 2),
+per_v AS (SELECT v, SUM(cnt) AS exact_cnt FROM per_v_day GROUP BY v),
+single AS (
+  SELECT i,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+              AS BIGINT) % {CMS_W} AS b,
+         SUM(exact_cnt) AS c_single
+  FROM per_v, unnest([{_CMS_SEEDS_SQL}]) AS s(i)
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT v, exact_cnt, rank FROM (
+    SELECT v, exact_cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, v) AS BIGINT) AS rank
+    FROM per_v
+  ) WHERE rank <= {HH_TOP}
+),
+probes AS (
+  SELECT v, exact_cnt, rank, i,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(v AS VARCHAR)), 1, 8)
+              AS BIGINT) % {CMS_W} AS b
+  FROM cand, unnest([{_CMS_SEEDS_SQL}]) AS s(i)
+)
+SELECT rank, v AS user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(c_merged) AS BIGINT) AS est_merged,
+       CAST(MIN(c_single) AS BIGINT) AS est_single_pass,
+       MIN(c_merged) = MIN(c_single) AS merged_matches_single_pass,
+       MIN(c_merged) >= exact_cnt AS never_undercounts
+FROM probes
+JOIN merged USING (i, b)
+JOIN single USING (i, b)
+GROUP BY rank, v, exact_cnt
+ORDER BY rank
+"""
+
+
+SPECS.append(QuerySpec("a28_cms_merge", a28_cms_merge, A28_CMS_MERGE_ORACLE))

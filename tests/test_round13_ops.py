@@ -387,6 +387,58 @@ class TestMixtureMonitor:
         assert rows["src0"]["dev_ppm"] == 100_000
 
 
+class TestCmsMerge:
+    """a28: CMS linearity — per-day cell tables SUM to the global
+    sketch, so monitor state rolls up without rescanning the stream."""
+
+    def test_merged_equals_single_pass_and_never_undercounts(self, spark, sf_dir):
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            HH_TOP,
+            a28_cms_merge,
+        )
+
+        rows = a28_cms_merge(spark, sf_dir).collect()
+        assert 0 < len(rows) <= HH_TOP
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert r["merged_matches_single_pass"] is True
+            assert r["est_merged"] == r["est_single_pass"]
+            assert r["never_undercounts"] and r["est_merged"] >= r["exact_cnt"]
+
+    def test_planted_cross_day_key_counts_fully_after_merge(self, spark, sf_dir, tmp_path):
+        """A key planted across EVERY day must surface at rank 1 with
+        its full cross-day exact count — the merge cannot lose mass to
+        day boundaries."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            a28_cms_merge,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        planted = events.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 5 == 0, F.lit(-77)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        n_hot = planted.filter(F.col("user_id") == -77).count()
+        n_days = planted.filter(F.col("user_id") == -77).select(
+            F.col("ts").cast("date")
+        ).distinct().count()
+        assert n_days > 1  # the plant genuinely crosses day boundaries
+        sfdir = str(tmp_path / "sf")
+        os.makedirs(sfdir)
+        for t in ("events",):
+            planted.write.parquet(os.path.join(sfdir, f"{t}.parquet"))
+        top = a28_cms_merge(spark, sfdir).first()
+        assert top["user_id"] == -77 and top["exact_cnt"] == n_hot
+        assert top["merged_matches_single_pass"] and top["never_undercounts"]
+
+
 class TestRpLshLadder:
     """Round-12 verdict #2: the bits dial is a kernel parameter and the
     selectivity collapse is measurable, not prose — one rung up from
