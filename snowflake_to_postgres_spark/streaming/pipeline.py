@@ -1187,6 +1187,106 @@ def mixture_stream(
     )
 
 
+def quota_sample_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    docs: DataFrame | None = None,
+    quota: int | None = None,
+) -> None:
+    """Streaming per-source quota ENFORCEMENT — the acting twin of the
+    st_mixture monitor (observe → act): admit at most ``quota``
+    documents per source ACROSS the whole stream, carrying a running
+    per-source admission count between micro-batches. Within a batch,
+    admission is deterministic (longest n_chars first, doc_id
+    tie-break — pipe_quota_sample's rank key); across batches it is
+    first-come streaming admission, which is the semantics a live
+    ingest can actually offer (a batch cannot un-admit documents for a
+    better one that arrives later — the batch op does the global
+    optimum on a finished corpus).
+
+    State discipline (bounded: |sources| rows per batch): batch N reads
+    the admission counts written by the LATEST batch < N and writes its
+    own at ``state/batch=N`` — so a REPLAYED batch recomputes from the
+    same prior state and overwrites identical output/state
+    (at-least-once safe), and a restart resumes from the last state.
+    Admitted rows land at ``out/batch=N`` (the monitor family's
+    idempotence contract)."""
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        QUOTA_PER_SOURCE,
+    )
+
+    q = QUOTA_PER_SOURCE if quota is None else quota
+    if docs is None:
+        docs = read_documents_stream(spark, sf_dir)
+
+    def prior_counts(batch_id: int) -> DataFrame:
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:  # first batch: no state yet
+            return spark.createDataFrame([], "source string, admitted bigint")
+        state = state.filter(F.col("bid") < batch_id)
+        latest = state.agg(F.max("bid").alias("m")).first()["m"]
+        if latest is None:
+            return spark.createDataFrame([], "source string, admitted bigint")
+        return state.filter(F.col("bid") == latest).select("source", "admitted")
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        prior = prior_counts(batch_id)
+        w = Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+        ranked = batch.withColumn("rnk", F.row_number().over(w)).join(
+            prior, "source", "left"
+        ).withColumn("already", F.coalesce("admitted", F.lit(0)))
+        kept = ranked.filter(F.col("rnk") + F.col("already") <= q).drop(
+            "rnk", "admitted", "already"
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        new_counts = (
+            ranked.groupBy("source", "already")
+            .agg(
+                F.sum(
+                    F.when(F.col("rnk") + F.col("already") <= q, 1).otherwise(0)
+                ).alias("batch_kept")
+            )
+            .select(
+                "source",
+                (F.col("already") + F.col("batch_kept")).cast("bigint").alias(
+                    "admitted"
+                ),
+            )
+        )
+        # carry forward sources absent from this batch so their counts
+        # survive (state rows are the running totals, not deltas)
+        carried = prior.join(
+            new_counts.select("source"), "source", "left_anti"
+        )
+        state = new_counts.unionByName(carried).withColumn(
+            "bid", F.lit(batch_id).cast("bigint")
+        )
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"batch={batch_id}")
+        )
+
+    (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def cardinality_stream(
     spark: SparkSession,
     sf_dir: str,

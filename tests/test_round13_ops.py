@@ -387,6 +387,102 @@ class TestMixtureMonitor:
         assert rows["src0"]["dev_ppm"] == 100_000
 
 
+class TestQuotaSampleStream:
+    """Streaming per-source quota enforcement: running admission counts
+    across micro-batches, deterministic within-batch selection, and
+    replay/restart idempotence."""
+
+    def _run(self, spark, sf_dir, tmp_path, quota):
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.sources import load_table
+        from snowflake_to_postgres_spark.streaming.pipeline import (
+            quota_sample_stream,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        n = docs.count()
+        half = docs.orderBy("doc_id").limit(n // 2)
+        rest = docs.subtract(half)
+        src = str(tmp_path / "src")
+        half.coalesce(1).write.parquet(f"{src}/chunk0.parquet")
+        rest.coalesce(1).write.parquet(f"{src}/chunk1.parquet")
+
+        def make_stream():
+            return (
+                spark.readStream.schema(docs.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .load(src)
+            )
+
+        out = str(tmp_path / "out")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        quota_sample_stream(
+            spark, sf_dir, out, state, ckpt, docs=make_stream(), quota=quota
+        )
+        return docs, half, rest, out, state, ckpt, make_stream
+
+    def test_cross_batch_quota_and_within_batch_determinism(
+        self, spark, sf_dir, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        quota = 15
+        docs, half, rest, out, state, ckpt, make_stream = self._run(
+            spark, sf_dir, tmp_path, quota
+        )
+        kept = spark.read.parquet(out)
+        # never more than quota per source across the WHOLE stream
+        per_src = {r["source"]: r["n"] for r in
+                   kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        total_per_src = {r["source"]: r["n"] for r in
+                         docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        for s, n_total in total_per_src.items():
+            assert per_src.get(s, 0) == min(quota, n_total), s
+        # batch 0 admitted its own deterministic top-(quota) per source
+        b0 = spark.read.parquet(f"{out}/batch=0")
+        for s in {r["source"] for r in b0.select("source").distinct().collect()}:
+            got = sorted(
+                (r["doc_id"]) for r in b0.filter(F.col("source") == s).collect()
+            )
+            want = sorted(
+                r["doc_id"]
+                for r in half.filter(F.col("source") == s)
+                .orderBy(F.col("n_chars").desc(), "doc_id")
+                .limit(quota)
+                .collect()
+            )
+            assert got == want, s
+        # batch 1 admitted only the REMAINING allowance
+        st = spark.read.parquet(state)
+        final = st.filter(F.col("bid") == 1)
+        for r in final.collect():
+            assert r["admitted"] <= quota
+
+    def test_restart_idempotence(self, spark, sf_dir, tmp_path):
+        from snowflake_to_postgres_spark.streaming.pipeline import (
+            quota_sample_stream,
+        )
+
+        quota = 15
+        _, _, _, out, state, ckpt, make_stream = self._run(
+            spark, sf_dir, tmp_path, quota
+        )
+        before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        state_before = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+        quota_sample_stream(
+            spark, sf_dir, out, state, ckpt, docs=make_stream(), quota=quota
+        )
+        assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == before
+        assert (
+            sorted(tuple(r) for r in spark.read.parquet(state).collect())
+            == state_before
+        )
+
+
 class TestCmsMerge:
     """a28: CMS linearity — per-day cell tables SUM to the global
     sketch, so monitor state rolls up without rescanning the stream."""
