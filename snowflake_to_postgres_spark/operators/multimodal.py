@@ -985,6 +985,10 @@ def _decode_avi_frames(b: bytes, every: int = 1) -> tuple[int, int, list[bytes]]
                         f"{bpp}-bpp streams require a codec library "
                         "(plug ffmpeg here)"
                     )
+                # pair each strf with exactly its preceding strh: a stray
+                # second strf in a malformed strl list must not be
+                # re-interpreted as the video format header (ADVICE r13)
+                strh_type = None
             elif in_movi and cid[2:4] == b"dc":
                 raise NotImplementedError(
                     "native video decode covers uncompressed-DIB AVI ('##db' "
