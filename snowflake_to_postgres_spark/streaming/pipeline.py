@@ -1213,9 +1213,20 @@ def quota_sample_stream(
     same prior state and overwrites identical output/state
     (at-least-once safe), and a restart resumes from the last state.
     Admitted rows land at ``out/batch=N`` (the monitor family's
-    idempotence contract)."""
+    idempotence contract).
+
+    State RETENTION (round-14, ADVICE r13): batch N prunes state
+    partitions older than N-1 after its own state write commits, so the
+    state directory holds at most two ``batch=`` partitions for the
+    stream's whole lifetime — the per-batch listing and the prior-state
+    scan are O(1), not O(#batches). Keeping N-1 alongside N is exactly
+    what at-least-once replay needs: the only batch Structured
+    Streaming can re-deliver after a crash is the last uncommitted one,
+    and its prior state is N-1. prior_counts never reads more than ONE
+    partition (the latest below the current batch id), found by listing
+    directory names — no parquet footers are touched for superseded
+    batches even before they are pruned."""
     from pyspark.sql import Window
-    from pyspark.sql.utils import AnalysisException
 
     from snowflake_to_postgres_spark.operators.pipeline_ext import (
         QUOTA_PER_SOURCE,
@@ -1225,16 +1236,50 @@ def quota_sample_stream(
     if docs is None:
         docs = read_documents_stream(spark, sf_dir)
 
+    def state_batch_ids() -> list[int]:
+        """Directory-name listing of state/batch=N partitions via the
+        Hadoop FS API (works on any supported filesystem, not just
+        local) — cheap because retention keeps the dir at ≤2 entries."""
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return []
+        ids = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch="):
+                try:
+                    ids.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(ids)
+
     def prior_counts(batch_id: int) -> DataFrame:
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException:  # first batch: no state yet
+        prior_ids = [b for b in state_batch_ids() if b < batch_id]
+        if not prior_ids:  # first batch: no state yet
             return spark.createDataFrame([], "source string, admitted bigint")
-        state = state.filter(F.col("bid") < batch_id)
-        latest = state.agg(F.max("bid").alias("m")).first()["m"]
-        if latest is None:
-            return spark.createDataFrame([], "source string, admitted bigint")
-        return state.filter(F.col("bid") == latest).select("source", "admitted")
+        latest = prior_ids[-1]
+        return spark.read.parquet(
+            os.path.join(state_path, f"batch={latest}")
+        ).select("source", "admitted")
+
+    def prune_state(batch_id: int) -> None:
+        """Drop state partitions below batch_id-1 (keep current +
+        immediate prior for replay) — only called AFTER the current
+        batch's state write committed."""
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(state_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for b in state_batch_ids():
+            if b < batch_id - 1:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        os.path.join(state_path, f"batch={b}")
+                    ),
+                    True,
+                )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1277,6 +1322,7 @@ def quota_sample_stream(
         state.write.mode("overwrite").parquet(
             os.path.join(state_path, f"batch={batch_id}")
         )
+        prune_state(batch_id)
 
     (
         docs.writeStream.foreachBatch(handle)

@@ -60,3 +60,108 @@ class TestAviStrayStrf:
         assert frames == [rgb]
         # sanity: the unmodified encoder's output still round-trips
         assert _decode_avi_frames(good)[2] == [rgb]
+
+
+class TestQuotaStreamRetention:
+    """Round-14 ask #4 / ADVICE r13: state partitions older than the
+    immediate prior batch are pruned after each commit, so a long-lived
+    stream's state listing stays O(1) instead of O(#batches) — without
+    giving up replay idempotence or cross-batch quota correctness."""
+
+    def _drain(self, spark, sf_dir, tmp_path, quota, n_chunks):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.sources import load_table
+        from snowflake_to_postgres_spark.streaming.pipeline import (
+            quota_sample_stream,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        src = str(tmp_path / "src")
+        chunked = docs.withColumn(
+            "chunk", F.abs(F.hash("doc_id")) % n_chunks
+        )
+        for c in range(n_chunks):
+            chunked.filter(F.col("chunk") == c).drop("chunk").coalesce(
+                1
+            ).write.parquet(f"{src}/chunk{c:02d}.parquet")
+
+        def make_stream():
+            return (
+                spark.readStream.schema(docs.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .load(src)
+            )
+
+        out, state, ckpt = (
+            str(tmp_path / "out"),
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+        )
+        quota_sample_stream(
+            spark, sf_dir, out, state, ckpt, docs=make_stream(), quota=quota
+        )
+        return docs, out, state, ckpt, make_stream
+
+    def test_long_drain_bounded_state_and_idempotent_replay(
+        self, spark, sf_dir, tmp_path
+    ):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.streaming.pipeline import (
+            quota_sample_stream,
+        )
+
+        quota, n_chunks = 3, 22
+        docs, out, state, ckpt, make_stream = self._drain(
+            spark, sf_dir, tmp_path, quota, n_chunks
+        )
+        batches = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out)
+            if d.startswith("batch=")
+        )
+        assert len(batches) >= 20, "drain did not produce ≥20 micro-batches"
+        # retention: at most the current + immediate-prior state partitions
+        state_dirs = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state)
+            if d.startswith("batch=")
+        )
+        assert state_dirs == batches[-2:], state_dirs
+        # quota still enforced across the WHOLE stream despite pruning
+        kept = spark.read.parquet(out)
+        per_src = {
+            r["source"]: r["n"]
+            for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        totals = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        for s, n_total in totals.items():
+            assert per_src.get(s, 0) == min(quota, n_total), s
+        # restart with the same checkpoint: no new batches, nothing changes
+        before = sorted(tuple(r) for r in kept.collect())
+        state_before = sorted(
+            tuple(r) for r in spark.read.parquet(state).collect()
+        )
+        quota_sample_stream(
+            spark, sf_dir, out, state, ckpt, docs=make_stream(), quota=quota
+        )
+        assert sorted(tuple(r) for r in spark.read.parquet(out).collect()) == before
+        assert (
+            sorted(tuple(r) for r in spark.read.parquet(state).collect())
+            == state_before
+        )
+        assert sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state)
+            if d.startswith("batch=")
+        ) == state_dirs
