@@ -60,7 +60,40 @@ import time
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
-def assess_drift(per_query: dict, committed: dict) -> dict:
+#: Ambient calibration probe (round-13 verdict #5): three STABLE, CHEAP
+#: keys measured FIRST each run, before the headline pass. Their
+#: calib-to-calib geomean vs the committed run is the machine's ambient
+#: speed factor for this session; assess_drift divides it out before
+#: flagging, so a uniform session-to-session slowdown (the r13 driver
+#: delta: 1.10× on every key, zero touched) normalizes to "stable"
+#: while a key-local regression still moves the normalized geomean.
+#: Chosen for low spread + low cost across rounds of BENCH_DETAIL
+#: history: a simple grouped count, a hash-groupBy dedup, and a
+#: windowed agg — three distinct plan shapes, all sub-second at sf0.1.
+CALIBRATION_KEYS = [
+    "a2_group_count_by_date",
+    "dedup_exact_groups",
+    "st_windowed_agg",
+]
+
+
+def ambient_factor(calib: dict, committed_calib: dict) -> float | None:
+    """Geomean of this run's calibration medians over the committed
+    run's — requires EVERY probe key present on both sides (a partial
+    probe is no probe: one missing key would silently re-weight the
+    factor toward whichever shapes remain)."""
+    if not calib or not committed_calib:
+        return None
+    ratios = []
+    for k in CALIBRATION_KEYS:
+        if not calib.get(k) or not committed_calib.get(k):
+            return None
+        ratios.append(calib[k] / committed_calib[k])
+    return round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+
+
+def assess_drift(per_query: dict, committed: dict,
+                 ambient: float | None = None) -> dict:
     """Common-key geomean drift of this run vs the committed baseline
     medians, DIRECTION-AWARE (round-12 verdict #3): ``drift_suspect``
     fires only on a SLOWER run (>1.10) — the flag exists to stop a
@@ -68,20 +101,28 @@ def assess_drift(per_query: dict, committed: dict) -> dict:
     FASTER run is not suspect, it is the machine having a good day (the
     r12 driver run published suspect on geomean 0.894). The direction
     is published explicitly so a reader never re-derives it:
-    ``faster`` (<0.90), ``slower`` (>1.10), or ``stable``."""
+    ``faster`` (<0.90), ``slower`` (>1.10), or ``stable``.
+
+    ``ambient`` (round-13 verdict #5) is the calibration-probe speed
+    factor: when present, the geomean is divided by it before the
+    thresholds apply — ``geomean`` is then the CODE drift with the
+    machine's day divided out, and ``geomean_raw`` keeps the
+    uncorrected number so the artifact still shows both."""
     ratios = [
         per_query[k] / committed[k]
         for k in per_query
         if committed.get(k) and per_query[k] > 0
     ]
     if not ratios:
-        return {"geomean": None, "suspect": False, "direction": None}
-    geomean = round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+        return {"geomean": None, "geomean_raw": None, "ambient_factor": ambient,
+                "suspect": False, "direction": None}
+    raw = round(math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3)
+    geomean = round(raw / ambient, 3) if ambient else raw
     direction = (
         "slower" if geomean > 1.10 else "faster" if geomean < 0.90 else "stable"
     )
-    return {"geomean": geomean, "suspect": direction == "slower",
-            "direction": direction}
+    return {"geomean": geomean, "geomean_raw": raw, "ambient_factor": ambient,
+            "suspect": direction == "slower", "direction": direction}
 
 
 HEADLINE = [
@@ -320,6 +361,33 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = queries()
 
+    # Committed baseline read BEFORE any measurement (the gates
+    # baseline-pinning discipline, round-12 verdict #4) — both the
+    # calibration comparison and the drift comparison use this one
+    # snapshot even though bench.py overwrites the file later.
+    committed_detail = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")) as fh:
+            committed_detail = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    same_sf = bool(committed_detail) and str(committed_detail.get("sf")) == sf_label
+
+    # Ambient calibration probe FIRST (round-13 verdict #5): same
+    # protocol as every other key (cold pass + interleaved warm rounds),
+    # compared calib-to-calib against the committed run. Side effect
+    # worth knowing when reading BENCH_DETAIL.json: the probe keys are
+    # also headline keys, so their headline ``query_cold`` is measured
+    # post-probe (plan-warm) from this round on.
+    c = _bench_keys(spark, qs, sf_dir, CALIBRATION_KEYS)
+    calibration = c["per_query"]
+    amb = ambient_factor(
+        calibration,
+        (committed_detail.get("calibration") or {}) if same_sf else {},
+    )
+
     r = _bench_keys(spark, qs, sf_dir, HEADLINE)
     per_query = r["per_query"]
     query_spread = r["query_spread"]
@@ -338,28 +406,15 @@ def main() -> None:
     # []). Compare this run's per-key medians against the COMMITTED
     # BENCH_DETAIL.json: the common-key geomean ratio separates ambient
     # drift (uniform shift) from a real regression (key-local shift).
-    drift_vs_committed = None
-    drift_suspect = False
-    drift_direction = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")) as fh:
-            detail = json.load(fh)
-        # SF guard: comparing an sf0.01 run against a committed sf0.1
-        # baseline would publish a spurious ~10x "drift" and poison the
-        # next legitimate comparison — only same-SF runs are comparable
-        sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        committed = (
-            detail.get("queries", {})
-            if str(detail.get("sf")) == sf_label
-            else {}
-        )
-        drift = assess_drift(per_query, committed)
-        drift_vs_committed = drift["geomean"]
-        drift_suspect = drift["suspect"]
-        drift_direction = drift["direction"]
-    except (OSError, ValueError, ZeroDivisionError):
-        pass
+    # SF guard: comparing an sf0.01 run against a committed sf0.1
+    # baseline would publish a spurious ~10x "drift" and poison the
+    # next legitimate comparison — only same-SF runs are comparable.
+    committed = (committed_detail.get("queries") or {}) if same_sf else {}
+    drift = assess_drift(per_query, committed, amb)
+    drift_vs_committed = drift["geomean"]
+    drift_vs_committed_raw = drift["geomean_raw"]
+    drift_suspect = drift["suspect"]
+    drift_direction = drift["direction"]
 
     # Transfer throughput: the reference's headline metric (BASELINE.md).
     # Drop leftover caches first — queries that persist shared subtrees
@@ -394,6 +449,7 @@ def main() -> None:
         "load_flagged": load_flagged,
         "load_suspect": len(load_flagged) >= 3,
         "drift_vs_committed": drift_vs_committed,
+        "ambient_factor": amb,
         "drift_suspect": drift_suspect,
         "drift_direction": drift_direction,
         "lineitem_rows": n_rows,
@@ -416,6 +472,15 @@ def main() -> None:
         "query_cold": query_cold,
         "query_construct": query_construct,
         "query_exec_only": query_exec_only,
+        # Calibration probe medians (round-13 verdict #5): the committed
+        # copy of this dict is next round's ambient baseline — the probe
+        # compares calib-to-calib (both measured first-thing in their
+        # session), never calib-to-headline.
+        "calibration": calibration,
+        "calibration_spread": c["query_spread"],
+        # raw (un-normalized) drift stays detail-only: the final stdout
+        # line lives inside the driver's 2000-char tail window
+        "drift_vs_committed_raw": drift_vs_committed_raw,
         **result,
     }
     try:
@@ -457,7 +522,8 @@ def main() -> None:
                 "value": prev.get("value"),
                 "queries": prev.get("queries"),
             }
-            gates_drift = assess_drift(g["per_query"], prev.get("queries") or {})
+            gates_drift = assess_drift(g["per_query"], prev.get("queries") or {},
+                                       amb)
         gates_out = {
             "metric": "gates_total_sec",
             "value": round(sum(g["per_query"].values()), 3),
@@ -471,6 +537,8 @@ def main() -> None:
             "sf": result["sf"],
             "baseline": baseline,
             "drift_vs_baseline": gates_drift["geomean"],
+            "drift_vs_baseline_raw": gates_drift["geomean_raw"],
+            "ambient_factor": amb,
             "drift_suspect": gates_drift["suspect"],
             "drift_direction": gates_drift["direction"],
             # ADVICE r12: gates run in the same JVM AFTER the headline

@@ -729,6 +729,36 @@ def cmd_skew_plan(args) -> int:
     return 0
 
 
+def cmd_join_plan(args) -> int:
+    """Pre-join sizing + strategy advisory (round-13 verdict #7): read
+    one key column from each side, run the CMS join-cardinality sketch,
+    and emit join_plan_advice's JSON — the never-undercounting pair
+    bound plus the broadcast / salt (bucket counts for
+    operators.skew.salted_join) / shuffle recommendation. Exit 0 either
+    way (planner, not gate)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_to_postgres_spark.operators.analytics_ext import (
+        CMS_W,
+        JOIN_PLAN_BROADCAST_ROWS,
+        join_plan_advice,
+    )
+
+    spark = get_spark("join-plan")
+    left = spark.read.parquet(args.left).select(F.col(args.left_key).alias("k"))
+    right = spark.read.parquet(args.right).select(
+        F.col(args.right_key).alias("k")
+    )
+    advice = join_plan_advice(
+        left,
+        right,
+        w=args.width or CMS_W,
+        broadcast_rows=args.broadcast_rows or JOIN_PLAN_BROADCAST_ROWS,
+    )
+    print(json.dumps(advice, indent=2, default=str))
+    return 0
+
+
 def cmd_privacy_check(args) -> int:
     """Release gate: k-anonymity over the customer dimension's
     quasi-identifiers (val_k_anonymity) — one JSON row per combination
@@ -966,6 +996,17 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("skew-plan")
     sp.add_argument("--source", required=True, help="dir holding events.parquet")
     sp.set_defaults(fn=cmd_skew_plan)
+
+    jp = sub.add_parser("join-plan")
+    jp.add_argument("--left", required=True, help="parquet path of the left table")
+    jp.add_argument("--left-key", required=True, help="join key column on the left")
+    jp.add_argument("--right", required=True, help="parquet path of the right table")
+    jp.add_argument("--right-key", required=True, help="join key column on the right")
+    jp.add_argument("--width", type=int, default=None,
+                    help="CMS width w (default: engine CMS_W)")
+    jp.add_argument("--broadcast-rows", type=int, default=None,
+                    help="broadcast cutoff in rows of the smaller side")
+    jp.set_defaults(fn=cmd_join_plan)
 
     pv = sub.add_parser("privacy-check")
     pv.add_argument("--source", required=True, help="dir holding customer.parquet")

@@ -4737,6 +4737,102 @@ ORDER BY cnt DESC, user_id
 SPECS.append(QuerySpec("diag_salt_plan", diag_salt_plan, DIAG_SALT_PLAN_ORACLE))
 
 
+#: Broadcast advisory cutoff for join_plan_advice, in ROWS of the
+#: smaller side's key frame. Spark's own autoBroadcastJoinThreshold is
+#: 10 MB of build-side bytes; at typical dim-row widths (tens of bytes
+#: keyed + pruned columns) 100k rows sits safely inside it while
+#: leaving headroom for the caller to widen via --broadcast-rows when
+#: the dim is known-narrow.
+JOIN_PLAN_BROADCAST_ROWS = 100_000
+#: Cap on hot keys reported per side — bounded by the share threshold
+#: anyway (< 1e6/SALT_PLAN_SHARE_PPM keys can exceed it), this is the
+#: explicit TOPK/LIMIT bound the collect ledger wants.
+JOIN_PLAN_HOT_TOP = 20
+
+
+def join_plan_advice(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    w: int = CMS_W,
+    broadcast_rows: int = JOIN_PLAN_BROADCAST_ROWS,
+) -> dict:
+    """Pre-join planning advisory (round-13 verdict #7 — the consumer
+    the a24/a27 sketches lacked): given two single-column key frames
+    (column ``k``), size the join with the CMS inner-product bound and
+    recommend an execution strategy:
+
+    - ``broadcast`` when either side fits under ``broadcast_rows`` —
+      name the side; no shuffle at all is the cheapest correct plan;
+    - ``salt`` when both sides are big AND either side carries keys
+      above SALT_PLAN_SHARE_PPM of its rows — per hot key, the
+      diag_salt_plan bucket count ``operators.skew.salted_join``
+      consumes;
+    - ``shuffle`` otherwise — a plain hash/sort-merge join is fine.
+
+    The emitted ``cms_estimate`` NEVER undercounts the true pair count
+    (CMS inner products are upper bounds), so capacity planning from
+    this number errs safe; on fixture-scale inputs the kernel also
+    carries the exact count + rel_err so the bound is verifiable —
+    production callers read the sketch columns alone.
+
+    100-TB shape: two map-side-combined per-key count passes, the d·w
+    sketch tables, and two bounded hot-key top-k collects — nothing
+    driver-side scales with rows."""
+    n_left = left_keys.count()
+    n_right = right_keys.count()
+    card = cms_join_cardinality(left_keys, right_keys, w=w).first().asDict()
+
+    def hot(keys: DataFrame, total: int) -> list[dict]:
+        if total == 0:
+            return []
+        per_key = (
+            keys.filter(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count("*").alias("cnt"))
+        )
+        rows = (
+            per_key.select(
+                "k",
+                F.col("cnt").cast("bigint").alias("cnt"),
+                F.expr(f"cnt * 1000000L div {total}").alias("share_ppm"),
+                F.expr(
+                    f"(cnt * {SALT_PLAN_PARTITIONS}L + {total - 1}L) div {total}L"
+                ).cast("bigint").alias("salt_buckets"),
+            )
+            .filter(F.col("share_ppm") > SALT_PLAN_SHARE_PPM)
+            .orderBy(F.col("cnt").desc(), "k")
+            .limit(JOIN_PLAN_HOT_TOP)
+        )
+        return [r.asDict() for r in rows.collect()]
+
+    small_side = (
+        ("left" if n_left <= n_right else "right")
+        if min(n_left, n_right) <= broadcast_rows
+        else None
+    )
+    hot_left = hot(left_keys, n_left) if small_side is None else []
+    hot_right = hot(right_keys, n_right) if small_side is None else []
+    if small_side is not None:
+        recommendation = "broadcast"
+    elif hot_left or hot_right:
+        recommendation = "salt"
+    else:
+        recommendation = "shuffle"
+    return {
+        "left_rows": n_left,
+        "right_rows": n_right,
+        "cms_width": w,
+        "cms_estimate_pairs": card["cms_estimate"],
+        "exact_pairs": card["exact_pairs"],
+        "never_undercounts": card["never_undercounts"],
+        "rel_err_ppm": card["rel_err_ppm"],
+        "recommendation": recommendation,
+        "broadcast_side": small_side,
+        "hot_keys_left": hot_left,
+        "hot_keys_right": hot_right,
+    }
+
+
 # ---------------------------------------------------------------------------
 # a28: CMS mergeability (round 13) — the frequency twin of a22's HLL
 # register-max union and a26's histogram merge. The heavy-hitters

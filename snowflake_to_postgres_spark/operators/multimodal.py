@@ -166,21 +166,82 @@ def _decode_bmp(b: bytes) -> tuple[int, int, bytes]:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+#: Adam7 pass grid: (x_origin, y_origin, x_step, y_step) per pass, in
+#: stream order — each pass is an independent sub-image with its own
+#: filtered scanlines, scattered back on the step lattice.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(scan, width: int, fu: int):
+    """Undo the five PNG scanline filters over a (h, stride+1) uint8
+    block: column 0 is the per-row filter id, ``fu`` is the filter unit
+    (bytes per complete pixel — the 'left' distance; channels ×
+    bytes-per-sample). Returns (h, stride) unfiltered bytes.
+
+    Vectorization (round-12 verdict #1): None/Sub/Up are numpy array
+    ops (Sub is a per-pixel-unit mod-256 cumsum); Average/Paeth keep
+    the loop-carried left-pixel bytearray walk the filter definition
+    forces (numpy SCALAR indexing measured ~2x slower)."""
+    height, stride = scan.shape[0], scan.shape[1] - 1
+    filters = scan[:, 0]
+    if filters.size and int(filters.max()) > 4:
+        raise ValueError(f"bad PNG scanline filter {int(filters.max())}")
+    prev = np.zeros(stride, dtype=np.uint8)
+    lines = np.empty((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = int(filters[y])
+        line = scan[y, 1:].copy()
+        if f == 1:  # Sub: per-unit mod-256 cumulative sum
+            line = (
+                np.cumsum(line.reshape(stride // fu, fu), axis=0, dtype=np.int64)
+                % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: uint8 addition wraps mod 256
+            line += prev
+        elif f == 3:  # Average: left term is loop-carried — bytearray
+            # walk (numpy SCALAR indexing is ~2x slower than bytearray)
+            pv = bytearray(prev.tobytes())
+            ln = bytearray(line.tobytes())
+            for i in range(stride):
+                a = ln[i - fu] if i >= fu else 0
+                ln[i] = (ln[i] + ((a + pv[i]) >> 1)) & 0xFF
+            line = np.frombuffer(bytes(ln), dtype=np.uint8)
+        elif f == 4:  # Paeth: left/upper-left terms are loop-carried
+            pv = bytearray(prev.tobytes())
+            ln = bytearray(line.tobytes())
+            for i in range(stride):
+                a = ln[i - fu] if i >= fu else 0
+                c = pv[i - fu] if i >= fu else 0
+                p = a + pv[i] - c
+                pa, pb, pc = abs(p - a), abs(p - pv[i]), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (pv[i] if pb <= pc else c)
+                ln[i] = (ln[i] + pr) & 0xFF
+            line = np.frombuffer(bytes(ln), dtype=np.uint8)
+        lines[y] = line
+        prev = line
+    return lines
+
+
 def _decode_png(b: bytes) -> tuple[int, int, bytes]:
     """Pure-Python PNG decoder (round-11 verdict #5 — the first
     COMPRESSED format decoded entirely in-sandbox): stdlib ``zlib``
     inflates the concatenated IDAT stream, the five scanline filters
-    (None/Sub/Up/Average/Paeth) are undone per row, and the 8-bit
-    gray / gray+alpha / RGB / RGBA / palette (PLTE, round-12 verdict
-    #6 — the web-thumbnail shape) color types normalize to raw RGB
-    (alpha dropped — the feature/dhash path is color-only). 16-bit,
-    sub-byte palette, and interlaced PNGs still raise toward the codec
-    plug-in point.
+    (None/Sub/Up/Average/Paeth) are undone per row via
+    :func:`_png_unfilter`, and the gray / gray+alpha / RGB / RGBA /
+    palette (PLTE, round-12 verdict #6) color types normalize to raw
+    8-bit RGB (alpha dropped — the feature/dhash path is color-only).
 
-    Vectorization (round-12 verdict #1): the None/Sub/Up unfilters and
-    the channel expansion are numpy array ops (Sub is a per-channel
-    mod-256 cumsum); Average/Paeth keep the loop-carried left-pixel
-    walk the filter definition forces, on numpy rows."""
+    Round-14 (round-13 verdict #6) closes the two remaining
+    non-exotic web-crawl shapes: 16-bit samples (big-endian; reduced
+    to 8-bit by the high byte — the exact 257-divisor scaling, since
+    (v*257)>>8 == v) and Adam7 interlacing (seven independently
+    filtered sub-images on the _ADAM7 lattice, unfiltered per pass
+    with the pass's own left-distance and scattered back via strided
+    assignment). Only sub-byte depths (1/2/4-bit gray and palette)
+    still raise toward the codec plug-in point."""
     import struct
     import zlib
 
@@ -211,56 +272,51 @@ def _decode_png(b: bytes) -> tuple[int, int, bytes]:
             break
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if bitdepth != 8 or interlace != 0 or colortype not in (0, 2, 3, 4, 6):
+    if colortype not in (0, 2, 3, 4, 6):
+        raise ValueError(f"bad PNG color type {colortype}")
+    if bitdepth not in (8, 16) or (colortype == 3 and bitdepth != 8):
         raise NotImplementedError(
-            "native PNG decode covers non-interlaced 8-bit "
-            "gray/RGB(A)/palette; 16-bit/sub-byte-palette/interlaced "
-            "require a codec library"
+            "native PNG decode covers 8/16-bit gray/RGB(A) and 8-bit "
+            "palette (interlaced or not); sub-byte depths require a "
+            "codec library"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if colortype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    fu = nch * (bitdepth // 8)  # filter unit: bytes per complete pixel
     raw = zlib.decompress(bytes(idat))
-    stride = width * nch
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("truncated PNG pixel data")
-    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    filters = scan[:, 0]
-    if filters.size and int(filters.max()) > 4:
-        raise ValueError(f"bad PNG scanline filter {int(filters.max())}")
-    prev = np.zeros(stride, dtype=np.uint8)
-    lines = np.empty((height, stride), dtype=np.uint8)
-    for y in range(height):
-        f = int(filters[y])
-        line = scan[y, 1:].copy()
-        if f == 1:  # Sub: per-channel mod-256 cumulative sum
-            line = (
-                np.cumsum(line.reshape(width, nch), axis=0, dtype=np.int64) % 256
-            ).astype(np.uint8).reshape(stride)
-        elif f == 2:  # Up: uint8 addition wraps mod 256
-            line += prev
-        elif f == 3:  # Average: left term is loop-carried — bytearray
-            # walk (numpy SCALAR indexing is ~2x slower than bytearray)
-            pv = bytearray(prev.tobytes())
-            ln = bytearray(line.tobytes())
-            for i in range(stride):
-                a = ln[i - nch] if i >= nch else 0
-                ln[i] = (ln[i] + ((a + pv[i]) >> 1)) & 0xFF
-            line = np.frombuffer(bytes(ln), dtype=np.uint8)
-        elif f == 4:  # Paeth: left/upper-left terms are loop-carried
-            pv = bytearray(prev.tobytes())
-            ln = bytearray(line.tobytes())
-            for i in range(stride):
-                a = ln[i - nch] if i >= nch else 0
-                c = pv[i - nch] if i >= nch else 0
-                p = a + pv[i] - c
-                pa, pb, pc = abs(p - a), abs(p - pv[i]), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (pv[i] if pb <= pc else c)
-                ln[i] = (ln[i] + pr) & 0xFF
-            line = np.frombuffer(bytes(ln), dtype=np.uint8)
-        lines[y] = line
-        prev = line
-    px = lines.reshape(height, width, nch)
+    if interlace == 0:
+        stride = width * fu
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("truncated PNG pixel data")
+        scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+        px = _png_unfilter(scan, width, fu).reshape(height, width, fu)
+    else:  # Adam7: seven sub-images, each filtered independently
+        px = np.zeros((height, width, fu), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:  # pass empty at this image size
+                continue
+            stride = pw * fu
+            block = raw[off : off + (stride + 1) * ph]
+            if len(block) != (stride + 1) * ph:
+                raise ValueError("truncated PNG pixel data")
+            off += (stride + 1) * ph
+            scan = np.frombuffer(block, dtype=np.uint8).reshape(ph, stride + 1)
+            px[y0::dy, x0::dx] = _png_unfilter(scan, pw, fu).reshape(ph, pw, fu)
+        if off != len(raw):
+            raise ValueError("truncated PNG pixel data")
+    if bitdepth == 16:
+        # big-endian u16 → 8-bit via the high byte: exact for the
+        # standard v8*257 widening and equals round(v16*255/65535)
+        # within the codec convention
+        px = px.reshape(height, width, nch, 2)[:, :, :, 0]
+    else:
+        px = px.reshape(height, width, nch)
     if colortype == 3:  # palette indices -> RGB via PLTE lookup
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= plte.shape[0]:
@@ -274,8 +330,8 @@ def _decode_png(b: bytes) -> tuple[int, int, bytes]:
 
 
 _NATIVE_FORMATS = (
-    "P6 PPM, uncompressed 24-bit BMP, non-interlaced 8-bit PNG "
-    "(gray/RGB(A)/palette)"
+    "P6 PPM, uncompressed 24-bit BMP, 8/16-bit PNG incl. Adam7 "
+    "(gray/RGB(A)/8-bit palette)"
 )
 
 

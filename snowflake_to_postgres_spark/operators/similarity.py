@@ -357,6 +357,33 @@ def _probe_masks(bits: int, radius: int) -> list[int]:
 
 RP_PROBE_MASKS = _probe_masks(RP_BITS, RP_PROBE_RADIUS)
 
+#: Occupancy target for the AUTO bits rule (round-13 verdict watch #2):
+#: bits = floor(log2(N / RP_TARGET_OCCUPANCY)). The measured ladder
+#: (tools/rp_ladder.py, PERFORMANCE.md round 13) brackets the value:
+#: bits=10 at ~2 vectors/bucket drops below ANN_RECALL_BAR at BOTH
+#: measured corpora, while the passing rungs sit at ≥ ~8 vectors/bucket
+#: (bits=8 at 2000 vectors) — 4 is the conservative edge of that band,
+#: and on the fixture it reproduces exactly the hand-picked rungs:
+#: 500 → 6 (the shipped config, recall 1.000) and 2000 → 8 (0.867).
+RP_TARGET_OCCUPANCY = 4
+RP_BITS_MAX = 30  # C(30,≤2)=466 probe masks; bucket fits a BIGINT
+
+
+def rp_auto_bits(n_vectors: int, tables: int = RP_TABLES) -> int:
+    """Signature width per the measured occupancy rule: the bits dial
+    grows as log2(N/occupancy) so bucket occupancy — the quantity the
+    ladder showed recall actually depends on — stays ~constant as the
+    corpus grows, and the probed fraction tables·C(bits,≤r)/2^bits
+    collapses. Clamped to [1, RP_BITS_MAX] and to the hyperplane
+    budget: planes are differences of the first tables·2·bits corpus
+    vectors, so 2·bits·tables can never exceed N."""
+    from math import floor, log2
+
+    if n_vectors <= RP_TARGET_OCCUPANCY:
+        return 1
+    bits = min(RP_BITS_MAX, floor(log2(n_vectors / RP_TARGET_OCCUPANCY)))
+    return max(1, min(bits, n_vectors // (2 * tables)))
+
 
 def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection (SimHash-for-vectors) LSH ANN — the
@@ -390,7 +417,7 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rp_lsh_candidates(
     comp: DataFrame,
-    bits: int = RP_BITS,
+    bits: int | None = RP_BITS,
     tables: int = RP_TABLES,
     radius: int = RP_PROBE_RADIUS,
 ) -> DataFrame:
@@ -400,7 +427,21 @@ def rp_lsh_candidates(
     scale dials: bits ≈ log2(N/occupancy) grows with the corpus so the
     probed bucket fraction tables·C(bits,≤radius)/2^bits collapses —
     tools/rp_ladder.py measures recall and candidate volume along that
-    ladder (round-12 verdict #2) instead of leaving it prose math."""
+    ladder (round-12 verdict #2) instead of leaving it prose math.
+
+    ``bits=None`` applies the ladder's rule AUTOMATICALLY (round-13
+    verdict watch #2): a bounded corpus count — one column-pruned MAX
+    over dense vec_ids, the estimate+raise idiom — feeds
+    :func:`rp_auto_bits`, so a grown corpus gets a wider signature
+    without anyone re-picking the constant. The registered query keeps
+    the pinned ``RP_BITS`` rung (its DuckDB oracle bakes the same
+    constant); the auto path is for production corpora whose size the
+    caller does not know at authoring time."""
+    if bits is None:
+        n_vectors = int(
+            comp.select("vec_id").agg(F.max("vec_id")).first()[0] or 0
+        ) + 1
+        bits = rp_auto_bits(n_vectors, tables)
     # Table t's hyperplane j is v_{t·2B+j} − v_{t·2B+B+j}: disjoint
     # corpus-vector slices per table, so the ``tables`` signatures are
     # independent draws from the same direction-unbiased family.

@@ -177,14 +177,22 @@ _PRIORITY: tuple[str, ...] = (
     "x_sessionization",
     # LLM-pipeline extension families. Current window rationale: one
     # hard-signal seat per family — dedup (exact/minhash/simhash64/
-    # incremental-LSH/semantic), warehouse (x_scd2_history), sketch
-    # (a18 HLL + a16 KMV). Rotation history (rounds 6-9 swaps and what
-    # each displaced) lives in OPERATORS.md "Driver-window rotation
-    # history"; demoted rows stay registered + FULL-checked below.
+    # semantic), warehouse (x_scd2_history), sketch (a18 HLL + a16 KMV
+    # + a28 CMS merge). ROUND-14 ROTATION (round-13 verdict #2: the
+    # window had not rotated since round 9 and covered none of rounds
+    # 10-13's families): seated val_referential_integrity (validation),
+    # st_mixture (observability leg 6), a28_cms_merge (sketch merge
+    # algebra), emb_kmeans (embedding ops), sim_filtered_ann (two-tier
+    # filtered ANN); demoted five single-family near-duplicates —
+    # tx_weighted_downsample, tx_lm_heldout_ppl, st_latest_state,
+    # dedup_incremental_lsh (4th dedup seat), pipe_strip_dup_spans
+    # (2nd pipe seat). Full history in OPERATORS.md "Driver-window
+    # rotation history"; demoted rows stay registered + FULL-checked
+    # below the window.
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash64_pairs",
-    "dedup_incremental_lsh",
+    "val_referential_integrity",
     "x_scd2_history",
     "dedup_semantic_clusters",
     "a18_hll_distinct",
@@ -197,9 +205,9 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "sim_ann_recall",
     "tx_gopher_gate",
-    "tx_weighted_downsample",
-    "pipe_strip_dup_spans",
-    "tx_lm_heldout_ppl",
+    "emb_kmeans",
+    "sim_filtered_ann",
+    "a28_cms_merge",
     "tx_bpe_pair_counts",
     "ivm_agg_refresh",
     "fit_linear_by_group",
@@ -210,7 +218,7 @@ _PRIORITY: tuple[str, ...] = (
     "xj_asof_join",
     "st_interval_join",
     "st_session_window",
-    "st_latest_state",
+    "st_mixture",
 )
 
 

@@ -58,6 +58,9 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/analytics_ext.py", "a22_hll_union"): (1, "GROUP-GUARDED"),
     ("operators/analytics_ext.py", "a23_grouped_quantiles"): (3, "GROUP-GUARDED"),
     ("operators/analytics_ext.py", "a24_cms_join_size"): (2, "SKETCH"),
+    # join_plan_advice's nested hot(): share-thresholded (<1e6/SHARE_PPM
+    # keys can qualify) + explicit .limit(JOIN_PLAN_HOT_TOP)
+    ("operators/analytics_ext.py", "hot"): (1, "TOPK/LIMIT"),
     ("operators/analytics_ext.py", "a25_corr_matrix"): (1, "SCALAR-1ROW"),
     ("operators/analytics_ext.py", "a26_hist_union"): (1, "SKETCH"),
     ("operators/analytics_ext.py", "binned_quantiles"): (2, "SKETCH"),

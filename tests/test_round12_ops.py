@@ -119,9 +119,12 @@ class TestPngDecode:
         assert _decode_png(make_png(w, h, rgba, 6)) == (w, h, rgb)
 
     def test_unsupported_shapes_raise_gated(self):
-        """16-bit / interlaced stay honestly gated; 8-bit palette is
-        decoded since round 13, so a colortype-3 file WITHOUT a PLTE
-        chunk is malformed input (ValueError), not a gated codec."""
+        """Since round 14, 16-bit and Adam7 DECODE (see
+        test_round14_ops) — so an 8-bit payload whose header merely
+        CLAIMS those shapes is malformed input (ValueError: the stream
+        is the wrong length for the claim). Sub-byte depths stay
+        honestly gated; a colortype-3 file WITHOUT a PLTE chunk is
+        malformed input, not a gated codec."""
         w, h = 4, 3
         pix = _rgb_gradient(w, h)
         good = make_png(w, h, pix, 2, [0])
@@ -134,12 +137,17 @@ class TestPngDecode:
             ba[16 + off] = val
             return bytes(ba)
 
-        with pytest.raises(NotImplementedError):
-            _decode_png(mutate(good, 8, 16))  # bitdepth 16
+        with pytest.raises(ValueError, match="truncated"):
+            _decode_png(mutate(good, 8, 16))  # claims 16-bit, 8-bit body
         with pytest.raises(ValueError):
             _decode_png(mutate(good, 9, 3))  # palette claim, no PLTE
-        with pytest.raises(NotImplementedError):
-            _decode_png(mutate(good, 12, 1))  # Adam7
+        with pytest.raises(ValueError):
+            _decode_png(mutate(good, 12, 1))  # claims Adam7, sequential body
+        with pytest.raises(NotImplementedError, match="sub-byte"):
+            _decode_png(mutate(good, 8, 4))  # 4-bit stays gated
+        with pytest.raises(NotImplementedError, match="sub-byte"):
+            # 16-bit palette is not a PNG shape; the palette gate wins
+            _decode_png(mutate(mutate(good, 9, 3), 8, 16))
         with pytest.raises(ValueError):
             _decode_png(b"\x89PNG\r\n\x1a\n" + _chunk(b"IEND", b""))
         with pytest.raises((ValueError, NotImplementedError)):

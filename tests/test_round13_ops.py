@@ -39,8 +39,12 @@ class TestBenchDriftDirection:
         assert r["suspect"] is False
 
     def test_no_common_keys(self):
+        # (round 14 widened the return dict with geomean_raw /
+        # ambient_factor — subset-check the round-13 contract)
         r = self._assess({"a": 1.0}, {})
-        assert r == {"geomean": None, "suspect": False, "direction": None}
+        assert r["geomean"] is None
+        assert r["suspect"] is False
+        assert r["direction"] is None
         # zero-valued medians are excluded, not divided by
         r = self._assess({"a": 0.0}, {"a": 1.0})
         assert r["geomean"] is None

@@ -62,6 +62,457 @@ class TestAviStrayStrf:
         assert _decode_avi_frames(good)[2] == [rgb]
 
 
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def make_png_v2(w, h, samples, colortype=2, bitdepth=8, interlace=0,
+                filters=None):
+    """General test-only PNG encoder: 8/16-bit, sequential or Adam7.
+    ``samples`` is a list of per-channel integer sample values in
+    scanline order (length w*h*nch), each < 2**bitdepth. Filters cycle
+    0-4 per emitted scanline by default (across ALL passes when
+    interlaced, so every pass exercises several filters)."""
+    import struct
+    import zlib
+
+    from tests.test_round12_ops import _chunk, _filter_line
+
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+    sampbytes = bitdepth // 8
+    fu = nch * sampbytes
+    assert len(samples) == w * h * nch
+
+    def pixel_bytes(x, y):
+        out = bytearray()
+        for c in range(nch):
+            v = samples[(y * w + x) * nch + c]
+            out += v.to_bytes(sampbytes, "big")
+        return bytes(out)
+
+    raw = bytearray()
+    row_no = 0
+    if interlace == 0:
+        grids = [[(x, y) for x in range(w)] for y in range(h)]
+        grids = [grids]
+    else:
+        grids = []
+        for x0, y0, dx, dy in _ADAM7:
+            rows = [
+                [(x, y) for x in range(x0, w, dx)]
+                for y in range(y0, h, dy)
+            ]
+            rows = [r for r in rows if r]
+            if rows:
+                grids.append(rows)
+    for rows in grids:
+        prev = bytes(len(rows[0]) * fu)
+        for coords in rows:
+            line = b"".join(pixel_bytes(x, y) for x, y in coords)
+            fl = filters or [0, 1, 2, 3, 4]
+            f = fl[row_no % len(fl)]
+            row_no += 1
+            raw.append(f)
+            raw += _filter_line(f, line, prev, fu)
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+class TestPng16BitAndAdam7:
+    """Round-14 ask #6: 16-bit and Adam7-interlaced PNG decode on the
+    existing numpy scanline pipeline — the last non-exotic web-crawl
+    shapes; only sub-byte depths remain gated."""
+
+    def _rgb(self, w, h):
+        return [
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in ((x * 255) // max(1, w - 1),
+                      (y * 255) // max(1, h - 1), (x ^ y) & 0xFF)
+        ]
+
+    def test_16bit_rgb_roundtrip_all_filters(self):
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_png
+
+        w, h = 11, 10
+        rgb8 = self._rgb(w, h)
+        # v*257 widening: high byte == v exactly, so decode == the 8-bit twin
+        s16 = [v * 257 for v in rgb8]
+        for filters in ([0], [1], [2], [3], [4], None):
+            got = _decode_png(make_png_v2(w, h, s16, 2, 16, 0, filters))
+            assert got == (w, h, bytes(rgb8)), f"filters={filters}"
+        # non-uniform low bytes must not leak into the 8-bit reduction
+        s16_noisy = [v * 256 + ((i * 37) & 0xFF) for i, v in enumerate(rgb8)]
+        got = _decode_png(make_png_v2(w, h, s16_noisy, 2, 16))
+        assert got == (w, h, bytes(rgb8))
+
+    def test_16bit_gray_and_alpha_normalize(self):
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_png
+
+        w, h = 7, 5
+        gray = [(x * 37 + y * 11) & 0xFF for y in range(h) for x in range(w)]
+        want = bytes(v for g in gray for v in (g, g, g))
+        got = _decode_png(make_png_v2(w, h, [g * 257 for g in gray], 0, 16))
+        assert got == (w, h, want)
+        ga = [v for g in gray for v in (g * 257, 0x8000)]
+        assert _decode_png(make_png_v2(w, h, ga, 4, 16)) == (w, h, want)
+        rgb = self._rgb(w, h)
+        rgba = [
+            v * 257
+            for i in range(w * h)
+            for v in (rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2], 0x33)
+        ]
+        assert _decode_png(make_png_v2(w, h, rgba, 6, 16)) == (w, h, bytes(rgb))
+
+    @pytest.mark.parametrize("w,h", [(16, 16), (11, 10), (8, 8), (5, 3),
+                                     (3, 5), (2, 2), (1, 1), (1, 9), (9, 1)])
+    def test_adam7_roundtrip_matches_sequential(self, w, h):
+        """Adam7 and sequential encodings of the same pixels decode
+        identically — including sizes where several passes are empty
+        (w or h below the pass origins)."""
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_png
+
+        rgb = self._rgb(w, h)
+        seq = _decode_png(make_png_v2(w, h, rgb, 2, 8, 0))
+        lace = _decode_png(make_png_v2(w, h, rgb, 2, 8, 1))
+        assert seq == lace == (w, h, bytes(rgb))
+
+    def test_adam7_16bit_combined_and_palette_interlaced(self):
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_png
+        from tests.test_round12_ops import _chunk
+
+        w, h = 13, 9
+        rgb = self._rgb(w, h)
+        got = _decode_png(make_png_v2(w, h, [v * 257 for v in rgb], 2, 16, 1))
+        assert got == (w, h, bytes(rgb))
+        # interlaced 8-bit palette: encode the index plane as an Adam7
+        # gray PNG, then patch colortype 0 -> 3 and splice a PLTE chunk
+        # in after IHDR
+
+        palette = [(i * 7 & 255, i * 13 & 255, i * 29 & 255) for i in range(16)]
+        indices = [(x * 3 + y * 5) % 16 for y in range(h) for x in range(w)]
+        body = make_png_v2(w, h, indices, 0, 8, 1)  # encode as gray plane
+        # patch colortype 0 -> 3 and splice PLTE before IDAT
+        ba = bytearray(body)
+        ba[25] = 3  # IHDR colortype byte (8 sig + 8 len/type + 9 offset)
+        plte = _chunk(b"PLTE", bytes(v for rgb3 in palette for v in rgb3))
+        ihdr_end = 8 + 12 + 13
+        patched = bytes(ba[:ihdr_end]) + plte + bytes(ba[ihdr_end:])
+        got = _decode_png(patched)
+        want = bytes(v for i in indices for v in palette[i])
+        assert got == (w, h, want)
+
+    def test_adam7_truncated_pass_raises(self):
+        import struct
+        import zlib
+
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_png
+        from tests.test_round12_ops import _chunk
+
+        w, h = 9, 9
+        good = make_png_v2(w, h, self._rgb(w, h), 2, 8, 1)
+        # re-deflate with the last pass's final scanline dropped
+        raw = bytearray()
+        # decode the IDAT payload of `good`
+        pos, idat = 8, bytearray()
+        while pos + 8 <= len(good):
+            (length,) = struct.unpack(">I", good[pos:pos + 4])
+            if good[pos + 4:pos + 8] == b"IDAT":
+                idat += good[pos + 8:pos + 8 + length]
+            pos += 12 + length
+        full = zlib.decompress(bytes(idat))
+        bad_raw = full[: len(full) - (w * 3 + 1)]
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + _chunk(b"IDAT", zlib.compress(bad_raw))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            _decode_png(bad)
+
+    def test_dhash_parity_interlaced_vs_sequential(self):
+        """The dhash of an image must not depend on its PNG encoding —
+        the palette-twin discipline applied to Adam7 and 16-bit."""
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _decode_pixels,
+            _dhash64_pixels,
+        )
+
+        w, h = 24, 18
+        rgb = self._rgb(w, h)
+        variants = [
+            make_png_v2(w, h, rgb, 2, 8, 0),
+            make_png_v2(w, h, rgb, 2, 8, 1),
+            make_png_v2(w, h, [v * 257 for v in rgb], 2, 16, 0),
+            make_png_v2(w, h, [v * 257 for v in rgb], 2, 16, 1),
+        ]
+        hashes = set()
+        for v in variants:
+            gw, gh, pix = _decode_pixels(v)
+            assert (gw, gh, pix) == (w, h, bytes(rgb))
+            hashes.add(_dhash64_pixels(gw, gh, pix))
+        assert len(hashes) == 1
+
+
+class TestJoinPlanCli:
+    """Round-14 ask #7: the a24/a27 CMS join-size sketches get a
+    consumer — `join-plan` reads two key columns, runs the sketch, and
+    recommends broadcast / salt / shuffle with the never-undercounting
+    pair bound."""
+
+    def _write(self, spark, tmp_path, name, keys):
+        path = str(tmp_path / name)
+        spark.createDataFrame([(k,) for k in keys], ["jk"]).coalesce(
+            2
+        ).write.parquet(path)
+        return path
+
+    def test_small_side_recommends_broadcast(self, spark, tmp_path, capsys):
+        import json
+
+        from snowflake_to_postgres_spark.cli import main
+
+        dim = self._write(spark, tmp_path, "dim", list(range(50)))
+        fact = self._write(
+            spark, tmp_path, "fact", [i % 50 for i in range(5000)]
+        )
+        rc = main([
+            "join-plan", "--left", dim, "--left-key", "jk",
+            "--right", fact, "--right-key", "jk",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["recommendation"] == "broadcast"
+        assert out["broadcast_side"] == "left"
+        assert out["left_rows"] == 50 and out["right_rows"] == 5000
+        assert out["never_undercounts"] is True
+        assert out["cms_estimate_pairs"] >= out["exact_pairs"] == 5000
+
+    def test_planted_hot_key_recommends_salt(self, spark, tmp_path, capsys):
+        import json
+
+        from snowflake_to_postgres_spark.cli import main
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            SALT_PLAN_SHARE_PPM,
+        )
+
+        # right side: 40% of rows share one key — far above the
+        # SALT_PLAN_SHARE_PPM threshold; both sides above the (lowered)
+        # broadcast cutoff
+        left = self._write(spark, tmp_path, "l", [i % 200 for i in range(2000)])
+        right = self._write(
+            spark, tmp_path, "r",
+            [7] * 800 + [i % 190 for i in range(1200)],
+        )
+        rc = main([
+            "join-plan", "--left", left, "--left-key", "jk",
+            "--right", right, "--right-key", "jk",
+            "--broadcast-rows", "100",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["recommendation"] == "salt"
+        assert out["broadcast_side"] is None
+        hot = {r["k"]: r for r in out["hot_keys_right"]}
+        assert 7 in hot
+        assert hot[7]["share_ppm"] > SALT_PLAN_SHARE_PPM
+        assert hot[7]["salt_buckets"] >= 2  # 40% share over 32-way plan
+        assert out["never_undercounts"] is True
+
+    def test_uniform_big_sides_recommend_shuffle(self, spark, tmp_path, capsys):
+        import json
+
+        from snowflake_to_postgres_spark.cli import main
+
+        left = self._write(spark, tmp_path, "lu", [i % 500 for i in range(2000)])
+        right = self._write(spark, tmp_path, "ru", [i % 500 for i in range(2000)])
+        rc = main([
+            "join-plan", "--left", left, "--left-key", "jk",
+            "--right", right, "--right-key", "jk",
+            "--broadcast-rows", "100",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["recommendation"] == "shuffle"
+        assert out["hot_keys_left"] == [] and out["hot_keys_right"] == []
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestPngPropertyRound14:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 11),
+        colortype=st.sampled_from([0, 2, 4, 6]),
+        bitdepth=st.sampled_from([8, 16]),
+        interlace=st.sampled_from([0, 1]),
+        data=st.data(),
+    )
+    def test_png_roundtrip_random_16bit_adam7(
+        self, w, h, colortype, bitdepth, interlace, data
+    ):
+        """encode→decode identity over the round-14 shape grid: random
+        pixels, random per-row filters, 8/16-bit × sequential/Adam7."""
+        from snowflake_to_postgres_spark.operators.multimodal import _decode_png
+
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[colortype]
+        vals8 = data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h * nch,
+                     max_size=w * h * nch)
+        )
+        lows = (
+            data.draw(st.lists(st.integers(0, 255), min_size=w * h * nch,
+                               max_size=w * h * nch))
+            if bitdepth == 16
+            else None
+        )
+        samples = (
+            [v * 256 + lo for v, lo in zip(vals8, lows)]
+            if bitdepth == 16
+            else vals8
+        )
+        filters = data.draw(st.lists(st.integers(0, 4), min_size=5, max_size=5))
+        gw, gh, rgb = _decode_png(
+            make_png_v2(w, h, samples, colortype, bitdepth, interlace, filters)
+        )
+        assert (gw, gh) == (w, h)
+        want = bytearray()
+        for i in range(w * h):
+            s = i * nch
+            if colortype in (0, 4):
+                want += bytes((vals8[s],) * 3)
+            else:
+                want += bytes(vals8[s : s + 3])
+        assert rgb == bytes(want)
+
+
+class TestAmbientCalibration:
+    """Round-14 ask #5: the bench drift detector normalizes by a
+    3-key calibration probe, so a uniform machine-day slowdown reads
+    "stable" while a key-local regression still fires."""
+
+    def test_uniform_slowdown_normalizes_to_stable(self):
+        import bench
+
+        committed = {"a": 1.0, "b": 2.0, "c": 0.5, "d": 1.5}
+        per_query = {k: v * 1.3 for k, v in committed.items()}  # machine day
+        calib = {k: 1.3 for k in bench.CALIBRATION_KEYS}
+        amb = bench.ambient_factor(calib, {k: 1.0 for k in calib})
+        assert amb == 1.3
+        r = bench.assess_drift(per_query, committed, amb)
+        assert r["geomean_raw"] == 1.3
+        assert r["direction"] == "stable"
+        assert r["suspect"] is False
+        # without the probe the same run would (wrongly) flag
+        raw = bench.assess_drift(per_query, committed)
+        assert raw["suspect"] is True
+
+    def test_single_key_regression_still_fires(self):
+        import bench
+
+        committed = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+        per_query = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 3.0}  # code regression
+        calib = {k: 1.0 for k in bench.CALIBRATION_KEYS}
+        amb = bench.ambient_factor(calib, {k: 1.0 for k in calib})
+        assert amb == 1.0
+        r = bench.assess_drift(per_query, committed, amb)
+        assert r["direction"] == "slower"
+        assert r["suspect"] is True
+        # normalized equals raw when the machine is steady
+        assert r["geomean"] == r["geomean_raw"]
+
+    def test_partial_probe_is_no_probe(self):
+        import bench
+
+        calib = {bench.CALIBRATION_KEYS[0]: 1.0}  # two keys missing
+        assert bench.ambient_factor(calib, calib) is None
+        assert bench.ambient_factor({}, {}) is None
+        # ambient=None leaves the detector exactly as before
+        r = bench.assess_drift({"a": 1.3}, {"a": 1.0}, None)
+        assert r["geomean"] == r["geomean_raw"] == 1.3
+        assert r["suspect"] is True
+
+
+class TestRpAutoBits:
+    """Round-14 ask #3: the occupancy rule (tools/rp_ladder.py) applied
+    AUTOMATICALLY — bits derived from a bounded corpus count instead of
+    the hand-picked RP_BITS constant; the registered query keeps its
+    pinned rung."""
+
+    def test_bits_rise_with_corpus_per_occupancy_rule(self):
+        from snowflake_to_postgres_spark.operators.similarity import (
+            RP_BITS_MAX,
+            RP_TABLES,
+            rp_auto_bits,
+        )
+
+        # the fixture rungs the ladder measured: 500 vectors → the
+        # shipped bits=6 config, 2000 → the measured bits=8 rung
+        assert rp_auto_bits(500) == 6
+        assert rp_auto_bits(2000) == 8
+        # growth: monotone non-decreasing, log2-paced, capped
+        prev = 0
+        for n in (10, 100, 1_000, 10_000, 10**6, 10**9, 10**12):
+            b = rp_auto_bits(n)
+            assert b >= prev
+            prev = b
+        assert rp_auto_bits(10**9) == 27
+        assert rp_auto_bits(10**12) == RP_BITS_MAX
+        # tiny corpora: hyperplane budget (2·bits·tables ≤ N) and the
+        # degenerate floor hold
+        for n in (1, 3, 8, 40):
+            b = rp_auto_bits(n)
+            assert 1 <= b
+            assert 2 * b * RP_TABLES <= max(n, 2 * RP_TABLES)
+
+    def _auto_recall(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators import similarity as sim
+
+        comp = sim._components(spark, sf_dir)
+        truth = (
+            sim.sim_topk_bruteforce(spark, sf_dir)
+            .filter(F.col("rank") <= sim.ANN_EVAL_K)
+            .select("qid", "neighbor_id")
+        )
+        n_queries = truth.select("qid").distinct().count()
+        topk = sim._rank_candidates(
+            comp, sim.rp_lsh_candidates(comp, bits=None), k=3
+        ).filter(F.col("rank") <= sim.ANN_EVAL_K)
+        hits = truth.join(
+            topk.select("qid", "neighbor_id"), ["qid", "neighbor_id"],
+            "left_semi",
+        ).count()
+        n_vec = comp.select("vec_id").distinct().count()
+        return hits / (n_queries * sim.ANN_EVAL_K), n_vec
+
+    def test_auto_bits_hold_recall_at_sf001_and_sf01(self, spark):
+        from snowflake_to_postgres_spark.operators import similarity as sim
+
+        # sf0.01 (500 vectors): auto resolves to the shipped rung
+        recall, n = self._auto_recall(spark, "/root/testdata/sf0.01")
+        assert sim.rp_auto_bits(n) == 6
+        assert recall >= sim.ANN_RECALL_BAR
+        # sf0.1 (2000 vectors): auto climbs to the measured bits=8 rung
+        recall, n = self._auto_recall(spark, "/root/testdata/sf0.1")
+        assert sim.rp_auto_bits(n) == 8
+        assert recall >= sim.ANN_RECALL_BAR
+
+
 class TestQuotaStreamRetention:
     """Round-14 ask #4 / ADVICE r13: state partitions older than the
     immediate prior batch are pruned after each commit, so a long-lived
