@@ -4750,6 +4750,103 @@ JOIN_PLAN_BROADCAST_ROWS = 100_000
 JOIN_PLAN_HOT_TOP = 20
 
 
+#: (pair label, left table, left key, right table, right key) — the
+#: fixture join pairs diag_join_plan advises on: a classic dim⋈fact
+#: (broadcast territory), the biggest fact⋈fact equi-join, and the
+#: behavioral join whose key family carries the fixture's planted skew.
+JOIN_PLAN_PAIRS = (
+    ("supplier_lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer_events", "customer", "c_custkey", "events", "user_id"),
+)
+
+
+def diag_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy advisory rows for the fixture's three canonical join
+    pairs — the registered (oracle-checked) twin of the ``join-plan``
+    CLI verb's decision logic: per pair, both sides' row counts, each
+    side's hot-key count (keys above SALT_PLAN_SHARE_PPM of their
+    side's rows — diag_salt_plan's threshold), and the recommendation
+    the CLI would print (broadcast when either side fits under
+    JOIN_PLAN_BROADCAST_ROWS, salt when both are big and either side
+    is skewed, shuffle otherwise; ties broadcast the left side, the
+    join_plan_advice convention).
+
+    Scale shape: per side one map-side-combined per-key count and two
+    scalar aggregates (SCALAR-1ROW driver literals, the diag_salt_plan
+    idiom); the emitted frame is |JOIN_PLAN_PAIRS| rows. The CMS pair
+    bound itself is a24/a27/cms_join_cardinality — this query is the
+    DECISION layer on top."""
+    rows = []
+    for pair, lt, lk, rt, rk in JOIN_PLAN_PAIRS:
+        sides = []
+        for t, k in ((lt, lk), (rt, rk)):
+            df = load_table(spark, sf_dir, t).select(F.col(k).alias("k"))
+            total = df.count()
+            hot = (
+                df.filter(F.col("k").isNotNull())
+                .groupBy("k")
+                .agg(F.count("*").alias("cnt"))
+                .filter(F.expr(f"cnt * 1000000L div {total}") > SALT_PLAN_SHARE_PPM)
+                .count()
+            )
+            sides.append((total, hot))
+        (lrows, lhot), (rrows, rhot) = sides
+        if min(lrows, rrows) <= JOIN_PLAN_BROADCAST_ROWS:
+            rec = "broadcast"
+            side = "left" if lrows <= rrows else "right"
+        elif lhot or rhot:
+            rec, side = "salt", None
+        else:
+            rec, side = "shuffle", None
+        rows.append((pair, lrows, rrows, lhot, rhot, rec, side))
+    return spark.createDataFrame(
+        rows,
+        "pair string, left_rows bigint, right_rows bigint, "
+        "hot_left bigint, hot_right bigint, recommendation string, "
+        "broadcast_side string",
+    ).orderBy("pair")
+
+
+def _join_plan_pair_sql(pair: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    def side(t, k):
+        return f"""
+  SELECT COUNT(*) AS rows_n,
+         (SELECT COUNT(*) FROM (
+            SELECT {k} FROM {t} WHERE {k} IS NOT NULL GROUP BY {k}
+            HAVING COUNT(*) * 1000000 // (SELECT COUNT(*) FROM {t})
+                   > {SALT_PLAN_SHARE_PPM}
+          )) AS hot_n
+  FROM {t}"""
+
+    return f"""
+SELECT '{pair}' AS pair,
+       CAST(l.rows_n AS BIGINT) AS left_rows,
+       CAST(r.rows_n AS BIGINT) AS right_rows,
+       CAST(l.hot_n AS BIGINT) AS hot_left,
+       CAST(r.hot_n AS BIGINT) AS hot_right,
+       CASE WHEN least(l.rows_n, r.rows_n) <= {JOIN_PLAN_BROADCAST_ROWS}
+              THEN 'broadcast'
+            WHEN l.hot_n > 0 OR r.hot_n > 0 THEN 'salt'
+            ELSE 'shuffle' END AS recommendation,
+       CASE WHEN least(l.rows_n, r.rows_n) > {JOIN_PLAN_BROADCAST_ROWS}
+              THEN NULL
+            WHEN l.rows_n <= r.rows_n THEN 'left'
+            ELSE 'right' END AS broadcast_side
+FROM ({side(lt, lk)}) l, ({side(rt, rk)}) r"""
+
+
+DIAG_JOIN_PLAN_ORACLE = (
+    "\nUNION ALL\n".join(
+        _join_plan_pair_sql(*p) for p in JOIN_PLAN_PAIRS
+    )
+    + "\nORDER BY pair"
+)
+
+
+SPECS.append(QuerySpec("diag_join_plan", diag_join_plan, DIAG_JOIN_PLAN_ORACLE))
+
+
 def join_plan_advice(
     left_keys: DataFrame,
     right_keys: DataFrame,

@@ -264,6 +264,35 @@ class TestPng16BitAndAdam7:
         assert len(hashes) == 1
 
 
+class TestDiagJoinPlan:
+    """The registered decision-layer twin of the join-plan CLI verb
+    (oracle parity runs in test_oracle_parity; this pins the branch
+    semantics on the fixture)."""
+
+    def test_fixture_pairs_and_skew_visibility(self, spark, sf_dir):
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            JOIN_PLAN_BROADCAST_ROWS,
+            diag_join_plan,
+        )
+
+        rows = {r["pair"]: r for r in diag_join_plan(spark, sf_dir).collect()}
+        assert set(rows) == {
+            "supplier_lineitem", "orders_lineitem", "customer_events",
+        }
+        for r in rows.values():
+            # at fixture SFs every pair has a side under the cutoff
+            assert min(r["left_rows"], r["right_rows"]) <= JOIN_PLAN_BROADCAST_ROWS
+            assert r["recommendation"] == "broadcast"
+            small = "left" if r["left_rows"] <= r["right_rows"] else "right"
+            assert r["broadcast_side"] == small
+        # the events side carries the fixture's planted hot keys (the
+        # same threshold diag_salt_plan's CLI test pins non-empty)
+        assert rows["customer_events"]["hot_right"] >= 1
+        # TPC-H uniform keys: no hot keys on either join side
+        assert rows["orders_lineitem"]["hot_left"] == 0
+        assert rows["orders_lineitem"]["hot_right"] == 0
+
+
 class TestJoinPlanCli:
     """Round-14 ask #7: the a24/a27 CMS join-size sketches get a
     consumer — `join-plan` reads two key columns, runs the sketch, and
