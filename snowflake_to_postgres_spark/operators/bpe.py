@@ -234,6 +234,86 @@ def tx_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.withColumn("vocab_tokens", F.lit(int(n_vocab)).cast("bigint"))
 
 
+def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE tokenizer fertility (round 14) — the canonical
+    "is the tokenizer fair to every domain/language slice" audit a
+    mixture plan needs BEFORE training commits to a vocab: train the
+    BPE merges globally (the production setup: one tokenizer, many
+    sources), tokenize the vocabulary once, then weight per-word piece
+    counts by each source's own word frequencies. Emits per source:
+    n_words (corpus-weighted), n_pieces (after merges),
+    pieces_per_word_ppm and chars_per_piece_ppm in exact integer ppm
+    (chars counts the EOW marker, tx_bpe_tokenize's convention — so at
+    zero merges pieces==chars and the ratio is exactly 1e6).
+
+    A source whose pieces_per_word_ppm runs far above the corpus line
+    pays more sequence length for the same text — the fertility skew
+    that silently shifts the EFFECTIVE mixture away from
+    tx_mixture_plan's char-share targets.
+
+    100-TB shape: one extra corpus-sized aggregation next to training's
+    own ((source, w) counts, map-side combined), one vocab-bounded
+    equi-join of per-word piece counts onto it, and a |sources|-row
+    output. Training cost is tx_bpe_tokenize's (shared kernel)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words_src = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w").rlike(WORD_RE))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = word_frequencies(docs)
+    merges = train_bpe(words, N_MERGES)
+    pieces = apply_merges(
+        words.select("w", "freq", _initial_symbols().alias("syms")), merges
+    ).select("w", F.size("syms").cast("bigint").alias("n_pieces"))
+    return (
+        words_src.join(pieces, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_pieces")).cast("bigint").alias("n_pieces"),
+            F.sum(F.col("freq") * (F.length("w") + 1)).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_pieces",
+            F.expr("n_pieces * 1000000L div n_words").alias("pieces_per_word_ppm"),
+            F.expr("n_chars * 1000000L div n_pieces").alias("chars_per_piece_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    n = N_MERGES
+    return (
+        _bpe_round_ctes()
+        + f""",
+pieces AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces FROM sym{n} GROUP BY w),
+words_src AS (
+  SELECT source, w, COUNT(*) AS freq FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE regexp_matches(w, '{WORD_RE}') GROUP BY source, w
+)
+SELECT source,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(freq * n_pieces) * 1000000 // SUM(freq) AS BIGINT)
+         AS pieces_per_word_ppm,
+       CAST(SUM(freq * (length(w) + 1)) * 1000000 // SUM(freq * n_pieces) AS BIGINT)
+         AS chars_per_piece_ppm
+FROM words_src JOIN pieces USING (w)
+GROUP BY source
+ORDER BY source
+"""
+    )
+
+
 def _bpe_round_ctes() -> str:
     """The shared unrolled-trainer SQL (round 8 — promotes the BPE
     trainer out of rows-only): N_MERGES rounds, each one argmax + one
@@ -356,5 +436,7 @@ SPECS = [
     QuerySpec("tx_bpe_pair_counts", tx_bpe_pair_counts, TX_BPE_PAIR_ORACLE),
     QuerySpec("tx_bpe_merges", tx_bpe_merges, _bpe_merges_oracle(), probes=_bpe_probes),
     QuerySpec("tx_bpe_tokenize", tx_bpe_tokenize, _bpe_tokenize_oracle(),
+              probes=_bpe_probes),
+    QuerySpec("tx_bpe_fertility", tx_bpe_fertility, _bpe_fertility_oracle(),
               probes=_bpe_probes),
 ]

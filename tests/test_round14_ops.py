@@ -264,6 +264,65 @@ class TestPng16BitAndAdam7:
         assert len(hashes) == 1
 
 
+class TestBpeFertility:
+    """Per-source tokenizer fertility: invariants + exact consistency
+    with the global tokenize stats (same trained merges, re-weighted)."""
+
+    def test_invariants_and_global_consistency(self, spark, sf_dir):
+        from snowflake_to_postgres_spark.operators.bpe import (
+            tx_bpe_fertility,
+            tx_bpe_tokenize,
+        )
+
+        rows = tx_bpe_fertility(spark, sf_dir).collect()
+        assert rows and len({r["source"] for r in rows}) == len(rows)
+        for r in rows:
+            # every word is at least one piece; every piece at least one
+            # char-symbol (EOW included on both sides of the ratio)
+            assert r["pieces_per_word_ppm"] >= 1_000_000, r
+            assert r["chars_per_piece_ppm"] >= 1_000_000, r
+            assert r["n_pieces"] >= r["n_words"]
+        # Σ_src Σ_w freq_src·pieces(w) == Σ_w freq_global·pieces(w):
+        # the per-source weighting must re-partition the global mass
+        tok = tx_bpe_tokenize(spark, sf_dir).collect()[0]
+        assert sum(r["n_pieces"] for r in rows) == tok["symbols_after"]
+
+
+class TestLayoutIndependence:
+    """Round-14 ask #1's correctness leg: query results must not depend
+    on the physical parquet layout. make_multisplit rewrites sf0.001
+    into the many-files/many-row-groups twin and a representative query
+    slice (order-sensitive candidates on purpose: deterministic
+    sampling, keyed pagination, space-filling-curve layout, window
+    ranks, LSH banding) must return identical rows."""
+
+    def test_queries_identical_on_multisplit_twin(self, spark, sf_dir, tmp_path):
+        import sys as _sys
+        from pathlib import Path as _Path
+
+        _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+        from make_multisplit import rewrite
+
+        from snowflake_to_postgres_spark.registry import queries
+
+        dst = str(tmp_path / "msplit")
+        rewrite(sf_dir, dst, 4, 3)
+        qs = queries()
+        for name in (
+            "s10_deterministic_sample",
+            "p5_offset_pagination",
+            "layout_zorder",
+            "w1_topk_per_group",
+            "dedup_minhash_lsh_pairs",
+            "q1_pricing_summary",
+            "st_windowed_agg",
+            "diag_join_plan",
+        ):
+            a = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+            b = sorted(map(tuple, qs[name](spark, dst).collect()))
+            assert a == b, f"{name}: layout changed the result"
+
+
 class TestDiagJoinPlan:
     """The registered decision-layer twin of the join-plan CLI verb
     (oracle parity runs in test_oracle_parity; this pins the branch

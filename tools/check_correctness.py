@@ -53,8 +53,14 @@ def main() -> int:
     )
     con = duckdb.connect()
     for t in TABLES:
+        path = table_path(sf_dir, t)
+        if os.path.isdir(path):
+            # multi-file layout (tools/make_multisplit.py writes
+            # <table>.parquet as a DIRECTORY of part files): glob for
+            # DuckDB; Spark reads both shapes via the same path
+            path = os.path.join(path, "*.parquet")
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     specs = registry._all_specs()
