@@ -73,29 +73,36 @@ def test_priority_window_covers_families():
         "f1_", "f7_",                                  # functions
         "v1_", "val_fingerprint",                      # variant / validation
         "x_sessionization",                            # analytics
-        # dedup: exact, LSH near-dup, simhash, incremental LSH banding,
-        # semantic (embedding). Round-9 rotation: the exact containment
-        # and exact incremental twins demoted (their LSH scale paths
-        # keep the seats) for the new warehouse-maintenance family and
-        # the oracle-checked HLL.
+        # dedup: exact, LSH near-dup, simhash, semantic (embedding).
+        # Round-14 rotation (round-13 verdict #2): the 4th dedup seat
+        # (dedup_incremental_lsh) gave way to the validation family's
+        # val_referential_integrity; exact containment/incremental
+        # twins were already demoted in round 9.
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash64_pairs",
-        "dedup_incremental_lsh", "dedup_semantic",
+        "val_referential_integrity", "dedup_semantic",
         "x_scd2_history", "a18_hll_distinct",
         # similarity: exact + the materialized IVF+PQ index search
         # (round-8: replaces its in-query twin sim_ivf_pq_topk, same
         # oracle) + measured recall (whose oracle composes the RP-LSH
-        # path, demoted for graph_pagerank in round 7)
+        # path, demoted for graph_pagerank in round 7) + the two-tier
+        # filtered ANN (round 14)
         "sim_topk_bruteforce", "sim_ann_index_search", "sim_ann_recall",
-        # graph
-        "graph_pagerank",
+        "sim_filtered_ann",
+        # graph / embedding ops (emb_kmeans seated in round 14)
+        "graph_pagerank", "emb_kmeans",
+        # sketch merge algebra (round 14)
+        "a28_cms_merge",
         # text / featurization / pipeline / layout / multimodal
         # (round-8: tx_gopher_gate replaces tx_token_stats — the gate's
-        # signals subsume the token counts)
-        "tx_gopher_gate", "tx_weighted_downsample", "pipe_strip_dup",
-        "tx_lm_heldout", "tx_bpe_pair", "ivm_agg_refresh", "fit_linear",
+        # signals subsume the token counts; round 14 demoted
+        # tx_weighted_downsample / tx_lm_heldout_ppl /
+        # pipe_strip_dup_spans for the seats above)
+        "tx_gopher_gate",
+        "tx_bpe_pair", "ivm_agg_refresh", "fit_linear",
         "layout_hilbert", "tx_zipf_fit", "pipe_training", "mm_",
-        # temporal joins; stream-stream join + session windows + CDC state
-        "xj_asof_join", "st_interval_join", "st_session", "st_latest",
+        # temporal joins; stream-stream join + session windows + the
+        # mixture monitor (round 14, displacing st_latest_state)
+        "xj_asof_join", "st_interval_join", "st_session", "st_mixture",
     ):
         assert any(n.startswith(family_rep) for n in names), family_rep
     # demoted near-duplicates must STAY registered (FULL-checked below
@@ -131,7 +138,13 @@ def test_priority_window_covers_families():
                     # round-9 rotations: warehouse family + oracle HLL in;
                     # the exact containment/incremental twins out (their
                     # banded LSH forms keep the seats)
-                    "dedup_containment_pairs", "dedup_incremental"):
+                    "dedup_containment_pairs", "dedup_incremental",
+                    # round-14 rotations (round-13 verdict #2): five
+                    # rounds-10-13 family reps in; five single-family
+                    # near-duplicates out (all still FULL-checked)
+                    "tx_weighted_downsample", "tx_lm_heldout_ppl",
+                    "st_latest_state", "dedup_incremental_lsh",
+                    "pipe_strip_dup_spans"):
         assert demoted in all_names and demoted not in names, demoted
 
 
