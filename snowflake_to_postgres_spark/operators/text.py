@@ -1916,3 +1916,433 @@ ORDER BY lang, tier
 """
 
 SPECS.append(QuerySpec("tx_ppl_buckets", tx_ppl_buckets, TX_PPL_BUCKETS_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter classifier (round 14) — the CCNet/fasttext-style learned
+# quality gate every LLM data pipeline runs (Wenzek et al. 2020 trains a
+# model to keep "Wikipedia-like" pages; GPT-3's pipeline does the same).
+# A linear probe over cheap per-doc statistics, trained by full-batch
+# gradient descent IN the engine: per round, one scan of the compact
+# feature frame + one 1-row map-side-combinable gradient aggregate; the
+# (QL_DIM+1)-value weight vector re-enters the next round as literal
+# coefficients (the emb_kmeans discipline — the model IS the collect).
+#
+# Cross-engine determinism without libm: the link is the "fast sigmoid"
+# p = 1/2 + (m/2)/(1+|m|) — one IEEE division (correctly rounded, so
+# bit-identical in Spark and DuckDB), unlike exp()-based logistic which
+# is libm-dependent and would need grid forgiveness. Everything else is
+# fixed-point int64: features are 1e6-scaled ints (centered so GD can
+# move the boundary), margins are exact int64 sums (< 2^53, so the cast
+# to double is exact), p is snapped to the 1e6 grid half-up, and the
+# gradient Σ(p−y)·x accumulates in DECIMAL(38,0) — exact and
+# order-independent (no float-sum reordering hazard), with headroom for
+# web-scale N where an int64 accumulator would overflow (N·1e12 > 2^63
+# past ~9M docs). The weight update's single rounding
+# floor(g/(N·1e6)+0.5) is mirrored between the Python driver and the
+# oracle's unrolled CTE chain.
+# ---------------------------------------------------------------------------
+
+QL_SCALE = 1_000_000          # fixed-point scale for features/weights/p
+QL_ROUNDS = 4                 # full-batch GD rounds (lr = 1.0)
+QL_CHAR_CAP = 512             # n_chars saturation for the length feature
+QL_TOK_CAP = 64               # token-count saturation
+QL_DIST_CAP = 48              # distinct-term saturation
+QL_STOPWORDS = ("the", "a")   # stop-ratio feature vocabulary
+QL_FEATURES = (
+    "bias", "chars", "tokens", "distinct_terms",
+    "type_token_ratio", "stop_ratio", "is_en",
+)
+QL_DIM = len(QL_FEATURES)
+
+
+def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fixed-point feature vector (x0..x6) + label yf.
+
+    Features are saturating ratios in [0, 1e6] centered to
+    [-5e5, +5e5] (an uncentered all-positive design matrix makes
+    full-batch GD fight the bias for every boundary move); the label is
+    a gopher-style rule gate (enough tokens, bounded stopword density,
+    English) the probe has to re-learn from the features. All integer
+    arithmetic: div() on positive operands before the centering
+    subtraction, so Spark's truncating div and DuckDB's flooring //
+    agree. The frame is (doc_id + 8 ints) — the persistable compact
+    form, orders of magnitude smaller than the text it summarizes."""
+    S, half = QL_SCALE, QL_SCALE // 2
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(_toks()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("nt"),
+        F.countDistinct("term").alias("dt"),
+        F.sum(
+            F.when(F.col("term").isin(*QL_STOPWORDS), 1).otherwise(0)
+        ).alias("stop"),
+    )
+    return docs.join(tc, "doc_id").select(
+        "doc_id",
+        F.lit(S).cast("bigint").alias("x0"),
+        F.expr(
+            f"div(least(n_chars, {QL_CHAR_CAP}) * {S}L, {QL_CHAR_CAP}) - {half}"
+        ).alias("x1"),
+        F.expr(
+            f"div(least(nt, {QL_TOK_CAP}) * {S}L, {QL_TOK_CAP}) - {half}"
+        ).alias("x2"),
+        F.expr(
+            f"div(least(dt, {QL_DIST_CAP}) * {S}L, {QL_DIST_CAP}) - {half}"
+        ).alias("x3"),
+        F.expr(f"div(dt * {S}L, nt) - {half}").alias("x4"),
+        F.expr(f"div(stop * {S}L, nt) - {half}").alias("x5"),
+        F.when(F.col("lang") == "en", F.lit(half))
+        .otherwise(F.lit(-half))
+        .cast("bigint")
+        .alias("x6"),
+        F.when(
+            (F.col("nt") >= 25)
+            & (F.col("stop") * 10 <= F.col("nt") * 3)
+            & (F.col("lang") == "en"),
+            F.lit(S),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("yf"),
+    )
+
+
+def _ql_scored(feats: DataFrame, w: "list[int]") -> DataFrame:
+    """feats + (pf) under literal fixed-point weights w: margin is the
+    exact int64 dot product (|m_fp| ≤ 7·1e6·|w|max < 2^53), the fast-
+    sigmoid p is pure IEEE (+,*,/,abs — each correctly rounded, no
+    libm), snapped half-up to the 1e6 grid. Weights enter as literal
+    coefficients — a projection, not a join, so each GD round is one
+    scan + one aggregate with NO shuffle beyond the 1-row combine."""
+    m_fp = sum(
+        [F.col(f"x{i}") * F.lit(int(w[i])) for i in range(1, QL_DIM)],
+        F.col("x0") * F.lit(int(w[0])),
+    )
+    mr = m_fp.cast("double") / F.lit(1e12)
+    p = F.lit(0.5) + F.lit(0.5) * mr / (F.lit(1.0) + F.abs(mr))
+    return feats.withColumn(
+        "pf", F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    )
+
+
+def train_quality_logreg(
+    feats: DataFrame, rounds: int = QL_ROUNDS
+) -> "tuple[list[int], int]":
+    """Full-batch GD: returns (fixed-point weights, N). One collect per
+    round — a 1-row aggregate of QL_DIM gradient sums + the count
+    (SCALAR-1ROW class); the update floor(g/(N·1e6)+0.5) in driver
+    floats mirrors the oracle's double expression exactly (Python floats
+    ARE IEEE doubles)."""
+    import math
+
+    w = [0] * QL_DIM
+    n = 0
+    for _ in range(rounds):
+        scored = _ql_scored(feats, w)
+        diff = F.col("pf") - F.col("yf")
+        row = scored.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum((diff * F.col(f"x{i}")).cast("decimal(38,0)")).alias(
+                    f"g{i}"
+                )
+                for i in range(QL_DIM)
+            ],
+        ).collect()[0]
+        n = row["n"]
+        if not n:
+            break
+        w = [
+            w[i]
+            - math.floor(float(row[f"g{i}"]) / (n * 1e6) + 0.5)
+            for i in range(QL_DIM)
+        ]
+    return [int(v) for v in w], int(n)
+
+
+def tx_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality probe and return the model: one row per
+    feature (feature, weight_fp, weight). The model is the output —
+    the frame a pipeline would broadcast to score petabytes of new
+    documents with a pure projection (no join, no shuffle, no model
+    server). reference: the repo has no ML surface at all; this is
+    beyond-reference pipeline capability (SURVEY §2 extension)."""
+    from pyspark import StorageLevel
+
+    feats = _quality_features(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w, _ = train_quality_logreg(feats)
+    rows = [
+        (QL_FEATURES[i], w[i], w[i] / float(QL_SCALE)) for i in range(QL_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, schema="feature string, weight_fp bigint, weight double"
+    )
+
+
+def tx_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/evaluation table of the trained probe: per predicted-
+    probability decile, (n, n_pos, n_correct, mean_p) — the reliability
+    diagram + confusion mass an operator reads before trusting the gate
+    on a fresh crawl. Scoring is the same literal-weight projection;
+    the table is one (≤10-row) map-side-combinable aggregate."""
+    from pyspark import StorageLevel
+
+    feats = _quality_features(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w, _ = train_quality_logreg(feats)
+    scored = _ql_scored(feats, w)
+    half, s10 = QL_SCALE // 2, QL_SCALE // 10
+    return (
+        scored.withColumn(
+            "decile", F.expr(f"least(div(pf, {s10}), 9)").cast("bigint")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("yf") == QL_SCALE, 1).otherwise(0)
+            ).cast("bigint").alias("n_pos"),
+            F.sum(
+                F.when(
+                    (F.col("pf") >= half) == (F.col("yf") == QL_SCALE), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+            (
+                F.sum("pf").cast("double")
+                / (F.count("*") * F.lit(1e6))
+            ).alias("mean_p"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _ql_feats_cte() -> str:
+    S, half = QL_SCALE, QL_SCALE // 2
+    stop_sql = "(" + ", ".join(f"'{t}'" for t in QL_STOPWORDS) + ")"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tc AS (
+  SELECT doc_id, COUNT(*) AS nt, COUNT(DISTINCT term) AS dt,
+         SUM(CASE WHEN term IN {stop_sql} THEN 1 ELSE 0 END) AS stop
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+feats AS (
+  SELECT d.doc_id,
+    CAST({S} AS BIGINT) AS x0,
+    (LEAST(d.n_chars, {QL_CHAR_CAP}) * {S}) // {QL_CHAR_CAP} - {half} AS x1,
+    (LEAST(tc.nt, {QL_TOK_CAP}) * {S}) // {QL_TOK_CAP} - {half} AS x2,
+    (LEAST(tc.dt, {QL_DIST_CAP}) * {S}) // {QL_DIST_CAP} - {half} AS x3,
+    (tc.dt * {S}) // tc.nt - {half} AS x4,
+    (tc.stop * {S}) // tc.nt - {half} AS x5,
+    CASE WHEN d.lang = 'en' THEN {half} ELSE -{half} END AS x6,
+    CASE WHEN tc.nt >= 25 AND tc.stop * 10 <= tc.nt * 3 AND d.lang = 'en'
+         THEN {S} ELSE 0 END AS yf
+  FROM documents d JOIN tc USING (doc_id)),
+n AS (SELECT COUNT(*) AS n FROM feats),
+w0 AS (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{i}" for i in range(QL_DIM))})"""
+
+
+def _ql_round_cte(r: int, prev: str) -> str:
+    dot = " + ".join(f"f.x{i} * w.w{i}" for i in range(QL_DIM))
+    grads = ",\n    ".join(
+        f"w.w{i} - CAST(floor(CAST(SUM(CAST((m.pf - m.yf) * m.x{i} AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / (n.n * 1000000.0) + 0.5) AS BIGINT) AS w{i}"
+        for i in range(QL_DIM)
+    )
+    gb = ", ".join(f"w.w{i}" for i in range(QL_DIM))
+    xs = ", ".join(f"f.x{i}" for i in range(QL_DIM))
+    return f""",
+m{r} AS (
+  SELECT f.doc_id, f.yf, {xs},
+         CAST(floor((0.5 + 0.5 * mr / (1.0 + abs(mr))) * 1000000 + 0.5) AS BIGINT) AS pf
+  FROM (SELECT f.*, CAST({dot} AS DOUBLE) / 1e12 AS mr
+        FROM feats f CROSS JOIN {prev} w) f),
+c{r} AS (
+  SELECT
+    {grads}
+  FROM m{r} m CROSS JOIN {prev} w CROSS JOIN n
+  GROUP BY {gb}, n.n)"""
+
+
+def _ql_train_ctes() -> "tuple[str, str]":
+    """(CTE chain through the final weight table, its name)."""
+    parts = [_ql_feats_cte()]
+    prev = "w0"
+    for r in range(1, QL_ROUNDS + 1):
+        parts.append(_ql_round_cte(r, prev))
+        prev = f"c{r}"
+    return "".join(parts), prev
+
+
+_QL_CTES, _QL_WFIN = _ql_train_ctes()
+
+TX_QUALITY_CLASSIFIER_ORACLE = _QL_CTES + "\n" + "\nUNION ALL\n".join(
+    f"SELECT '{QL_FEATURES[i]}' AS feature, w{i} AS weight_fp,"
+    f" CAST(w{i} AS DOUBLE) / 1000000.0 AS weight FROM {_QL_WFIN}"
+    for i in range(QL_DIM)
+)
+
+_QL_DOT_FIN = " + ".join(f"f.x{i} * w.w{i}" for i in range(QL_DIM))
+
+TX_QUALITY_CALIBRATION_ORACLE = (
+    _QL_CTES
+    + f""",
+scored AS (
+  SELECT f.doc_id, f.yf,
+         CAST(floor((0.5 + 0.5 * mr / (1.0 + abs(mr))) * 1000000 + 0.5) AS BIGINT) AS pf
+  FROM (SELECT f.*, CAST({_QL_DOT_FIN} AS DOUBLE) / 1e12 AS mr
+        FROM feats f CROSS JOIN {_QL_WFIN} w) f)
+SELECT CAST(LEAST(pf // {QL_SCALE // 10}, 9) AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN yf = {QL_SCALE} THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN (pf >= {QL_SCALE // 2}) = (yf = {QL_SCALE})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(pf) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean_p
+FROM scored
+GROUP BY 1
+ORDER BY decile"""
+)
+
+
+def _ql_probes(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """Construction plan of one GD round (weights re-enter as literals,
+    so the zero-weight stand-in reproduces the identical round-plan
+    structure: scan → scored projection → 1-row gradient combine)."""
+    feats = _quality_features(spark, sf_dir)
+    scored = _ql_scored(feats, [0] * QL_DIM)
+    diff = F.col("pf") - F.col("yf")
+    grad = scored.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum((diff * F.col(f"x{i}")).cast("decimal(38,0)")).alias(f"g{i}")
+            for i in range(QL_DIM)
+        ],
+    )
+    return {"logreg_round_grad": grad}
+
+
+SPECS.append(
+    QuerySpec(
+        "tx_quality_classifier",
+        tx_quality_classifier,
+        TX_QUALITY_CLASSIFIER_ORACLE,
+        probes=_ql_probes,
+    )
+)
+SPECS.append(
+    QuerySpec(
+        "tx_quality_calibration",
+        tx_quality_calibration,
+        TX_QUALITY_CALIBRATION_ORACLE,
+        probes=_ql_probes,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser–Ney bigram scoring (round 14, session 2) — the
+# smoothing KenLM actually ships (Heafield 2011) and CCNet's filter
+# really uses; add-one (tx_bigram_lm_score) systematically over-smooths
+# frequent histories. KN replaces "+1 everywhere" with absolute
+# discounting plus a CONTINUATION distribution: how many distinct
+# histories a word follows, not how often it occurs — the classic
+# "San Francisco" example (frequent "Francisco", single history).
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  # standard absolute discount (Chen & Goodman 1999)
+
+
+def tx_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean ln P_KN(w2|w1) under an interpolated Kneser–Ney
+    bigram model trained on the corpus itself:
+
+        P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+                      + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    Every statistic derives from ONE reduced (w1, w2, cb) frame
+    (vocab²-bounded, cached): c(w1) and N1+(w1,·) are one groupBy(w1)
+    (sum + count over the SAME rows), N1+(·,w2) one groupBy(w2), and
+    N1+(·,·) = the frame's row count (a scalar literal, the vocab-count
+    class). The corpus is scanned twice total (model build + scoring) —
+    identical topology to the add-one twin, one extra vocab-bounded
+    hash join for the continuation counts.
+
+    Determinism: all counts are exact ints; the probability is a fixed
+    tree of correctly-rounded IEEE ops (D = 0.75 is binary-exact, so
+    D·n1 is exact too) mirrored verbatim in the oracle; ln() is libm —
+    forgiven at the DECIMAL(18,8) snap of the per-doc average, the
+    tx_bigram_lm_score precedent (stable in FULLCHECK since round 3).
+    P > 0 always: every scored bigram was observed, so the
+    continuation term ≥ D/(c(w1)·N1+(·,·)) > 0."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    docs = docs.filter(F.size("toks") >= 2)
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks)-1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bi = big.groupBy("w1", "w2").agg(F.count("*").alias("cb")).cache()
+    hist = bi.groupBy("w1").agg(
+        F.sum("cb").alias("cu"), F.count("*").alias("n1f")
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").alias("n1b"))
+    n_types = bi.count()  # N1+(·,·): scalar literal (vocab-count class)
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        F.greatest(F.col("cb").cast("double") - d, F.lit(0.0))
+        / F.col("cu").cast("double")
+        + (d * F.col("n1f").cast("double"))
+        / F.col("cu").cast("double")
+        * (F.col("n1b").cast("double") / F.lit(float(n_types)))
+    )
+    return (
+        big.join(bi, ["w1", "w2"])
+        .join(hist, "w1")
+        .join(cont, "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.avg(F.log(p)).cast("decimal(18,8)").alias("kn_logprob"),
+        )
+    )
+
+
+TX_KN_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+  WHERE len(t) >= 2
+),
+bi AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+hist AS (SELECT w1, SUM(cb) AS cu, COUNT(*) AS n1f FROM bi GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS n1b FROM bi GROUP BY w2),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM bi)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(AVG(ln(
+         GREATEST(CAST(cb AS DOUBLE) - {KN_DISCOUNT}, 0.0) / CAST(cu AS DOUBLE)
+         + ({KN_DISCOUNT} * CAST(n1f AS DOUBLE)) / CAST(cu AS DOUBLE)
+           * (CAST(n1b AS DOUBLE) / n_types)
+       )) AS DECIMAL(18,8)) AS kn_logprob
+FROM big
+JOIN bi USING (w1, w2)
+JOIN hist USING (w1)
+JOIN cont USING (w2)
+CROSS JOIN nt
+GROUP BY doc_id
+"""
+
+
+SPECS.append(QuerySpec("tx_kn_lm_score", tx_kn_lm_score, TX_KN_LM_ORACLE))

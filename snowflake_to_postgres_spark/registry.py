@@ -91,6 +91,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "fit_linear_by_group": ("slope", "intercept", "r2"),
     "tx_bigram_lm_score": ("avg_logprob",),
     "tx_lm_heldout_ppl": ("avg_logprob",),
+    "tx_kn_lm_score": ("kn_logprob",),
     "tx_pmi_pairs": ("pmi",),
     "diag_heavy_keys": ("share",),
     "sim_pq_adc_rescore_topk": ("cosine",),

@@ -102,6 +102,9 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/text.py", "tx_dsir_weights"): (1, "SCALAR-1ROW"),
     ("operators/text.py", "tx_pmi_pairs"): (1, "SCALAR-1ROW"),
     ("operators/text.py", "tx_quality_deciles"): (1, "SCHEMA/CONST"),
+    # per-GD-round 1-row aggregate: QL_DIM gradient sums + N, QL_ROUNDS
+    # iterations — the model-training collect (the emb_kmeans class)
+    ("operators/text.py", "train_quality_logreg"): (1, "SCALAR-1ROW"),
     ("operators/tpch_flavors.py", "x_q11_important_stock"): (1, "SCALAR-1ROW"),
     ("operators/tpch_flavors.py", "x_q15_top_supplier"): (1, "SCALAR-1ROW"),
     ("operators/transfer.py", "delete_keys_partitioned"): (2, "PARTITION-META"),

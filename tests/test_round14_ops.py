@@ -704,3 +704,171 @@ class TestQuotaStreamRetention:
             for d in os.listdir(state)
             if d.startswith("batch=")
         ) == state_dirs
+
+
+class TestQualityClassifier:
+    """tx_quality_classifier / tx_quality_calibration (round-14 widening):
+    the fixed-point GD trainer must be bit-deterministic (numpy twin,
+    partition invariance) and must actually LEARN (beat the majority
+    class where the corpus supports it)."""
+
+    @staticmethod
+    def _feats_numpy(sfdir):
+        import duckdb
+        import numpy as np
+
+        from snowflake_to_postgres_spark.operators.text import (
+            QL_DIM,
+            _ql_feats_cte,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sfdir}/documents.parquet')"
+        )
+        cols = ", ".join([f"x{i}" for i in range(QL_DIM)] + ["yf"])
+        f = con.execute(
+            _ql_feats_cte() + f" SELECT {cols} FROM feats ORDER BY doc_id"
+        ).fetchnumpy()
+        X = np.stack(
+            [f[f"x{i}"].astype(np.int64) for i in range(QL_DIM)], axis=1
+        )
+        return X, f["yf"].astype(np.int64)
+
+    @staticmethod
+    def _train_numpy(X, Y, rounds):
+        import math
+
+        import numpy as np
+
+        n = len(Y)
+        w = np.zeros(X.shape[1], dtype=np.int64)
+        for _ in range(rounds):
+            mr = (X @ w).astype(np.float64) / 1e12
+            p = 0.5 + 0.5 * mr / (1.0 + np.abs(mr))
+            pf = np.floor(p * 1e6 + 0.5).astype(np.int64)
+            grad = ((pf - Y)[:, None] * X).sum(axis=0)
+            w = w - np.array(
+                [math.floor(float(g) / (n * 1e6) + 0.5) for g in grad],
+                dtype=np.int64,
+            )
+        return [int(v) for v in w]
+
+    def test_weights_match_numpy_reference(self, spark, sf_dir):
+        """The Spark trainer's fixed-point weights equal an independent
+        numpy implementation of the same semantics EXACTLY — the
+        determinism contract (decimal gradient sums, gridded sigmoid,
+        mirrored update rounding) has no float-accumulation slack."""
+        from snowflake_to_postgres_spark.operators.text import (
+            QL_ROUNDS,
+            _quality_features,
+            train_quality_logreg,
+        )
+
+        feats = _quality_features(spark, sf_dir)
+        w_spark, n = train_quality_logreg(feats)
+        X, Y = self._feats_numpy(sf_dir)
+        assert n == len(Y)
+        assert w_spark == self._train_numpy(X, Y, QL_ROUNDS)
+
+    def test_partition_invariance(self, spark, sf_dir):
+        """DECIMAL(38,0) gradient accumulation is order-independent:
+        retraining over an adversarial repartition yields bit-identical
+        weights (a float-double accumulator would not survive this)."""
+        from snowflake_to_postgres_spark.operators.text import (
+            _quality_features,
+            train_quality_logreg,
+        )
+
+        feats = _quality_features(spark, sf_dir)
+        w1, _ = train_quality_logreg(feats)
+        w2, _ = train_quality_logreg(feats.repartition(13))
+        assert w1 == w2
+
+    def test_learns_above_majority(self, spark):
+        """At sf0.01 (labels 318/182) the probe must beat the majority
+        class by a real margin — the round-1 all-zero-weights trainer
+        predicts p=0.5 everywhere, so this pins that GD actually moved
+        the boundary, not just matched an oracle."""
+        from snowflake_to_postgres_spark.operators.text import (
+            tx_quality_calibration,
+        )
+
+        rows = tx_quality_calibration(spark, "/root/testdata/sf0.01").collect()
+        n = sum(r["n"] for r in rows)
+        n_pos = sum(r["n_pos"] for r in rows)
+        n_correct = sum(r["n_correct"] for r in rows)
+        majority = max(n_pos, n - n_pos) / n
+        assert n_correct / n >= majority + 0.15, (n_correct / n, majority)
+
+    def test_calibration_table_consistency(self, spark, sf_dir):
+        """Decile table invariants: deciles within [0,9], counts
+        partition the corpus, n_pos/n_correct bounded by n, mean_p
+        inside its decile band (±1e-6 for the p=1.0 snap into 9)."""
+        from snowflake_to_postgres_spark.operators.text import (
+            _quality_features,
+            tx_quality_calibration,
+        )
+
+        rows = tx_quality_calibration(spark, sf_dir).collect()
+        n_docs = _quality_features(spark, sf_dir).count()
+        assert sum(r["n"] for r in rows) == n_docs
+        for r in rows:
+            assert 0 <= r["decile"] <= 9
+            assert 0 <= r["n_pos"] <= r["n"]
+            assert 0 <= r["n_correct"] <= r["n"]
+            lo, hi = r["decile"] * 0.1, (r["decile"] + 1) * 0.1
+            hi = 1.0 + 1e-6 if r["decile"] == 9 else hi
+            assert lo - 1e-6 <= r["mean_p"] <= hi + 1e-6, (r["decile"], r["mean_p"])
+
+    def test_classifier_output_shape(self, spark, sf_dir):
+        """Model frame: one row per feature, weight = weight_fp/1e6."""
+        from snowflake_to_postgres_spark.operators.text import (
+            QL_FEATURES,
+            tx_quality_classifier,
+        )
+
+        rows = {r["feature"]: r for r in tx_quality_classifier(spark, sf_dir).collect()}
+        assert set(rows) == set(QL_FEATURES)
+        for r in rows.values():
+            assert r["weight"] == r["weight_fp"] / 1e6
+
+
+class TestKnLmScore:
+    """tx_kn_lm_score: interpolated Kneser–Ney bigram scoring."""
+
+    def test_row_structure_matches_addone_twin(self, spark, sf_dir):
+        """Same docs, same bigram counts as the add-one model — only the
+        smoothing differs."""
+        from snowflake_to_postgres_spark.operators.text import (
+            tx_bigram_lm_score,
+            tx_kn_lm_score,
+        )
+
+        kn = {r["doc_id"]: r["n_bigrams"]
+              for r in tx_kn_lm_score(spark, sf_dir).collect()}
+        a1 = {r["doc_id"]: r["n_bigrams"]
+              for r in tx_bigram_lm_score(spark, sf_dir).collect()}
+        assert kn == a1 and kn
+
+    def test_valid_probabilities_and_less_oversmoothing(self, spark, sf_dir):
+        """Every per-doc score is a valid mean ln P (< 0), and corpus-wide
+        KN assigns MORE mass to observed bigrams than add-one — the
+        over-smoothing add-one pays on frequent histories is exactly what
+        KN's absolute discount removes."""
+        from snowflake_to_postgres_spark.operators.text import (
+            tx_bigram_lm_score,
+            tx_kn_lm_score,
+        )
+
+        kn_rows = tx_kn_lm_score(spark, sf_dir).collect()
+        assert all(r["kn_logprob"] < 0 for r in kn_rows)
+        a1_rows = tx_bigram_lm_score(spark, sf_dir).collect()
+        kn_mean = sum(r["kn_logprob"] * r["n_bigrams"] for r in kn_rows) / sum(
+            r["n_bigrams"] for r in kn_rows
+        )
+        a1_mean = sum(r["avg_logprob"] * r["n_bigrams"] for r in a1_rows) / sum(
+            r["n_bigrams"] for r in a1_rows
+        )
+        assert kn_mean > a1_mean
