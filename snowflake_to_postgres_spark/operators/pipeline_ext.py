@@ -2343,3 +2343,82 @@ ORDER BY source
 
 
 SPECS.append(QuerySpec("pipe_quota_sample", pipe_quota_sample, PIPE_QUOTA_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Learned quality-gate enforcement (round 14, session 2): train the
+# tx_quality_classifier probe, then ADMIT only documents it scores
+# ≥ 0.5 — the batch act-on-it twin of the model query, and the batch
+# parity reference for streaming.quality_gate_stream (the observe→act
+# pattern st_mixture/quota_sample_stream established, applied to the
+# engine's own trained model instead of a rule).
+# ---------------------------------------------------------------------------
+
+
+def pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admitted corpus under the trained quality gate: (doc_id, source,
+    pf) for every document with predicted probability ≥ ½ (pf is the
+    1e6-gridded fast-sigmoid score — exact in both engines).
+
+    100-TB shape: training is QL_ROUNDS 1-row gradient collects over
+    the compact persisted feature frame; enforcement is a pure
+    literal-weight projection + filter — no join, no shuffle, no model
+    server. The admitted frame is what downstream mixture/packing
+    consumes."""
+    from pyspark import StorageLevel
+
+    from snowflake_to_postgres_spark.operators.text import (
+        QL_SCALE,
+        _ql_scored,
+        _quality_features,
+        train_quality_logreg,
+    )
+
+    feats = _quality_features(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w, _ = train_quality_logreg(feats)
+    scored = _ql_scored(feats, w).filter(F.col("pf") >= QL_SCALE // 2)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return scored.select("doc_id", "pf").join(docs, "doc_id").select(
+        "doc_id", "source", "pf"
+    )
+
+
+def _pipe_quality_filter_oracle() -> str:
+    from snowflake_to_postgres_spark.operators.text import (
+        _QL_CTES,
+        _QL_WFIN,
+        QL_DIM,
+        QL_SCALE,
+    )
+
+    dot = " + ".join(f"f.x{i} * w.w{i}" for i in range(QL_DIM))
+    return (
+        _QL_CTES
+        + f""",
+scored AS (
+  SELECT f.doc_id,
+         CAST(floor((0.5 + 0.5 * mr / (1.0 + abs(mr))) * 1000000 + 0.5) AS BIGINT) AS pf
+  FROM (SELECT f.*, CAST({dot} AS DOUBLE) / 1e12 AS mr
+        FROM feats f CROSS JOIN {_QL_WFIN} w) f)
+SELECT s.doc_id, d.source, s.pf
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.pf >= {QL_SCALE // 2}"""
+    )
+
+
+def _pipe_ql_probes(spark, sf_dir):
+    from snowflake_to_postgres_spark.operators.text import _ql_probes
+
+    return _ql_probes(spark, sf_dir)
+
+
+SPECS.append(
+    QuerySpec(
+        "pipe_quality_filter",
+        pipe_quality_filter,
+        _pipe_quality_filter_oracle(),
+        probes=_pipe_ql_probes,
+    )
+)

@@ -1968,8 +1968,16 @@ def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtraction, so Spark's truncating div and DuckDB's flooring //
     agree. The frame is (doc_id + 8 ints) — the persistable compact
     form, orders of magnitude smaller than the text it summarizes."""
+    return quality_features_from(_docs_parallel(spark, sf_dir))
+
+
+def quality_features_from(docs: DataFrame) -> DataFrame:
+    """Feature/label frame from any documents-shaped frame (doc_id,
+    text, lang, n_chars). Every feature is PER-DOC (no corpus
+    aggregate), which is what makes the trained gate a stateless
+    projection over a live stream — quality_gate_stream scores each
+    micro-batch with this same builder and frozen weights."""
     S, half = QL_SCALE, QL_SCALE // 2
-    docs = _docs_parallel(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(_toks()).alias("term")).filter(
         F.col("term") != ""
     )

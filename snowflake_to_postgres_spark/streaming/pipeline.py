@@ -1370,3 +1370,82 @@ def cardinality_stream(
         spark, sf_dir, monitor_path, checkpoint_dir, report,
         since=since, events=events,
     )
+
+
+def quality_gate_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    docs: DataFrame | None = None,
+) -> None:
+    """Streaming LEARNED quality gate — the acting twin of the
+    tx_quality_classifier model query: train the probe ONCE on the
+    reference corpus at setup (the mixture_stream frozen-targets
+    discipline — a gate ships its frozen model, not a per-batch
+    retrain), then score every micro-batch of the documents stream
+    with the frozen weights and admit only p ≥ ½. Admitted rows land
+    at ``out/batch=<id>``; a one-row gate report (batch_id, n_in,
+    n_admitted, mean_p ppm) lands at ``monitor/batch=<id>`` — the
+    live view of what the filter is throwing away, batches before a
+    bad crawl segment would poison the built corpus.
+
+    Because every feature is PER-DOC (quality_features_from — no
+    corpus statistics), scoring is a stateless literal-weight
+    projection: no cross-batch state at all, so replay idempotence is
+    structural (mode=overwrite at batch=<id>, the monitor-family
+    contract), and the stream admits EXACTLY the set the batch
+    pipe_quality_filter admits on the same data — pinned by pytest.
+
+    100-TB shape: the model is QL_DIM+1 literal coefficients compiled
+    into the projection — no join, no broadcast, no state store; the
+    only aggregate is the 1-row per-batch report."""
+    from pyspark import StorageLevel
+
+    from snowflake_to_postgres_spark.operators.text import (
+        QL_SCALE,
+        _ql_scored,
+        _quality_features,
+        quality_features_from,
+        train_quality_logreg,
+    )
+
+    feats = _quality_features(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w, _ = train_quality_logreg(feats)
+    feats.unpersist()
+
+    if docs is None:
+        docs = read_documents_stream(spark, sf_dir)
+
+    half = QL_SCALE // 2
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        scored = _ql_scored(quality_features_from(batch), w)
+        kept = scored.filter(F.col("pf") >= half).select("doc_id", "pf")
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        report = scored.agg(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            F.count("*").cast("bigint").alias("n_in"),
+            F.sum(F.when(F.col("pf") >= half, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_admitted"),
+            F.expr(f"div(sum(pf), count(*))").cast("bigint").alias("mean_p_ppm"),
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(monitor_path, f"batch={batch_id}")
+        )
+
+    (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

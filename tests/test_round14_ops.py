@@ -872,3 +872,84 @@ class TestKnLmScore:
             r["n_bigrams"] for r in a1_rows
         )
         assert kn_mean > a1_mean
+
+
+class TestQualityGateStream:
+    """quality_gate_stream: frozen-model streaming enforcement of the
+    learned quality gate (the observe→act discipline, applied to the
+    engine's own trained classifier)."""
+
+    def test_stream_equals_batch_and_replay_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.pipeline_ext import (
+            pipe_quality_filter,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+        from snowflake_to_postgres_spark.streaming.pipeline import (
+            quality_gate_stream,
+        )
+
+        # sf0.01, not the sf0.001 default: the probe must LEARN for the
+        # gate to admit anything (at sf0.001 it honestly degenerates to
+        # the majority class and admits zero docs — []==[] parity would
+        # pass vacuously)
+        sf_dir = "/root/testdata/sf0.01"
+        docs = load_table(spark, sf_dir, "documents")
+        n_chunks = 6
+        src = str(tmp_path / "src")
+        chunked = docs.withColumn("chunk", F.abs(F.hash("doc_id")) % n_chunks)
+        for c in range(n_chunks):
+            chunked.filter(F.col("chunk") == c).drop("chunk").coalesce(
+                1
+            ).write.parquet(f"{src}/chunk{c:02d}.parquet")
+
+        def make_stream():
+            return (
+                spark.readStream.schema(docs.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .load(src)
+            )
+
+        out, mon, ckpt = (
+            str(tmp_path / "out"),
+            str(tmp_path / "mon"),
+            str(tmp_path / "ckpt"),
+        )
+        quality_gate_stream(
+            spark, sf_dir, out, mon, ckpt, docs=make_stream()
+        )
+        # stateless gate ⇒ the stream admits EXACTLY the batch set
+        stream_kept = sorted(
+            (r["doc_id"], r["pf"])
+            for r in spark.read.parquet(out).collect()
+        )
+        batch_kept = sorted(
+            (r["doc_id"], r["pf"])
+            for r in pipe_quality_filter(spark, sf_dir).collect()
+        )
+        assert stream_kept == batch_kept and stream_kept
+        # monitor accounting closes over the whole drain
+        mon_rows = spark.read.parquet(mon).collect()
+        assert len(mon_rows) >= 4, "expected a multi-batch drain"
+        assert sum(r["n_in"] for r in mon_rows) == docs.count()
+        assert sum(r["n_admitted"] for r in mon_rows) == len(stream_kept)
+        for r in mon_rows:
+            assert 0 <= r["n_admitted"] <= r["n_in"]
+            assert 0 <= r["mean_p_ppm"] <= 1_000_000
+        # restart on the same checkpoint: nothing re-emitted or changed
+        before_out = stream_kept
+        before_mon = sorted(tuple(r) for r in mon_rows)
+        quality_gate_stream(
+            spark, sf_dir, out, mon, ckpt, docs=make_stream()
+        )
+        assert (
+            sorted(
+                (r["doc_id"], r["pf"])
+                for r in spark.read.parquet(out).collect()
+            )
+            == before_out
+        )
+        assert sorted(tuple(r) for r in spark.read.parquet(mon).collect()) == before_mon
