@@ -1131,3 +1131,117 @@ def video_frame_dhash(
             yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "dhash_hex": hxs})
 
     return media.mapInPandas(batches, schema=VIDEO_FRAME_DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Per-image pixel statistics (round 14, session 2) — the pre-training
+# image triage every vision pipeline runs before decode-heavy work:
+# drop black/blank frames (mean + extreme-fraction), near-constant
+# images (distinct values), clipped exposures. One numpy kernel shared
+# by the registered stand-in (payload bytes as an 8-bit gray buffer —
+# oracle-reproducible, ASCII fixture) and the real decoded-pixel path
+# (pinned by planted-pixel pytest like the other codec kernels).
+# ---------------------------------------------------------------------------
+
+IMG_DARK_MAX = 64     # v < 64  → "dark" (bottom quartile of 8-bit range)
+IMG_BRIGHT_MIN = 192  # v ≥ 192 → "bright" (top quartile)
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("mean_ppm", T.LongType()),
+        T.StructField("frac_dark_ppm", T.LongType()),
+        T.StructField("frac_bright_ppm", T.LongType()),
+        T.StructField("distinct_vals", T.IntegerType()),
+        T.StructField("min_val", T.IntegerType()),
+        T.StructField("max_val", T.IntegerType()),
+    ]
+)
+
+
+def image_stats_values(vals: "np.ndarray") -> tuple:
+    """Exact integer stats over a uint8 value buffer: (n, mean_ppm,
+    frac_dark_ppm, frac_bright_ppm, distinct, min, max). mean_ppm is
+    1e6-fixed-point via integer floor division — Python ints, no float
+    in the path, so the oracle's // reproduces it bit-exactly."""
+    n = int(vals.size)
+    if n == 0:
+        return (0, 0, 0, 0, 0, 0, 0)
+    s = int(vals.sum(dtype=np.int64))
+    dark = int((vals < IMG_DARK_MAX).sum())
+    bright = int((vals >= IMG_BRIGHT_MIN).sum())
+    return (
+        n,
+        s * 1_000_000 // n,
+        dark * 1_000_000 // n,
+        bright * 1_000_000 // n,
+        int(np.unique(vals).size),
+        int(vals.min()),
+        int(vals.max()),
+    )
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas: payload → per-image stats row. The
+    payload is read as an 8-bit gray pixel buffer (the stand-in
+    contract — with a real codec the same kernel runs over
+    _decode_pixels output; see tests for the planted-pixel pin).
+
+    100-TB shape: a pure map stage — payload bytes never shuffle, one
+    stats row out per image; the Python boundary is one vectorized
+    numpy pass per Arrow batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                image_stats_values(np.frombuffer(bytes(p), dtype=np.uint8))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_px": [r[0] for r in rows],
+                    "mean_ppm": [r[1] for r in rows],
+                    "frac_dark_ppm": [r[2] for r in rows],
+                    "frac_bright_ppm": [r[3] for r in rows],
+                    "distinct_vals": [r[4] for r in rows],
+                    "min_val": [r[5] for r in rows],
+                    "max_val": [r[6] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
+
+
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered stand-in: stats over the utf-8 payload (pure ASCII in
+    the fixture, so the SQL oracle reproduces the byte values as
+    codepoints — the mm_decode_meta strategy: the Arrow/mapInPandas
+    execution path is oracle-verified, the real pixel source is pinned
+    by pytest)."""
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return image_stats(media)
+
+
+MM_IMAGE_STATS_ORACLE = f"""
+WITH ch AS (
+  SELECT doc_id, unicode(c) AS v
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST((SUM(v) * 1000000) // COUNT(*) AS BIGINT) AS mean_ppm,
+       CAST((SUM(CASE WHEN v < {IMG_DARK_MAX} THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS frac_dark_ppm,
+       CAST((SUM(CASE WHEN v >= {IMG_BRIGHT_MIN} THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS frac_bright_ppm,
+       CAST(COUNT(DISTINCT v) AS INT) AS distinct_vals,
+       CAST(MIN(v) AS INT) AS min_val,
+       CAST(MAX(v) AS INT) AS max_val
+FROM ch
+GROUP BY doc_id
+"""
+
+
+SPECS.append(QuerySpec("mm_image_stats", mm_image_stats, MM_IMAGE_STATS_ORACLE))

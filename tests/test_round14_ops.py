@@ -953,3 +953,50 @@ class TestQualityGateStream:
             == before_out
         )
         assert sorted(tuple(r) for r in spark.read.parquet(mon).collect()) == before_mon
+
+
+class TestImageStats:
+    """mm_image_stats: shared integer stats kernel over pixel buffers."""
+
+    def test_real_png_pixels_hand_computed(self):
+        """The same kernel the registered query runs over payload bytes
+        computes correct stats over REAL decoded PNG pixels — planted
+        image with known dark/bright counts."""
+        import numpy as np
+
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            _decode_pixels,
+            image_stats_values,
+        )
+        from tests.test_round12_ops import make_png
+
+        # 4x2 RGB: 3 dark px (v=10), 3 bright px (v=200), 2 mid (v=100)
+        px = []
+        for v in [10, 10, 10, 200, 200, 200, 100, 100]:
+            px += [v, v, v]
+        png = make_png(4, 2, bytes(px))
+        w, h, buf = _decode_pixels(png)
+        assert (w, h) == (4, 2)
+        vals = np.frombuffer(buf, dtype=np.uint8)
+        n, mean_ppm, dark, bright, distinct, vmin, vmax = image_stats_values(vals)
+        assert n == 24
+        assert mean_ppm == (3 * 10 + 3 * 200 + 2 * 100) * 3 * 1_000_000 // 24
+        assert dark == 9 * 1_000_000 // 24      # v=10 < 64
+        assert bright == 9 * 1_000_000 // 24    # v=200 >= 192
+        assert (distinct, vmin, vmax) == (3, 10, 200)
+
+    def test_empty_and_constant_buffers(self):
+        import numpy as np
+
+        from snowflake_to_postgres_spark.operators.multimodal import (
+            image_stats_values,
+        )
+
+        assert image_stats_values(np.array([], dtype=np.uint8)) == (
+            0, 0, 0, 0, 0, 0, 0,
+        )
+        n, mean_ppm, dark, bright, distinct, vmin, vmax = image_stats_values(
+            np.full(100, 7, dtype=np.uint8)
+        )
+        assert (n, mean_ppm, distinct, vmin, vmax) == (100, 7_000_000, 1, 7, 7)
+        assert (dark, bright) == (1_000_000, 0)  # constant-dark flag
