@@ -18,6 +18,7 @@ Usage:
     python -m snowflake_to_postgres_spark.cli clean-corpus --source DIR --target DIR
         [--pipeline fuzzy|exact]
     python -m snowflake_to_postgres_spark.cli corpus-stats --source DIR
+    python -m snowflake_to_postgres_spark.cli quality-filter --source DIR [--target DIR]
     python -m snowflake_to_postgres_spark.cli scd2 --dim DIR --updates DIR
         --target DIR --keys k1,k2 --attrs a1,a2 [--ts-col effective_ts]
     python -m snowflake_to_postgres_spark.cli destroy --schema NAME --confirm NAME
@@ -773,6 +774,51 @@ def cmd_privacy_check(args) -> int:
     return 1 if (total and total[0]["below_k"]) else 0
 
 
+def cmd_quality_filter(args) -> int:
+    """Train the learned quality gate on the source corpus, admit
+    p >= 1/2, write the admitted documents as parquet, and print the
+    model + gate report as one JSON line — the operational form of
+    tx_quality_classifier / pipe_quality_filter (train -> enforce ->
+    publish the reliability evidence, one verb)."""
+    import time
+
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (
+        pipe_quality_filter,
+    )
+    from snowflake_to_postgres_spark.operators.text import (
+        QL_FEATURES,
+        QL_SCALE,
+        _quality_features,
+        train_quality_logreg,
+        tx_quality_calibration,
+    )
+
+    spark = get_spark("quality-filter")
+    t0 = time.time()
+    w, n = train_quality_logreg(_quality_features(spark, args.source))
+    admitted = pipe_quality_filter(spark, args.source)
+    if args.target:
+        from snowflake_to_postgres_spark.sources import load_table
+
+        docs = load_table(spark, args.source, "documents")
+        docs.join(admitted.select("doc_id"), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(args.target)
+    # <= 10 decile rows (REPORT-CLI class)
+    cal = tx_quality_calibration(spark, args.source).collect()
+    print(json.dumps({
+        "n_docs": n,
+        "weights": {QL_FEATURES[i]: w[i] / QL_SCALE for i in range(len(w))},
+        "admitted": sum(r["n"] for r in cal if r["decile"] >= 5),
+        "accuracy": round(sum(r["n_correct"] for r in cal)
+                          / max(1, sum(r["n"] for r in cal)), 4),
+        "deciles": {int(r["decile"]): {"n": r["n"], "n_pos": r["n_pos"]}
+                    for r in cal},
+        "seconds": round(time.time() - t0, 3),
+    }))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from snowflake_to_postgres_spark.operators.validation import DataValidator
 
@@ -996,6 +1042,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("skew-plan")
     sp.add_argument("--source", required=True, help="dir holding events.parquet")
     sp.set_defaults(fn=cmd_skew_plan)
+
+    qf = sub.add_parser("quality-filter")
+    qf.add_argument("--source", required=True, help="dir holding documents.parquet")
+    qf.add_argument("--target", default=None,
+                    help="optional parquet dir for the admitted corpus")
+    qf.set_defaults(fn=cmd_quality_filter)
 
     jp = sub.add_parser("join-plan")
     jp.add_argument("--left", required=True, help="parquet path of the left table")

@@ -380,3 +380,28 @@ def test_cli_privacy_check_gates_on_below_k(capsys, sf_dir):
     assert len(total) == 1
     assert rc == (1 if total[0]["below_k"] else 0)
     assert rc == 1  # sf0.001 has 3-row quasi groups
+
+
+def test_cli_quality_filter(tmp_path, capsys, spark):
+    """quality-filter verb: trains the learned gate, writes the admitted
+    corpus, and reports model + calibration as one JSON line. Runs at
+    sf0.01 where the probe actually learns (sf0.001 degenerates to the
+    majority class and admits nothing)."""
+    out = str(tmp_path / "adm")
+    rc = main([
+        "quality-filter", "--source", "/root/testdata/sf0.01",
+        "--target", out,
+    ])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["n_docs"] == 500
+    assert set(doc["weights"]) == {
+        "bias", "chars", "tokens", "distinct_terms",
+        "type_token_ratio", "stop_ratio", "is_en",
+    }
+    assert doc["accuracy"] > 0.9
+    assert 0 < doc["admitted"] < doc["n_docs"]
+    # the written corpus is exactly the admitted set
+    assert spark.read.parquet(out).count() == doc["admitted"]
+    # decile accounting covers the corpus
+    assert sum(d["n"] for d in doc["deciles"].values()) == doc["n_docs"]

@@ -48,6 +48,7 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("cli.py", "cmd_ref_check"): (1, "REPORT-CLI"),
     ("cli.py", "cmd_skew_plan"): (1, "REPORT-CLI"),
     ("cli.py", "cmd_privacy_check"): (1, "REPORT-CLI"),
+    ("cli.py", "cmd_quality_filter"): (1, "REPORT-CLI"),
     ("cli.py", "cmd_sketch"): (1, "REPORT-CLI"),
     ("operators/analytics_ext.py", "_guard_group_cardinality"): (1, "SCALAR-1ROW"),
     ("operators/analytics_ext.py", "a15_kmv_distinct"): (2, "SKETCH"),
