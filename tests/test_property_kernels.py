@@ -434,3 +434,95 @@ def test_hll_merge_is_union(vals):
         rho = 53 if w == 0 else 53 - w.bit_length()
         union[j] = max(union.get(j, 0), rho)
     assert merged == union
+
+
+@given(st.lists(st.integers(0, 255), min_size=0, max_size=500))
+def test_image_stats_values_matches_naive(vals):
+    """image_stats_values == a from-first-principles reference on
+    arbitrary byte buffers (exact integer semantics, no float)."""
+    import numpy as np
+
+    from snowflake_to_postgres_spark.operators.multimodal import (
+        IMG_BRIGHT_MIN,
+        IMG_DARK_MAX,
+        image_stats_values,
+    )
+
+    got = image_stats_values(np.array(vals, dtype=np.uint8))
+    n = len(vals)
+    if n == 0:
+        assert got == (0, 0, 0, 0, 0, 0, 0)
+        return
+    want = (
+        n,
+        sum(vals) * 1_000_000 // n,
+        sum(1 for v in vals if v < IMG_DARK_MAX) * 1_000_000 // n,
+        sum(1 for v in vals if v >= IMG_BRIGHT_MIN) * 1_000_000 // n,
+        len(set(vals)),
+        min(vals),
+        max(vals),
+    )
+    assert got == want
+    # structural invariants
+    assert 0 <= got[2] + got[3] <= 1_000_000 + 1  # dark+bright partitions
+    assert got[5] * 1_000_000 <= got[1] <= got[6] * 1_000_000
+
+
+@given(
+    st.lists(st.integers(-2_000_000, 2_000_000), min_size=7, max_size=7),
+    st.lists(st.integers(-500_000, 500_000), min_size=6, max_size=6),
+)
+def test_fast_sigmoid_pf_bounds_and_monotone(w, x_rest):
+    """The gridded fast-sigmoid score: pf ∈ [0, 1e6], strictly
+    monotone in the margin, pf(0-margin) = 500000 exactly."""
+    import math
+
+    def pf(w, xs):
+        m_fp = sum(wi * xi for wi, xi in zip(w, xs))
+        mr = float(m_fp) / 1e12
+        p = 0.5 + 0.5 * mr / (1.0 + abs(mr))
+        return math.floor(p * 1e6 + 0.5)
+
+    xs = [1_000_000] + x_rest
+    v = pf(w, xs)
+    assert 0 <= v <= 1_000_000
+    assert pf([0] * 7, xs) == 500_000
+    # monotone: nudging the margin up via the bias weight never lowers pf
+    assert pf([w[0] + 1000] + w[1:], xs) >= v or xs[0] == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_kneser_ney_is_a_subprobability(bigrams):
+    """For any bigram multiset, interpolated-KN probabilities over the
+    OBSERVED continuation space are each in (0, 1] and sum to ≤ 1 per
+    history (the discount mass not given back to unseen words)."""
+    from collections import Counter
+
+    from snowflake_to_postgres_spark.operators.text import KN_DISCOUNT
+
+    cb = Counter(bigrams)
+    cu = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in cb.items():
+        cu[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    nt = len(cb)
+    by_hist = {}
+    for (w1, w2), c in cb.items():
+        p = (
+            max(c - KN_DISCOUNT, 0.0) / cu[w1]
+            + (KN_DISCOUNT * n1f[w1]) / cu[w1] * (n1b[w2] / nt)
+        )
+        assert 0.0 < p <= 1.0, (w1, w2, p)
+        by_hist.setdefault(w1, 0.0)
+        by_hist[w1] += p
+    for w1, total in by_hist.items():
+        assert total <= 1.0 + 1e-9, (w1, total)
