@@ -5065,3 +5065,139 @@ ORDER BY rank
 
 
 SPECS.append(QuerySpec("a28_cms_merge", a28_cms_merge, A28_CMS_MERGE_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (round 14, session 2) — the sequential
+# mean-shift detector (Page 1954) the z-score monitor can't replace:
+# ts_anomaly_zscore flags single-bar spikes; CUSUM accumulates SMALL
+# persistent drifts (a crawler quietly degrading, a source ramping) and
+# alarms when the cumulative evidence crosses h. The recurrence
+# S_d = max(0, S_{d-1} + x_d) is not a window sum — but it has the
+# exact prefix identity S_d = P_d − min(0, min_{j≤d} P_j) with
+# P = running sum of x, so both sides compute as TWO stock window
+# functions over the day-bounded rollup. No recursion, no UDF, no
+# iteration.
+# ---------------------------------------------------------------------------
+
+CUSUM_BASE_DAYS = 7    # baseline window (days) fixing the reference mean
+CUSUM_K_DIV = 10       # allowance k = μ/10 (10% drift tolerated)
+CUSUM_H_DIV = 2        # alarm threshold h = μ/2 (cumulative excess = 50% of a day)
+
+
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: daily counts scored by two-sided CUSUM against
+    the first CUSUM_BASE_DAYS days' mean. Output (event_type, day, cnt,
+    cusum_hi, cusum_lo, alarm_hi, alarm_lo) — cusum values in exact
+    count×den integer units (den = baseline-day count, so the mean
+    never divides; everything stays int64 and order-independent).
+
+    100-TB shape: raw events reduce FIRST to the (day, type) rollup
+    (one map-side-combined aggregation); every window below runs over
+    that frame partitioned by type — |days| rows per partition, bounded
+    by calendar, never by data volume. x_d = cnt·den − μ·den − k is a
+    projection; the two CUSUMs are one running sum + one running min
+    each."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("cnt"))
+
+    wday = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.withColumn("rn", F.row_number().over(wday))
+    base = (
+        ranked.filter(F.col("rn") <= CUSUM_BASE_DAYS)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("mu_num"),
+            F.count("*").alias("den"),
+        )
+    )
+    j = ranked.join(F.broadcast(base), "event_type")
+    # scaled units: value·den, so μ = mu_num exactly (no division)
+    x_hi = F.col("cnt") * F.col("den") - F.col("mu_num") - F.expr(
+        f"div(mu_num, {CUSUM_K_DIV})"
+    )
+    x_lo = F.col("mu_num") - F.col("cnt") * F.col("den") - F.expr(
+        f"div(mu_num, {CUSUM_K_DIV})"
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefixed = j.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum(x_hi).over(run).alias("p_hi"),
+        F.sum(x_lo).over(run).alias("p_lo"),
+        F.expr(f"div(mu_num, {CUSUM_H_DIV})").alias("h"),
+    )
+    scored = prefixed.select(
+        "event_type",
+        "day",
+        "cnt",
+        "p_hi",
+        "p_lo",
+        F.min("p_hi").over(run).alias("m_hi"),
+        F.min("p_lo").over(run).alias("m_lo"),
+        "h",
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "cnt",
+        (F.col("p_hi") - F.least(F.lit(0), F.col("m_hi"))).alias("cusum_hi"),
+        (F.col("p_lo") - F.least(F.lit(0), F.col("m_lo"))).alias("cusum_lo"),
+        (
+            F.col("p_hi") - F.least(F.lit(0), F.col("m_hi")) > F.col("h")
+        ).alias("alarm_hi"),
+        (
+            F.col("p_lo") - F.least(F.lit(0), F.col("m_lo")) > F.col("h")
+        ).alias("alarm_lo"),
+    )
+
+
+TS_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily),
+base AS (
+  SELECT event_type, SUM(cnt) AS mu_num, COUNT(*) AS den
+  FROM ranked WHERE rn <= {CUSUM_BASE_DAYS} GROUP BY event_type),
+x AS (
+  SELECT r.event_type, r.day, r.cnt,
+         r.cnt * b.den - b.mu_num - b.mu_num // {CUSUM_K_DIV} AS x_hi,
+         b.mu_num - r.cnt * b.den - b.mu_num // {CUSUM_K_DIV} AS x_lo,
+         b.mu_num // {CUSUM_H_DIV} AS h
+  FROM ranked r JOIN base b USING (event_type)),
+pre AS (
+  SELECT event_type, day, cnt, h,
+         SUM(x_hi) OVER w AS p_hi, SUM(x_lo) OVER w AS p_lo
+  FROM x
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+p AS (
+  SELECT event_type, day, cnt, h, p_hi, p_lo,
+         MIN(p_hi) OVER w AS m_hi, MIN(p_lo) OVER w AS m_lo
+  FROM pre
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, day, cnt,
+       p_hi - LEAST(0, m_hi) AS cusum_hi,
+       p_lo - LEAST(0, m_lo) AS cusum_lo,
+       p_hi - LEAST(0, m_hi) > h AS alarm_hi,
+       p_lo - LEAST(0, m_lo) > h AS alarm_lo
+FROM p
+"""
+
+
+SPECS.append(
+    QuerySpec("ts_cusum_changepoint", ts_cusum_changepoint, TS_CUSUM_ORACLE)
+)

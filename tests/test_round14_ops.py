@@ -1000,3 +1000,78 @@ class TestImageStats:
         )
         assert (n, mean_ppm, distinct, vmin, vmax) == (100, 7_000_000, 1, 7, 7)
         assert (dark, bright) == (1_000_000, 0)  # constant-dark flag
+
+
+class TestCusumChangepoint:
+    """ts_cusum_changepoint: prefix-min identity == the textbook
+    recurrence, and the detector catches a small persistent drift."""
+
+    def test_identity_matches_recurrence_on_fixture(self, spark, sf_dir, duck):
+        from collections import defaultdict
+
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            CUSUM_BASE_DAYS,
+            CUSUM_H_DIV,
+            CUSUM_K_DIV,
+            ts_cusum_changepoint,
+        )
+
+        rows = ts_cusum_changepoint(spark, sf_dir).collect()
+        daily = defaultdict(list)
+        for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+            daily[r["event_type"]].append(r)
+        assert daily
+        for et, seq in daily.items():
+            base = seq[:CUSUM_BASE_DAYS]
+            mu_num = sum(r["cnt"] for r in base)
+            den = len(base)
+            k = mu_num // CUSUM_K_DIV
+            h = mu_num // CUSUM_H_DIV
+            s_hi = s_lo = 0
+            for r in seq:
+                s_hi = max(0, s_hi + (r["cnt"] * den - mu_num - k))
+                s_lo = max(0, s_lo + (mu_num - r["cnt"] * den - k))
+                assert r["cusum_hi"] == s_hi, (et, r["day"])
+                assert r["cusum_lo"] == s_lo, (et, r["day"])
+                assert r["alarm_hi"] == (s_hi > h)
+                assert r["alarm_lo"] == (s_lo > h)
+
+    def test_detects_persistent_drift_not_noise(self, spark, tmp_path):
+        """A +12%/day persistent shift (small per-day, never a spike)
+        must alarm after accumulation; the identical series WITHOUT the
+        shift must never alarm — the slow-drift case the single-bar
+        z-score monitor is blind to."""
+        import datetime
+
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            ts_cusum_changepoint,
+        )
+
+        def build(drift):
+            rows = []
+            eid = 0
+            for d in range(21):
+                # alternating 90/110 baseline "noise"; +12 after day 7
+                n = (90 if d % 2 == 0 else 110) + (12 if drift and d >= 7 else 0)
+                for i in range(n):
+                    eid += 1
+                    rows.append((
+                        eid,
+                        datetime.datetime(2024, 3, 1 + d, 1 + (i % 20), 0, 0),
+                        1, "probe", 1.0, "{}",
+                    ))
+            return spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+
+        for drift, expect_alarm in [(True, True), (False, False)]:
+            d = str(tmp_path / ("drift" if drift else "flat"))
+            build(drift).write.parquet(f"{d}/events.parquet")
+            out = ts_cusum_changepoint(spark, d).collect()
+            fired = [r for r in out if r["alarm_hi"]]
+            assert bool(fired) == expect_alarm, (drift, fired)
+            if drift:
+                # accumulates: first alarm strictly after the shift start
+                assert min(r["day"] for r in fired) > "2024-03-08"
