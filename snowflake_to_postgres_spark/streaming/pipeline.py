@@ -1187,6 +1187,55 @@ def mixture_stream(
     )
 
 
+def _state_batch_ids(spark: SparkSession, state_path: str) -> "list[int]":
+    """Directory-name listing of state/batch=N partitions via the
+    Hadoop FS API (works on any supported filesystem, not just local)
+    — cheap because retention keeps the dir at ≤2 entries."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    ids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            try:
+                ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(ids)
+
+
+def _latest_state_below(
+    spark: SparkSession, state_path: str, batch_id: int
+) -> "str | None":
+    """Path of the newest state partition with id < batch_id (None on
+    the first batch). Never reads more than ONE partition's footers."""
+    prior = [b for b in _state_batch_ids(spark, state_path) if b < batch_id]
+    if not prior:
+        return None
+    return os.path.join(state_path, f"batch={prior[-1]}")
+
+
+def _prune_state(spark: SparkSession, state_path: str, batch_id: int) -> None:
+    """Drop state partitions below batch_id-1 (keep current + immediate
+    prior for replay) — only call AFTER the current batch's state write
+    committed."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(state_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for b in _state_batch_ids(spark, state_path):
+        if b < batch_id - 1:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(state_path, f"batch={b}")
+                ),
+                True,
+            )
+
+
 def quota_sample_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -1236,50 +1285,11 @@ def quota_sample_stream(
     if docs is None:
         docs = read_documents_stream(spark, sf_dir)
 
-    def state_batch_ids() -> list[int]:
-        """Directory-name listing of state/batch=N partitions via the
-        Hadoop FS API (works on any supported filesystem, not just
-        local) — cheap because retention keeps the dir at ≤2 entries."""
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return []
-        ids = []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("batch="):
-                try:
-                    ids.append(int(name.split("=", 1)[1]))
-                except ValueError:
-                    continue
-        return sorted(ids)
-
     def prior_counts(batch_id: int) -> DataFrame:
-        prior_ids = [b for b in state_batch_ids() if b < batch_id]
-        if not prior_ids:  # first batch: no state yet
+        latest = _latest_state_below(spark, state_path, batch_id)
+        if latest is None:  # first batch: no state yet
             return spark.createDataFrame([], "source string, admitted bigint")
-        latest = prior_ids[-1]
-        return spark.read.parquet(
-            os.path.join(state_path, f"batch={latest}")
-        ).select("source", "admitted")
-
-    def prune_state(batch_id: int) -> None:
-        """Drop state partitions below batch_id-1 (keep current +
-        immediate prior for replay) — only called AFTER the current
-        batch's state write committed."""
-        jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.Path(state_path).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-        for b in state_batch_ids():
-            if b < batch_id - 1:
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(
-                        os.path.join(state_path, f"batch={b}")
-                    ),
-                    True,
-                )
+        return spark.read.parquet(latest).select("source", "admitted")
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1322,7 +1332,7 @@ def quota_sample_stream(
         state.write.mode("overwrite").parquet(
             os.path.join(state_path, f"batch={batch_id}")
         )
-        prune_state(batch_id)
+        _prune_state(spark, state_path, batch_id)
 
     (
         docs.writeStream.foreachBatch(handle)
@@ -1444,6 +1454,146 @@ def quality_gate_stream(
 
     (
         docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+CUSUM_STREAM_K_DIV = 10  # allowance = 10% of each batch's expectation
+CUSUM_STREAM_H_DIV = 2   # alarm when S > half the cumulative expectation
+
+
+def cusum_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    monitor_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    events: DataFrame | None = None,
+) -> None:
+    """Streaming two-sided CUSUM on event-type mix — the
+    drift-ACCUMULATION leg of the observability family: st_mixture-style
+    per-batch deviation is blind to a source that runs 3% hot every
+    batch; CUSUM carries the cumulative evidence S between batches and
+    alarms when it crosses a threshold that grows with exposure
+    (the sequential-test semantics CUSUM was invented for — Page 1954;
+    the batch twin is ts_cusum_changepoint's prefix-min form).
+
+    Frozen reference (the mixture_stream discipline): per-type share
+    targets in exact ppm from the static events table at setup. Per
+    batch, per type: expected rows ×1e6 = target_ppm · batch_total;
+    x_hi = cnt·1e6 − exp − exp//K_DIV, S_hi' = max(0, S_hi + x_hi)
+    (mirrored for the low side); alarm when S' exceeds h = half the
+    AVERAGE batch expectation (cum_exp'//n'//H_DIV) — h fixed in
+    per-batch units, the batch twin's μ//H_DIV, so any persistent
+    relative drift beyond the k allowance eventually alarms no matter
+    how small each batch's deviation is.
+    All exact int64 — no floats anywhere, so replay recomputes
+    bit-identical state.
+
+    State discipline: (event_type, s_hi, s_lo, cum_exp, n_batches) —
+    |types| rows
+    — written at state/batch=N with the quota-stream retention contract
+    (read ONLY the latest prior partition, prune < N-1 after commit);
+    monitor rows (batch_id, event_type, cnt, exp_x1e6, s_hi, s_lo,
+    alarm_hi, alarm_lo) land at monitor/batch=N, mode=overwrite.
+
+    A type never seen in the reference has target 0: any appearance is
+    pure excess over zero expectation and alarms immediately — an
+    unknown event type IS an anomaly under a frozen catalog."""
+    ref = load_table(spark, sf_dir, "events")
+    tot = ref.count()
+    targets_df = ref.groupBy("event_type").agg(
+        F.expr(f"div(count(*) * 1000000L, {tot}L)").cast("bigint").alias(
+            "target_ppm"
+        )
+    )
+    # frozen literal frame: |types| rows (SCHEMA/CONST — catalog-sized)
+    targets = spark.createDataFrame(
+        targets_df.collect(), "event_type string, target_ppm bigint"
+    )
+
+    if events is None:
+        events = read_events_stream(spark, sf_dir)
+
+    kd, hd = CUSUM_STREAM_K_DIV, CUSUM_STREAM_H_DIV
+    state_schema = (
+        "event_type string, s_hi bigint, s_lo bigint, cum_exp bigint,"
+        " n_batches bigint"
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        total = batch.count()
+        counts = batch.groupBy("event_type").agg(F.count("*").alias("cnt"))
+        latest = _latest_state_below(spark, state_path, batch_id)
+        prior = (
+            spark.read.parquet(latest).select(
+                "event_type", "s_hi", "s_lo", "cum_exp", "n_batches"
+            )
+            if latest is not None
+            else spark.createDataFrame([], state_schema)
+        )
+        # every frozen type gets a row each batch (cnt 0 when absent);
+        # unknown types join with target 0 via the outer side
+        frame = (
+            targets.join(counts, "event_type", "full_outer")
+            .join(prior, "event_type", "left")
+            .select(
+                "event_type",
+                F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+                (
+                    F.coalesce("target_ppm", F.lit(0)) * F.lit(total)
+                ).cast("bigint").alias("exp"),
+                F.coalesce("s_hi", F.lit(0)).cast("bigint").alias("ps_hi"),
+                F.coalesce("s_lo", F.lit(0)).cast("bigint").alias("ps_lo"),
+                F.coalesce("cum_exp", F.lit(0)).cast("bigint").alias("pce"),
+                F.coalesce("n_batches", F.lit(0)).cast("bigint").alias("pnb"),
+            )
+        )
+        kdiv = F.expr(f"div(exp, {kd})")
+        stepped = frame.select(
+            "event_type",
+            "cnt",
+            F.col("exp").alias("exp_x1e6"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("ps_hi") + (F.col("cnt") * F.lit(1_000_000) - F.col("exp") - kdiv),
+            ).alias("s_hi"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("ps_lo") + (F.col("exp") - F.col("cnt") * F.lit(1_000_000) - kdiv),
+            ).alias("s_lo"),
+            (F.col("pce") + F.col("exp")).alias("cum_exp"),
+            (F.col("pnb") + F.lit(1)).cast("bigint").alias("n_batches"),
+        )
+        report = stepped.select(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "event_type",
+            "cnt",
+            "exp_x1e6",
+            "s_hi",
+            "s_lo",
+            (F.col("s_hi") > F.expr(f"div(div(cum_exp, n_batches), {hd})"))
+            .alias("alarm_hi"),
+            (F.col("s_lo") > F.expr(f"div(div(cum_exp, n_batches), {hd})"))
+            .alias("alarm_lo"),
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(monitor_path, f"batch={batch_id}")
+        )
+        stepped.select(
+            "event_type", "s_hi", "s_lo", "cum_exp", "n_batches"
+        ).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_path, f"batch={batch_id}"))
+        _prune_state(spark, state_path, batch_id)
+
+    (
+        events.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -123,6 +123,8 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("streaming/pipeline.py", "drift_stream"): (2, "SKETCH"),
     # frozen mixture targets: bounded by the catalog-sized source domain
     ("streaming/pipeline.py", "mixture_stream"): (1, "SCHEMA/CONST"),
+    # frozen per-type share targets (|types| rows, catalog-sized)
+    ("streaming/pipeline.py", "cusum_stream"): (1, "SCHEMA/CONST"),
 }
 
 ALLOWED_CLASSES = {

@@ -1075,3 +1075,153 @@ class TestCusumChangepoint:
             if drift:
                 # accumulates: first alarm strictly after the shift start
                 assert min(r["day"] for r in fired) > "2024-03-08"
+
+
+class TestCusumStream:
+    """cusum_stream: sequential mix-drift accumulation with bounded
+    state and the quota-stream retention contract."""
+
+    def _chunked_events(self, spark, events, tmp_path, n_chunks, key="event_id"):
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "src")
+        chunked = events.withColumn("chunk", F.abs(F.hash(key)) % n_chunks)
+        for c in range(n_chunks):
+            chunked.filter(F.col("chunk") == c).drop("chunk").coalesce(
+                1
+            ).write.parquet(f"{src}/chunk{c:02d}.parquet")
+
+        def make_stream():
+            return (
+                spark.readStream.schema(events.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .load(src)
+            )
+
+        return make_stream
+
+    def test_recurrence_parity_retention_and_replay(
+        self, spark, sf_dir, tmp_path
+    ):
+        import os
+        from collections import defaultdict
+
+        from snowflake_to_postgres_spark.sources import load_table, table_path
+        from snowflake_to_postgres_spark.streaming.pipeline import (
+            CUSUM_STREAM_K_DIV,
+            cusum_stream,
+            read_events_stream,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        make_stream = self._chunked_events(spark, events, tmp_path, 8)
+        mon, state, ckpt = (
+            str(tmp_path / "mon"),
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+        )
+        cusum_stream(spark, sf_dir, mon, state, ckpt, events=make_stream())
+
+        mon_rows = spark.read.option("basePath", mon).parquet(mon).collect()
+        batches = sorted({r["batch_id"] for r in mon_rows})
+        assert len(batches) == 8
+        # python recurrence over the SAME per-batch counts
+        tot = events.count()
+        targets = {
+            r["event_type"]: r["cnt"] * 1_000_000 // tot
+            for r in events.groupBy("event_type")
+            .agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("cnt"))
+            .collect()
+        }
+        by_batch = defaultdict(dict)
+        for r in mon_rows:
+            by_batch[r["batch_id"]][r["event_type"]] = r
+        s_hi = defaultdict(int)
+        s_lo = defaultdict(int)
+        for b in batches:
+            total = sum(r["cnt"] for r in by_batch[b].values())
+            for et, r in by_batch[b].items():
+                exp = targets.get(et, 0) * total
+                assert r["exp_x1e6"] == exp, (b, et)
+                k = exp // CUSUM_STREAM_K_DIV
+                s_hi[et] = max(0, s_hi[et] + (r["cnt"] * 1_000_000 - exp - k))
+                s_lo[et] = max(0, s_lo[et] + (exp - r["cnt"] * 1_000_000 - k))
+                assert r["s_hi"] == s_hi[et], (b, et)
+                assert r["s_lo"] == s_lo[et], (b, et)
+        # retention: ≤ 2 state partitions, the last two batch ids
+        state_dirs = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state)
+            if d.startswith("batch=")
+        )
+        assert state_dirs == batches[-2:]
+        # replay on the same checkpoint: nothing changes
+        before = sorted(tuple(r) for r in mon_rows)
+        cusum_stream(spark, sf_dir, mon, state, ckpt, events=make_stream())
+        after = sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", mon).parquet(mon).collect()
+        )
+        assert after == before
+
+    def test_slow_drift_alarms_flat_does_not(self, spark, sf_dir, tmp_path):
+        """One type running ~15% hot IN SHARE every batch (hot rows
+        also inflate the batch total, so +35 rows on a 100-row
+        expectation is a +14.9% share drift — above the 10% allowance,
+        far below the 50% per-batch alarm bar) must alarm after
+        accumulation; the reference-mix twin must never alarm."""
+        import datetime
+
+        from snowflake_to_postgres_spark.streaming.pipeline import cusum_stream
+
+        def build(hot_extra):
+            # reference mix: a/b equal; stream: 'a' gets +hot_extra
+            # rows per 200-row batch
+            rows = []
+            eid = 0
+            for b in range(16):
+                for et, n in (("a", 100 + hot_extra), ("b", 100)):
+                    for i in range(n):
+                        eid += 1
+                        rows.append((
+                            eid,
+                            datetime.datetime(2024, 3, 1) + datetime.timedelta(
+                                hours=b, minutes=i % 60
+                            ),
+                            1, et, 1.0, "{}",
+                        ))
+            return spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+
+        # frozen reference = the FLAT mix
+        ref_dir = str(tmp_path / "ref")
+        build(0).write.parquet(f"{ref_dir}/events.parquet")
+        for hot, expect in [(35, True), (0, False)]:
+            tp = tmp_path / f"case{hot}"
+            tp.mkdir()
+            make_stream = self._chunked_events(
+                spark, build(hot), tp, 16, key="ts"
+            )
+            mon = str(tp / "mon")
+            cusum_stream(
+                spark, ref_dir, mon, str(tp / "state"), str(tp / "ckpt"),
+                events=make_stream(),
+            )
+            rows = spark.read.option("basePath", mon).parquet(mon).collect()
+            fired = [r for r in rows if r["alarm_hi"] and r["event_type"] == "a"]
+            assert bool(fired) == expect, (hot, sorted(
+                (r["batch_id"], r["event_type"], r["s_hi"]) for r in rows
+            )[:8])
+            if expect:
+                # sub-spike per batch: no single batch deviates ≥ 50%
+                for r in rows:
+                    if r["exp_x1e6"]:
+                        assert (
+                            abs(r["cnt"] * 1_000_000 - r["exp_x1e6"])
+                            < r["exp_x1e6"] // 2
+                        )
