@@ -1669,3 +1669,95 @@ ORDER BY quasi_nation, quasi_segment
 
 
 SPECS.append(QuerySpec("val_k_anonymity", val_k_anonymity, VAL_K_ANON_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (round 14, session 2) — the classic
+# fabricated-data detector for financial columns (Benford 1938; the
+# forensic-accounting standard): organically-grown amounts follow
+# P(d) = log10(1+1/d); hand-entered or synthesized values don't. Run on
+# o_totalprice as the engine's data-forensics primitive.
+#
+# Determinism: NO runtime log — the nine expected shares are
+# precomputed ppm literals. The first significant digit comes from
+# integer arithmetic only: cents = floor(x·100 + 0.5) (explicit floor —
+# DuckDB's double→int CAST rounds while Spark's truncates, so neither
+# engine's bare cast is used), then the leading character of the
+# INTEGER's decimal rendering (int→string is render-identical across
+# engines; double→string is not, which is why the digit is never taken
+# from the raw value's text).
+# ---------------------------------------------------------------------------
+
+#: floor(log10(1+1/d) * 1e6), d = 1..9
+BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+
+def val_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per first-digit row: (digit, observed, obs_ppm, exp_ppm,
+    dev_ppm) over positive order totals. obs_ppm is exact integer
+    floor-division; dev is signed. Conformity reads as max|dev| or the
+    MAD over the nine rows.
+
+    100-TB shape: one projection + one 9-bucket map-side-combined
+    count; the expected table is nine literals."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    digit = F.substring(
+        F.expr("cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) as string)"),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("observed"))
+    )
+    exp = spark.createDataFrame(
+        [(d + 1, BENFORD_PPM[d]) for d in range(9)],
+        "digit int, exp_ppm bigint",
+    )
+    total = orders.count()
+    return (
+        exp.join(counts, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("observed", F.lit(0)).cast("bigint").alias("observed"),
+            F.expr(f"div(coalesce(observed, 0) * 1000000L, {total}L)")
+            .cast("bigint")
+            .alias("obs_ppm"),
+            "exp_ppm",
+            (
+                F.expr(f"div(coalesce(observed, 0) * 1000000L, {total}L)")
+                - F.col("exp_ppm")
+            )
+            .cast("bigint")
+            .alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_oracle() -> str:
+    exp_rows = ", ".join(f"({d+1}, {BENFORD_PPM[d]})" for d in range(9))
+    return f"""
+WITH pos AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0),
+tot AS (SELECT COUNT(*) AS n FROM pos),
+digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM pos),
+counts AS (SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit),
+exp(digit, exp_ppm) AS (VALUES {exp_rows})
+SELECT e.digit,
+       CAST(COALESCE(c.observed, 0) AS BIGINT) AS observed,
+       CAST((COALESCE(c.observed, 0) * 1000000) // tot.n AS BIGINT) AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST((COALESCE(c.observed, 0) * 1000000) // tot.n - e.exp_ppm AS BIGINT)
+         AS dev_ppm
+FROM exp e LEFT JOIN counts c USING (digit) CROSS JOIN tot
+ORDER BY e.digit
+"""
+
+
+SPECS.append(QuerySpec("val_benford", val_benford, _benford_oracle()))

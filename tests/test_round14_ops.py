@@ -1225,3 +1225,51 @@ class TestCusumStream:
                             abs(r["cnt"] * 1_000_000 - r["exp_x1e6"])
                             < r["exp_x1e6"] // 2
                         )
+
+
+class TestBenford:
+    """val_benford: first-digit forensics over order totals."""
+
+    def test_accounting_and_fixture_flagged_synthetic(self, spark, sf_dir):
+        from snowflake_to_postgres_spark.operators.validation import (
+            val_benford,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+
+        rows = sorted(val_benford(spark, sf_dir).collect(), key=lambda r: r["digit"])
+        assert [r["digit"] for r in rows] == list(range(1, 10))
+        total = load_table(spark, sf_dir, "orders").filter(
+            "o_totalprice > 0"
+        ).count()
+        assert sum(r["observed"] for r in rows) == total
+        assert all(r["dev_ppm"] == r["obs_ppm"] - r["exp_ppm"] for r in rows)
+        # the fixture's totals are SYNTHETIC — the audit must say so:
+        # MAD far above Nigrini's 0.015 nonconformity line
+        mad = sum(abs(r["dev_ppm"]) for r in rows) / 9
+        assert mad > 15_000, mad
+
+    def test_benford_conforming_sample_passes(self, spark, tmp_path):
+        """A log-uniform (equidistributed-mantissa) planted sample must
+        conform (MAD under the bar) while a uniform sample must not —
+        the audit separates organic from fabricated."""
+        import math
+
+        from snowflake_to_postgres_spark.operators.validation import (
+            val_benford,
+        )
+
+        def run(vals, name):
+            d = str(tmp_path / name)
+            spark.createDataFrame(
+                [(i, float(v)) for i, v in enumerate(vals)],
+                "o_orderkey long, o_totalprice double",
+            ).write.parquet(f"{d}/orders.parquet")
+            rows = val_benford(spark, d).collect()
+            return sum(abs(r["dev_ppm"]) for r in rows) / 9
+
+        n = 4000
+        g = (math.sqrt(5) - 1) / 2  # golden-ratio equidistribution
+        benford = [10 ** (2 + ((i * g) % 1.0) * 3) for i in range(n)]
+        uniform = [100.0 + 900.0 * i / n for i in range(n)]
+        assert run(benford, "ben") < 15_000
+        assert run(uniform, "uni") > 15_000
