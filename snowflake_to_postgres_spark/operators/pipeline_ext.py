@@ -2422,3 +2422,134 @@ SPECS.append(
         probes=_pipe_ql_probes,
     )
 )
+
+
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET CARD — the one-page summary a corpus
+    release publishes (Gebru et al., "Datasheets for Datasets"): volume
+    (docs, chars, exact char share of the corpus), token mass, language
+    composition, exact-duplicate exposure (docs whose text digest is
+    shared ANYWHERE in the corpus — cross-source dupes count for both
+    sides, which is what a contamination reviewer wants), and the
+    rule-gate pass rate (the same gopher-style label the learned
+    classifier trains against — one definition, every surface).
+
+    All integer/ppm — no float aggregation anywhere, so the card is
+    bit-stable under any partitioning. 100-TB shape: one tokenless...
+    rather, one tokenizing scan reduced per-doc, a digest pre-reduction
+    (groupBy digest → counts, the dedup_exact shape) joined back on the
+    32-byte digest key, then ONE |sources|-row aggregate; the corpus
+    total enters via a window over that bounded frame, never a scalar
+    collect."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("nt"),
+        F.sum(F.when(F.col("term").isin("the", "a"), 1).otherwise(0)).alias(
+            "stop"
+        ),
+    )
+    digests = docs.select("doc_id", F.md5("text").alias("dg"))
+    dup = (
+        digests.groupBy("dg")
+        .agg(F.count("*").alias("ndg"))
+        .filter(F.col("ndg") >= 2)
+    )
+    flagged = digests.join(dup, "dg", "left").select(
+        "doc_id", (F.col("ndg").isNotNull()).alias("is_dup")
+    )
+    per_doc = (
+        docs.select("doc_id", "source", "lang", "n_chars")
+        .join(tc, "doc_id")
+        .join(flagged, "doc_id")
+        .select(
+            "source",
+            "n_chars",
+            "nt",
+            (F.col("lang") == "en").alias("is_en"),
+            "is_dup",
+            (
+                (F.col("nt") >= 25)
+                & (F.col("stop") * 10 <= F.col("nt") * 3)
+                & (F.col("lang") == "en")
+            ).alias("q_pass"),
+        )
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("bigint").alias("n_en"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_docs"),
+        F.sum(F.when(F.col("q_pass"), 1).otherwise(0)).cast("bigint").alias("n_quality_pass"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.expr("div(n_chars * 1000000L, sum(n_chars) over ())")
+        .cast("bigint")
+        .alias("char_share_ppm"),
+        "n_tokens",
+        F.expr("div(n_tokens * 100L, n_docs)").cast("bigint").alias("mean_tokens_x100"),
+        "n_en",
+        F.expr("div(n_en * 1000000L, n_docs)").cast("bigint").alias("en_ppm"),
+        "n_dup_docs",
+        F.expr("div(n_dup_docs * 1000000L, n_docs)").cast("bigint").alias("dup_ppm"),
+        "n_quality_pass",
+        F.expr("div(n_quality_pass * 1000000L, n_docs)").cast("bigint").alias("pass_ppm"),
+    ).orderBy("source")
+
+
+PIPE_DATASET_CARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tc AS (
+  SELECT doc_id, COUNT(*) AS nt,
+         SUM(CASE WHEN term IN ('the', 'a') THEN 1 ELSE 0 END) AS stop
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+dg AS (SELECT doc_id, md5(text) AS dg FROM documents),
+dup AS (SELECT dg, COUNT(*) AS ndg FROM dg GROUP BY dg HAVING COUNT(*) >= 2),
+per_doc AS (
+  SELECT d.source, d.n_chars, tc.nt,
+         d.lang = 'en' AS is_en,
+         dup.ndg IS NOT NULL AS is_dup,
+         (tc.nt >= 25 AND tc.stop * 10 <= tc.nt * 3 AND d.lang = 'en') AS q_pass
+  FROM documents d
+  JOIN tc USING (doc_id)
+  JOIN dg USING (doc_id)
+  LEFT JOIN dup USING (dg)),
+per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(n_chars) AS n_chars,
+         SUM(nt) AS n_tokens,
+         SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_en,
+         SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_docs,
+         SUM(CASE WHEN q_pass THEN 1 ELSE 0 END) AS n_quality_pass
+  FROM per_doc GROUP BY source)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((n_chars * 1000000) // SUM(n_chars) OVER () AS BIGINT) AS char_share_ppm,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((n_tokens * 100) // n_docs AS BIGINT) AS mean_tokens_x100,
+       CAST(n_en AS BIGINT) AS n_en,
+       CAST((n_en * 1000000) // n_docs AS BIGINT) AS en_ppm,
+       CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+       CAST((n_dup_docs * 1000000) // n_docs AS BIGINT) AS dup_ppm,
+       CAST(n_quality_pass AS BIGINT) AS n_quality_pass,
+       CAST((n_quality_pass * 1000000) // n_docs AS BIGINT) AS pass_ppm
+FROM per_src
+ORDER BY source
+"""
+
+
+SPECS.append(
+    QuerySpec("pipe_dataset_card", pipe_dataset_card, PIPE_DATASET_CARD_ORACLE)
+)

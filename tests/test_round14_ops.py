@@ -1273,3 +1273,49 @@ class TestBenford:
         uniform = [100.0 + 900.0 * i / n for i in range(n)]
         assert run(benford, "ben") < 15_000
         assert run(uniform, "uni") > 15_000
+
+
+class TestDatasetCard:
+    def test_card_cross_checks_other_surfaces(self, spark, sf_dir):
+        """The card's cells must agree with the independent operators
+        that own each statistic: corpus totals, the classifier's label
+        rule, exact-dup group mass."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.pipeline_ext import (
+            pipe_dataset_card,
+        )
+        from snowflake_to_postgres_spark.operators.text import (
+            QL_SCALE,
+            _quality_features,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+
+        card = pipe_dataset_card(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        assert sum(r["n_docs"] for r in card) == docs.count()
+        assert sum(r["n_chars"] for r in card) == docs.agg(
+            F.sum("n_chars")
+        ).collect()[0][0]
+        # ppm shares sum to ~1e6 (floor rounding loses < |sources| ppm)
+        share = sum(r["char_share_ppm"] for r in card)
+        assert 1_000_000 - len(card) <= share <= 1_000_000
+        # label rule == the classifier's yf
+        n_pass = _quality_features(spark, sf_dir).filter(
+            F.col("yf") == QL_SCALE
+        ).count()
+        assert sum(r["n_quality_pass"] for r in card) == n_pass
+        # dup mass == docs in any text-digest group of size >= 2
+        dup_members = (
+            docs.groupBy(F.md5("text").alias("dg"))
+            .agg(F.count("*").alias("n"))
+            .filter("n >= 2")
+            .agg(F.sum("n"))
+            .collect()[0][0]
+            or 0
+        )
+        assert sum(r["n_dup_docs"] for r in card) == dup_members
+        for r in card:
+            assert 0 <= r["en_ppm"] <= 1_000_000
+            assert 0 <= r["dup_ppm"] <= 1_000_000
+            assert 0 <= r["pass_ppm"] <= 1_000_000
