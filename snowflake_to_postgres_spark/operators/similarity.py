@@ -3640,3 +3640,136 @@ ORDER BY cell
 """
 
 SPECS.append(QuerySpec("emb_index_delta", emb_index_delta, EMB_INDEX_DELTA_ORACLE))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit (round 14, session 2) — MRL embeddings
+# (Kusupati et al. 2022) promise that a prefix of the vector is a
+# usable embedding; production then serves truncated dims for cost.
+# Before flipping that switch you MEASURE what top-k agreement each
+# prefix keeps. Same discipline as sim_ann_recall: recall is computed,
+# never assumed.
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32)  # prefix lengths audited against the full 64-dim truth
+
+
+def _trunc_topk(comp: DataFrame, d: "int | None") -> DataFrame:
+    """(qid, neighbor_id) top-TOP_K by cosine over the first ``d``
+    components (full vector when d is None) — the _bf_cosines topology
+    with a prefix filter pushed into the component scan."""
+    c = comp.filter(F.col("idx") < d) if d is not None else comp
+    norms = c.groupBy("vec_id").agg(
+        F.sum(F.col("val") * F.col("val")).cast("decimal(38,18)").alias("n2")
+    )
+    q = c.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "idx", F.col("val").alias("qval")
+    )
+    dots = (
+        c.join(F.broadcast(q), "idx")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("decimal(38,18)").alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+    ).cast("decimal(10,8)")
+    scored = (
+        dots.join(F.broadcast(qn), "qid")
+        .join(norms, "vec_id")
+        .select("qid", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id")
+    )
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per truncation dim: (trunc_dim, n_queries, k, hits, recall_ppm)
+    — hits = |topK(prefix) ∩ topK(full)| summed over the query set,
+    recall in exact ppm. The go/no-go table for serving truncated
+    embeddings.
+
+    100-TB shape: each prefix run is the brute-force block with
+    idx < d pushed into the scan (the prefix SHRINKS the join input
+    — exactly the cost model MRL promises); the component frame is
+    shared via persist; the output is |MRL_DIMS| rows."""
+    from pyspark import StorageLevel
+
+    comp = _components(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    full = _trunc_topk(comp, None)
+    outs = []
+    for d in MRL_DIMS:
+        hits = _trunc_topk(comp, d).join(full, ["qid", "neighbor_id"])
+        outs.append(
+            hits.agg(
+                F.lit(d).cast("bigint").alias("trunc_dim"),
+                F.countDistinct("qid").cast("bigint").alias("n_queries"),
+                F.lit(int(TOP_K)).cast("bigint").alias("k"),
+                F.count("*").cast("bigint").alias("hits"),
+                F.expr(
+                    f"div(count(*) * 1000000L, {int(N_QUERIES) * int(TOP_K)}L)"
+                )
+                .cast("bigint")
+                .alias("recall_ppm"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("trunc_dim")
+
+
+def _mrl_oracle() -> str:
+    def block(tag: str, d: "int | None") -> str:
+        # oracle comp.idx is 1-BASED (generate_series(1, len)); Spark's
+        # posexplode idx is 0-based — "first d components" is idx <= d
+        # here and idx < d in _trunc_topk
+        where = f"WHERE idx <= {d}" if d is not None else ""
+        return f"""
+c{tag} AS (SELECT vec_id, idx, val FROM comp {where}),
+n{tag} AS (SELECT vec_id, CAST(SUM(val * val) AS DECIMAL(38,18)) AS n2
+           FROM c{tag} GROUP BY vec_id),
+d{tag} AS (
+  SELECT q.vec_id AS qid, c.vec_id,
+         CAST(SUM(c.val * q.val) AS DECIMAL(38,18)) AS dot
+  FROM c{tag} c JOIN c{tag} q USING (idx)
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id),
+r{tag} AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, d.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qid
+             ORDER BY CAST(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+                           AS DECIMAL(10,8)) DESC, d.vec_id) AS rnk
+    FROM d{tag} d
+    JOIN n{tag} qn ON qn.vec_id = d.qid
+    JOIN n{tag} nn ON nn.vec_id = d.vec_id)
+  WHERE rnk <= {TOP_K})"""
+
+    parts = [_COMP_CTES.rstrip(), ",", block("full", None)]
+    selects = []
+    for d in MRL_DIMS:
+        parts.append("," + block(f"t{d}", d))
+        selects.append(f"""
+SELECT CAST({d} AS BIGINT) AS trunc_dim,
+       CAST(COUNT(DISTINCT h.qid) AS BIGINT) AS n_queries,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST((COUNT(*) * 1000000) // {int(N_QUERIES) * int(TOP_K)} AS BIGINT) AS recall_ppm
+FROM rt{d} h JOIN rfull USING (qid, neighbor_id)""")
+    return "".join(parts) + "\nUNION ALL\n".join(selects) + "\nORDER BY trunc_dim"
+
+
+SPECS.append(
+    QuerySpec("emb_matryoshka_recall", emb_matryoshka_recall, _mrl_oracle())
+)

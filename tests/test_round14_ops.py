@@ -1319,3 +1319,42 @@ class TestDatasetCard:
             assert 0 <= r["en_ppm"] <= 1_000_000
             assert 0 <= r["dup_ppm"] <= 1_000_000
             assert 0 <= r["pass_ppm"] <= 1_000_000
+
+
+class TestMatryoshkaRecall:
+    def test_ladder_monotone_and_truth_consistent(self, spark, sf_dir):
+        """The full-dim 'truncation' must reproduce the brute-force
+        truth exactly and accounting must close (hits ≤ k·n_queries,
+        exact ppm). Monotonicity in prefix length is NOT asserted — it
+        is a property of matryoshka-TRAINED embeddings, not a
+        mathematical invariant, and the fixture's random vectors
+        honestly violate it (which is exactly the no-go signal the
+        audit exists to produce)."""
+        from snowflake_to_postgres_spark.operators.similarity import (
+            MRL_DIMS,
+            N_QUERIES,
+            TOP_K,
+            _components,
+            _trunc_topk,
+            emb_matryoshka_recall,
+            sim_topk_bruteforce,
+        )
+
+        rows = sorted(
+            emb_matryoshka_recall(spark, sf_dir).collect(),
+            key=lambda r: r["trunc_dim"],
+        )
+        assert [r["trunc_dim"] for r in rows] == list(MRL_DIMS)
+        for r in rows:
+            assert 0 <= r["hits"] <= TOP_K * N_QUERIES
+            assert r["recall_ppm"] == r["hits"] * 1_000_000 // (TOP_K * N_QUERIES)
+        comp = _components(spark, sf_dir)
+        full = {
+            (r["qid"], r["neighbor_id"])
+            for r in _trunc_topk(comp, None).collect()
+        }
+        truth = {
+            (r["qid"], r["neighbor_id"])
+            for r in sim_topk_bruteforce(spark, sf_dir).collect()
+        }
+        assert full == truth and len(full) == TOP_K * N_QUERIES
