@@ -2553,3 +2553,114 @@ ORDER BY source
 SPECS.append(
     QuerySpec("pipe_dataset_card", pipe_dataset_card, PIPE_DATASET_CARD_ORACLE)
 )
+
+
+TOKEN_BUDGET_X = 3        # training budget = 3× the corpus token mass
+EPOCH_CAP_PPM = 4_000_000  # 4 epochs — the data-constrained scaling knee
+#                            (Muennighoff et al. 2023: repeating beyond
+#                            ~4 epochs returns rapidly diminishing value)
+
+
+def pipe_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repetition plan under a token budget — the
+    data-constrained-scaling table (Muennighoff et al. 2023): given a
+    training budget of TOKEN_BUDGET_X × the corpus token mass and the
+    configured mixture weights, how many EPOCHS of each source does
+    the plan imply, and which sources blow past the ~4-epoch knee
+    (their budget share exceeds what repetition can usefully absorb —
+    the signal to go find more of that source, not to upsample
+    harder).
+
+    epochs_ppm = (budget · target_share_ppm) div (available_tokens·1e6)
+    — exact integer ppm; over_cap flags epochs > EPOCH_CAP_PPM and
+    shortfall_tokens is the mass the cap leaves unfilled. One
+    tokenizing scan reduced per source (|sources| rows), mixture
+    weights from the same frozen kernel every mixture surface uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    per_src = toks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("available_tokens")
+    )
+    targets = mixture_targets(docs).select("source", "target_share_ppm")
+    total = per_src.agg(F.sum("available_tokens")).first()[0] or 0
+    budget = int(total) * TOKEN_BUDGET_X
+    return (
+        per_src.join(F.broadcast(targets), "source")
+        .select(
+            "source",
+            "available_tokens",
+            F.expr(f"div({budget}L * target_share_ppm, 1000000L)")
+            .cast("bigint")
+            .alias("target_tokens"),
+            # epochs(real) = target/available = budget·share_ppm/1e6
+            # / available; ×1e6 for ppm cancels the 1e6. int64 headroom:
+            # budget·share_ppm < 2^63 up to ~9.2e12 budget tokens — past
+            # that, lift this one multiply to DECIMAL(38,0)
+            F.expr(f"div({budget}L * target_share_ppm, available_tokens)")
+            .cast("bigint")
+            .alias("epochs_ppm"),
+        )
+        .select(
+            "source",
+            "available_tokens",
+            "target_tokens",
+            "epochs_ppm",
+            (F.col("epochs_ppm") > EPOCH_CAP_PPM).alias("over_cap"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("target_tokens")
+                - F.expr(
+                    f"div(available_tokens * {EPOCH_CAP_PPM}L, 1000000L)"
+                ).cast("bigint"),
+            ).alias("shortfall_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _token_budget_oracle() -> str:
+    from snowflake_to_postgres_spark.operators.pipeline_ext import (  # noqa: F401
+        TOKEN_BUDGET_X,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+per_src AS (
+  SELECT source, COUNT(*) AS available_tokens
+  FROM toks WHERE term <> '' GROUP BY source),
+w AS (
+  SELECT source, 1 + CAST(substr(source, 4) AS INT) % 3 AS weight
+  FROM (SELECT DISTINCT source FROM documents)),
+sw AS (SELECT SUM(weight) AS s FROM w),
+tgt AS (
+  SELECT source, (weight * 1000000) // (SELECT s FROM sw) AS target_share_ppm
+  FROM w),
+tot AS (SELECT SUM(available_tokens) AS t FROM per_src),
+plan AS (
+  SELECT p.source, p.available_tokens,
+         ((SELECT t FROM tot) * {TOKEN_BUDGET_X} * tgt.target_share_ppm) // 1000000
+           AS target_tokens,
+         ((SELECT t FROM tot) * {TOKEN_BUDGET_X} * tgt.target_share_ppm)
+           // p.available_tokens AS epochs_ppm
+  FROM per_src p JOIN tgt USING (source))
+SELECT source,
+       CAST(available_tokens AS BIGINT) AS available_tokens,
+       CAST(target_tokens AS BIGINT) AS target_tokens,
+       CAST(epochs_ppm AS BIGINT) AS epochs_ppm,
+       epochs_ppm > {EPOCH_CAP_PPM} AS over_cap,
+       CAST(GREATEST(0, target_tokens
+                        - (available_tokens * {EPOCH_CAP_PPM}) // 1000000)
+            AS BIGINT) AS shortfall_tokens
+FROM plan
+ORDER BY source
+"""
+
+
+SPECS.append(
+    QuerySpec(
+        "pipe_token_budget_plan", pipe_token_budget_plan, _token_budget_oracle()
+    )
+)

@@ -1358,3 +1358,39 @@ class TestMatryoshkaRecall:
             for r in sim_topk_bruteforce(spark, sf_dir).collect()
         }
         assert full == truth and len(full) == TOP_K * N_QUERIES
+
+
+class TestTokenBudgetPlan:
+    def test_accounting_and_cap_semantics(self, spark, sf_dir):
+        from snowflake_to_postgres_spark.operators.pipeline_ext import (
+            EPOCH_CAP_PPM,
+            TOKEN_BUDGET_X,
+            pipe_token_budget_plan,
+        )
+
+        rows = pipe_token_budget_plan(spark, sf_dir).collect()
+        assert rows
+        total = sum(r["available_tokens"] for r in rows)
+        budget = total * TOKEN_BUDGET_X
+        tgt = sum(r["target_tokens"] for r in rows)
+        # floor rounding loses < |sources| tokens of the budget
+        assert budget - len(rows) <= tgt <= budget
+        for r in rows:
+            # epochs ≈ target/available; target was floored at 1e6
+            # first, so the recomputation can sit up to 1e6/available
+            # ppm below the exact value
+            approx = r["target_tokens"] * 1_000_000 // r["available_tokens"]
+            assert (
+                0
+                <= r["epochs_ppm"] - approx
+                <= 1_000_000 // r["available_tokens"] + 1
+            )
+            assert r["over_cap"] == (r["epochs_ppm"] > EPOCH_CAP_PPM)
+            if not r["over_cap"]:
+                assert r["shortfall_tokens"] == max(
+                    0,
+                    r["target_tokens"]
+                    - r["available_tokens"] * EPOCH_CAP_PPM // 1_000_000,
+                )
+            else:
+                assert r["shortfall_tokens"] > 0
