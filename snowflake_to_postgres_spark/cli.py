@@ -775,37 +775,43 @@ def cmd_privacy_check(args) -> int:
 
 
 def cmd_quality_filter(args) -> int:
-    """Train the learned quality gate on the source corpus, admit
+    """Train the learned quality gate ONCE on the source corpus, admit
     p >= 1/2, write the admitted documents as parquet, and print the
     model + gate report as one JSON line — the operational form of
     tx_quality_classifier / pipe_quality_filter (train -> enforce ->
-    publish the reliability evidence, one verb)."""
+    publish the reliability evidence, one verb, one training run)."""
     import time
 
-    from snowflake_to_postgres_spark.operators.pipeline_ext import (
-        pipe_quality_filter,
-    )
+    from pyspark import StorageLevel
+
     from snowflake_to_postgres_spark.operators.text import (
         QL_FEATURES,
         QL_SCALE,
+        _ql_scored,
         _quality_features,
+        quality_calibration_from,
         train_quality_logreg,
-        tx_quality_calibration,
     )
+    from snowflake_to_postgres_spark.sources import load_table
 
     spark = get_spark("quality-filter")
     t0 = time.time()
-    w, n = train_quality_logreg(_quality_features(spark, args.source))
-    admitted = pipe_quality_filter(spark, args.source)
+    feats = _quality_features(spark, args.source).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w, n = train_quality_logreg(feats)
+    scored = _ql_scored(feats, w)
     if args.target:
-        from snowflake_to_postgres_spark.sources import load_table
-
         docs = load_table(spark, args.source, "documents")
-        docs.join(admitted.select("doc_id"), "doc_id").write.mode(
-            "overwrite"
-        ).parquet(args.target)
+        admitted_ids = scored.filter(
+            scored["pf"] >= QL_SCALE // 2
+        ).select("doc_id")
+        docs.join(admitted_ids, "doc_id").write.mode("overwrite").parquet(
+            args.target
+        )
     # <= 10 decile rows (REPORT-CLI class)
-    cal = tx_quality_calibration(spark, args.source).collect()
+    cal = quality_calibration_from(scored).collect()
+    feats.unpersist()
     print(json.dumps({
         "n_docs": n,
         "weights": {QL_FEATURES[i]: w[i] / QL_SCALE for i in range(len(w))},

@@ -1219,15 +1219,21 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture, so the SQL oracle reproduces the byte values as
     codepoints — the mm_decode_meta strategy: the Arrow/mapInPandas
     execution path is oracle-verified, the real pixel source is pinned
-    by pytest)."""
-    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return image_stats(media)
+    by pytest). Empty payloads are excluded in BOTH engines — SQL's
+    string_split('','') yields [''] (codepoint -1), not an empty set,
+    so the only agreeing semantics is "stats are defined for non-empty
+    buffers" (session-2 self-review finding)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    return image_stats(with_binary_payload(docs))
 
 
 MM_IMAGE_STATS_ORACLE = f"""
 WITH ch AS (
   SELECT doc_id, unicode(c) AS v
-  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0)
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_px,

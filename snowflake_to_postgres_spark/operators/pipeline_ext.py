@@ -2408,10 +2408,7 @@ WHERE s.pf >= {QL_SCALE // 2}"""
     )
 
 
-def _pipe_ql_probes(spark, sf_dir):
-    from snowflake_to_postgres_spark.operators.text import _ql_probes
-
-    return _ql_probes(spark, sf_dir)
+from snowflake_to_postgres_spark.operators.text import _ql_probes as _pipe_ql_probes  # noqa: E402
 
 
 SPECS.append(
@@ -2441,8 +2438,6 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-byte digest key, then ONE |sources|-row aggregate; the corpus
     total enters via a window over that bounded frame, never a scalar
     collect."""
-    from pyspark.sql import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
@@ -2462,19 +2457,23 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = digests.join(dup, "dg", "left").select(
         "doc_id", (F.col("ndg").isNotNull()).alias("is_dup")
     )
+    # LEFT join: token-less docs still count in volume/lang/dup cells —
+    # a datasheet that silently drops empty documents under-reports the
+    # corpus it describes (session-2 self-review finding)
     per_doc = (
         docs.select("doc_id", "source", "lang", "n_chars")
-        .join(tc, "doc_id")
+        .join(tc, "doc_id", "left")
         .join(flagged, "doc_id")
         .select(
             "source",
             "n_chars",
-            "nt",
+            F.coalesce("nt", F.lit(0)).alias("nt"),
             (F.col("lang") == "en").alias("is_en"),
             "is_dup",
             (
-                (F.col("nt") >= 25)
-                & (F.col("stop") * 10 <= F.col("nt") * 3)
+                (F.coalesce("nt", F.lit(0)) >= 25)
+                & (F.coalesce("stop", F.lit(0)) * 10
+                   <= F.coalesce("nt", F.lit(0)) * 3)
                 & (F.col("lang") == "en")
             ).alias("q_pass"),
         )
@@ -2487,7 +2486,6 @@ def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_docs"),
         F.sum(F.when(F.col("q_pass"), 1).otherwise(0)).cast("bigint").alias("n_quality_pass"),
     )
-    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return per_src.select(
         "source",
         "n_docs",
@@ -2516,12 +2514,14 @@ tc AS (
 dg AS (SELECT doc_id, md5(text) AS dg FROM documents),
 dup AS (SELECT dg, COUNT(*) AS ndg FROM dg GROUP BY dg HAVING COUNT(*) >= 2),
 per_doc AS (
-  SELECT d.source, d.n_chars, tc.nt,
+  SELECT d.source, d.n_chars, COALESCE(tc.nt, 0) AS nt,
          d.lang = 'en' AS is_en,
          dup.ndg IS NOT NULL AS is_dup,
-         (tc.nt >= 25 AND tc.stop * 10 <= tc.nt * 3 AND d.lang = 'en') AS q_pass
+         (COALESCE(tc.nt, 0) >= 25
+          AND COALESCE(tc.stop, 0) * 10 <= COALESCE(tc.nt, 0) * 3
+          AND d.lang = 'en') AS q_pass
   FROM documents d
-  JOIN tc USING (doc_id)
+  LEFT JOIN tc USING (doc_id)
   JOIN dg USING (doc_id)
   LEFT JOIN dup USING (dg)),
 per_src AS (

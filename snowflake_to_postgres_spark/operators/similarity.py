@@ -3651,7 +3651,8 @@ SPECS.append(QuerySpec("emb_index_delta", emb_index_delta, EMB_INDEX_DELTA_ORACL
 # never assumed.
 # ---------------------------------------------------------------------------
 
-MRL_DIMS = (8, 16, 32)  # prefix lengths audited against the full 64-dim truth
+MRL_LADDER = (8, 16, 32)  # prefix lengths audited against the full 64-dim truth
+#            (distinct from MRL_DIMS above — sim_truncated_topk's single serving dim)
 
 
 def _trunc_topk(comp: DataFrame, d: "int | None") -> DataFrame:
@@ -3700,13 +3701,13 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: each prefix run is the brute-force block with
     idx < d pushed into the scan (the prefix SHRINKS the join input
     — exactly the cost model MRL promises); the component frame is
-    shared via persist; the output is |MRL_DIMS| rows."""
+    shared via persist; the output is |MRL_LADDER| rows."""
     from pyspark import StorageLevel
 
     comp = _components(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     full = _trunc_topk(comp, None)
     outs = []
-    for d in MRL_DIMS:
+    for d in MRL_LADDER:
         hits = _trunc_topk(comp, d).join(full, ["qid", "neighbor_id"])
         outs.append(
             hits.agg(
@@ -3758,7 +3759,7 @@ r{tag} AS (
 
     parts = [_COMP_CTES.rstrip(), ",", block("full", None)]
     selects = []
-    for d in MRL_DIMS:
+    for d in MRL_LADDER:
         parts.append("," + block(f"t{d}", d))
         selects.append(f"""
 SELECT CAST({d} AS BIGINT) AS trunc_dim,

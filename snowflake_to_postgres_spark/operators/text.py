@@ -2084,6 +2084,7 @@ def tx_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     w, _ = train_quality_logreg(feats)
+    feats.unpersist()  # safe: training collected eagerly, result is driver-built
     rows = [
         (QL_FEATURES[i], w[i], w[i] / float(QL_SCALE)) for i in range(QL_DIM)
     ]
@@ -2092,19 +2093,11 @@ def tx_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def tx_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calibration/evaluation table of the trained probe: per predicted-
-    probability decile, (n, n_pos, n_correct, mean_p) — the reliability
-    diagram + confusion mass an operator reads before trusting the gate
-    on a fresh crawl. Scoring is the same literal-weight projection;
-    the table is one (≤10-row) map-side-combinable aggregate."""
-    from pyspark import StorageLevel
-
-    feats = _quality_features(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    w, _ = train_quality_logreg(feats)
-    scored = _ql_scored(feats, w)
+def quality_calibration_from(scored: DataFrame) -> DataFrame:
+    """(decile, n, n_pos, n_correct, mean_p) from a scored frame — the
+    ≤10-row map-side-combinable reliability aggregate, shared by the
+    registered query and the quality-filter CLI verb (which trains
+    once and reuses the scored frame)."""
     half, s10 = QL_SCALE // 2, QL_SCALE // 10
     return (
         scored.withColumn(
@@ -2128,6 +2121,21 @@ def tx_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def tx_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/evaluation table of the trained probe: per predicted-
+    probability decile, (n, n_pos, n_correct, mean_p) — the reliability
+    diagram + confusion mass an operator reads before trusting the gate
+    on a fresh crawl. Scoring is the same literal-weight projection;
+    the table is one (≤10-row) map-side-combinable aggregate."""
+    from pyspark import StorageLevel
+
+    feats = _quality_features(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w, _ = train_quality_logreg(feats)
+    return quality_calibration_from(_ql_scored(feats, w))
 
 
 def _ql_feats_cte() -> str:

@@ -1219,21 +1219,25 @@ def _latest_state_below(
 
 
 def _prune_state(spark: SparkSession, state_path: str, batch_id: int) -> None:
-    """Drop state partitions below batch_id-1 (keep current + immediate
-    prior for replay) — only call AFTER the current batch's state write
-    committed."""
+    """Keep the two NEWEST existing state partitions, delete the rest —
+    only call AFTER the current batch's state write committed. "Two
+    newest existing", NOT "ids ≥ batch_id-1": empty micro-batches write
+    no state, so after an empty batch N-1 the replay-critical prior
+    partition can be any id < N-1 — pruning by id would delete exactly
+    the partition a crash-replay of batch N still needs (session-2
+    self-review finding)."""
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(state_path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
-    for b in _state_batch_ids(spark, state_path):
-        if b < batch_id - 1:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    os.path.join(state_path, f"batch={b}")
-                ),
-                True,
-            )
+    ids = _state_batch_ids(spark, state_path)
+    for b in ids[:-2]:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(state_path, f"batch={b}")
+            ),
+            True,
+        )
 
 
 def quota_sample_stream(
@@ -1435,22 +1439,28 @@ def quality_gate_stream(
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        scored = _ql_scored(quality_features_from(batch), w)
+        # n_in counts the BATCH, not the scored frame: token-less docs
+        # drop out of quality_features_from's join (never admitted) and
+        # must still be accounted as rejected input (session-2
+        # self-review finding)
+        n_in = batch.count()
+        scored = _ql_scored(quality_features_from(batch), w).persist()
         kept = scored.filter(F.col("pf") >= half).select("doc_id", "pf")
         kept.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={batch_id}")
         )
         report = scored.agg(
             F.lit(batch_id).cast("bigint").alias("batch_id"),
-            F.count("*").cast("bigint").alias("n_in"),
+            F.lit(n_in).cast("bigint").alias("n_in"),
             F.sum(F.when(F.col("pf") >= half, 1).otherwise(0))
             .cast("bigint")
             .alias("n_admitted"),
-            F.expr(f"div(sum(pf), count(*))").cast("bigint").alias("mean_p_ppm"),
+            F.expr("div(sum(pf), count(*))").cast("bigint").alias("mean_p_ppm"),
         )
         report.write.mode("overwrite").parquet(
             os.path.join(monitor_path, f"batch={batch_id}")
         )
+        scored.unpersist()
 
     (
         docs.writeStream.foreachBatch(handle)
@@ -1539,9 +1549,13 @@ def cusum_stream(
         )
         # every frozen type gets a row each batch (cnt 0 when absent);
         # unknown types join with target 0 via the outer side
+        # full_outer on prior too: a type seen before (even an unknown
+        # one) that skips this batch keeps its accumulated state —
+        # cnt=0/exp=0 steps it unchanged (the quota-stream carried-rows
+        # guarantee, session-2 self-review finding)
         frame = (
             targets.join(counts, "event_type", "full_outer")
-            .join(prior, "event_type", "left")
+            .join(prior, "event_type", "full_outer")
             .select(
                 "event_type",
                 F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
@@ -1582,6 +1596,7 @@ def cusum_stream(
             (F.col("s_lo") > F.expr(f"div(div(cum_exp, n_batches), {hd})"))
             .alias("alarm_lo"),
         )
+        stepped = stepped.persist()
         report.write.mode("overwrite").parquet(
             os.path.join(monitor_path, f"batch={batch_id}")
         )
@@ -1590,6 +1605,7 @@ def cusum_stream(
         ).write.mode(
             "overwrite"
         ).parquet(os.path.join(state_path, f"batch={batch_id}"))
+        stepped.unpersist()
         _prune_state(spark, state_path, batch_id)
 
     (

@@ -1331,7 +1331,7 @@ class TestMatryoshkaRecall:
         honestly violate it (which is exactly the no-go signal the
         audit exists to produce)."""
         from snowflake_to_postgres_spark.operators.similarity import (
-            MRL_DIMS,
+            MRL_LADDER,
             N_QUERIES,
             TOP_K,
             _components,
@@ -1344,7 +1344,7 @@ class TestMatryoshkaRecall:
             emb_matryoshka_recall(spark, sf_dir).collect(),
             key=lambda r: r["trunc_dim"],
         )
-        assert [r["trunc_dim"] for r in rows] == list(MRL_DIMS)
+        assert [r["trunc_dim"] for r in rows] == list(MRL_LADDER)
         for r in rows:
             assert 0 <= r["hits"] <= TOP_K * N_QUERIES
             assert r["recall_ppm"] == r["hits"] * 1_000_000 // (TOP_K * N_QUERIES)
@@ -1394,3 +1394,90 @@ class TestTokenBudgetPlan:
                 )
             else:
                 assert r["shortfall_tokens"] > 0
+
+
+class TestPruneStateEmptyBatchSafety:
+    def test_prune_keeps_two_newest_existing_partitions(self, spark, tmp_path):
+        """Session-2 self-review: empty micro-batches write no state, so
+        pruning by id (< batch_id-1) would delete the partition a
+        crash-replay needs. The contract is 'two newest EXISTING'."""
+        import os
+
+        from snowflake_to_postgres_spark.streaming.pipeline import (
+            _prune_state,
+            _state_batch_ids,
+        )
+
+        state = str(tmp_path / "state")
+        df = spark.createDataFrame([("a", 1)], "k string, v long")
+        # batches 3 and 5 were empty: only 0, 2, 4, 6 wrote state
+        for b in (0, 2, 4, 6):
+            df.write.parquet(os.path.join(state, f"batch={b}"))
+        _prune_state(spark, state, 6)
+        assert _state_batch_ids(spark, state) == [4, 6]
+        # replay of batch 6 after a crash still finds its prior (4),
+        # even though 4 < 6-1
+        from snowflake_to_postgres_spark.streaming.pipeline import (
+            _latest_state_below,
+        )
+
+        assert _latest_state_below(spark, state, 6).endswith("batch=4")
+
+
+class TestCusumUnknownTypeCarry:
+    def test_unknown_type_state_survives_skipped_batch(self, spark, tmp_path):
+        """Session-2 self-review: an unknown event type that appears,
+        skips a batch, then reappears must keep its accumulated CUSUM
+        state (the quota-stream carried-rows guarantee)."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.streaming.pipeline import cusum_stream
+
+        def events(rows):
+            return spark.createDataFrame(
+                [
+                    (i, datetime.datetime(2024, 4, 1, h), 1, et, 1.0, "{}")
+                    for i, (h, et) in enumerate(rows)
+                ],
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+
+        ref_dir = str(tmp_path / "ref")
+        events([(0, "a")] * 50).write.parquet(f"{ref_dir}/events.parquet")
+        # chunk files drained one per batch: z in batch0, absent batch1,
+        # back in batch2
+        src = str(tmp_path / "src")
+        events([(0, "a")] * 10 + [(0, "z")] * 3).coalesce(1).write.parquet(
+            f"{src}/c0.parquet"
+        )
+        events([(1, "a")] * 10).coalesce(1).write.parquet(f"{src}/c1.parquet")
+        events([(2, "a")] * 10 + [(2, "z")] * 2).coalesce(1).write.parquet(
+            f"{src}/c2.parquet"
+        )
+        stream = (
+            spark.readStream.schema(events([(0, "a")]).schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .load(src)
+        )
+        mon = str(tmp_path / "mon")
+        cusum_stream(
+            spark, ref_dir, mon, str(tmp_path / "state"),
+            str(tmp_path / "ckpt"), events=stream,
+        )
+        rows = spark.read.option("basePath", mon).parquet(mon).collect()
+        z = {r["batch_id"]: r for r in rows if r["event_type"] == "z"}
+        # file→batch order follows file listing (c0, c1, c2)
+        assert set(z) == {0, 1, 2}, sorted(
+            (r["batch_id"], r["event_type"]) for r in rows
+        )
+        # batch 0: 3×1e6 excess accumulated; batch 1 (absent): carried
+        # unchanged; batch 2: grows again — never reset
+        assert z[0]["s_hi"] == 3_000_000
+        assert z[1]["s_hi"] == 3_000_000
+        assert z[2]["s_hi"] == 5_000_000
+        assert all(r["alarm_hi"] for r in z.values())  # zero expectation
