@@ -2362,3 +2362,94 @@ GROUP BY doc_id
 
 
 SPECS.append(QuerySpec("tx_kn_lm_score", tx_kn_lm_score, TX_KN_LM_ORACLE))
+
+
+def tx_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking quality of the trained probe: AUC via the Mann-Whitney
+    U statistic with exact integer midranks — the threshold-free
+    companion to tx_quality_calibration's fixed-threshold table (a
+    gate whose AUC is ~0.5 ranks no better than chance no matter where
+    the threshold sits).
+
+    Exact integer path: scores collapse to the (pf, count, pos_count)
+    grid (≤1e6+1 rows — the tx_quality_deciles histogram class), one
+    ordered window over that bounded frame gives cumulative counts,
+    and Σ_groups pos·(2·cum_before + cnt + 1) is twice the positive
+    rank sum — so U·2 and auc_ppm = div(U2·1e6, 2·n_pos·n_neg) never
+    touch a float. int64 headroom: U2 < 2n², fine to ~2e9 docs; past
+    that lift the two products to DECIMAL(38,0).
+
+    Returns one row: (n_pos, n_neg, u2, auc_ppm)."""
+    from pyspark import StorageLevel
+
+    feats = _quality_features(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w, _ = train_quality_logreg(feats)
+    scored = _ql_scored(feats, w)
+    grid = scored.groupBy("pf").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("yf") == QL_SCALE, 1).otherwise(0)).alias("pos"),
+    )
+    win = Window.orderBy("pf").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grid.select(
+        "pf",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(win), F.lit(0)).alias("cum_before"),
+    )
+    return ranked.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n_neg"),
+        (
+            F.sum(
+                F.col("pos")
+                * (F.lit(2) * F.col("cum_before") + F.col("cnt") + F.lit(1))
+            )
+            - F.sum("pos") * (F.sum("pos") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr("div(u2 * 1000000L, 2L * n_pos * n_neg)")
+        .cast("bigint")
+        .alias("auc_ppm"),
+    )
+
+
+TX_QUALITY_AUC_ORACLE = (
+    _QL_CTES
+    + f""",
+scored AS (
+  SELECT f.doc_id, f.yf,
+         CAST(floor((0.5 + 0.5 * mr / (1.0 + abs(mr))) * 1000000 + 0.5) AS BIGINT) AS pf
+  FROM (SELECT f.*, CAST({_QL_DOT_FIN} AS DOUBLE) / 1e12 AS mr
+        FROM feats f CROSS JOIN {_QL_WFIN} w) f),
+grid AS (
+  SELECT pf, COUNT(*) AS cnt,
+         SUM(CASE WHEN yf = {QL_SCALE} THEN 1 ELSE 0 END) AS pos
+  FROM scored GROUP BY pf),
+ranked AS (
+  SELECT pf, cnt, pos,
+         COALESCE(SUM(cnt) OVER (ORDER BY pf
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM grid),
+agg AS (
+  SELECT SUM(pos) AS n_pos,
+         SUM(cnt) - SUM(pos) AS n_neg,
+         SUM(pos * (2 * cum_before + cnt + 1)) - SUM(pos) * (SUM(pos) + 1) AS u2
+  FROM ranked)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(u2 AS BIGINT) AS u2,
+       CAST((u2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM agg"""
+)
+
+
+SPECS.append(
+    QuerySpec("tx_quality_auc", tx_quality_auc, TX_QUALITY_AUC_ORACLE, probes=_ql_probes)
+)

@@ -1481,3 +1481,70 @@ class TestCusumUnknownTypeCarry:
         assert z[1]["s_hi"] == 3_000_000
         assert z[2]["s_hi"] == 5_000_000
         assert all(r["alarm_hi"] for r in z.values())  # zero expectation
+
+
+class TestQualityAuc:
+    def test_auc_matches_sklearn_free_reference(self, spark):
+        """U-statistic AUC == a direct pairwise-comparison reference
+        (ties count half) on the learning corpus, and the trained probe
+        must actually rank (AUC well above chance at sf0.01)."""
+        from snowflake_to_postgres_spark.operators.text import (
+            QL_SCALE,
+            _ql_scored,
+            _quality_features,
+            train_quality_logreg,
+            tx_quality_auc,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        row = tx_quality_auc(spark, sf).collect()[0]
+        feats = _quality_features(spark, sf)
+        w, _ = train_quality_logreg(feats)
+        scored = [
+            (r["pf"], r["yf"] == QL_SCALE)
+            for r in _ql_scored(feats, w).select("pf", "yf").collect()
+        ]
+        pos = [p for p, y in scored if y]
+        neg = [p for p, y in scored if not y]
+        assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+        # pairwise reference in doubled units to keep ties exact
+        u2_ref = sum(
+            2 if p > q else (1 if p == q else 0) for p in pos for q in neg
+        )
+        assert row["u2"] == u2_ref
+        assert row["auc_ppm"] == u2_ref * 1_000_000 // (2 * len(pos) * len(neg))
+        assert row["auc_ppm"] > 900_000  # it RANKS, not just matches
+
+    def test_auc_chance_on_constant_scores(self, spark, sf_dir):
+        """Structural: with zero GD rounds every pf is 500000, one tie
+        group — midrank algebra must give exactly AUC = 1/2."""
+        from snowflake_to_postgres_spark.operators.text import (
+            QL_SCALE,
+            _ql_scored,
+            _quality_features,
+        )
+        from pyspark.sql import Window, functions as F
+
+        feats = _quality_features(spark, sf_dir)
+        scored = _ql_scored(feats, [0] * 7)
+        grid = scored.groupBy("pf").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.when(F.col("yf") == QL_SCALE, 1).otherwise(0)).alias("pos"),
+        )
+        win = Window.orderBy("pf").rowsBetween(Window.unboundedPreceding, -1)
+        r = (
+            grid.select(
+                "cnt", "pos",
+                F.coalesce(F.sum("cnt").over(win), F.lit(0)).alias("cb"),
+            )
+            .agg(
+                F.sum("pos").alias("np"),
+                (F.sum("cnt") - F.sum("pos")).alias("nn"),
+                (
+                    F.sum(F.col("pos") * (F.lit(2) * F.col("cb") + F.col("cnt") + F.lit(1)))
+                    - F.sum("pos") * (F.sum("pos") + F.lit(1))
+                ).alias("u2"),
+            )
+            .collect()[0]
+        )
+        assert r["u2"] == r["np"] * r["nn"]  # AUC exactly 1/2
