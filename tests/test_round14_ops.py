@@ -1548,3 +1548,51 @@ class TestQualityAuc:
             .collect()[0]
         )
         assert r["u2"] == r["np"] * r["nn"]  # AUC exactly 1/2
+
+
+class TestIvmTopkRefresh:
+    def test_monotone_theorem_and_counterexample_shape(self, spark, sf_dir):
+        """The incremental result equals the full recompute (the
+        theorem), and the structural premise holds: every new-view row
+        comes from old-top-k ∪ delta."""
+        from pyspark.sql import Window, functions as F
+
+        from snowflake_to_postgres_spark.operators.analytics_ext import (
+            IVM_SPLIT,
+            IVM_TOPK_K,
+            ivm_topk_refresh,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+
+        inc = {
+            (r["o_orderpriority"], r["rank"], r["o_orderkey"])
+            for r in ivm_topk_refresh(spark, sf_dir).collect()
+        }
+        orders = load_table(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), "o_orderkey"
+        )
+        fullk = {
+            (r["o_orderpriority"], r["rank"], r["o_orderkey"])
+            for r in orders.withColumn(
+                "rank", F.row_number().over(w).cast("bigint")
+            )
+            .filter(F.col("rank") <= IVM_TOPK_K)
+            .collect()
+        }
+        assert inc == fullk and inc
+        # premise: every surviving key is in old-top-k or the delta
+        old_k = {
+            r["o_orderkey"]
+            for r in orders.filter(F.col("o_orderdate") < IVM_SPLIT)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= IVM_TOPK_K)
+            .collect()
+        }
+        delta = {
+            r["o_orderkey"]
+            for r in orders.filter(F.col("o_orderdate") >= IVM_SPLIT)
+            .select("o_orderkey")
+            .collect()
+        }
+        assert {k for _, _, k in inc} <= old_k | delta
