@@ -1615,3 +1615,70 @@ def cusum_stream(
         .start()
         .awaitTermination()
     )
+
+
+TOPK_STREAM_K = 10
+
+
+def topk_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    events: DataFrame | None = None,
+) -> None:
+    """Streaming per-type top-k leaderboard — the live twin of
+    ivm_topk_refresh, built on the SAME insert-monotone theorem:
+    for an append-only stream, topk(state ∪ batch) IS the exact
+    top-k of everything seen, so the maintained state is both the
+    view and the whole algorithm. State is |types|·k rows — bounded
+    by the leaderboard, not the stream — written at state/batch=N
+    under the quota/cusum retention contract (read latest prior,
+    prune to the two newest existing partitions). Replay recomputes
+    identical state (rank ties broken on event_id — total order, no
+    float accumulation anywhere).
+
+    After an AvailableNow drain the final state partition equals the
+    batch top-k over the full table EXACTLY — pinned by pytest; that
+    equality is the monotone theorem, not an approximation."""
+    from pyspark.sql import Window
+
+    if events is None:
+        events = read_events_stream(spark, sf_dir)
+
+    state_schema = "event_type string, event_id bigint, value double"
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        latest = _latest_state_below(spark, state_path, batch_id)
+        prior = (
+            spark.read.parquet(latest).select(
+                "event_type", "event_id", "value"
+            )
+            if latest is not None
+            else spark.createDataFrame([], state_schema)
+        )
+        merged = prior.unionByName(
+            batch.select("event_type", "event_id", "value")
+        )
+        new_state = (
+            merged.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOPK_STREAM_K)
+            .drop("rnk")
+        )
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"batch={batch_id}")
+        )
+        _prune_state(spark, state_path, batch_id)
+
+    (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

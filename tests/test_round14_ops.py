@@ -1596,3 +1596,76 @@ class TestIvmTopkRefresh:
             .collect()
         }
         assert {k for _, _, k in inc} <= old_k | delta
+
+
+class TestTopkStream:
+    def test_drained_state_equals_batch_topk_exactly(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The monotone theorem live: after a chunked AvailableNow
+        drain, the final state partition == the batch top-k over the
+        whole events table, bit-exact; replay changes nothing; state
+        dir stays at ≤2 partitions."""
+        import os
+
+        from pyspark.sql import Window, functions as F
+
+        from snowflake_to_postgres_spark.sources import load_table
+        from snowflake_to_postgres_spark.streaming.pipeline import (
+            TOPK_STREAM_K,
+            topk_stream,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        n_chunks = 7
+        src = str(tmp_path / "src")
+        chunked = events.withColumn(
+            "chunk", F.abs(F.hash("event_id")) % n_chunks
+        )
+        for c in range(n_chunks):
+            chunked.filter(F.col("chunk") == c).drop("chunk").coalesce(
+                1
+            ).write.parquet(f"{src}/c{c:02d}.parquet")
+
+        def make_stream():
+            return (
+                spark.readStream.schema(events.schema)
+                .format("parquet")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .load(src)
+            )
+
+        state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+        topk_stream(spark, sf_dir, state, ckpt, events=make_stream())
+        state_dirs = sorted(
+            d for d in os.listdir(state) if d.startswith("batch=")
+        )
+        assert len(state_dirs) <= 2
+        got = {
+            (r["event_type"], r["event_id"])
+            for r in spark.read.parquet(
+                os.path.join(state, state_dirs[-1])
+            ).collect()
+        }
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").desc(), "event_id"
+        )
+        want = {
+            (r["event_type"], r["event_id"])
+            for r in events.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOPK_STREAM_K)
+            .collect()
+        }
+        assert got == want and got
+        # replay idempotence
+        topk_stream(spark, sf_dir, state, ckpt, events=make_stream())
+        after = {
+            (r["event_type"], r["event_id"])
+            for r in spark.read.parquet(
+                os.path.join(state, sorted(
+                    d for d in os.listdir(state) if d.startswith("batch=")
+                )[-1])
+            ).collect()
+        }
+        assert after == got
