@@ -3774,3 +3774,142 @@ FROM rt{d} h JOIN rfull USING (qid, neighbor_id)""")
 SPECS.append(
     QuerySpec("emb_matryoshka_recall", emb_matryoshka_recall, _mrl_oracle())
 )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) embedding retrieval audit (round 14, session 2) —
+# the 1-bit quantization craze done honestly: pack sign bits into two
+# 32-bit words per vector (16 bytes instead of 64 floats), search by
+# popcount Hamming distance, and MEASURE what top-k agreement survives
+# against the exact-cosine truth (the int8/PQ/matryoshka discipline at
+# the most aggressive compression point on the curve).
+# ---------------------------------------------------------------------------
+
+
+def _sign_packed(comp: DataFrame) -> DataFrame:
+    """(vec_id, lo, hi): sign bits of the 64 gridded components packed
+    into two int64-held 32-bit words. The sign predicate (val > 0 on
+    the exact decimal grid) is engine-identical; the packed sum is
+    exact integer arithmetic."""
+    bit = F.when(F.col("val") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 32 AS INT))")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return comp.groupBy("vec_id").agg(
+        F.sum(F.when(F.col("idx") < 32, bit).otherwise(F.lit(0))).alias("lo"),
+        F.sum(F.when(F.col("idx") >= 32, bit).otherwise(F.lit(0))).alias("hi"),
+    )
+
+
+def emb_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (k, n_queries, hits, recall_ppm) — top-K agreement of
+    sign-bit Hamming search with the full-precision cosine truth.
+    Hamming ties break on neighbor_id (total order, engine-identical).
+
+    100-TB shape: the packed table is 3 int64 per vector — the
+    whole-corpus scan the binary trick exists for: the 'distance' is
+    two XOR+popcounts per candidate (register-speed, whole-stage
+    codegen), and the packed frame is ~40× smaller than the float
+    vectors it summarizes. Recall is measured, never assumed — on the
+    fixture's random vectors it is the honest baseline number a
+    deployment would demand before switching."""
+    from pyspark import StorageLevel
+
+    comp = _components(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    packed = _sign_packed(comp)
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr("bit_count(lo ^ qlo)") + F.expr("bit_count(hi ^ qhi)")
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", "neighbor_id")
+    topb = (
+        ham.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "neighbor_id")
+    )
+    full = _trunc_topk(comp, None)
+    hits = topb.join(full, ["qid", "neighbor_id"])
+    return hits.agg(
+        F.lit(int(TOP_K)).cast("bigint").alias("k"),
+        F.lit(int(N_QUERIES)).cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("hits"),
+        F.expr(f"div(count(*) * 1000000L, {int(N_QUERIES) * int(TOP_K)}L)")
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
+
+
+def _binary_hamming_oracle() -> str:
+    # oracle comp.idx is 1-BASED: bit position (idx-1) % 32, halves split
+    # at idx <= 32 / idx > 32
+    full_block = """
+cfull AS (SELECT vec_id, idx, val FROM comp),
+nfull AS (SELECT vec_id, CAST(SUM(val * val) AS DECIMAL(38,18)) AS n2
+          FROM cfull GROUP BY vec_id),
+dfull AS (
+  SELECT q.vec_id AS qid, c.vec_id,
+         CAST(SUM(c.val * q.val) AS DECIMAL(38,18)) AS dot
+  FROM cfull c JOIN cfull q USING (idx)
+  WHERE q.vec_id < {nq} AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id),
+rfull AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, d.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qid
+             ORDER BY CAST(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+                           AS DECIMAL(10,8)) DESC, d.vec_id) AS rnk
+    FROM dfull d
+    JOIN nfull qn ON qn.vec_id = d.qid
+    JOIN nfull nn ON nn.vec_id = d.vec_id)
+  WHERE rnk <= {k})""".format(nq=N_QUERIES, k=TOP_K)
+    return (
+        _COMP_CTES.rstrip()
+        + ","
+        + full_block
+        + f""",
+packed AS (
+  SELECT vec_id,
+         SUM(CASE WHEN idx <= 32 AND val > 0
+                  THEN CAST(1 AS BIGINT) << ((idx - 1) % 32) ELSE 0 END) AS lo,
+         SUM(CASE WHEN idx > 32 AND val > 0
+                  THEN CAST(1 AS BIGINT) << ((idx - 1) % 32) ELSE 0 END) AS hi
+  FROM comp GROUP BY vec_id),
+ham AS (
+  SELECT q.vec_id AS qid, p.vec_id AS neighbor_id,
+         bit_count(xor(p.lo, q.lo)) + bit_count(xor(p.hi, q.hi)) AS hamming
+  FROM packed p, packed q
+  WHERE q.vec_id < {N_QUERIES} AND p.vec_id <> q.vec_id),
+topb AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, neighbor_id) AS rnk
+    FROM ham)
+  WHERE rnk <= {TOP_K})
+SELECT CAST({TOP_K} AS BIGINT) AS k,
+       CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST((COUNT(*) * 1000000) // {int(N_QUERIES) * int(TOP_K)} AS BIGINT) AS recall_ppm
+FROM topb JOIN rfull USING (qid, neighbor_id)"""
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "emb_binary_hamming_recall",
+        emb_binary_hamming_recall,
+        _binary_hamming_oracle(),
+    )
+)

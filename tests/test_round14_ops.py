@@ -1669,3 +1669,53 @@ class TestTopkStream:
             ).collect()
         }
         assert after == got
+
+
+class TestBinaryHammingRecall:
+    def test_packing_matches_sign_predicate_and_accounting(
+        self, spark, sf_dir
+    ):
+        from snowflake_to_postgres_spark.operators.similarity import (
+            N_QUERIES,
+            TOP_K,
+            _components,
+            _sign_packed,
+            emb_binary_hamming_recall,
+        )
+
+        comp = _components(spark, sf_dir)
+        signs = {}
+        for r in comp.collect():
+            signs.setdefault(r["vec_id"], {})[r["idx"]] = r["val"] > 0
+        packed = {
+            r["vec_id"]: (r["lo"], r["hi"])
+            for r in _sign_packed(comp).collect()
+        }
+        assert set(packed) == set(signs)
+        for vid, (lo, hi) in list(packed.items())[:20]:
+            for idx, pos in signs[vid].items():
+                word, bit = (lo, idx) if idx < 32 else (hi, idx - 32)
+                assert bool((word >> bit) & 1) == pos, (vid, idx)
+        row = emb_binary_hamming_recall(spark, sf_dir).collect()[0]
+        assert row["k"] == TOP_K and row["n_queries"] == N_QUERIES
+        assert 0 <= row["hits"] <= TOP_K * N_QUERIES
+        assert row["recall_ppm"] == row["hits"] * 1_000_000 // (TOP_K * N_QUERIES)
+
+    def test_identical_vectors_have_zero_hamming(self, spark, sf_dir):
+        """Self-distance sanity through the packed representation."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.similarity import (
+            _components,
+            _sign_packed,
+        )
+
+        p = _sign_packed(_components(spark, sf_dir))
+        a = p.select(
+            F.col("vec_id").alias("v"), F.col("lo").alias("alo"),
+            F.col("hi").alias("ahi"),
+        )
+        joined = p.join(a, p["vec_id"] == a["v"]).select(
+            (F.expr("bit_count(lo ^ alo)") + F.expr("bit_count(hi ^ ahi)")).alias("h")
+        )
+        assert joined.agg(F.max("h")).collect()[0][0] == 0
