@@ -3913,3 +3913,128 @@ SPECS.append(
         _binary_hamming_oracle(),
     )
 )
+
+
+HAMMING_SHORTLIST_MULT = 8  # shortlist = 8×k candidates per query
+
+
+def sim_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary retrieval — the production pattern the raw
+    sign-bit audit motivates: a cheap XOR+popcount Hamming SHORTLIST
+    (:data:`HAMMING_SHORTLIST_MULT`×k per query) followed by exact
+    decimal-cosine rescoring of only those candidates (the PQ/ADC
+    rescore discipline at 1 bit). Returns the reranked (qid, rank,
+    neighbor_id, cosine) top-k.
+
+    100-TB shape: stage 1 scans 16-byte packed codes (register math,
+    no float); stage 2 touches full vectors for only mult·k·|queries|
+    candidates — the float read is output-sized, not corpus-sized."""
+    from pyspark import StorageLevel
+
+    comp = _components(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    packed = _sign_packed(comp)
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr("bit_count(lo ^ qlo)") + F.expr("bit_count(hi ^ qhi)")
+            ).alias("hamming"),
+        )
+    )
+    wham = Window.partitionBy("qid").orderBy("hamming", "neighbor_id")
+    shortlist = (
+        ham.withColumn("rnk", F.row_number().over(wham))
+        .filter(F.col("rnk") <= HAMMING_SHORTLIST_MULT * TOP_K)
+        .select("qid", "neighbor_id")
+    )
+    norms = _norms(comp)
+    qc = comp.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "idx", F.col("val").alias("qval")
+    )
+    cand = shortlist.join(
+        comp.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    dots = (
+        cand.join(F.broadcast(qc), ["qid", "idx"])
+        .groupBy("qid", "neighbor_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("decimal(38,18)").alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
+    nn = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("nn2"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("nn2").cast("double")))
+    ).cast("decimal(10,8)")
+    scored = (
+        dots.join(F.broadcast(qn), "qid")
+        .join(nn, "neighbor_id")
+        .select("qid", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _hamming_rerank_oracle() -> str:
+    m = HAMMING_SHORTLIST_MULT * TOP_K
+    return (
+        _COMP_CTES.rstrip()
+        + f""",
+packed AS (
+  SELECT vec_id,
+         SUM(CASE WHEN idx <= 32 AND val > 0
+                  THEN CAST(1 AS BIGINT) << ((idx - 1) % 32) ELSE 0 END) AS lo,
+         SUM(CASE WHEN idx > 32 AND val > 0
+                  THEN CAST(1 AS BIGINT) << ((idx - 1) % 32) ELSE 0 END) AS hi
+  FROM comp GROUP BY vec_id),
+ham AS (
+  SELECT q.vec_id AS qid, p.vec_id AS neighbor_id,
+         bit_count(xor(p.lo, q.lo)) + bit_count(xor(p.hi, q.hi)) AS hamming
+  FROM packed p, packed q
+  WHERE q.vec_id < {N_QUERIES} AND p.vec_id <> q.vec_id),
+shortlist AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT qid, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, neighbor_id) AS rnk
+    FROM ham)
+  WHERE rnk <= {m}),
+dots AS (
+  SELECT s.qid, s.neighbor_id,
+         CAST(SUM(c.val * q.val) AS DECIMAL(38,18)) AS dot
+  FROM shortlist s
+  JOIN comp c ON c.vec_id = s.neighbor_id
+  JOIN comp q ON q.vec_id = s.qid AND q.idx = c.idx
+  GROUP BY s.qid, s.neighbor_id),
+scored AS (
+  SELECT qid, dots.neighbor_id,
+         CAST(CAST(dot AS DOUBLE)
+              / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+              AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN norms qn ON qn.vec_id = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.neighbor_id)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}"""
+    )
+
+
+SPECS.append(
+    QuerySpec(
+        "sim_hamming_rerank", sim_hamming_rerank, _hamming_rerank_oracle()
+    )
+)

@@ -99,6 +99,7 @@ _ORACLE_DOUBLE_COLS: dict[str, tuple[str, ...]] = {
     "sim_hard_negatives": ("cosine",),
     "sim_ann_index_search": ("cosine",),
     "sim_truncated_topk": ("cosine",),
+    "sim_hamming_rerank": ("cosine",),
     "sim_range_search": ("cosine",),
     "sim_filtered_ann": ("cosine",),
     "x_cdc_apply": ("last_value",),

@@ -1719,3 +1719,34 @@ class TestBinaryHammingRecall:
             (F.expr("bit_count(lo ^ alo)") + F.expr("bit_count(hi ^ ahi)")).alias("h")
         )
         assert joined.agg(F.max("h")).collect()[0][0] == 0
+
+
+class TestHammingRerank:
+    def test_rerank_recovers_recall_over_raw_binary(self, spark, sf_dir):
+        """The two-stage pattern must beat raw binary top-k against the
+        exact truth (that's its entire reason to exist), and ranks must
+        carry exact cosines."""
+        from snowflake_to_postgres_spark.operators.similarity import (
+            emb_binary_hamming_recall,
+            sim_hamming_rerank,
+            sim_topk_bruteforce,
+        )
+
+        truth = {
+            (r["qid"], r["neighbor_id"])
+            for r in sim_topk_bruteforce(spark, sf_dir).collect()
+        }
+        rer = sim_hamming_rerank(spark, sf_dir).collect()
+        rer_set = {(r["qid"], r["neighbor_id"]) for r in rer}
+        raw_hits = emb_binary_hamming_recall(spark, sf_dir).collect()[0]["hits"]
+        assert len(rer_set & truth) >= raw_hits
+        # reranked cosines are the TRUE cosines: any overlap with the
+        # brute-force truth carries identical (qid, rank-ordering) keys
+        by_q = {}
+        for r in rer:
+            by_q.setdefault(r["qid"], []).append((r["rank"], r["cosine"]))
+        for qid, rows in by_q.items():
+            ordered = sorted(rows)
+            assert [c for _, c in ordered] == sorted(
+                [c for _, c in ordered], reverse=True
+            ), qid
