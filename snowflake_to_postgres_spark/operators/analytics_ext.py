@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from snowflake_to_postgres_spark.operators.common import dec, one
 from snowflake_to_postgres_spark.registry import QuerySpec
 from snowflake_to_postgres_spark.sources import load_table
+from snowflake_to_postgres_spark.util.concurrency import run_actions
 
 SESSION_GAP_SEC = 1800
 
@@ -270,7 +271,12 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four eagerly-collected jobs, each its own pruned parquet scan:
     # persisting the shared projection was MEASURED SLOWER at sf0.1
     # (4.7 s vs 3.9 s — materialization costs more than three cheap
-    # column-pruned re-scans); the wall time is md5/distinct compute
+    # column-pruned re-scans); the wall time is md5/distinct compute.
+    # The first three jobs are INDEPENDENT, so they run concurrently
+    # (guide §2.6 — overlap independent jobs): sequential, each leaves
+    # most of local[32] idle and the phase costs the SUM of three job
+    # latencies; overlapped it costs ~the max. Only the histogram job
+    # waits (its bin bounds come from the collected base rows).
     li = load_table(spark, sf_dir, "lineitem")
     # quantity enters the fingerprint as exact integer cents — string-
     # formatting a DOUBLE would couple the hash to each engine's float
@@ -279,28 +285,21 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the md5 fingerprint in a single agg evaluates the md5 on the
     # EXPANDED rows and drops out of whole-stage hash aggregation
     # (measured 3.4 s combined vs 2.5 s split at sf0.1).
-    exact = {
-        r["g"]: r["exact_orders"]
-        for r in li.groupBy(F.col("l_returnflag").alias("g"))
-        .agg(F.countDistinct("l_orderkey").alias("exact_orders"))
-        .collect()
-    }
-    base = (
-        li.groupBy(F.col("l_returnflag").alias("g"))
-        .agg(
-            F.expr(
-                "bit_xor(CAST(conv(substring(md5(concat_ws('|',"
-                " CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),"
-                " CAST(CAST(l_quantity * 100 AS BIGINT) AS STRING))), 1, 15),"
-                " 16, 10) AS BIGINT))"
-            ).alias("fp_xor"),
-            # per-group price bounds ride along so the percentile stage
-            # derives its GLOBAL bounds from these 3 collected rows
-            # instead of another full scan
-            F.min(F.col("l_extendedprice").cast("double")).alias("mn"),
-            F.max(F.col("l_extendedprice").cast("double")).alias("mx"),
-        )
-        .collect()
+    exact_df = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    base_df = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.expr(
+            "bit_xor(CAST(conv(substring(md5(concat_ws('|',"
+            " CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),"
+            " CAST(CAST(l_quantity * 100 AS BIGINT) AS STRING))), 1, 15),"
+            " 16, 10) AS BIGINT))"
+        ).alias("fp_xor"),
+        # per-group price bounds ride along so the percentile stage
+        # derives its GLOBAL bounds from these 3 collected rows
+        # instead of another full scan
+        F.min(F.col("l_extendedprice").cast("double")).alias("mn"),
+        F.max(F.col("l_extendedprice").cast("double")).alias("mx"),
     )
     h = F.conv(
         F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10
@@ -309,26 +308,27 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
         F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
     )
-    folds = {
-        r["g"]: (r["k_used"], r["s_hit"])
-        for r in (
-            li.select(F.col("l_returnflag").alias("g"), h.alias("h"))
-            .select("g", F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
-            .groupBy("g", "j")
-            .agg(F.max("r").alias("mj"))
-            .groupBy("g")
-            .agg(
-                F.count("*").alias("k_used"),
-                F.sum(
-                    F.expr(
-                        f"shiftleft(CAST(1 AS BIGINT),"
-                        f" CAST({_HLL_WBITS + 1} - mj AS INT))"
-                    )
-                ).alias("s_hit"),
-            )
-            .collect()
+    folds_df = (
+        li.select(F.col("l_returnflag").alias("g"), h.alias("h"))
+        .select("g", F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
+        .groupBy("g", "j")
+        .agg(F.max("r").alias("mj"))
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST({_HLL_WBITS + 1} - mj AS INT))"
+                )
+            ).alias("s_hit"),
         )
-    }
+    )
+    exact_rows, base, folds_rows = run_actions(
+        exact_df.collect, base_df.collect, folds_df.collect
+    )
+    exact = {r["g"]: r["exact_orders"] for r in exact_rows}
+    folds = {r["g"]: (r["k_used"], r["s_hit"]) for r in folds_rows}
     x = li.select(
         F.col("l_returnflag").alias("g"),
         F.col("l_extendedprice").cast("double").alias("x"),
@@ -1465,15 +1465,22 @@ def a16_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-time truth, omitted at real scale)."""
     frames = _a16_set_frames(spark, sf_dir)
 
-    def sketch(event_type: str) -> list[float]:
-        return [r["u"] for r in frames[f"sketch_{event_type}"].collect()]
-
     def kmv_est(us: list[float]) -> float:
         if len(us) >= KMV_K and us[-1] > 0:
             return (len(us) - 1) / us[-1]
         return float(len(us))
 
-    sa, sb = sketch(KMV_SET_A), sketch(KMV_SET_B)
+    # all four action jobs (two sketches, exact counts, exact
+    # intersection) are independent — overlap them (guide §2.6) so the
+    # construct phase costs ~max(job) instead of the sum
+    rows_a, rows_b, exact_rows, i_ex = run_actions(
+        frames[f"sketch_{KMV_SET_A}"].collect,
+        frames[f"sketch_{KMV_SET_B}"].collect,
+        frames["exact"].collect,
+        frames["intersection"].count,
+    )
+    sa = [r["u"] for r in rows_a]
+    sb = [r["u"] for r in rows_b]
     union_sorted = sorted(set(sa) | set(sb))[:KMV_K]
     theta = union_sorted[-1] if union_sorted else 0.0
     common = len({h for h in set(sa) & set(sb) if h <= theta})
@@ -1485,9 +1492,8 @@ def a16_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_est = common / len(union_sorted) if union_sorted else 0.0
     inter_est = jaccard_est * union_est
 
-    ex = frames["exact"].collect()[0]
+    ex = exact_rows[0]
     a_ex, b_ex = ex["a"], ex["b"]
-    i_ex = frames["intersection"].count()
     union_ex = a_ex + b_ex - i_ex
     return spark.createDataFrame(
         [(
@@ -2183,8 +2189,13 @@ def a18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys — the canonical mergeable sketch; the exact COUNT(DISTINCT)
     baseline is eval-time truth, sampled or omitted at real scale."""
     frames = _a18_hll_frames(spark, sf_dir)
-    row = frames["registers"].collect()[0]
-    exact = int(frames["exact"].collect()[0][0] or 0)
+    # the register fold and the exact-distinct baseline are independent
+    # jobs — overlap them (guide §2.6)
+    reg_rows, exact_rows = run_actions(
+        frames["registers"].collect, frames["exact"].collect
+    )
+    row = reg_rows[0]
+    exact = int(exact_rows[0][0] or 0)
     v_zero, s_scaled, est = _hll_est_parts(row["k_used"], row["s_hit"])
     rel = abs(est - exact) / exact if exact else 0.0
     return spark.createDataFrame(

@@ -434,19 +434,30 @@ def _lsh_candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir).cache()
     sigs = _minhash_signatures(sh)
     rows_per_band = N_MINHASH // N_BANDS
+    # Banding via ONE posexplode of a band array (the
+    # dedup_minhash_signatures form) instead of a UNION of N_BANDS
+    # selects: the union form re-evaluates the 16-minhash aggregation
+    # subtree once PER BAND — and the banded frame feeds BOTH sides of
+    # the candidate self-join, so the signature aggregation (the
+    # dominant map work of the whole pipeline) ran 2×N_BANDS times per
+    # execution (round-14 plan audit: 38 HashAggregates, 21
+    # InMemoryTableScans of sh). Explode computes signatures once and
+    # emits the same (doc_id, band, bucket) rows — guide §2.4 (remove
+    # duplicated subtrees) applied to a Union, not an Exchange.
     bands = []
     for b in range(N_BANDS):
         cols = [f"h{b * rows_per_band + r:02d}" for r in range(rows_per_band)]
         bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
                 F.md5(F.concat_ws("_", *cols)).alias("bucket"),
             )
         )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
     ba = banded.alias("ba")
     bb = banded.alias("bb")

@@ -80,10 +80,37 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set(_CONFS_APPLIED_MARKER, "true")
 
 
+#: Per-(session, path, mtime) memo of ANALYZED DataFrames (round-14
+#: optimization, guide §6 "file listing" / §7.3 driver-side planning):
+#: every ``spark.read.parquet`` call re-lists the path and re-reads a
+#: parquet footer for schema inference — pure driver-side latency that
+#: every query pays per referenced table, measured ~40-80 ms per call
+#: at sf0.1. The DataFrame is an immutable lazy plan, so reusing it is
+#: side-effect-free; execution still scans parquet every time (nothing
+#: about query RESULTS is cached). Keyed by applicationId (a stopped
+#: session's plans are unusable), absolute path, and the path's
+#: st_mtime_ns so an in-place rewrite (corruption-layer tests, tmp-dir
+#: fixtures) invalidates naturally.
+_LOAD_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    return normalize_external_types(df, table=name)
+    path = table_path(sf_dir, name)
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        if len(_LOAD_MEMO) > 512:
+            # bound growth across many short-lived test sessions; the
+            # memo is a latency cache, safe to drop wholesale
+            _LOAD_MEMO.clear()
+        df = normalize_external_types(spark.read.parquet(path), table=name)
+        _LOAD_MEMO[key] = df
+    return df
 
 
 #: Tables whose ``ts`` column is parquet TIMESTAMP(NANOS) — the ONLY

@@ -52,7 +52,9 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("cli.py", "cmd_sketch"): (1, "REPORT-CLI"),
     ("operators/analytics_ext.py", "_guard_group_cardinality"): (1, "SCALAR-1ROW"),
     ("operators/analytics_ext.py", "a15_kmv_distinct"): (2, "SKETCH"),
-    ("operators/analytics_ext.py", "a16_kmv_set_ops"): (1, "SKETCH"),
+    # r14: the nested sketch() helper inlined into run_actions thunks —
+    # two KMV sketch frames (K-bounded) + the 1-row exact baseline
+    ("operators/analytics_ext.py", "a16_kmv_set_ops"): (3, "SKETCH"),
     ("operators/analytics_ext.py", "a18_hll_distinct"): (2, "SKETCH"),
     ("operators/analytics_ext.py", "a20_bloom_membership"): (1, "SKETCH"),
     ("operators/analytics_ext.py", "a21_binned_quantiles"): (2, "SKETCH"),
@@ -68,7 +70,10 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/analytics_ext.py", "cms_heavy_hitters"): (2, "SKETCH"),
     ("operators/analytics_ext.py", "hll_estimate"): (1, "SKETCH"),
     ("operators/analytics_ext.py", "ivm_join_refresh"): (3, "SCALAR-1ROW"),
-    ("operators/analytics_ext.py", "sketch"): (1, "SKETCH"),
+    # collect_all: the shared overlapped-collect helper — boundedness is
+    # the CALLER's contract (each caller's frames are ledgered at its
+    # own site); the helper itself adds no new collect surface
+    ("util/concurrency.py", "collect_all"): (1, "BOUNDED-RESULT"),
     ("operators/analytics_ext.py", "x_approx_sketches"): (4, "SKETCH"),
     ("operators/analytics_ext.py", "x_funnel"): (1, "SCHEMA/CONST"),
     ("operators/analytics_ext.py", "x_session_funnel"): (1, "SCHEMA/CONST"),
@@ -148,12 +153,27 @@ def _collect_sites() -> dict[tuple[str, str], int]:
                 for n in ast.walk(tree)
                 if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
             ]
+            # direct calls (.collect()) AND bare bound-method references
+            # (df.collect passed to util.concurrency.run_actions) — the
+            # reference form still executes a driver collect, so it must
+            # stay in the ledger; counting only Call nodes would let the
+            # run_actions idiom silently evade classification review
+            called_funcs = {
+                id(node.func)
+                for node in ast.walk(tree)
+                if isinstance(node, ast.Call)
+            }
             for node in ast.walk(tree):
-                if (
+                is_site = (
                     isinstance(node, ast.Call)
                     and isinstance(node.func, ast.Attribute)
                     and node.func.attr == "collect"
-                ):
+                ) or (
+                    isinstance(node, ast.Attribute)
+                    and node.attr == "collect"
+                    and id(node) not in called_funcs
+                )
+                if is_site:
                     enc, enc_start = "<module>", -1
                     for s, e, name in funcs:
                         if s <= node.lineno <= e and s > enc_start:

@@ -67,7 +67,9 @@ def main() -> int:
     if first_n != "all":
         specs = specs[: int(first_n)]
     if name_filter:
-        specs = [s for s in specs if name_filter in s.name]
+        # comma-separated substrings: a spec matches if ANY matches
+        parts = [p for p in name_filter.split(",") if p]
+        specs = [s for s in specs if any(p in s.name for p in parts)]
 
     n_pass = n_fail = n_err = 0
     results: dict[str, dict] = {}
