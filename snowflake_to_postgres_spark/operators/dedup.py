@@ -782,24 +782,32 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection below the aggregate); each bit aggregate is then a shift
     + mask on that integer. The round-2 formulation evaluated md5 inside
     every one of the 32 aggregate expressions — 32 digests per word row
-    (CSE does not reach across aggregate buffers)."""
+    (CSE does not reach across aggregate buffers).
+
+    Round 14 (guide §7.3 driver latency): the 32 bit-aggregates and the
+    32-term reconstruction are built as ONE ``spark.sql`` string instead
+    of ~300 Column-object py4j round trips — cProfile attributed ~0.7 s
+    of every construct to that chatter (5 489 py4j commands). The
+    expression tree is identical term for term (same shifts, masks,
+    CASE bounds, bigint casts), so the plan and every value are
+    unchanged; only the build path moved into one JVM parse."""
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
-    x = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
-    words = docs.select("doc_id", F.explode("toks").alias("w")).select(
-        "doc_id", x.alias("x")
+    words = docs.select("doc_id", F.explode("toks").alias("w")).selectExpr(
+        "doc_id", "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) AS x"
     )
-    aggs = []
-    for i in range(32):
-        bit = F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1))
-        aggs.append(
-            F.when(F.sum(bit * 2 - 1) > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{i:02d}")
-        )
-    sums = words.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for i in range(32):
-        term = F.col(f"b{i:02d}").cast("bigint") * F.lit(2**i).cast("bigint")
-        sim = term if sim is None else sim + term
-    return sums.select("doc_id", sim.alias("simhash"))
+    bit_aggs = ", ".join(
+        f"CASE WHEN SUM((shiftright(x, {i}) & 1) * 2 - 1) > 0"
+        f" THEN 1 ELSE 0 END AS b{i:02d}"
+        for i in range(32)
+    )
+    sim = " + ".join(
+        f"CAST(b{i:02d} AS BIGINT) * CAST({2**i} AS BIGINT)" for i in range(32)
+    )
+    return spark.sql(
+        f"SELECT doc_id, {sim} AS simhash FROM "
+        f"(SELECT doc_id, {bit_aggs} FROM {{w}} GROUP BY doc_id)",
+        w=words,
+    )
 
 
 def _simhash_oracle_sql() -> str:
@@ -836,21 +844,34 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would need 4-5-bit blocks whose ~32-value keyspace degenerates
     toward all-pairs."""
     sigs = dedup_simhash_signatures(spark, sf_dir)
-    a = sigs.select(
-        F.col("doc_id").alias("d1"),
-        F.col("simhash").alias("s1"),
-        F.floor(F.col("simhash") / F.lit(65536)).alias("prefix"),
+    # Round 14 (guide §2.4): the prefix blocking used to SELF-JOIN the
+    # signature frame — the whole tokenize+32-agg signature subtree ran
+    # TWICE (once per join side; Spark cannot share un-persisted
+    # subtrees across a self-join). Grouping each prefix block into an
+    # array and exploding the within-block cross product computes
+    # signatures ONCE and replaces the join with a generator — the
+    # minhash posexplode lesson applied to the blocked self-join. The
+    # pair set is identical: each unordered in-block pair appears twice
+    # in the product and the d1 < d2 filter keeps exactly one copy.
+    # Block arrays stay bounded exactly as the join's blocks did (the
+    # 16-bit prefix spreads a corpus uniformly; a block holds
+    # corpus/65536 signatures — 16 bytes each — at any scale).
+    # Paired ABAB at sf0.1: med 1.57 → 1.43 s, min 1.30 → 1.18 s;
+    # rows proven identical both directions.
+    g = (
+        sigs.withColumn("prefix", F.floor(F.col("simhash") / F.lit(65536)))
+        .groupBy("prefix")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("items"))
     )
-    b = sigs.select(
-        F.col("doc_id").alias("d2"),
-        F.col("simhash").alias("s2"),
-        F.floor(F.col("simhash") / F.lit(65536)).alias("prefix"),
-    )
-    hamming = F.expr("bit_count(s1 ^ s2)")
     return (
-        a.join(b, "prefix")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", hamming.cast("bigint").alias("hamming"))
+        g.select(F.explode("items").alias("a"), "items")
+        .select("a", F.explode("items").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").alias("hamming"),
+        )
         .filter(F.col("hamming") <= 6)
     )
 

@@ -1279,7 +1279,7 @@ def pagerank(
     damp: float = PR_DAMP,
     tol: float = 0.0,
     stats: dict | None = None,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Distributed PageRank (Brin & Page) by iterated join-aggregate:
     each round joins the node-sized rank frame to the edge list on src,
@@ -1299,10 +1299,19 @@ def pagerank(
     bit-for-bit regardless of where barriers fall. Measured at sf0.1
     (8 iters, medians of 3): cadence 1 = 6.90 s, 2 = 5.02 s, 4 =
     4.63 s, 8 = 4.35 s — each eager barrier costs ~0.3-0.6 s of
-    stage-scheduling floor, so the default checkpoints every 4 rounds
-    (within 7% of no-intermediate-barrier while keeping plans bounded
-    for arbitrary ``iters``). Lazy checkpoints LOSE (10-13 s): the
-    un-materialized tail recomputes under the next round's join.
+    stage-scheduling floor. Round 14 re-measured cadence 4 vs 8 under
+    the paired in-JVM ABAB protocol (6 alternating rounds): med 3.55 →
+    2.93 s, min 2.88 → 2.45 s — so the default now checkpoints every 8
+    rounds: for the registered 8-iteration query that is exactly ONE
+    end-of-loop barrier, and for arbitrary ``iters`` the plan stays
+    bounded at 8 chained join-aggs (a size the same measurement table
+    already showed the optimizer handles). A SHUFFLE_HASH hint on the
+    rank side of the per-round join was ALSO measured and LOST (med
+    4.76 vs ~3.5 at cadence 4, 5.43 vs 3.07 at cadence 8 — rebuilding
+    a per-partition hash table of the rank frame every round costs
+    more than SMJ's sorts at every measured layout). Lazy checkpoints
+    LOSE (10-13 s): the un-materialized tail recomputes under the next
+    round's join.
 
     Ranks snap to the ``PR_GRID`` grid each iteration (see the constant's
     comment — this is what makes the recurrence cross-engine

@@ -1150,6 +1150,113 @@ SELECT qid, rank, neighbor_id, cosine FROM (
 """
 
 
+def _ivf_pq_ranked(spark: SparkSession, comp: DataFrame, k: int) -> DataFrame:
+    """The composed IVF → PQ-ADC → exact-rescore chain (the
+    sim_ivf_pq_topk pipeline) built as ONE ``spark.sql`` string with
+    DataFrame substitution — round 14, guide §7.3: the helper-chain
+    build (_ivf_candidates → _pq_adc_scores → _rank_candidates) spent
+    ~0.6 s per call in py4j round trips and incremental plan analysis
+    (2 461 py4j commands, zero jobs — the val_referential_integrity
+    pattern); one parse + one analysis pass drops that to ~0.1 s. Every
+    CTE mirrors the helper it replaces expression-for-expression —
+    same broadcast hints where the helpers called ``F.broadcast``
+    (cent, probes, cb, tbl, q, qn), same join order (left-deep), same
+    window frames and tie-breaks — so the physical plan and all values
+    are unchanged (proven by exceptAll both ways + the DuckDB oracle
+    at both SFs). ``k`` parameterizes the final top-k exactly as
+    ``_rank_candidates(k=...)`` did."""
+    return spark.sql(
+        f"""
+WITH cent AS (SELECT vec_id AS cid, idx, val AS cval FROM {{comp}} WHERE vec_id < {N_CENTROIDS}),
+celld2 AS (
+  SELECT /*+ BROADCAST(cent) */ vec_id, cid,
+         CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM {{comp}} JOIN cent USING (idx) GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM celld2) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM celld2 WHERE vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}
+),
+candidates AS (
+  SELECT /*+ BROADCAST(probes) */ qid, vec_id
+  FROM assign JOIN probes USING (cell) WHERE vec_id != qid
+),
+comp2 AS (
+  SELECT vec_id, idx, val, CAST(idx / {64 // PQ_BLOCKS} AS INT) AS block FROM {{comp}}
+),
+cb AS (
+  SELECT vec_id AS cid, block, idx, val AS cval FROM comp2 WHERE vec_id < {PQ_CODEBOOK}
+),
+pqd2 AS (
+  SELECT /*+ BROADCAST(cb) */ c.vec_id, c.block, cb.cid,
+         CAST(SUM((c.val - cb.cval) * (c.val - cb.cval)) AS DECIMAL(38,18)) AS d2
+  FROM comp2 c JOIN cb ON cb.block = c.block AND cb.idx = c.idx
+  GROUP BY c.vec_id, c.block, cb.cid
+),
+codes AS (
+  SELECT vec_id, block, cid AS code FROM (
+    SELECT vec_id, block, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, block ORDER BY d2 ASC, cid ASC) AS rn
+    FROM pqd2) WHERE rn = 1
+),
+qq AS (SELECT vec_id AS qid, block, idx, val AS qval FROM comp2 WHERE vec_id < {N_QUERIES}),
+tbl AS (
+  SELECT qq.qid, cb.block, cb.cid, CAST(SUM(qval * cval) AS DECIMAL(38,18)) AS t
+  FROM qq JOIN cb ON cb.block = qq.block AND cb.idx = qq.idx
+  GROUP BY qq.qid, cb.block, cb.cid
+),
+partials AS (
+  SELECT /*+ BROADCAST(tbl) */ ca.qid, ca.vec_id, tbl.t
+  FROM candidates ca
+  JOIN codes ON codes.vec_id = ca.vec_id
+  JOIN tbl ON tbl.qid = ca.qid AND tbl.block = codes.block AND tbl.cid = codes.code
+),
+adc AS (
+  SELECT qid, vec_id, CAST(SUM(t) AS DECIMAL(38,18)) AS adot
+  FROM partials GROUP BY qid, vec_id
+),
+shortlist AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= {ADC_SHORTLIST}
+),
+norms AS (SELECT vec_id, CAST(SUM(val * val) AS DECIMAL(38,18)) AS n2 FROM {{comp}} GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM {{comp}} WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT /*+ BROADCAST(q) */ s.qid, c.vec_id,
+         CAST(SUM(c.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM {{comp}} c
+  JOIN shortlist s ON s.vec_id = c.vec_id
+  JOIN q ON q.qid = s.qid AND q.idx = c.idx
+  GROUP BY s.qid, c.vec_id
+),
+qn AS (SELECT vec_id AS qid, n2 AS qn2 FROM norms),
+ranked AS (
+  SELECT /*+ BROADCAST(qn) */ d.qid, d.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) /
+              (SQRT(CAST(qn.qn2 AS DOUBLE)) * SQRT(CAST(nn.n2 AS DOUBLE)))
+              AS DECIMAL(10,8)) AS cosine
+  FROM dots d JOIN qn ON qn.qid = d.qid JOIN norms nn ON nn.vec_id = d.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
+              AS BIGINT) AS rank
+  FROM ranked) WHERE rank <= {k}
+""",
+        comp=comp,
+    )
+
+
 def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ-ADC + exact rescore composed — the full billion-scale
     ANN architecture (FAISS IVFADC, Jegou et al. 2011): coarse cells
@@ -1168,17 +1275,12 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured mean recall@3 at sf0.01 (sim_ann_recall): ivf_pq 0.867 —
     vs 0.267 for the flat un-rescored ADC scan (the exact rescore is
     what recovers quality) and 0.933 for exact-scored IVF (the 2-bit
-    PQ compression costs ~0.07 recall for a code-only corpus scan)."""
-    comp = _components(spark, sf_dir)
-    candidates = _ivf_candidates(comp)
-    adc = _pq_adc_scores(comp, candidates=candidates)
-    w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("neighbor_id"))
-    shortlist = (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= ADC_SHORTLIST)
-        .select("qid", F.col("neighbor_id").alias("vec_id"))
-    )
-    return _rank_candidates(comp, shortlist, k=ANN_EVAL_K)
+    PQ compression costs ~0.07 recall for a code-only corpus scan).
+
+    Since round 14 the chain is built by :func:`_ivf_pq_ranked` (one
+    spark.sql parse instead of the py4j-bound helper walk — same plan,
+    same rows; see its docstring)."""
+    return _ivf_pq_ranked(spark, _components(spark, sf_dir), ANN_EVAL_K)
 
 
 # Shared through `ranked` so the MMR-ANN oracle can reuse the exact
@@ -2106,17 +2208,11 @@ def _mmr_ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores only in-cell codes, exact cosine rescores the ADC survivors —
     kept to MMR_SHORTLIST and joined back to raw embeddings. Per query
     the candidate work is (probed cells × cell size) code rows, never a
-    corpus scan; this is the shortlist provider that survives 100 TB."""
-    comp = _components(spark, sf_dir)
-    candidates = _ivf_candidates(comp)
-    adc = _pq_adc_scores(comp, candidates=candidates)
-    w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("neighbor_id"))
-    shortlist = (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= ADC_SHORTLIST)
-        .select("qid", F.col("neighbor_id").alias("vec_id"))
-    )
-    ranked = _rank_candidates(comp, shortlist, k=MMR_SHORTLIST)
+    corpus scan; this is the shortlist provider that survives 100 TB.
+    Since round 14 the chain is built by :func:`_ivf_pq_ranked` (one
+    spark.sql parse instead of the py4j-bound helper walk — same plan,
+    same rows)."""
+    ranked = _ivf_pq_ranked(spark, _components(spark, sf_dir), MMR_SHORTLIST)
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"), "embedding"
     )
@@ -3384,12 +3480,23 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100-TB shape: per round, one broadcast of the K×dim centroid table
     onto the component frame (the IVF assignment topology — no shuffle
-    grows with K), one (cid, idx) mean aggregate (map-side combinable,
-    K·dim result rows), and a K×dim driver collect (SKETCH-class:
-    the centroid table IS the model). Lineage stays flat because each
-    round's centroids re-enter as a literal frame — the
-    train_ivf_centroids pattern, which remains the fast float-path
-    trainer for IVF builds; this registered twin is the checkable one."""
+    grows with K) and one (cid, idx) mean aggregate (map-side
+    combinable, K·dim result rows).
+
+    Round 14 (guide §2.6/§7.3): the per-round K×dim driver COLLECT is
+    gone — each round's centroid frame now re-enters the next round as
+    a lazy BROADCAST SUBPLAN, so the whole recurrence executes as ONE
+    Spark job (the broadcast builds are its internal stages, and
+    Spark's exchange reuse dedupes the shared prefixes) instead of
+    KMEANS_ITERS sequential collect jobs + a final job, each paying a
+    scheduling round trip and re-running the shared lineage. Paired
+    in-JVM ABAB at sf0.1 (5 alternating rounds): med 4.02 → 3.07 s,
+    construct 3.15 → 0.40 s; rows proven identical both directions
+    (the collect/createDataFrame hop performed no arithmetic — the
+    grid-snapped mean expressions are unchanged). KMEANS_ITERS bounds
+    the nesting depth, so the plan stays O(iters) — the model never
+    needs to visit the driver at all; train_ivf_centroids remains the
+    fast float-path trainer for IVF builds."""
     # NOT persisted (round-14 negative A/B, guide §5's "caching is only
     # worth it when recomputing is more expensive than the memory
     # pressure"): comp feeds ~8 subtrees across the rounds, but
@@ -3399,13 +3506,6 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = _components(spark, sf_dir)
     cents = comp.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
-    )
-    cschema = T.StructType(
-        [
-            T.StructField("cid", cents.schema["cid"].dataType),
-            T.StructField("idx", cents.schema["idx"].dataType),
-            T.StructField("cval", cents.schema["cval"].dataType),
-        ]
     )
     for _ in range(KMEANS_ITERS):
         d2 = _ivf_cell_d2(comp, cents)
@@ -3430,12 +3530,10 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("mval")
             )
         )
-        nxt = cents.join(means, ["cid", "idx"], "left").select(
+        # the next round's centroid frame stays LAZY — it enters the
+        # following _ivf_cell_d2 as a broadcast subplan (see docstring)
+        cents = cents.join(means, ["cid", "idx"], "left").select(
             "cid", "idx", F.coalesce("mval", F.col("cval")).alias("cval")
-        )
-        rows = nxt.collect()  # K × dim centroid table — the model itself
-        cents = spark.createDataFrame(
-            [(r["cid"], r["idx"], r["cval"]) for r in rows], cschema
         )
     final = _ivf_cell_d2(comp, cents)
     best = (
