@@ -2790,7 +2790,9 @@ def _ivf_probes_adaptive(
     )
 
 
-def _ivf_candidates_filtered(comp: DataFrame, mod: int) -> DataFrame:
+def _ivf_candidates_filtered(
+    comp: DataFrame, mod: int, n_elig_total: int | None = None
+) -> DataFrame:
     """(qid, vec_id) — eligible candidates (vec_id % mod = 0) under the
     two-tier filtered-search policy: if the filter leaves at most
     FILTERED_BRUTE_MAX eligible vectors in total, EVERY eligible vector
@@ -2799,10 +2801,21 @@ def _ivf_candidates_filtered(comp: DataFrame, mod: int) -> DataFrame:
     probe list grows per query where the filter starves the nearest
     cells — see _ivf_probes_adaptive). The tier choice is an exact
     integer count (bounded 1-row collect), so the SQL oracles replay
-    the same branch with the same condition."""
+    the same branch with the same condition.
+
+    ``n_elig_total`` lets the caller supply that count from a cheaper
+    but PROVABLY identical plan (round 14, guide §1.2 "don't compute
+    things you throw away"): every vector with ≥1 component appears in
+    the assignment (the d2 join is on the shared idx domain and the
+    argmin always exists), so counting eligible assigned vectors ==
+    counting eligible embedding rows with a non-empty vector — no
+    centroid join, no window. sim_filtered_ann passes the scan-side
+    count; equality of the two counts is pinned in
+    tests/test_round14_ops.py."""
     d2 = _ivf_cell_d2(comp, _ivf_centroids(comp))
     assign = _ivf_assign(d2)
-    n_elig_total = assign.filter(F.col("vec_id") % mod == 0).count()
+    if n_elig_total is None:
+        n_elig_total = assign.filter(F.col("vec_id") % mod == 0).count()
     if n_elig_total <= FILTERED_BRUTE_MAX:
         return _all_eligible_pairs(assign, mod)
     elig = (
@@ -2839,9 +2852,23 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: identical to sim_ivf_topk plus one scan-stage
     predicate on the candidate frame and one bounded (≤N_CENTROIDS-row)
     eligible-count aggregate feeding the probe window — the filter
-    narrows work, never widens it; no extra data-scaled shuffle."""
+    narrows work, never widens it; no extra data-scaled shuffle.
+
+    Round 14: the tier-choice scalar comes from a pushed-filter parquet
+    count of eligible non-empty embedding rows instead of running the
+    full assign pipeline (centroid join + argmin window) just to count
+    its rows — the counts are identical by construction (see
+    _ivf_candidates_filtered) and the construct-phase job drops from
+    the full d2 chain to a column-pruned scan."""
     comp = _components(spark, sf_dir)
-    return _rank_candidates(comp, _ivf_candidates_filtered(comp, FILTER_MOD), k=3)
+    n_elig = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") % FILTER_MOD == 0) & (F.size("embedding") > 0))
+        .count()
+    )
+    return _rank_candidates(
+        comp, _ivf_candidates_filtered(comp, FILTER_MOD, n_elig_total=n_elig), k=3
+    )
 
 
 SIM_FILTERED_ANN_ORACLE = _COMP_CTES + f""",

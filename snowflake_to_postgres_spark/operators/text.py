@@ -1593,7 +1593,6 @@ def _bm25_scored(
     from pyspark import StorageLevel
 
     docs = _docs_parallel(spark, sf_dir)
-    n_docs = docs.count()  # driver literal: one long over the wire
     toks = docs.select("doc_id", F.explode(_toks()).alias("term")).filter(
         F.col("term") != ""
     )
@@ -1612,37 +1611,44 @@ def _bm25_scored(
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    tot_tokens = tf.agg(F.sum("tf").alias("t")).collect()[0]["t"]  # 1-row agg
-    avgdl = tot_tokens / n_docs  # IEEE division of exact ints
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
-    en = tf.join(dfc, "term").join(dl, "doc_id")
-    idf = (
-        F.log(
-            ((F.lit(n_docs) - F.col("df")).cast("double") + F.lit(0.5))
-            / (F.col("df").cast("double") + F.lit(0.5))
-            + F.lit(1.0)
-        )
-        .cast("decimal(10,5)")
-        .cast("double")
-    )
-    satur = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(BM25_K1)
-        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / F.lit(avgdl)))
-    )
-    contrib = F.floor(idf * satur * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-    q = tf.filter(F.col("doc_id") < n_queries).select(
-        F.col("doc_id").alias("qid"), "term"
-    )
-    return (
-        en.join(F.broadcast(q), "term")
-        .filter(F.col("doc_id") != F.col("qid"))
-        .groupBy("qid", "doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_terms"),
-            F.sum(contrib).alias("score_scaled"),
-        )
+    # Round 14 (guide §7.3, the change-8 pattern): N and Σtf were two
+    # SEQUENTIAL construct-phase jobs (docs.count + a 1-row agg that
+    # forced the tf cache build) feeding literal idf/avgdl terms. They
+    # now enter as uncorrelated scalar subqueries inside one spark.sql
+    # build — zero construct jobs, same cached tf, and the arithmetic
+    # tree is unchanged term for term: N and Σtf are exact int64s below
+    # 2^53, so CAST(...AS DOUBLE) and the one IEEE division reproduce
+    # the old Python-side avgdl double bit-for-bit; double literals
+    # carry the D suffix so no decimal-typed literal enters the float
+    # math. Broadcast hint on the probe block mirrors F.broadcast(q).
+    return spark.sql(
+        f"""
+SELECT /*+ BROADCAST(q) */ q.qid, en.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       SUM(CAST(FLOOR(
+         CAST(CAST(LN((CAST((SELECT COUNT(*) FROM {{docs}}) - en.df AS DOUBLE) + 0.5D) /
+                      (CAST(en.df AS DOUBLE) + 0.5D) + 1.0D)
+                  AS DECIMAL(10,5)) AS DOUBLE)
+         * ((CAST(en.tf AS DOUBLE) * {BM25_K1 + 1.0!r}D) /
+            (CAST(en.tf AS DOUBLE) + {BM25_K1!r}D *
+             ({1.0 - BM25_B!r}D + {BM25_B!r}D *
+              (CAST(en.dl AS DOUBLE) /
+               (CAST((SELECT SUM(tf) FROM {{tf}}) AS DOUBLE) /
+                CAST((SELECT COUNT(*) FROM {{docs}}) AS DOUBLE))))))
+         * 1e6 + 0.5D) AS BIGINT)) AS score_scaled
+FROM (SELECT t.doc_id, t.term, t.tf, d.df, l.dl
+      FROM {{tf}} t JOIN {{dfc}} d USING (term) JOIN {{dl}} l USING (doc_id)) en
+JOIN (SELECT doc_id AS qid, term FROM {{tf}} WHERE doc_id < {n_queries}) q
+  USING (term)
+WHERE en.doc_id != q.qid
+GROUP BY q.qid, en.doc_id
+""",
+        docs=docs,
+        tf=tf,
+        dfc=dfc,
+        dl=dl,
     )
 
 

@@ -1750,3 +1750,32 @@ class TestHammingRerank:
             assert [c for _, c in ordered] == sorted(
                 [c for _, c in ordered], reverse=True
             ), qid
+
+
+class TestFilteredTierCountShortcut:
+    def test_scan_count_equals_assign_count(self, spark, sf_dir):
+        """Round-14 optimization: sim_filtered_ann derives the
+        tier-choice scalar from a pushed-filter count of eligible
+        non-empty embedding rows instead of counting the assign
+        frame's rows. The two counts must be identical — every vector
+        with >= 1 component gets exactly one cell assignment."""
+        from pyspark.sql import functions as F
+
+        from snowflake_to_postgres_spark.operators.similarity import (
+            FILTERED_RECALL_MODS,
+            _components,
+            _ivf_assign,
+            _ivf_cell_d2,
+            _ivf_centroids,
+        )
+        from snowflake_to_postgres_spark.sources import load_table
+
+        comp = _components(spark, sf_dir)
+        assign = _ivf_assign(_ivf_cell_d2(comp, _ivf_centroids(comp)))
+        emb = load_table(spark, sf_dir, "embeddings")
+        for mod in (2,) + tuple(FILTERED_RECALL_MODS):
+            n_assign = assign.filter(F.col("vec_id") % mod == 0).count()
+            n_scan = emb.filter(
+                (F.col("vec_id") % mod == 0) & (F.size("embedding") > 0)
+            ).count()
+            assert n_assign == n_scan, mod
