@@ -1796,35 +1796,74 @@ def sim_ivf_pq_search(spark: SparkSession, index_dir: str) -> DataFrame:
     )
     probes_df = spark.createDataFrame(probe_rows, "qid BIGINT, cell BIGINT")
     cb = spark.read.parquet(f"{index_dir}/codebook")
-    qb = _pq_comp(q).select(
-        F.col("vec_id").alias("qid"), "block", "idx", F.col("val").alias("qval")
+    # Round 14 (the _ivf_pq_ranked pattern, guide §7.3): the ADC-score +
+    # rescore tail builds as ONE spark.sql string instead of the py4j
+    # helper walk — same broadcast hints (probes_df, table, q, qn), same
+    # left-deep join order, same windows/tie-breaks; the probe collect
+    # and the STATIC cell partition filter above are untouched (the
+    # static filter is what the plan audit asserts prunes unprobed
+    # cells). Rows proven identical to the pre-change build and pinned
+    # equal to sim_ivf_pq_topk in test_sim_dense.py.
+    return spark.sql(
+        f"""
+WITH qb AS (
+  SELECT vec_id AS qid, CAST(idx / {64 // PQ_BLOCKS} AS INT) AS block, idx, val AS qval
+  FROM {{comp}} WHERE vec_id < {N_QUERIES}
+),
+tbl AS (
+  SELECT qb.qid, cb.block, cb.cid, CAST(SUM(qval * cval) AS DECIMAL(38,18)) AS t
+  FROM qb JOIN {{cb}} cb ON cb.block = qb.block AND cb.idx = qb.idx
+  GROUP BY qb.qid, cb.block, cb.cid
+),
+in_cell AS (
+  SELECT /*+ BROADCAST(p) */ p.qid, c.vec_id, c.block, c.code
+  FROM {{codes}} c JOIN {{probes}} p USING (cell)
+  WHERE c.vec_id != p.qid
+),
+partials AS (
+  SELECT /*+ BROADCAST(tbl) */ ic.qid, ic.vec_id, tbl.t
+  FROM in_cell ic
+  JOIN tbl ON tbl.qid = ic.qid AND tbl.block = ic.block AND tbl.cid = ic.code
+),
+adc AS (
+  SELECT qid, vec_id, CAST(SUM(t) AS DECIMAL(38,18)) AS adot
+  FROM partials GROUP BY qid, vec_id
+),
+shortlist AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adot DESC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= {ADC_SHORTLIST}
+),
+norms AS (SELECT vec_id, CAST(SUM(val * val) AS DECIMAL(38,18)) AS n2 FROM {{comp}} GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM {{comp}} WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT /*+ BROADCAST(q) */ s.qid, c.vec_id,
+         CAST(SUM(c.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM {{comp}} c
+  JOIN shortlist s ON s.vec_id = c.vec_id
+  JOIN q ON q.qid = s.qid AND q.idx = c.idx
+  GROUP BY s.qid, c.vec_id
+),
+qn AS (SELECT vec_id AS qid, n2 AS qn2 FROM norms),
+ranked AS (
+  SELECT /*+ BROADCAST(qn) */ d.qid, d.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE) /
+              (SQRT(CAST(qn.qn2 AS DOUBLE)) * SQRT(CAST(nn.n2 AS DOUBLE)))
+              AS DECIMAL(10,8)) AS cosine
+  FROM dots d JOIN qn ON qn.qid = d.qid JOIN norms nn ON nn.vec_id = d.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor_id ASC)
+              AS BIGINT) AS rank
+  FROM ranked) WHERE rank <= {ANN_EVAL_K}
+""",
+        comp=comp,
+        cb=cb,
+        codes=codes,
+        probes=probes_df,
     )
-    table = (
-        qb.join(cb, ["block", "idx"])
-        .groupBy("qid", "block", "cid")
-        .agg(F.sum(F.col("qval") * F.col("cval")).cast("decimal(38,18)").alias("t"))
-    )
-    in_cell = (
-        codes.join(F.broadcast(probes_df), "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-    )
-    partials = in_cell.join(
-        F.broadcast(table),
-        (in_cell.qid == table.qid)
-        & (in_cell.block == table.block)
-        & (in_cell.code == table.cid),
-    ).drop(table.qid)
-    adc = (
-        partials.groupBy("qid", "vec_id")
-        .agg(F.sum("t").cast("decimal(38,18)").alias("adot"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("adot").desc(), F.col("vec_id"))
-    shortlist = (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= ADC_SHORTLIST)
-        .select("qid", "vec_id")
-    )
-    return _rank_candidates(comp, shortlist, k=ANN_EVAL_K)
 
 
 #: materialized index fixtures written this session — the write-once
