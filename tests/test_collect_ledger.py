@@ -99,12 +99,14 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/similarity.py", "emb_remove_top_component"): (1, "SCHEMA/CONST"),
     ("operators/similarity.py", "emb_top_component"): (2, "SCHEMA/CONST"),
     ("operators/similarity.py", "kmeans_sse"): (1, "SCALAR-1ROW"),
-    ("operators/similarity.py", "emb_kmeans"): (1, "SKETCH"),
+    # emb_kmeans: round-14 optimization removed the per-round centroid
+    # collect (the rounds chain as lazy broadcast subplans now)
     ("operators/similarity.py", "sim_filtered_recall"): (3, "PROBE/QUERY"),
     ("operators/similarity.py", "sim_ivf_pq_search"): (1, "PROBE/QUERY"),
     ("operators/similarity.py", "sim_topk_dense"): (1, "TOPK/LIMIT"),
     ("operators/similarity.py", "train_ivf_centroids"): (2, "SKETCH"),
-    ("operators/text.py", "_bm25_scored"): (1, "SCALAR-1ROW"),
+    # _bm25_scored: round-14 optimization folded the Σtf scalar into an
+    # uncorrelated scalar subquery (no driver collect remains)
     ("operators/text.py", "tx_dsir_weights"): (1, "SCALAR-1ROW"),
     ("operators/text.py", "tx_pmi_pairs"): (1, "SCALAR-1ROW"),
     ("operators/text.py", "tx_quality_deciles"): (1, "SCHEMA/CONST"),
