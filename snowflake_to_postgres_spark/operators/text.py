@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from snowflake_to_postgres_spark.registry import QuerySpec
 from snowflake_to_postgres_spark.sources import load_table
+from snowflake_to_postgres_spark.util.sqlview import temp_view_for
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 # Real language ID uses character-n-gram models; the *plan shape* (token
@@ -614,7 +615,6 @@ def tx_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached) frame — c(w1) = Σ_w2 c(w1,w2) exactly, so the corpus is
     # scanned twice total (model build + scoring), not four times.
     bi = big.groupBy("w1", "w2").agg(F.count("*").alias("cb")).cache()
-    uni = bi.groupBy("w1").agg(F.sum("cb").alias("cu"))
     # |V| enters as an UNCORRELATED SCALAR SUBQUERY over the cached
     # model frame, not a driver .count() (round 14, guide §7.3): the
     # collect forced a whole construct-phase job — scan + explode +
@@ -624,21 +624,28 @@ def tx_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra joins — no BroadcastNestedLoopJoin, unlike a 1-row CROSS
     # JOIN). The arithmetic tree is unchanged: (cb+1) and (cu+|V|) are
     # exact int64 sums cast to double, one IEEE divide, ln, avg.
+    # Round 15: the cached model enters the SQL through a TEMP VIEW,
+    # never as a spark.sql parameter — substituting a cached DataFrame
+    # UNREGISTERS its CacheManager entry (util/sqlview.py), which round
+    # 14 shipped as 0 InMemoryRelation in the plan and the model
+    # aggregation recomputed from parquet on every reference (the
+    # r14-verdict tx_bigram/tx_ppl regression). uni derives from the
+    # view IN SQL for the same reason (same groupBy(w1) SUM plan).
+    bi_v = temp_view_for(bi, "bigram_model")
     return spark.sql(
-        """
+        f"""
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(AVG(ln(CAST(cb + 1 AS DOUBLE) /
-                   CAST(cu + (SELECT COUNT(*) FROM (SELECT w1 AS w FROM {bi}
+                   CAST(cu + (SELECT COUNT(*) FROM (SELECT w1 AS w FROM {bi_v}
                                                     UNION
-                                                    SELECT w2 AS w FROM {bi}))
+                                                    SELECT w2 AS w FROM {bi_v}))
                         AS DOUBLE)))
             AS DECIMAL(18,8)) AS avg_logprob
-FROM {big} JOIN {bi} USING (w1, w2) JOIN {uni} USING (w1)
+FROM {{big}} JOIN {bi_v} USING (w1, w2)
+JOIN (SELECT w1, SUM(cb) AS cu FROM {bi_v} GROUP BY w1) uni USING (w1)
 GROUP BY doc_id
 """,
         big=big,
-        bi=bi,
-        uni=uni,
     )
 
 
@@ -1611,8 +1618,6 @@ def _bm25_scored(
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     # Round 14 (guide §7.3, the change-8 pattern): N and Σtf were two
     # SEQUENTIAL construct-phase jobs (docs.count + a 1-row agg that
     # forced the tf cache build) feeding literal idf/avgdl terms. They
@@ -1623,6 +1628,15 @@ def _bm25_scored(
     # the old Python-side avgdl double bit-for-bit; double literals
     # carry the D suffix so no decimal-typed literal enters the float
     # math. Broadcast hint on the probe block mirrors F.broadcast(q).
+    # Round 15: the persisted inverted index enters the SQL through a
+    # TEMP VIEW, never as a spark.sql parameter — substituting a
+    # persisted DataFrame UNREGISTERS its CacheManager entry
+    # (util/sqlview.py), which round 14 shipped as 0 InMemoryRelation
+    # and the scan+explode+tf shuffle recomputed per reference (the
+    # r14-verdict tx_bm25 regression). df/dl derive from the view IN
+    # SQL for the same reason (identical groupBy plans); docs is the
+    # only remaining parameter and is cache-free.
+    tf_v = temp_view_for(tf, "bm25_tf")
     return spark.sql(
         f"""
 SELECT /*+ BROADCAST(q) */ q.qid, en.doc_id,
@@ -1635,20 +1649,19 @@ SELECT /*+ BROADCAST(q) */ q.qid, en.doc_id,
             (CAST(en.tf AS DOUBLE) + {BM25_K1!r}D *
              ({1.0 - BM25_B!r}D + {BM25_B!r}D *
               (CAST(en.dl AS DOUBLE) /
-               (CAST((SELECT SUM(tf) FROM {{tf}}) AS DOUBLE) /
+               (CAST((SELECT SUM(tf) FROM {tf_v}) AS DOUBLE) /
                 CAST((SELECT COUNT(*) FROM {{docs}}) AS DOUBLE))))))
          * 1e6 + 0.5D) AS BIGINT)) AS score_scaled
 FROM (SELECT t.doc_id, t.term, t.tf, d.df, l.dl
-      FROM {{tf}} t JOIN {{dfc}} d USING (term) JOIN {{dl}} l USING (doc_id)) en
-JOIN (SELECT doc_id AS qid, term FROM {{tf}} WHERE doc_id < {n_queries}) q
+      FROM {tf_v} t
+      JOIN (SELECT term, COUNT(*) AS df FROM {tf_v} GROUP BY term) d USING (term)
+      JOIN (SELECT doc_id, SUM(tf) AS dl FROM {tf_v} GROUP BY doc_id) l USING (doc_id)) en
+JOIN (SELECT doc_id AS qid, term FROM {tf_v} WHERE doc_id < {n_queries}) q
   USING (term)
 WHERE en.doc_id != q.qid
 GROUP BY q.qid, en.doc_id
 """,
         docs=docs,
-        tf=tf,
-        dfc=dfc,
-        dl=dl,
     )
 
 
