@@ -853,9 +853,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash posexplode lesson applied to the blocked self-join. The
     # pair set is identical: each unordered in-block pair appears twice
     # in the product and the d1 < d2 filter keeps exactly one copy.
-    # Block arrays stay bounded exactly as the join's blocks did (the
-    # 16-bit prefix spreads a corpus uniformly; a block holds
-    # corpus/65536 signatures — 16 bytes each — at any scale).
+    # MEMORY HONESTY (round-14 ADVICE): the array form holds each
+    # prefix block in ONE row, so its bound is the largest block, not
+    # corpus/65536 — and simhash deliberately lands near-duplicates on
+    # the same signature, so a duplicate-HEAVY corpus concentrates into
+    # few prefixes and can grow single-row arrays toward executor
+    # memory, where the old sort-merge self-join streamed the same
+    # cross product with bounded per-row memory. The array fast path is
+    # the right shape for the dedup corpus this engine targets (blocks
+    # near-uniform at 16 bytes/signature; the quadratic VERIFY cost of
+    # a giant block dwarfs its memory either way); a deployment
+    # expecting heavy duplication should fall back to the join form
+    # (or the 65k-bucket pigeonhole of dedup_simhash64_pairs, whose
+    # blocks are value-bounded) rather than raise executor memory.
     # Paired ABAB at sf0.1: med 1.57 → 1.43 s, min 1.30 → 1.18 s;
     # rows proven identical both directions.
     g = (

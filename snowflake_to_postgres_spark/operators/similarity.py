@@ -2898,7 +2898,17 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     full assign pipeline (centroid join + argmin window) just to count
     its rows — the counts are identical by construction (see
     _ivf_candidates_filtered) and the construct-phase job drops from
-    the full d2 chain to a column-pruned scan."""
+    the full d2 chain to a column-pruned scan. ASSUMPTION the shortcut
+    leans on (round-14 ADVICE): the two counts coincide only when every
+    non-empty vector survives the _ivf_cell_d2 inner join, i.e. its idx
+    range intersects the centroid components' idx domain — true for
+    FIXED-LENGTH embeddings with non-empty centroid seeds (vec_id 0..7),
+    which sources.tables validates for this fixture family. For ragged
+    embeddings or empty seed vectors the scan count can EXCEED the
+    assign count and flip the brute/ANN tier choice vs the exact count;
+    a deployment on such a corpus must revert to counting the assign
+    frame. The equality is pinned across all four selectivity rungs in
+    tests/test_round14_ops.py::TestFilteredTierCountShortcut."""
     comp = _components(spark, sf_dir)
     n_elig = (
         load_table(spark, sf_dir, "embeddings")
@@ -3559,10 +3569,20 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-JVM ABAB at sf0.1 (5 alternating rounds): med 4.02 → 3.07 s,
     construct 3.15 → 0.40 s; rows proven identical both directions
     (the collect/createDataFrame hop performed no arithmetic — the
-    grid-snapped mean expressions are unchanged). KMEANS_ITERS bounds
-    the nesting depth, so the plan stays O(iters) — the model never
-    needs to visit the driver at all; train_ivf_centroids remains the
-    fast float-path trainer for IVF builds."""
+    grid-snapped mean expressions are unchanged). Plan-size honesty
+    (round-14 ADVICE): cents is referenced twice per round (the left
+    join and the means subtree), so the LOGICAL tree grows ~2^ITERS —
+    fine at KMEANS_ITERS=3 (round-15 executed-plan dump
+    plans/r15/emb_kmeans_executed.txt: isFinalPlan=true with 22
+    ReusedExchange nodes — AQE dedupes the shared subtrees at runtime,
+    and a comp localCheckpoint/persist ABAB measured a wash: med
+    3.95/3.80/3.95 s). Raising KMEANS_ITERS materially requires
+    re-introducing a periodic collect or localCheckpoint every few
+    rounds to cap the tree (the pagerank cadence discipline) — the
+    EXECUTED work per round is flat, but analysis/broadcast nesting is
+    not. The model never needs to visit the driver at all;
+    train_ivf_centroids remains the fast float-path trainer for IVF
+    builds."""
     # NOT persisted (round-14 negative A/B, guide §5's "caching is only
     # worth it when recomputing is more expensive than the memory
     # pressure"): comp feeds ~8 subtrees across the rounds, but
