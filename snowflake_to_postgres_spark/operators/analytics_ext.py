@@ -2187,21 +2187,53 @@ def a18_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100-TB shape: one map-side-combinable groupBy over 256 register
     keys — the canonical mergeable sketch; the exact COUNT(DISTINCT)
-    baseline is eval-time truth, sampled or omitted at real scale."""
+    baseline is eval-time truth, sampled or omitted at real scale.
+
+    Round 15 (guide §7.3 / §2.6): the two collect jobs (overlapped in
+    round 14) + driver estimator + createDataFrame fold into ONE
+    spark.sql execution — the 1-row register fold is the FROM table,
+    the exact baseline enters as an uncorrelated scalar subquery (a
+    Subquery node, never a 1-row cross join → no BNLJ), and the
+    estimator / rel-error math moves into SQL with D-suffixed double
+    literals term-for-term identical to :func:`_hll_est_parts` (whose
+    SQL replay the DuckDB oracle has used since round 9; the 1e6 grid
+    absorbs ln() libm variance as documented at HLL_EST_GRID). Both
+    scan stages now overlap INSIDE one job's DAG — no thread pool, no
+    two driver round trips. Neither substituted frame is cached, so
+    the util/sqlview rule does not apply."""
     frames = _a18_hll_frames(spark, sf_dir)
-    # the register fold and the exact-distinct baseline are independent
-    # jobs — overlap them (guide §2.6)
-    reg_rows, exact_rows = run_actions(
-        frames["registers"].collect, frames["exact"].collect
+    est_sql = (
+        f"CASE WHEN ((0.7213D / (1.0D + 1.079D / {float(HLL_M)!r}D))"
+        f" * {float(HLL_M)!r}D * {float(HLL_M)!r}D"
+        f" * {float(_HLL_SCALE)!r}D / CAST(s_scaled AS DOUBLE))"
+        f" <= {2.5 * HLL_M!r}D AND v_zero > 0"
+        f" THEN floor({HLL_M} * ln({HLL_M} / CAST(v_zero AS DOUBLE))"
+        f" * {HLL_EST_GRID!r}D + 0.5D) / {HLL_EST_GRID!r}D"
+        f" ELSE floor(((0.7213D / (1.0D + 1.079D / {float(HLL_M)!r}D))"
+        f" * {float(HLL_M)!r}D * {float(HLL_M)!r}D"
+        f" * {float(_HLL_SCALE)!r}D / CAST(s_scaled AS DOUBLE))"
+        f" * {HLL_EST_GRID!r}D + 0.5D) / {HLL_EST_GRID!r}D END"
     )
-    row = reg_rows[0]
-    exact = int(exact_rows[0][0] or 0)
-    v_zero, s_scaled, est = _hll_est_parts(row["k_used"], row["s_hit"])
-    rel = abs(est - exact) / exact if exact else 0.0
-    return spark.createDataFrame(
-        [(HLL_M, int(v_zero), int(s_scaled), float(est), int(exact), float(rel))],
-        "m INT, v_zero BIGINT, s_scaled BIGINT, hll_estimate DOUBLE, "
-        "exact_distinct BIGINT, rel_error DOUBLE",
+    return spark.sql(
+        f"""
+SELECT CAST({HLL_M} AS INT) AS m, v_zero, s_scaled,
+       {est_sql} AS hll_estimate,
+       exact_distinct,
+       CASE WHEN exact_distinct = 0 THEN 0.0D
+            ELSE abs(({est_sql}) - CAST(exact_distinct AS DOUBLE))
+                 / CAST(exact_distinct AS DOUBLE)
+       END AS rel_error
+FROM (
+  SELECT CAST({HLL_M} - k_used AS BIGINT) AS v_zero,
+         CAST(COALESCE(s_hit, 0) + ({HLL_M} - k_used) * {_HLL_SCALE}
+              AS BIGINT) AS s_scaled,
+         CAST(COALESCE((SELECT n FROM {{exact}}), 0) AS BIGINT)
+           AS exact_distinct
+  FROM {{folded}}
+)
+""",
+        folded=frames["registers"],
+        exact=frames["exact"],
     )
 
 

@@ -55,7 +55,6 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     # r14: the nested sketch() helper inlined into run_actions thunks —
     # two KMV sketch frames (K-bounded) + the 1-row exact baseline
     ("operators/analytics_ext.py", "a16_kmv_set_ops"): (3, "SKETCH"),
-    ("operators/analytics_ext.py", "a18_hll_distinct"): (2, "SKETCH"),
     ("operators/analytics_ext.py", "a20_bloom_membership"): (1, "SKETCH"),
     ("operators/analytics_ext.py", "a21_binned_quantiles"): (2, "SKETCH"),
     ("operators/analytics_ext.py", "a22_hll_union"): (1, "GROUP-GUARDED"),
