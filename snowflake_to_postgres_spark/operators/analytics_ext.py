@@ -268,120 +268,123 @@ def x_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan over (g, 256) cells; bounds + histogram for the shared-bin
     percentiles); the only driver work is interpolation over 3 groups
     × bounded bins/registers — the threshold-literal pattern."""
-    # four eagerly-collected jobs, each its own pruned parquet scan:
-    # persisting the shared projection was MEASURED SLOWER at sf0.1
-    # (4.7 s vs 3.9 s — materialization costs more than three cheap
-    # column-pruned re-scans); the wall time is md5/distinct compute.
-    # The first three jobs are INDEPENDENT, so they run concurrently
-    # (guide §2.6 — overlap independent jobs): sequential, each leaves
-    # most of local[32] idle and the phase costs the SUM of three job
-    # latencies; overlapped it costs ~the max. Only the histogram job
-    # waits (its bin bounds come from the collected base rows).
+    # Round 15 (guide §7.3 / §2.6): the four collect jobs (three
+    # overlapped in round 14 + the dependent histogram job) and the
+    # driver-side interpolation/createDataFrame now build as ONE
+    # spark.sql statement mirroring the DuckDB oracle CTE for CTE —
+    # the four aggregates become independent STAGES of one job (the
+    # scheduler overlaps them without a thread pool), the global price
+    # bounds enter the binning as uncorrelated scalar subqueries
+    # instead of driver literals, and the percentile interpolation is
+    # the oracle's own window + first-qualifying-bin pick (explode of
+    # the 3 q-values over the bounded histogram — an equi-join plus a
+    # generator, never an ON TRUE join, so no BNLJ). Every float op
+    # keeps the Python tree term for term (D-suffixed literals; the
+    # estimate expression is _hll_est_parts' SQL replay, ln forgiven by
+    # the 1e6 grid as at HLL_EST_GRID). Paired ABAB and exceptAll both
+    # ways prove time and values; {li} is uncached so the
+    # util/sqlview temp-view rule does not apply.
+    #
+    # Preserved performance decisions from the collect era, now encoded
+    # in the SQL shape: exact COUNT(DISTINCT) and the md5 fingerprint
+    # stay SEPARATE aggregates (mixing countDistinct's Expand with the
+    # md5 evaluates the hash on expanded rows — measured 3.4 s vs 2.5 s
+    # split); the shared projection is NOT persisted (measured slower
+    # than three column-pruned re-scans, round-13 note).
     li = load_table(spark, sf_dir, "lineitem")
-    # quantity enters the fingerprint as exact integer cents — string-
-    # formatting a DOUBLE would couple the hash to each engine's float
-    # printer; ×100 is exact for TPC-H's integral quantities
-    # Two aggregations, NOT one: mixing countDistinct (Expand-based)
-    # with the md5 fingerprint in a single agg evaluates the md5 on the
-    # EXPANDED rows and drops out of whole-stage hash aggregation
-    # (measured 3.4 s combined vs 2.5 s split at sf0.1).
-    exact_df = li.groupBy(F.col("l_returnflag").alias("g")).agg(
-        F.countDistinct("l_orderkey").alias("exact_orders")
+    est_sql = (
+        f"CASE WHEN ((0.7213D / (1.0D + 1.079D / {float(HLL_M)!r}D))"
+        f" * {float(HLL_M)!r}D * {float(HLL_M)!r}D"
+        f" * {float(_HLL_SCALE)!r}D / CAST(s_scaled AS DOUBLE))"
+        f" <= {2.5 * HLL_M!r}D AND v_zero > 0"
+        f" THEN floor({HLL_M} * ln({HLL_M} / CAST(v_zero AS DOUBLE))"
+        f" * {HLL_EST_GRID!r}D + 0.5D) / {HLL_EST_GRID!r}D"
+        f" ELSE floor(((0.7213D / (1.0D + 1.079D / {float(HLL_M)!r}D))"
+        f" * {float(HLL_M)!r}D * {float(HLL_M)!r}D"
+        f" * {float(_HLL_SCALE)!r}D / CAST(s_scaled AS DOUBLE))"
+        f" * {HLL_EST_GRID!r}D + 0.5D) / {HLL_EST_GRID!r}D END"
     )
-    base_df = li.groupBy(F.col("l_returnflag").alias("g")).agg(
-        F.expr(
-            "bit_xor(CAST(conv(substring(md5(concat_ws('|',"
-            " CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),"
-            " CAST(CAST(l_quantity * 100 AS BIGINT) AS STRING))), 1, 15),"
-            " 16, 10) AS BIGINT))"
-        ).alias("fp_xor"),
-        # per-group price bounds ride along so the percentile stage
-        # derives its GLOBAL bounds from these 3 collected rows
-        # instead of another full scan
-        F.min(F.col("l_extendedprice").cast("double")).alias("mn"),
-        F.max(F.col("l_extendedprice").cast("double")).alias("mx"),
-    )
-    h = F.conv(
-        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    w = F.col("h") % _HLL_WMOD
-    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
-    )
-    folds_df = (
-        li.select(F.col("l_returnflag").alias("g"), h.alias("h"))
-        .select("g", F.expr(f"h div {_HLL_WMOD}").alias("j"), rho.alias("r"))
-        .groupBy("g", "j")
-        .agg(F.max("r").alias("mj"))
-        .groupBy("g")
-        .agg(
-            F.count("*").alias("k_used"),
-            F.sum(
-                F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT),"
-                    f" CAST({_HLL_WBITS + 1} - mj AS INT))"
-                )
-            ).alias("s_hit"),
-        )
-    )
-    exact_rows, base, folds_rows = run_actions(
-        exact_df.collect, base_df.collect, folds_df.collect
-    )
-    exact = {r["g"]: r["exact_orders"] for r in exact_rows}
-    folds = {r["g"]: (r["k_used"], r["s_hit"]) for r in folds_rows}
-    x = li.select(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_extendedprice").cast("double").alias("x"),
-    )
-    mn = min(r["mn"] for r in base)
-    mx = max(r["mx"] for r in base)
-    qs = (0.5, 0.95, 0.99)
-    if mx == mn:
-        pcts = {r["g"]: {q: float(mn) for q in qs} for r in base}
-    else:
-        b = F.least(
-            F.lit(QB_BINS - 1),
-            F.floor((F.col("x") - F.lit(mn)) / (F.lit(mx) - F.lit(mn)) * QB_BINS),
-        ).cast("int")
-        by_g: dict = {}
-        for r in (
-            x.select("g", b.alias("bin")).groupBy("g", "bin")
-            .agg(F.count("*").alias("n")).collect()
-        ):
-            by_g.setdefault(r["g"], []).append((r["bin"], r["n"]))
-        width = (mx - mn) / QB_BINS
-        pcts = {}
-        for g, hist in by_g.items():
-            hist = sorted(hist)
-            total = sum(n for _, n in hist)
-            pcts[g] = {}
-            for q in qs:
-                t = q * total
-                cum = 0
-                for bin_idx, bin_n in hist:
-                    if cum + bin_n >= t:
-                        pcts[g][q] = mn + (bin_idx + (t - cum) / bin_n) * width
-                        break
-                    cum += bin_n
-    out = []
-    for r in sorted(base, key=lambda r: r["g"]):
-        g = r["g"]
-        _vz, _ss, est = _hll_est_parts(*folds[g])
-        out.append(
-            (
-                g,
-                int(exact[g]),
-                float(est),
-                int(r["fp_xor"]),
-                float(pcts[g][0.5]),
-                float(pcts[g][0.95]),
-                float(pcts[g][0.99]),
-            )
-        )
-    return spark.createDataFrame(
-        out,
-        "l_returnflag STRING, exact_orders BIGINT, hll_orders DOUBLE, "
-        "fp_xor BIGINT, p50 DOUBLE, p95 DOUBLE, p99 DOUBLE",
+    mn_sq = "(SELECT MIN(x) FROM src)"
+    mx_sq = "(SELECT MAX(x) FROM src)"
+    return spark.sql(
+        f"""
+WITH exact AS (
+  SELECT l_returnflag AS g,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+  FROM {{li}} GROUP BY l_returnflag
+),
+base AS (
+  SELECT l_returnflag AS g,
+         bit_xor(CAST(conv(substring(md5(concat_ws('|',
+             CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+             CAST(CAST(l_quantity * 100 AS BIGINT) AS STRING))), 1, 15),
+           16, 10) AS BIGINT)) AS fp_xor
+  FROM {{li}} GROUP BY l_returnflag
+),
+h AS (
+  SELECT l_returnflag AS g,
+         CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10)
+              AS BIGINT) AS h
+  FROM {{li}}
+),
+rho AS (
+  SELECT g, h div {_HLL_WMOD} AS j,
+         CASE WHEN h % {_HLL_WMOD} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(h % {_HLL_WMOD})) END AS r
+  FROM h
+),
+regs AS (SELECT g, j, MAX(r) AS mj FROM rho GROUP BY g, j),
+scalars AS (
+  SELECT g, CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+         CAST(SUM(shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - mj AS INT)))
+              + ({HLL_M} - COUNT(*)) * {_HLL_SCALE} AS BIGINT) AS s_scaled
+  FROM regs GROUP BY g
+),
+src AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x FROM {{li}}
+),
+hist AS (
+  SELECT g,
+         CASE WHEN {mx_sq} = {mn_sq} THEN 0
+              ELSE CAST(LEAST({QB_BINS - 1},
+                floor((x - {mn_sq}) / ({mx_sq} - {mn_sq}) * {QB_BINS}))
+                AS INT) END AS bin,
+         COUNT(*) AS n
+  FROM src GROUP BY 1, 2
+),
+cumq AS (
+  SELECT g, bin, n, cb, q
+  FROM (SELECT g, bin, n,
+               COALESCE(SUM(n) OVER (PARTITION BY g ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM hist)
+  LATERAL VIEW explode(array(0.5D, 0.95D, 0.99D)) t AS q
+),
+tot AS (SELECT g, SUM(n) AS total FROM hist GROUP BY g),
+pick AS (
+  SELECT g, q, estimate FROM (
+    SELECT c.g, c.q,
+           {mn_sq} + (c.bin + (c.q * t.total - c.cb) / c.n)
+                     * (({mx_sq} - {mn_sq}) / {QB_BINS}) AS estimate,
+           ROW_NUMBER() OVER (PARTITION BY c.g, c.q ORDER BY c.bin) AS rn
+    FROM cumq c JOIN tot t ON t.g = c.g AND c.cb + c.n >= c.q * t.total
+  ) WHERE rn = 1
+),
+pcts AS (
+  SELECT g, MAX(CASE WHEN q = 0.5D THEN estimate END) AS p50,
+         MAX(CASE WHEN q = 0.95D THEN estimate END) AS p95,
+         MAX(CASE WHEN q = 0.99D THEN estimate END) AS p99
+  FROM pick GROUP BY g
+)
+SELECT base.g AS l_returnflag, exact.exact_orders, {est_sql} AS hll_orders,
+       base.fp_xor, pcts.p50, pcts.p95, pcts.p99
+FROM base
+JOIN exact ON exact.g = base.g
+JOIN scalars ON scalars.g = base.g
+JOIN pcts ON pcts.g = base.g
+ORDER BY l_returnflag
+""",
+        li=li,
     )
 
 

@@ -73,7 +73,6 @@ COLLECT_LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     # the CALLER's contract (each caller's frames are ledgered at its
     # own site); the helper itself adds no new collect surface
     ("util/concurrency.py", "collect_all"): (1, "BOUNDED-RESULT"),
-    ("operators/analytics_ext.py", "x_approx_sketches"): (4, "SKETCH"),
     ("operators/analytics_ext.py", "x_funnel"): (1, "SCHEMA/CONST"),
     ("operators/analytics_ext.py", "x_session_funnel"): (1, "SCHEMA/CONST"),
     ("operators/analytics_ext.py", "x_q22_dormant_balance"): (1, "SCALAR-1ROW"),
