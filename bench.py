@@ -438,6 +438,47 @@ def main() -> None:
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+    # Scaling probe (round-15, r14-verdict #2): the committed fixture is
+    # ONE parquet file with ONE row group per table, so every scan is a
+    # single task and the driver's low-core/high-core comparison cannot
+    # see operator parallelism — BENCH_r14_c8's flat ratios measured the
+    # probe, not the engine. Re-layout the SAME rows into the 8-files ×
+    # 4-row-groups twin (tools/make_multisplit — byte-identical values,
+    # FULL-checked in r14) in a temp dir and time a small scan-heavy key
+    # set on it under the identical protocol. These keys' 8-vs-32-core
+    # ratio is the informative scaling signal; they are published in a
+    # separate "scaling" field — never added to "queries"/"value", so
+    # the headline and its round-over-round comparison are untouched.
+    # Disable with SPARK_GRAFT_SCALING=0. The twin is recomputed from
+    # the input parquet on every invocation and deleted afterwards —
+    # a layout rehearsal, not a cache.
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        scaling_keys = [
+            "q1_pricing_summary", "a3_fingerprint_by_date",
+            "tx_quality_score", "dedup_exact_groups",
+        ]
+        ms_dir = tempfile.mkdtemp(prefix="bench_multisplit_")
+        try:
+            from tools.make_multisplit import rewrite as _ms_rewrite
+
+            _stdout, sys.stdout = sys.stdout, sys.stderr  # tool prints per-table lines
+            try:
+                _ms_rewrite(sf_dir, ms_dir, 8, 4)
+            finally:
+                sys.stdout = _stdout
+            ms = _bench_keys(spark, qs, ms_dir, scaling_keys)
+            scaling = {
+                "layout": "8x4",
+                "queries": ms["per_query"],
+                "query_spread": ms["query_spread"],
+                "load_flagged": ms["load_flagged"],
+            }
+        except Exception as e:  # noqa: BLE001 — the probe must never sink the bench
+            scaling = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        finally:
+            shutil.rmtree(ms_dir, ignore_errors=True)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_total_sec",
@@ -481,6 +522,7 @@ def main() -> None:
         # raw (un-normalized) drift stays detail-only: the final stdout
         # line lives inside the driver's 2000-char tail window
         "drift_vs_committed_raw": drift_vs_committed_raw,
+        "scaling_detail": scaling,
         **result,
     }
     try:
@@ -556,6 +598,14 @@ def main() -> None:
         print(json.dumps(gates_out))
 
     print(json.dumps({"query_spread": query_spread}))
+    # Scaling probe on its OWN line, between the (large) spread line and
+    # the final headline line: small enough to land inside the driver's
+    # stdout tail window without growing the final line past it (the
+    # round-5 truncation lesson). Medians only; spreads in BENCH_DETAIL.
+    if scaling is not None:
+        print(json.dumps({"scaling": {
+            k: v for k, v in scaling.items() if k in ("layout", "queries", "error")
+        }}))
     print(json.dumps(result))
     sys.stdout.flush()
     spark.stop()
