@@ -410,9 +410,84 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized shuffle wider than (vec_id, bucket). The candidate join
     shuffles bucket-ids only; the exact-rescore touches candidates, not
     the corpus. For 10⁹ vectors you'd raise RP_BITS so bucket occupancy
-    stays ~constant (bits ≈ log2(N / target_bucket_size))."""
+    stays ~constant (bits ≈ log2(N / target_bucket_size)).
+
+    Round 15 (guide §7.3, the _ivf_pq_ranked pattern): the registered
+    pinned-constant form builds as ONE spark.sql statement instead of
+    the py4j helper walk — every CTE mirrors rp_lsh_candidates +
+    _rank_candidates expression-for-expression (same broadcast hints
+    where the helpers call F.broadcast: hyper, variants, q, qn; same
+    join order, same window tie-break), so the plan and all values are
+    unchanged (exceptAll 0 both ways; oracle green both SFs). The
+    parameterized :func:`rp_lsh_candidates` kernel stays — the ladder
+    tool and the auto-bits path use it."""
     comp = _components(spark, sf_dir)
-    return _rank_candidates(comp, rp_lsh_candidates(comp), k=3)
+    span = 2 * RP_BITS
+    mask_arr = ", ".join(
+        f"CAST(bucket ^ {m} AS BIGINT)" for m in RP_PROBE_MASKS
+    )
+    return spark.sql(
+        f"""
+WITH src AS (
+  SELECT CAST(FLOOR(vec_id / {span}) AS INT) AS t,
+         CAST(vec_id % {span} AS INT) AS r, idx, val
+  FROM {{comp}} WHERE vec_id < {RP_TABLES * span}
+),
+ha AS (SELECT t, r AS h, idx, val AS av FROM src WHERE r < {RP_BITS}),
+hb AS (SELECT t, r - {RP_BITS} AS h, idx, val AS bv FROM src WHERE r >= {RP_BITS}),
+hyper AS (SELECT t, h, idx, av - bv AS hval FROM ha JOIN hb USING (t, h, idx)),
+proj AS (
+  SELECT /*+ BROADCAST(hyper) */ c.vec_id, hyper.t, hyper.h,
+         CAST(SUM(c.val * hyper.hval) AS DECIMAL(38,18)) AS p
+  FROM {{comp}} c JOIN hyper USING (idx)
+  GROUP BY c.vec_id, hyper.t, hyper.h
+),
+bucketed AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN p > 0 THEN CAST(SHIFTLEFT(1, h) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+variants AS (
+  SELECT vec_id AS qid, t, explode(array({mask_arr})) AS bucket
+  FROM bucketed WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT /*+ BROADCAST(v) */ DISTINCT v.qid, b.vec_id
+  FROM bucketed b JOIN variants v ON v.t = b.t AND v.bucket = b.bucket
+  WHERE b.vec_id != v.qid
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(val * val) AS DECIMAL(38,18)) AS n2
+  FROM {{comp}} GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM {{comp}} WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT /*+ BROADCAST(q) */ c.qid, c.vec_id,
+         CAST(SUM(comp.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM {{comp}} comp JOIN cand c ON c.vec_id = comp.vec_id
+  JOIN q ON q.qid = c.qid AND q.idx = comp.idx
+  GROUP BY c.qid, c.vec_id
+),
+ranked AS (
+  SELECT /*+ BROADCAST(qn) */ dots.qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE)
+              / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+              AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN (SELECT vec_id AS qid, n2 FROM norms) qn ON qn.qid = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= 3
+""",
+        comp=comp,
+    )
 
 
 def rp_lsh_candidates(
@@ -2135,39 +2210,53 @@ MMR_K = 5            # final selections per query
 def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query rerank shortlist: top-MMR_SHORTLIST cosine candidates
     (exact-decimal dots, the sim_topk kernel) joined back to their raw
-    embedding arrays — (qid, neighbor_id, cosine, embedding)."""
+    embedding arrays — (qid, neighbor_id, cosine, embedding).
+
+    Round 15 (guide §7.3, the _ivf_pq_ranked pattern): built as ONE
+    spark.sql statement mirroring the former helper walk expression-
+    for-expression (same F.broadcast sites as hints: q, qn; same join
+    order, window tie-break and casts) — plan and values unchanged
+    (exceptAll 0 both ways; oracle green both SFs through
+    sim_mmr_rerank). Neither substituted frame is cached."""
     comp = _components(spark, sf_dir)
-    norms = _norms(comp)
-    q = comp.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), "idx", F.col("val").alias("qval")
-    )
-    dots = (
-        comp.join(F.broadcast(q), "idx")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum(F.col("val") * F.col("qval")).cast("decimal(38,18)").alias("dot"))
-    )
-    qn = norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
-    cos = (
-        F.col("dot").cast("double")
-        / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double")))
-    ).cast("decimal(10,8)")
-    ranked = (
-        dots.join(F.broadcast(qn), "qid")
-        .join(norms, "vec_id")
-        .select("qid", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    shortlist = (
-        ranked.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= MMR_SHORTLIST)
-        .drop("rnk")
-    )
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
-    )
-    return shortlist.join(emb, "neighbor_id").select(
-        "qid", "neighbor_id", F.col("cosine").cast("double").alias("cosine"), "embedding"
+    emb = load_table(spark, sf_dir, "embeddings")
+    return spark.sql(
+        f"""
+WITH norms AS (
+  SELECT vec_id, CAST(SUM(val * val) AS DECIMAL(38,18)) AS n2
+  FROM {{comp}} GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM {{comp}} WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT /*+ BROADCAST(q) */ q.qid, c.vec_id,
+         CAST(SUM(c.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM {{comp}} c JOIN q USING (idx)
+  WHERE c.vec_id != q.qid
+  GROUP BY q.qid, c.vec_id
+),
+ranked AS (
+  SELECT /*+ BROADCAST(qn) */ dots.qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE)
+              / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+              AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN (SELECT vec_id AS qid, n2 FROM norms) qn ON qn.qid = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+),
+shortlist AS (
+  SELECT qid, neighbor_id, cosine FROM (
+    SELECT qid, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM ranked
+  ) WHERE rnk <= {MMR_SHORTLIST}
+)
+SELECT s.qid, s.neighbor_id, CAST(s.cosine AS DOUBLE) AS cosine, e.embedding
+FROM shortlist s
+JOIN (SELECT vec_id AS neighbor_id, embedding FROM {{emb}}) e USING (neighbor_id)
+""",
+        comp=comp,
+        emb=emb,
     )
 
 
