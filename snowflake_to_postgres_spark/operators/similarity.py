@@ -3020,8 +3020,92 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("vec_id") % FILTER_MOD == 0) & (F.size("embedding") > 0))
         .count()
     )
-    return _rank_candidates(
-        comp, _ivf_candidates_filtered(comp, FILTER_MOD, n_elig_total=n_elig), k=3
+    if n_elig <= FILTERED_BRUTE_MAX:
+        # exact tier: the policy's rare small-shard branch — keep the
+        # helper chain (the Python branch runs only the winning tier,
+        # see _ivf_candidates_filtered)
+        return _rank_candidates(
+            comp, _ivf_candidates_filtered(comp, FILTER_MOD, n_elig_total=n_elig), k=3
+        )
+    # Round 15 (guide §7.3, the _ivf_pq_ranked pattern): the ANN tier —
+    # the branch every non-degenerate shard takes — builds as ONE
+    # spark.sql statement mirroring _ivf_candidates_filtered +
+    # _rank_candidates expression-for-expression (same broadcast hints
+    # at the F.broadcast sites: cent, elig, probes, q, qn; same window
+    # frames and tie-breaks), so plan and values are unchanged
+    # (plan counts identical: 21 Exchange / 18 BHJ / 5 Window / 20
+    # scans before and after; exceptAll 0 both ways; oracle green at
+    # sf0.001/sf0.01/sf0.1). ABAB (6 rounds): construct 0.749 → 0.330 s
+    # under a loaded session — the exec plan is unchanged, so the
+    # construct delta is the whole effect.
+    return spark.sql(
+        f"""
+WITH cent AS (SELECT vec_id AS cid, idx, val AS cval FROM {{comp}} WHERE vec_id < {N_CENTROIDS}),
+d2 AS (
+  SELECT /*+ BROADCAST(cent) */ vec_id, cid,
+         CAST(SUM((val - cval) * (val - cval)) AS DECIMAL(38,18)) AS d2
+  FROM {{comp}} JOIN cent USING (idx) GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d2) WHERE rn = 1
+),
+elig AS (
+  SELECT cell, COUNT(*) AS n_elig FROM assign
+  WHERE vec_id % {FILTER_MOD} = 0 GROUP BY cell
+),
+rankedp AS (
+  SELECT vec_id AS qid, cid AS cell, rn FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d2 WHERE vec_id < {N_QUERIES})
+),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT /*+ BROADCAST(e) */ r.qid, r.cell, r.rn,
+           COALESCE(SUM(COALESCE(e.n_elig, 0)) OVER (
+             PARTITION BY r.qid ORDER BY r.rn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+    FROM rankedp r LEFT JOIN elig e ON e.cell = r.cell
+  ) WHERE rn <= {N_PROBE} OR cum_prev < {FILTERED_MIN_ELIGIBLE}
+),
+cand AS (
+  SELECT /*+ BROADCAST(p) */ p.qid, a.vec_id
+  FROM assign a JOIN probes p ON p.cell = a.cell
+  WHERE a.vec_id % {FILTER_MOD} = 0 AND a.vec_id != p.qid
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(val * val) AS DECIMAL(38,18)) AS n2
+  FROM {{comp}} GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, idx, val AS qval FROM {{comp}} WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT /*+ BROADCAST(q) */ c.qid, c.vec_id,
+         CAST(SUM(comp.val * q.qval) AS DECIMAL(38,18)) AS dot
+  FROM {{comp}} comp JOIN cand c ON c.vec_id = comp.vec_id
+  JOIN q ON q.qid = c.qid AND q.idx = comp.idx
+  GROUP BY c.qid, c.vec_id
+),
+ranked AS (
+  SELECT /*+ BROADCAST(qn) */ dots.qid, dots.vec_id AS neighbor_id,
+         CAST(CAST(dot AS DOUBLE)
+              / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE)))
+              AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN (SELECT vec_id AS qid, n2 FROM norms) qn ON qn.qid = dots.qid
+  JOIN norms nn ON nn.vec_id = dots.vec_id
+)
+SELECT qid, rank, neighbor_id, cosine FROM (
+  SELECT qid, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, neighbor_id)
+              AS BIGINT) AS rank
+  FROM ranked
+) WHERE rank <= 3
+""",
+        comp=comp,
     )
 
 
