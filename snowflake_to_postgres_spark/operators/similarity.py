@@ -3782,12 +3782,20 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = comp.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), "idx", F.col("val").alias("cval")
     )
+    # Round 15 (guide §1.2 per-task work): the per-round argmin is a
+    # map-side-combinable MIN of struct(d2, cid) — lexicographic struct
+    # ordering IS (d2 ASC, cid ASC), the exact selection the
+    # row_number window made, with the window's per-round SORT removed
+    # (4 sorts per execution: 3 rounds + final best). ABAB (7 rounds,
+    # one JVM): med 2.708 → 2.591 s; rows identical both ways. Kept
+    # LOCAL to this 4-pass query: the single-pass IVF consumers keep
+    # _ivf_assign's window so their SQL-built twins stay mirrors.
     for _ in range(KMEANS_ITERS):
         d2 = _ivf_cell_d2(comp, cents)
         assign = (
-            d2.withColumn("rn", F.row_number().over(_w_assign()))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
+            d2.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
         )
         means = (
             assign.join(comp, "vec_id")
@@ -3812,9 +3820,9 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     final = _ivf_cell_d2(comp, cents)
     best = (
-        final.withColumn("rn", F.row_number().over(_w_assign()))
-        .filter(F.col("rn") == 1)
-        .select("cid", "d2")
+        final.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
     )
     return (
         best.groupBy("cid")
